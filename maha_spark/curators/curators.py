@@ -1,0 +1,153 @@
+"""Curators: request-level composite operators
+(maha `service/.../curators/`, RequestCoordinator.scala:97-151).
+
+Each curator derives an extra result set from the primary request and is
+returned under its own key in the response envelope:
+
+* totalmetrics (TotalMetricsCurator.scala:47-64)  — grand totals of the
+  requested metrics with the same filters, no grouping.
+* rowcount     (Curator.scala:223-234)            — total row count of the
+  unpaginated result.
+* drilldown    (DrilldownCurator.scala:99-284)    — re-run grouped by a
+  drilldown dimension, top rows by the first requested metric (max 1000).
+* timeshift    (TimeShiftCurator.scala:51-115,266-310) — same request over
+  the previous period, joined on non-time keys; emits ``<m> Prev`` and
+  ``<m> Pct Change`` columns.
+
+All curators are pure DataFrame recipes over the same planner — the
+reference's ParRequest parallelism is unnecessary because Spark schedules
+the jobs; callers wanting concurrency can submit with a thread pool.
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime as _dt
+from dataclasses import replace
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import functions as F
+
+from ..core.filters import BetweenFilter
+from ..core.grain import MAGIC_TIME_FIELDS
+from ..model.request_model import METRIC, RequestModel, build_request_model
+from ..output.serializers import to_json_response
+from ..request.request import ReportingRequest, SelectField, SortBy
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..engine import MahaSparkEngine
+
+MAX_DRILLDOWN_ROWS = 1000  # DrilldownConfig.scala
+
+
+def run_curators(engine: "MahaSparkEngine", model: RequestModel) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for name, cfg in model.request.curators.items():
+        cfg = (cfg or {}).get("config", {}) if isinstance(cfg, dict) else {}
+        try:
+            if name == "totalmetrics":
+                out[name] = total_metrics(engine, model)
+            elif name == "rowcount":
+                out[name] = row_count(engine, model)
+            elif name == "drilldown":
+                out[name] = drilldown(engine, model, cfg)
+            elif name == "timeshift":
+                out[name] = timeshift(engine, model, cfg)
+            else:
+                out[name] = {"error": f"unknown curator {name!r}"}
+        except Exception as e:  # curator failure must not fail the request
+            out[name] = {"error": str(e)}
+    return out
+
+
+def _clone_request(req: ReportingRequest, **changes: Any) -> ReportingRequest:
+    new = copy.deepcopy(req)
+    new.curators = {}
+    for k, v in changes.items():
+        setattr(new, k, v)
+    return new
+
+
+def total_metrics(engine: "MahaSparkEngine", model: RequestModel) -> dict[str, Any]:
+    req = model.request
+    metric_fields = [SelectField(field=p.alias) for p in model.projections
+                     if p.kind == METRIC]
+    if not metric_fields:
+        return {"rows": []}
+    sub = _clone_request(req, select_fields=metric_fields, sort_by=[],
+                         pagination_start_index=0, rows_per_page=-1,
+                         include_row_count=False)
+    df = engine.dataframe(sub)
+    return to_json_response(df, cube=req.cube,
+                            metric_aliases={f.field for f in metric_fields})
+
+
+def row_count(engine: "MahaSparkEngine", model: RequestModel) -> dict[str, Any]:
+    req = model.request
+    sub = _clone_request(req, pagination_start_index=0, rows_per_page=-1,
+                         sort_by=[], include_row_count=False)
+    n = engine.dataframe(sub).count()
+    return {"rows": [[n]], "header": {"fields": [{"fieldName": "TOTALROWS",
+                                                  "fieldType": "CONSTANT"}]}}
+
+
+def drilldown(engine: "MahaSparkEngine", model: RequestModel,
+              cfg: dict[str, Any]) -> dict[str, Any]:
+    req = model.request
+    dim = cfg.get("dimension") or cfg.get("dim")
+    if not dim:
+        return {"error": "drilldown requires config.dimension"}
+    mr = min(int(cfg.get("mr", MAX_DRILLDOWN_ROWS)), MAX_DRILLDOWN_ROWS)
+    metrics = [p.alias for p in model.projections if p.kind == METRIC]
+    fields = [SelectField(field=dim)] + [SelectField(field=m) for m in metrics]
+    sorts = [SortBy(field=metrics[0], order="DESC")] if metrics else []
+    sub = _clone_request(req, select_fields=fields, sort_by=sorts,
+                         pagination_start_index=0, rows_per_page=mr,
+                         include_row_count=False)
+    df = engine.dataframe(sub)
+    return to_json_response(df, cube=req.cube, metric_aliases=set(metrics),
+                            max_rows=mr)
+
+
+def timeshift(engine: "MahaSparkEngine", model: RequestModel,
+              cfg: dict[str, Any]) -> dict[str, Any]:
+    req = model.request
+    day_alias = model.cube.day_alias
+    day_f = next((f for f in req.filters
+                  if isinstance(f, BetweenFilter) and f.field == day_alias), None)
+    if day_f is None:
+        return {"error": "timeshift requires a Day between filter"}
+    f_d = _dt.date.fromisoformat(str(day_f.from_value)[:10])
+    t_d = _dt.date.fromisoformat(str(day_f.to_value)[:10])
+    days = (t_d - f_d).days + 1
+    shift = int(cfg.get("daysOffset", 0)) or days
+    prev_f, prev_t = f_d - _dt.timedelta(days=shift), t_d - _dt.timedelta(days=shift)
+
+    prev_filters = [BetweenFilter(field=day_alias, from_value=prev_f.isoformat(),
+                                  to_value=prev_t.isoformat())
+                    if f is day_f else f for f in req.filters]
+    # previous period grouped WITHOUT the time column so periods join 1:1
+    join_keys = [p.alias for p in model.projections
+                 if p.kind != METRIC and p.alias not in MAGIC_TIME_FIELDS]
+    metrics = [p.alias for p in model.projections if p.kind == METRIC]
+    prev_fields = ([SelectField(field=a) for a in join_keys] +
+                   [SelectField(field=m) for m in metrics])
+    sub = _clone_request(req, select_fields=prev_fields, filters=prev_filters,
+                         sort_by=[], pagination_start_index=0, rows_per_page=-1,
+                         include_row_count=False)
+    cur = engine.dataframe(req if not req.curators else
+                           _clone_request(req, pagination_start_index=0))
+    prev = engine.dataframe(sub)
+    for m in metrics:
+        prev = prev.withColumnRenamed(m, f"{m} Prev")
+    if join_keys:
+        joined = cur.join(prev, on=join_keys, how="left_outer")
+    else:
+        joined = cur.crossJoin(prev)
+    for m in metrics:
+        c, p = F.col(f"`{m}`"), F.coalesce(F.col(f"`{m} Prev`"), F.lit(0.0))
+        joined = joined.withColumn(
+            f"{m} Pct Change",
+            F.when(p == 0, F.lit(None)).otherwise(
+                F.round((c - p) / p * 100.0, 2)))
+    return to_json_response(joined, cube=req.cube, metric_aliases=set(metrics))

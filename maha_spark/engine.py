@@ -1,0 +1,71 @@
+"""MahaSparkEngine: the service facade (maha `service/.../MahaService.scala`).
+
+request JSON -> parse/validate -> RequestModel -> DataFrame plan ->
+execute/serialize, with curators (drilldown / timeshift / totalmetrics /
+rowcount) composed into one response
+(RequestCoordinator.scala:97-151 semantics).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model.request_model import RequestModel, build_request_model
+from .output.serializers import to_json_response
+from .plans.binding import ParquetBinding, TableBinding
+from .plans.planner import Planner
+from .registry.cube import Registry
+from .request.request import ReportingRequest, parse_request
+
+
+class MahaSparkEngine:
+    def __init__(self, spark: SparkSession, registry: Registry,
+                 binding: TableBinding):
+        self.spark = spark
+        self.registry = registry
+        self.binding = binding
+        self.planner = Planner(spark, binding)
+
+    # ------------------------------------------------------------------
+    def model(self, request: Union[dict, str, bytes, ReportingRequest],
+              schema: str = "internal",
+              today: Optional[_dt.date] = None) -> RequestModel:
+        req = request if isinstance(request, ReportingRequest) else \
+            parse_request(request, schema=schema)
+        return build_request_model(req, self.registry, today=today)
+
+    def dataframe(self, request: Union[dict, str, bytes, ReportingRequest],
+                  schema: str = "internal",
+                  today: Optional[_dt.date] = None) -> DataFrame:
+        return self.planner.build(self.model(request, schema=schema, today=today))
+
+    # ------------------------------------------------------------------
+    def execute(self, request: Union[dict, str, bytes, ReportingRequest],
+                schema: str = "internal",
+                today: Optional[_dt.date] = None) -> dict[str, Any]:
+        """Full lifecycle incl. curators -> reference JSON envelope."""
+        from .curators.curators import run_curators  # cycle-free local import
+
+        req = request if isinstance(request, ReportingRequest) else \
+            parse_request(request, schema=schema)
+        model = build_request_model(req, self.registry, today=today)
+        df = self.planner.build(model)
+        curator_results = run_curators(self, model) if req.curators else None
+        return to_json_response(
+            df, cube=req.cube,
+            metric_aliases=set(model.metric_aliases),
+            max_rows=req.rows_per_page,
+            curators=curator_results,
+            debug={"requestType": req.request_type} if req.is_debug else None,
+        )
+
+    def domain_json(self) -> dict[str, Any]:
+        return self.registry.domain_json()
+
+
+def engine_for_dir(spark: SparkSession, registry: Registry,
+                   base_dir: str) -> MahaSparkEngine:
+    return MahaSparkEngine(spark, registry, ParquetBinding(spark, base_dir))

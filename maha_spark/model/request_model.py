@@ -1,0 +1,467 @@
+"""RequestModel: the analyzed query (maha `core/.../RequestModel.scala:114-164`,
+built by RequestModel.from :318-1287).
+
+Responsibilities preserved from the reference:
+
+* alias -> column resolution against the cube's public contract
+* fact/dim split of projections, filters, sorts
+* dimension-candidate discovery + join-path resolution up snowflake chains
+  (Registry.findDimensionPath:776)
+* join-type derivation matrix (RequestModel.scala:180-228):
+    - dim filtered (non-PK) or schema-required field on dim -> INNER
+    - fact-driven, no dim filters                            -> LEFT OUTER
+    - dim-driven (forceDimensionDriven)                      -> dim side drives,
+      fact LEFT-OUTER-joined to the paginated dim (ROJ shape,
+      QueryPipeline.scala:918-946)
+    - dim filtered but nothing projected from it             -> LEFT SEMI
+* validation: unknown fields, disallowed filter ops, in-list length caps
+  (RequestModel.scala:1359-1380), mandatory Day filter, max-days-window /
+  look-back (:1300-1343), schema-required filters (fact/Fact.scala:1752),
+  restricted schemas, incompatible/dependent columns, row caps
+* fact candidate pruning + cheapest-table choice
+  (getCandidatesFor + findBestFactCandidate, QueryPipeline.scala:487-561)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field as dfield
+from typing import Any, Optional
+
+from ..core.columns import DerivedDimCol, DerivedFactCol, DimCol, FactCol, _PLACEHOLDER
+from ..core.filters import (
+    AndFilter, BetweenFilter, Filter, InFilter, NotInFilter, OrFilter,
+    OuterFilter, PushDownFilter,
+)
+from ..registry.cube import FactTable, PubCol, PublicDimension, PublicFact, Registry
+from ..request.request import ReportingRequest, SortBy, ValidationError
+
+MAX_ALLOWED_FILTER_VALUES = 1000  # in-list cap (RequestModel.scala:1359-1380)
+
+FACT_DIM = "fact_dim"      # group-by-able field answered from the fact table
+METRIC = "metric"          # aggregated field
+DIM_ATTR = "dim_attr"      # field from a joined dimension
+CONSTANT = "constant"      # Field.value constant
+
+
+@dataclass
+class ProjectedField:
+    alias: str           # public alias requested
+    output_name: str     # alias in the result (Field.alias or field)
+    kind: str
+    pub_col: Optional[PubCol] = None
+    dim_name: Optional[str] = None   # for DIM_ATTR: terminal public dim
+    value: Any = None                # for CONSTANT
+
+
+@dataclass
+class DimJoinChain:
+    """One join chain fact -> d0 -> d1 -> ... ordered fact-adjacent first."""
+
+    fact_fk_col: str                      # physical fact column
+    dims: list[PublicDimension]
+    join_type: str                        # left_outer | inner | left_semi
+    #: aliases projected per dim name
+    projected: dict[str, list[str]] = dfield(default_factory=dict)
+    #: filters per dim name
+    filters: dict[str, list[Filter]] = dfield(default_factory=dict)
+    #: sorts on attributes of dims in this chain (dim-driven path)
+    sorts: list[SortBy] = dfield(default_factory=list)
+
+    @property
+    def has_projection(self) -> bool:
+        return any(self.projected.values())
+
+    @property
+    def has_filters(self) -> bool:
+        return any(self.filters.values())
+
+
+@dataclass
+class RequestModel:
+    request: ReportingRequest
+    cube: PublicFact
+    fact_table: FactTable
+    projections: list[ProjectedField]
+    fact_filters: list[Filter]
+    outer_filters: list[OuterFilter]
+    chains: list[DimJoinChain]
+    fact_sorts: list[SortBy]
+    dim_sorts: list[SortBy]
+    is_dim_driven: bool
+    is_dim_only: bool            # no metrics requested -> SELECT DISTINCT dims
+    include_row_count: bool
+    start_index: int
+    max_rows: int
+    #: needed physical fact columns (scan pruning)
+    needed_fact_cols: set[str]
+    requires_outer_group_by: bool
+    utc_shifted: bool = False
+
+    @property
+    def metric_aliases(self) -> list[str]:
+        return [p.alias for p in self.projections if p.kind == METRIC]
+
+
+def _leaf_filters(f: Filter) -> list[Filter]:
+    if isinstance(f, (AndFilter, OrFilter, OuterFilter)):
+        return [lf for sub in f.filters for lf in _leaf_filters(sub)]
+    if isinstance(f, PushDownFilter) and f.inner is not None:
+        return _leaf_filters(f.inner)
+    return [f]
+
+
+def _check_filter_ops(f: Filter, pub: PubCol, errors: list[str]) -> None:
+    for leaf in _leaf_filters(f):
+        if leaf.field != pub.alias:
+            continue
+        op = leaf.operator
+        if op in ("or", "and", "outer", "pushdown"):
+            continue
+        if pub.filter_ops and op not in pub.filter_ops:
+            errors.append(
+                f"Unsupported operation {op!r} on field {pub.alias!r}; allowed: "
+                f"{sorted(pub.filter_ops)}")
+        for attr in ("values",):
+            vals = getattr(leaf, attr, None)
+            if vals is not None and len(vals) > MAX_ALLOWED_FILTER_VALUES:
+                errors.append(
+                    f"Filter on {pub.alias!r} exceeds max allowed values "
+                    f"{MAX_ALLOWED_FILTER_VALUES}")
+
+
+def _parse_date(v: Any) -> Optional[_dt.date]:
+    if isinstance(v, _dt.date):
+        return v
+    try:
+        return _dt.date.fromisoformat(str(v)[:10])
+    except ValueError:
+        return None
+
+
+def build_request_model(request: ReportingRequest, registry: Registry,
+                        today: Optional[_dt.date] = None) -> RequestModel:
+    errors: list[str] = []
+    cube = registry.fact(request.cube)
+
+    dim_alias = cube.dim_alias_map()
+    fact_alias = cube.fact_alias_map()
+
+    # dimension lookup tables: which public dim carries which alias,
+    # and which fact FK col reaches which public dim
+    fact_fks = cube.base_table.fk_columns()  # physical col -> pub dim name
+    reachable: dict[str, tuple[str, list[str]]] = {}  # dim name -> (fk col, path)
+    for fk_col, dname in fact_fks.items():
+        # BFS from each FK dim through parent chains
+        frontier = [[dname]]
+        while frontier:
+            path = frontier.pop(0)
+            last = path[-1]
+            if last not in reachable or len(path) < len(reachable[last][1]):
+                reachable[last] = (fk_col, path)
+            try:
+                d = registry.dimension(last)
+            except KeyError:
+                break
+            for parent in d.table.parent_keys.values():
+                if parent not in [p for p in path]:
+                    frontier.append(path + [parent])
+
+    def locate_dim_attr(alias: str) -> Optional[tuple[str, PubCol]]:
+        """Find (terminal dim name, pub col) providing this alias."""
+        best: Optional[tuple[str, PubCol]] = None
+        for dname in reachable:
+            try:
+                d = registry.dimension(dname)
+            except KeyError:
+                continue
+            p = d.alias_map().get(alias)
+            if p is not None:
+                # prefer the shortest chain
+                if best is None or len(reachable[dname][1]) < len(reachable[best[0]][1]):
+                    best = (dname, p)
+        return best
+
+    # ------------------------------------------------------------------
+    # resolve projections
+    # ------------------------------------------------------------------
+    projections: list[ProjectedField] = []
+    used_aliases: list[str] = []
+    dim_usage: dict[str, dict[str, Any]] = {}  # dim name -> {projected, filters, sorts}
+
+    def dim_use(dname: str) -> dict[str, Any]:
+        return dim_usage.setdefault(dname, {"projected": [], "filters": [], "sorts": []})
+
+    for sf in request.select_fields:
+        if sf.value is not None:
+            projections.append(ProjectedField(sf.field, sf.output_name, CONSTANT,
+                                              value=sf.value))
+            continue
+        a = sf.field
+        used_aliases.append(a)
+        if a in dim_alias:
+            projections.append(ProjectedField(a, sf.output_name, FACT_DIM,
+                                              pub_col=dim_alias[a]))
+        elif a in fact_alias:
+            projections.append(ProjectedField(a, sf.output_name, METRIC,
+                                              pub_col=fact_alias[a]))
+        else:
+            hit = locate_dim_attr(a)
+            if hit is None:
+                errors.append(f"Field not found in cube {request.cube!r}: {a!r}")
+                continue
+            dname, pub = hit
+            d = registry.dimension(dname)
+            # join elimination: PK alias answered from the fact FK when the
+            # fact carries the FK column (RequestModel.scala join-need logic)
+            if pub.alias == d.pk_alias and dname in fact_fks.values():
+                fk_col = next(c for c, n in fact_fks.items() if n == dname)
+                synth = PubCol(alias=a, name=fk_col, filter_ops=pub.filter_ops)
+                projections.append(ProjectedField(a, sf.output_name, FACT_DIM,
+                                                  pub_col=synth))
+            else:
+                projections.append(ProjectedField(a, sf.output_name, DIM_ATTR,
+                                                  pub_col=pub, dim_name=dname))
+                dim_use(dname)["projected"].append(a)
+
+    # ------------------------------------------------------------------
+    # schema access control + required filters
+    # ------------------------------------------------------------------
+    filter_fields = [lf.field for f in request.filters for lf in _leaf_filters(f)]
+
+    req_alias = cube.schema_required_alias.get(request.schema)
+    if req_alias and req_alias not in filter_fields:
+        errors.append(
+            f"required filter for schema {request.schema!r} not found: {req_alias!r}")
+
+    for a in used_aliases + filter_fields:
+        pub = cube.col_by_alias(a)
+        if pub is not None and pub.restricted_schemas and \
+                request.schema not in pub.restricted_schemas:
+            errors.append(f"field {a!r} is restricted to schemas "
+                          f"{sorted(pub.restricted_schemas)}")
+        if pub is not None and pub.incompatible_columns:
+            clash = pub.incompatible_columns & set(used_aliases)
+            if clash and a in used_aliases:
+                errors.append(f"field {a!r} is incompatible with {sorted(clash)}")
+
+    for p in list(cube.pub_cols) + list(cube.pub_fact_cols):
+        if p.filtering_required and p.alias not in filter_fields:
+            errors.append(f"filtering is required on field {p.alias!r}")
+
+    # ------------------------------------------------------------------
+    # classify filters: fact vs dim vs outer; validate ops; day window
+    # ------------------------------------------------------------------
+    fact_filters: list[Filter] = []
+    outer_filters: list[OuterFilter] = []
+    day_filter: Optional[BetweenFilter] = None
+
+    def classify(f: Filter) -> None:
+        nonlocal day_filter
+        if isinstance(f, OuterFilter):
+            outer_filters.append(f)
+            return
+        inner = f.inner if isinstance(f, PushDownFilter) and f.inner else f
+        leaves = _leaf_filters(inner)
+        owners: set[str] = set()
+        for leaf in leaves:
+            for a in leaf.fields():
+                if a in dim_alias or a in fact_alias:
+                    owners.add("__fact__")
+                    pub = cube.col_by_alias(a)
+                    _check_filter_ops(leaf, pub, errors)
+                else:
+                    hit = locate_dim_attr(a)
+                    if hit is None:
+                        errors.append(f"Filter field not found in cube "
+                                      f"{request.cube!r}: {a!r}")
+                        continue
+                    dname, pub = hit
+                    d = registry.dimension(dname)
+                    if pub.alias == d.pk_alias and dname in fact_fks.values():
+                        owners.add("__fact__")  # PK filter applies to fact FK
+                    else:
+                        owners.add(dname)
+                    _check_filter_ops(leaf, pub, errors)
+        if owners == {"__fact__"} or not owners:
+            fact_filters.append(inner)
+            if isinstance(inner, BetweenFilter) and inner.field == cube.day_alias:
+                day_filter = inner
+        elif len(owners) == 1:
+            dname = next(iter(owners))
+            dim_use(dname)["filters"].append(inner)
+        else:
+            # mixed fact+dim predicate -> evaluate after joins (outer)
+            outer_filters.append(OuterFilter(filters=(inner,)))
+
+    for f in request.filters:
+        classify(f)
+
+    # forced filters at cube level (public aliases) are injected, overridable
+    # ones skipped when the user filtered the same alias (Fact.scala:433,778)
+    for ff in cube.forced_filters:
+        if ff.is_overridable and ff.field in filter_fields:
+            continue
+        classify(ff)
+
+    if cube.require_day_filter and day_filter is None:
+        errors.append(f"Day filter missing: a 'between' filter on "
+                      f"{cube.day_alias!r} is required")
+
+    if day_filter is not None:
+        f_d, t_d = _parse_date(day_filter.from_value), _parse_date(day_filter.to_value)
+        if f_d and t_d:
+            if t_d < f_d:
+                errors.append("Day filter 'from' must be <= 'to'")
+            window = (t_d - f_d).days + 1
+            mdw = cube.max_days_window or cube.base_table.max_days_window
+            if mdw is not None and window > mdw:
+                errors.append(f"Max days window exceeded: {window} > {mdw} "
+                              f"(MaxDaysWindowExceeded)")
+            mdl = cube.max_days_lookback or cube.base_table.max_days_lookback
+            ref_day = today or _dt.date.today()
+            if mdl is not None and (ref_day - f_d).days > mdl:
+                errors.append(f"Max days look back exceeded: "
+                              f"{(ref_day - f_d).days} > {mdl}")
+
+    # ------------------------------------------------------------------
+    # sorts: fact vs dim (RequestModel.scala:123-124)
+    # ------------------------------------------------------------------
+    fact_sorts: list[SortBy] = []
+    dim_sorts: list[SortBy] = []
+    for s in request.sort_by:
+        if s.field in dim_alias or s.field in fact_alias:
+            fact_sorts.append(s)
+        else:
+            hit = locate_dim_attr(s.field)
+            if hit is None:
+                errors.append(f"Sort field not found in cube: {s.field!r}")
+                continue
+            dname, pub = hit
+            d = registry.dimension(dname)
+            if pub.alias == d.pk_alias and dname in fact_fks.values():
+                fact_sorts.append(s)
+            else:
+                dim_sorts.append(s)
+                dim_use(dname)["sorts"].append(s)
+
+    # ------------------------------------------------------------------
+    # build join chains (merge dims sharing a fact FK, order by level desc:
+    # fact-adjacent = deepest level, like keyword(4) -> advertiser(1))
+    # ------------------------------------------------------------------
+    chains: dict[str, DimJoinChain] = {}
+    for dname, use in dim_usage.items():
+        if dname not in reachable:
+            errors.append(f"dimension {dname!r} not joinable from cube "
+                          f"{request.cube!r}")
+            continue
+        fk_col, path = reachable[dname]
+        ch = chains.get(fk_col)
+        if ch is None:
+            ch = DimJoinChain(fact_fk_col=fk_col, dims=[], join_type="left_outer")
+            chains[fk_col] = ch
+        # extend chain with full path (dedup, keep order fact-adjacent first)
+        names = [d.name for d in ch.dims]
+        for pname in path:
+            if pname not in names:
+                ch.dims.append(registry.dimension(pname))
+                names.append(pname)
+        ch.projected.setdefault(dname, []).extend(use["projected"])
+        if use["filters"]:
+            ch.filters.setdefault(dname, []).extend(use["filters"])
+        ch.sorts.extend(use["sorts"])
+
+    is_dim_driven = request.force_dimension_driven and bool(chains)
+
+    # join type matrix (RequestModel.scala:180-228)
+    for ch in chains.values():
+        if not ch.has_projection and ch.has_filters and not is_dim_driven:
+            ch.join_type = "left_semi"  # subquery filter (OracleQueryGenerator:49-68)
+        elif ch.has_filters:
+            ch.join_type = "inner"
+        else:
+            ch.join_type = "left_outer"
+
+    metrics = [p for p in projections if p.kind == METRIC]
+    is_dim_only = not metrics and not any(p.kind == FACT_DIM for p in projections) \
+        and bool(chains)
+
+    # ------------------------------------------------------------------
+    # fact table selection: needed physical columns -> cheapest candidate
+    # ------------------------------------------------------------------
+    needed: set[str] = set()
+
+    def add_fact_col_deps(col_name: str, table: FactTable) -> None:
+        col = table.columns.get(col_name)
+        if col is None:
+            needed.add(col_name)
+            return
+        needed.add(col_name)
+        expr = getattr(col, "expr", "")
+        if expr:
+            for ref in _PLACEHOLDER.findall(expr):
+                if ref != col_name and ref in table.columns:
+                    add_fact_col_deps(ref, table)
+        for dep in col.depends_on:
+            add_fact_col_deps(dep, table)
+
+    base = cube.base_table
+    for p in projections:
+        if p.kind in (FACT_DIM, METRIC) and p.pub_col is not None:
+            add_fact_col_deps(p.pub_col.name, base)
+    for f in fact_filters:
+        for leaf in _leaf_filters(f):
+            for a in leaf.fields():
+                pub = cube.col_by_alias(a)
+                if pub is not None:
+                    add_fact_col_deps(pub.name, base)
+                elif a in [pr.alias for pr in projections]:
+                    pass
+    for ch in chains.values():
+        needed.add(ch.fact_fk_col)
+    if base.day_column:
+        needed.add(base.day_column)
+
+    candidates = cube.candidate_tables(needed)
+    if not candidates:
+        errors.append(
+            f"no fact table in cube {request.cube!r} covers columns {sorted(needed)}")
+
+    if request.rows_per_page > request.max_rows_cap:
+        errors.append(f"rowsPerPage {request.rows_per_page} exceeds cap "
+                      f"{request.max_rows_cap}")
+
+    if errors:
+        raise ValidationError(errors)
+
+    fact_table = candidates[0]
+
+    # outer group-by needed when a chain projects non-PK dim attrs while the
+    # corresponding FK is not part of the final projection (SURVEY §2.4 OGB)
+    projected_aliases = {p.alias for p in projections}
+    requires_ogb = False
+    for ch in chains.values():
+        if not ch.has_projection:
+            continue
+        d0 = ch.dims[0]
+        if d0.pk_alias not in projected_aliases:
+            requires_ogb = True
+
+    return RequestModel(
+        request=request,
+        cube=cube,
+        fact_table=fact_table,
+        projections=projections,
+        fact_filters=fact_filters,
+        outer_filters=outer_filters,
+        chains=list(chains.values()),
+        fact_sorts=fact_sorts,
+        dim_sorts=dim_sorts,
+        is_dim_driven=is_dim_driven,
+        is_dim_only=is_dim_only or (request.is_distinct and not metrics),
+        include_row_count=request.include_row_count,
+        start_index=request.pagination_start_index,
+        max_rows=request.rows_per_page,
+        needed_fact_cols=needed,
+        requires_outer_group_by=requires_ogb,
+    )

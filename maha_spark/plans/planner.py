@@ -1,0 +1,574 @@
+"""DataFrame planner: RequestModel -> one Spark DataFrame.
+
+This single module replaces the reference's six per-engine query
+generators + executors + API-side row merging (maha
+`core/.../query/*QueryGenerator.scala`, `QueryPipeline.scala:908-1280`,
+`query/RowList.scala:244-617`). The plan shape is:
+
+    fact.filter(day ∧ forced ∧ fact filters)        -- pushed to the scan
+        .groupBy(fact-grain keys).agg(rollups)       -- partial agg map-side
+        .join(broadcast(dims), fk = pk, <derived>)   -- star joins
+        [.groupBy(final aliases).agg(re-rollups)]    -- outer group-by (OGB)
+        .select(final aliases, derived exprs)
+        .filter(outer filters)
+        .orderBy(...).offset(si).limit(mr)
+
+Scale notes (100 TB design):
+* filters and column pruning are expressed declaratively so Catalyst pushes
+  them into the parquet scan (PushedFilters / ReadSchema);
+* dimension sides are broadcast() — star-schema dims are small relative to
+  the fact, so no shuffle of the fact for joins;
+* aggregation before the join (agg-then-join) shrinks the fact to the
+  grouped grain before any join work; the OGB re-aggregation operates on
+  already-reduced data;
+* the only required shuffle is the one groupBy on the fact's grouping keys
+  (AQE coalesces/handles skew at runtime);
+* dim-driven pagination orders/limits the (small) dim side only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..core.columns import (
+    BaseCol, ConstCol, DerivedDimCol, DerivedFactCol, DimCol, FactCol,
+    PostResultCol, _PLACEHOLDER, expand_expr, static_mapping_projection,
+)
+from ..core.filters import Filter, ResolvedField
+from ..core.rollup import AverageRollup, CardinalityRollup, Rollup
+from ..model.request_model import (
+    CONSTANT, DIM_ATTR, FACT_DIM, METRIC, DimJoinChain, ProjectedField,
+    RequestModel,
+)
+from ..registry.cube import DimensionTable, FactTable, PubCol, PublicDimension
+from .binding import TableBinding
+
+ROW_COUNT_ALIAS = "TOTALROWS"  # Count(*) OVER() TOTALROWS (OracleQueryGeneratorTest.scala:44)
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _col_sql(table_cols: dict[str, BaseCol], name: str) -> str:
+    """SQL fragment for a column of a physical table, expanding derived
+    expressions recursively and static mappings into CASE WHEN chains."""
+    col = table_cols.get(name)
+    if col is None:
+        return _q(name)
+    if isinstance(col, (DerivedDimCol, PostResultCol)):
+        resolver = {n: _inner_sql(table_cols, n) for n in table_cols}
+        return expand_expr(col.expr, resolver)
+    if isinstance(col, ConstCol):
+        return repr(col.value) if not isinstance(col.value, str) else \
+            "'" + col.value.replace("'", "''") + "'"
+    return _q(name)
+
+
+def _inner_sql(table_cols: dict[str, BaseCol], name: str) -> str:
+    col = table_cols.get(name)
+    if isinstance(col, DerivedDimCol):
+        return col.expr
+    return _q(name)
+
+
+def _decode_sql(table_cols: dict[str, BaseCol], pub: PubCol) -> str:
+    """Projection SQL for a public column incl. static-mapping decode."""
+    base = _col_sql(table_cols, pub.name)
+    col = table_cols.get(pub.name)
+    if col is not None and col.dtype.has_static_mapping:
+        return static_mapping_projection(base, col.dtype)
+    return base
+
+
+class Planner:
+    def __init__(self, spark: SparkSession, binding: TableBinding):
+        self.spark = spark
+        self.binding = binding
+
+    # ------------------------------------------------------------------
+    def build(self, model: RequestModel) -> DataFrame:
+        if model.is_dim_only:
+            df = self._build_dim_only(model)
+        elif model.is_dim_driven:
+            df = self._build_dim_driven(model)
+        else:
+            df = self._build_fact_driven(model)
+
+        df = self._apply_outer_filters(model, df)
+
+        if model.include_row_count:
+            df = df.withColumn(
+                ROW_COUNT_ALIAS,
+                F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+
+        df = self._apply_order_and_page(model, df)
+
+        # rename public aliases -> requested output names last
+        renames = [(p.alias, p.output_name) for p in model.projections
+                   if p.output_name != p.alias]
+        for old, new in renames:
+            df = df.withColumnRenamed(old, new)
+        ordered = [p.output_name for p in model.projections]
+        if model.include_row_count:
+            ordered.append(ROW_COUNT_ALIAS)
+        return df.select(*[_q(c) for c in ordered])
+
+    # ------------------------------------------------------------------
+    # fact side
+    # ------------------------------------------------------------------
+    def _load_fact(self, table: FactTable) -> DataFrame:
+        if table.parts:
+            dfs = []
+            for part in table.parts:
+                df = self.binding.table(part.table)
+                for cname, v in part.constants.items():
+                    df = df.withColumn(cname, F.lit(v))
+                dfs.append(df)
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        return self.binding.table(table.name)
+
+    def _fact_resolver(self, model: RequestModel):
+        """alias -> ResolvedField over raw fact rows (pre-aggregation)."""
+        table = model.fact_table
+        cube = model.cube
+
+        def resolve(alias: str) -> ResolvedField:
+            pub = cube.col_by_alias(alias)
+            name = pub.name if pub is not None else alias
+            col = table.columns.get(name)
+            dtype = col.dtype if col is not None else None
+            ci = isinstance(col, DimCol) and col.case_insensitive
+            return ResolvedField(col=F.expr(_col_sql(table.columns, name)),
+                                 dtype=dtype, case_insensitive=ci)
+
+        return resolve
+
+    def _split_fact_filters(self, model: RequestModel):
+        """row-level filters vs HAVING-style filters on metric aliases."""
+        fact_aliases = set(model.cube.fact_alias_map())
+        row, having = [], []
+        for f in model.fact_filters:
+            if any(a in fact_aliases for a in f.fields()):
+                having.append(f)
+            else:
+                row.append(f)
+        return row, having
+
+    def _metric_plan(self, model: RequestModel):
+        """Decide which physical aggregates are needed and how to compute
+        each projected metric from them."""
+        table = model.fact_table
+        base_needed: dict[str, FactCol] = {}
+        derived: list[tuple[str, DerivedFactCol]] = []  # (alias, col)
+        direct: list[tuple[str, FactCol]] = []
+
+        def add_base(name: str) -> None:
+            col = table.columns.get(name)
+            if isinstance(col, FactCol):
+                base_needed[name] = col
+            elif isinstance(col, DerivedFactCol):
+                for ref in _PLACEHOLDER.findall(col.expr):
+                    if ref != name:
+                        add_base(ref)
+
+        for p in model.projections:
+            if p.kind != METRIC:
+                continue
+            col = table.columns.get(p.pub_col.name)
+            if isinstance(col, DerivedFactCol):
+                derived.append((p.alias, col))
+                add_base(p.pub_col.name)
+            elif isinstance(col, FactCol):
+                direct.append((p.alias, col))
+                base_needed[p.pub_col.name] = col
+        # HAVING filters may reference metrics not projected
+        _, having = self._split_fact_filters(model)
+        for f in having:
+            for a in f.fields():
+                pub = model.cube.fact_alias_map().get(a)
+                if pub is not None:
+                    add_base(pub.name)
+                    col = table.columns.get(pub.name)
+                    if isinstance(col, FactCol) and a not in [x for x, _ in direct]:
+                        direct.append((a, col))
+        return base_needed, direct, derived
+
+    def _group_key_exprs(self, model: RequestModel) -> list[tuple[str, str]]:
+        """(alias, sql) group keys answerable at fact grain."""
+        table = model.fact_table
+        out = []
+        for p in model.projections:
+            if p.kind == FACT_DIM:
+                out.append((p.alias, _decode_sql(table.columns, p.pub_col)))
+        return out
+
+    def _build_fact_agg(self, model: RequestModel,
+                        extra_keys: Optional[list[str]] = None,
+                        skip_group: bool = False) -> DataFrame:
+        """fact scan -> filter -> (groupBy.agg) with group keys =
+        projected fact dims + FK cols needed by join chains."""
+        table = model.fact_table
+        df = self._load_fact(table)
+
+        # physical forced filters (over physical column names)
+        for ff in table.forced_filters:
+            def raw_resolve(alias: str, _t=table) -> ResolvedField:
+                col = _t.columns.get(alias)
+                return ResolvedField(col=F.expr(_col_sql(_t.columns, alias)),
+                                     dtype=col.dtype if col else None)
+            df = df.filter(ff.to_column(raw_resolve))
+
+        row_filters, having = self._split_fact_filters(model)
+        resolve = self._fact_resolver(model)
+        for f in row_filters:
+            df = df.filter(f.to_column(resolve))
+
+        keys = self._group_key_exprs(model)
+        fk_cols = [ch.fact_fk_col for ch in model.chains
+                   if ch.join_type != "left_semi"]
+        for fk in (extra_keys or []):
+            if fk not in fk_cols:
+                fk_cols.append(fk)
+        key_exprs = [F.expr(sql).alias(alias) for alias, sql in keys]
+        key_exprs += [F.col(fk).alias(fk) for fk in fk_cols
+                      if fk not in [a for a, _ in keys]]
+
+        # semi-join chains reduce the fact BEFORE aggregation
+        for ch in model.chains:
+            if ch.join_type == "left_semi":
+                dim_keys = self._build_chain_df(ch, keys_only=True)
+                df = df.join(F.broadcast(dim_keys),
+                             df[ch.fact_fk_col] == dim_keys["__semi_key"],
+                             "left_semi")
+
+        base_needed, direct, derived = self._metric_plan(model)
+
+        if skip_group:
+            return df
+
+        aggs: list[Column] = []
+        seen: set[str] = set()
+        for alias, col in direct:
+            aggs.append(self._agg_expr(col, table).alias(alias))
+            seen.add(alias)
+        for name, col in base_needed.items():
+            internal = f"__base_{name}"
+            if internal in seen or name in [a for a, _ in direct]:
+                # also keep an internal copy for derived exprs
+                pass
+            aggs.append(self._agg_expr(col, table).alias(internal))
+            seen.add(internal)
+        # average decomposition partials for possible OGB re-agg
+        if model.requires_outer_group_by:
+            for alias, col in direct:
+                if isinstance(col.rollup, AverageRollup):
+                    src = self._agg_source(col, table)
+                    aggs.append(F.sum(src).alias(f"__avgsum_{alias}"))
+                    aggs.append(F.count(src).alias(f"__avgcnt_{alias}"))
+
+        if not aggs:
+            # pure dim/scan projection at fact grain (queryType=scan)
+            if model.request.query_type == "scan":
+                return df.select(*key_exprs)
+            return df.select(*key_exprs).distinct()
+
+        gdf = df.groupBy(*key_exprs).agg(*aggs) if key_exprs else df.agg(*aggs)
+
+        # HAVING filters over aggregated metric aliases
+        if having:
+            def having_resolve(alias: str) -> ResolvedField:
+                pub = model.cube.fact_alias_map().get(alias)
+                if pub is not None and alias in gdf.columns:
+                    return ResolvedField(col=F.col(_q(alias)))
+                if pub is not None:
+                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")))
+                return ResolvedField(col=F.col(_q(alias)))
+            for f in having:
+                gdf = gdf.filter(f.to_column(having_resolve))
+        return gdf
+
+    def _agg_source(self, col: FactCol, table: FactTable) -> Column:
+        if col.expr:
+            resolver = {n: _inner_sql(table.columns, n) for n in table.columns}
+            return F.expr(expand_expr(col.expr, resolver))
+        return F.expr(_col_sql(table.columns, col.name))
+
+    def _agg_expr(self, col: FactCol, table: FactTable) -> Column:
+        return col.rollup.agg(self._agg_source(col, table))
+
+    # ------------------------------------------------------------------
+    # dimension side
+    # ------------------------------------------------------------------
+    def _dim_resolver(self, dim: PublicDimension):
+        t = dim.table
+
+        def resolve(alias: str) -> ResolvedField:
+            pub = dim.alias_map().get(alias)
+            name = pub.name if pub is not None else alias
+            col = t.columns.get(name)
+            ci = isinstance(col, DimCol) and col.case_insensitive
+            return ResolvedField(col=F.expr(_col_sql(t.columns, name)),
+                                 dtype=col.dtype if col else None,
+                                 case_insensitive=ci)
+
+        return resolve
+
+    def _load_dim(self, dim: PublicDimension, ch: DimJoinChain,
+                  schema_name: Optional[str] = None) -> DataFrame:
+        t = dim.table
+        df = self.binding.table(t.name)
+        resolve = self._dim_resolver(dim)
+        for f in ch.filters.get(dim.name, []):
+            df = df.filter(f.to_column(resolve))
+        # project: pk, parent fks, projected attrs (column pruning)
+        cols: list[Column] = [F.col(_q(t.primary_key))]
+        for fk in t.parent_keys:
+            if fk != t.primary_key:
+                cols.append(F.col(_q(fk)))
+        for alias in ch.projected.get(dim.name, []):
+            pub = dim.alias_map()[alias]
+            cols.append(F.expr(_decode_sql(t.columns, pub)).alias(alias))
+        for s in ch.sorts:
+            pub = dim.alias_map().get(s.field)
+            if pub is not None and s.field not in ch.projected.get(dim.name, []):
+                cols.append(F.expr(_decode_sql(t.columns, pub)).alias(s.field))
+        return df.select(*cols)
+
+    def _build_chain_df(self, ch: DimJoinChain, keys_only: bool = False) -> DataFrame:
+        """Join the snowflake chain d0 <- d1 <- ... into one dim-side DF
+        keyed by d0's primary key."""
+        d0 = ch.dims[0]
+        df = self._load_dim(d0, ch)
+        prev = d0
+        for d in ch.dims[1:]:
+            fk_col = next((c for c, pname in prev.table.parent_keys.items()
+                           if pname == d.name), None)
+            if fk_col is None:
+                raise ValueError(f"no parent key {prev.name} -> {d.name}")
+            ddf = self._load_dim(d, ch)
+            # inner if this dim carries filters, else left to keep chain rows
+            jt = "inner" if ch.filters.get(d.name) else "left_outer"
+            df = df.join(F.broadcast(ddf),
+                         df[fk_col] == ddf[_q(d.table.primary_key)], jt)
+            df = df.drop(ddf[_q(d.table.primary_key)])
+            prev = d
+        if keys_only:
+            return df.select(F.col(_q(d0.table.primary_key)).alias("__semi_key")) \
+                     .distinct()
+        # keep join key + all projected/sort aliases
+        keep = [F.col(_q(d0.table.primary_key)).alias(f"__dimkey_{ch.fact_fk_col}")]
+        for dname, aliases in ch.projected.items():
+            keep += [F.col(_q(a)) for a in aliases]
+        for s in ch.sorts:
+            if all(s.field not in al for al in ch.projected.values()):
+                if s.field in df.columns:
+                    keep.append(F.col(_q(s.field)))
+        return df.select(*keep)
+
+    # ------------------------------------------------------------------
+    # strategies
+    # ------------------------------------------------------------------
+    def _needs_join_agg(self, model: RequestModel) -> bool:
+        """join-then-agg fallback when OGB is required but a metric cannot
+        be re-aggregated losslessly (cardinality)."""
+        if not model.requires_outer_group_by:
+            return False
+        table = model.fact_table
+        for p in model.projections:
+            if p.kind != METRIC:
+                continue
+            col = table.columns.get(p.pub_col.name)
+            if isinstance(col, FactCol) and isinstance(col.rollup, CardinalityRollup):
+                return True
+        return False
+
+    def _build_fact_driven(self, model: RequestModel) -> DataFrame:
+        if self._needs_join_agg(model):
+            return self._build_join_then_agg(model)
+
+        df = self._build_fact_agg(model)
+
+        for ch in model.chains:
+            if ch.join_type == "left_semi" or not (ch.has_projection or ch.sorts):
+                continue
+            dimdf = self._build_chain_df(ch)
+            key = f"__dimkey_{ch.fact_fk_col}"
+            df = df.join(F.broadcast(dimdf),
+                         df[_q(ch.fact_fk_col)] == dimdf[_q(key)],
+                         ch.join_type).drop(key)
+
+        if model.requires_outer_group_by:
+            df = self._outer_group_by(model, df)
+
+        df = self._final_projection(model, df)
+        return df
+
+    def _build_join_then_agg(self, model: RequestModel) -> DataFrame:
+        """Single aggregation at the final grain after joining dims to raw
+        fact rows (used when metrics are not re-aggregatable)."""
+        table = model.fact_table
+        df = self._build_fact_agg(model, skip_group=True)
+        for ch in model.chains:
+            if ch.join_type == "left_semi":
+                continue
+            dimdf = self._build_chain_df(ch)
+            key = f"__dimkey_{ch.fact_fk_col}"
+            df = df.join(F.broadcast(dimdf),
+                         df[_q(ch.fact_fk_col)] == dimdf[_q(key)],
+                         ch.join_type).drop(key)
+
+        keys = []
+        for p in model.projections:
+            if p.kind == FACT_DIM:
+                keys.append(F.expr(_decode_sql(table.columns, p.pub_col)).alias(p.alias))
+            elif p.kind == DIM_ATTR:
+                keys.append(F.col(_q(p.alias)))
+        base_needed, direct, derived = self._metric_plan(model)
+        aggs = [self._agg_expr(col, table).alias(alias) for alias, col in direct]
+        for name, col in base_needed.items():
+            aggs.append(self._agg_expr(col, table).alias(f"__base_{name}"))
+        gdf = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        return self._final_projection(model, gdf, keys_present=True)
+
+    def _outer_group_by(self, model: RequestModel, df: DataFrame) -> DataFrame:
+        """Re-aggregate at the final alias grain after dim joins
+        (OracleOuterGroupByQueryGenerator semantics, SURVEY §2.4)."""
+        table = model.fact_table
+        keys = [F.col(_q(p.alias)) for p in model.projections
+                if p.kind in (FACT_DIM, DIM_ATTR)]
+        aggs: list[Column] = []
+        for p in model.projections:
+            if p.kind != METRIC:
+                continue
+            col = table.columns.get(p.pub_col.name)
+            if isinstance(col, FactCol):
+                if isinstance(col.rollup, AverageRollup):
+                    aggs.append((F.sum(F.col(_q(f"__avgsum_{p.alias}"))) /
+                                 F.sum(F.col(_q(f"__avgcnt_{p.alias}")))).alias(p.alias))
+                else:
+                    aggs.append(col.rollup.reagg(F.col(_q(p.alias))).alias(p.alias))
+        # re-aggregate base partials for derived metrics (sum-of-sums)
+        for c in df.columns:
+            if c.startswith("__base_"):
+                name = c[len("__base_"):]
+                col = table.columns.get(name)
+                if isinstance(col, FactCol):
+                    aggs.append(col.rollup.reagg(F.col(_q(c))).alias(c))
+                else:
+                    aggs.append(F.sum(F.col(_q(c))).alias(c))
+        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    def _build_dim_driven(self, model: RequestModel) -> DataFrame:
+        """Dim-driven (ROJ) shape: paginate the ORDERED dimension first, then
+        left-join the aggregated fact (QueryPipeline.scala:918-946;
+        OracleQueryGeneratorTest.scala:456-489). Entities with zero fact rows
+        appear, with metric defaults coalesced."""
+        driving = model.chains[0]
+        dimdf = self._build_chain_df(driving)
+
+        # pre-join ordering + pagination on the dim side
+        order = []
+        for s in model.dim_sorts:
+            if s.field in dimdf.columns:
+                order.append(F.col(_q(s.field)).desc() if s.order == "DESC"
+                             else F.col(_q(s.field)).asc())
+        key = f"__dimkey_{driving.fact_fk_col}"
+        order.append(F.col(_q(key)).asc())  # deterministic tiebreak
+        dimdf = dimdf.orderBy(*order)
+        if model.max_rows and model.max_rows > 0:
+            if model.start_index > 0:
+                dimdf = dimdf.offset(model.start_index)
+            dimdf = dimdf.limit(model.max_rows)
+
+        fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col])
+        df = dimdf.join(fact, dimdf[_q(key)] == fact[_q(driving.fact_fk_col)],
+                        "left_outer")
+
+        # other (non-driving) chains join normally
+        for ch in model.chains[1:]:
+            if ch.join_type == "left_semi":
+                continue
+            chdf = self._build_chain_df(ch)
+            k2 = f"__dimkey_{ch.fact_fk_col}"
+            df = df.join(F.broadcast(chdf),
+                         df[_q(ch.fact_fk_col)] == chdf[_q(k2)],
+                         "left_outer").drop(k2)
+
+        df = df.drop(key)
+        return self._final_projection(model, df, coalesce_defaults=True,
+                                      paginated=True)
+
+    def _build_dim_only(self, model: RequestModel) -> DataFrame:
+        """Dim-only SELECT DISTINCT (RequestModel.isRequestingDistict)."""
+        parts = []
+        for ch in model.chains:
+            parts.append(self._build_chain_df(ch))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.crossJoin(p)
+        cols = [F.col(_q(p.alias)) for p in model.projections if p.kind == DIM_ATTR]
+        return df.select(*cols).distinct()
+
+    # ------------------------------------------------------------------
+    def _final_projection(self, model: RequestModel, df: DataFrame,
+                          keys_present: bool = False,
+                          coalesce_defaults: bool = False,
+                          paginated: bool = False) -> DataFrame:
+        table = model.fact_table
+        cols: list[Column] = []
+        base_needed, direct, derived = self._metric_plan(model)
+        derived_aliases = {a for a, _ in derived}
+        for p in model.projections:
+            if p.kind == CONSTANT:
+                cols.append(F.lit(p.value).alias(p.output_name if False else p.alias))
+            elif p.kind in (FACT_DIM, DIM_ATTR):
+                cols.append(F.col(_q(p.alias)))
+            elif p.kind == METRIC and p.alias in derived_aliases:
+                col = table.columns[p.pub_col.name]
+                resolver = {name: _q(f"__base_{name}") for name in table.columns}
+                sql = expand_expr(col.expr, resolver)
+                cols.append(F.expr(sql).alias(p.alias))
+            elif p.kind == METRIC:
+                c: Column = F.col(_q(p.alias))
+                colmeta = table.columns.get(p.pub_col.name)
+                if coalesce_defaults and colmeta is not None and \
+                        colmeta.dtype.default_value is not None:
+                    c = F.coalesce(c, F.lit(colmeta.dtype.default_value))
+                cols.append(c.alias(p.alias))
+        out = df.select(*cols)
+        if paginated:
+            out._maha_paginated = True  # type: ignore[attr-defined]
+        return out
+
+    def _apply_outer_filters(self, model: RequestModel, df: DataFrame) -> DataFrame:
+        if not model.outer_filters:
+            return df
+
+        def resolve(alias: str) -> ResolvedField:
+            return ResolvedField(col=F.col(_q(alias)))
+
+        for f in model.outer_filters:
+            df = df.filter(f.to_column(resolve))
+        return df
+
+    def _apply_order_and_page(self, model: RequestModel, df: DataFrame) -> DataFrame:
+        order: list[Column] = []
+        for s in model.request.sort_by:
+            name = s.field
+            if name in df.columns:
+                c = F.col(_q(name))
+                order.append(c.desc() if s.order == "DESC" else c.asc())
+        if order:
+            df = df.orderBy(*order)
+        if not model.is_dim_driven:  # dim-driven already paginated pre-join
+            if model.start_index > 0:
+                df = df.offset(model.start_index)
+            if model.max_rows and model.max_rows > 0:
+                df = df.limit(model.max_rows)
+        return df

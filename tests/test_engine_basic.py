@@ -1,0 +1,174 @@
+"""End-to-end engine tests: JSON request -> DataFrame -> rows, checked
+against DuckDB oracles (golden-result style, SURVEY §5 rebuild strategy)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+DAY = {"field": "Day", "operator": "between",
+       "from": "1995-01-01", "to": "2002-12-31"}
+
+
+def rows_match(spark_rows, duck_rows, tol=1e-6):
+    def norm(rows):
+        out = []
+        for r in rows:
+            vals = []
+            for v in (list(r) if not isinstance(r, (list, tuple)) else r):
+                if isinstance(v, float):
+                    vals.append(round(v, 6))
+                else:
+                    vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    a, b = norm(spark_rows), norm(duck_rows)
+    assert len(a) == len(b), f"row count {len(a)} != {len(b)}"
+    for x, y in zip(a, b):
+        for xv, yv in zip(x, y):
+            if isinstance(xv, float) and isinstance(yv, float):
+                assert math.isclose(xv, yv, rel_tol=tol, abs_tol=tol), (x, y)
+            else:
+                assert xv == yv, (x, y)
+
+
+def test_pricing_summary(engine, duck):
+    """TPC-H Q1 shape through the semantic layer."""
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [
+            {"field": "Return Flag"}, {"field": "Line Status"},
+            {"field": "Total Quantity"}, {"field": "Total Price"},
+            {"field": "Revenue"}, {"field": "Line Count"},
+        ],
+        "filterExpressions": [DAY],
+    }
+    df = engine.dataframe(req)
+    got = [tuple(r) for r in df.collect()]
+    exp = duck.execute("""
+        SELECT CASE l_returnflag WHEN 'A' THEN 'ACCEPTED' WHEN 'N' THEN 'NONE'
+                    WHEN 'R' THEN 'RETURNED' ELSE 'UNKNOWN' END,
+               l_linestatus, sum(l_quantity), sum(l_extendedprice),
+               sum(l_extendedprice * (1 - l_discount)), count(*)
+        FROM lineitem GROUP BY 1, 2
+    """).fetchall()
+    rows_match(got, exp)
+
+
+def test_dim_join_chain(engine, duck):
+    """fact -> orders -> customer -> nation chain with outer group-by."""
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [
+            {"field": "Nation Name"}, {"field": "Revenue"},
+            {"field": "Line Count"},
+        ],
+        "filterExpressions": [DAY],
+    }
+    df = engine.dataframe(req)
+    got = [tuple(r) for r in df.collect()]
+    exp = duck.execute("""
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)), count(*)
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """).fetchall()
+    rows_match(got, exp)
+
+
+def test_static_mapping_filter_reverse(engine, duck):
+    """Filter on an enum label expands through the reverse static mapping."""
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Total Quantity"}],
+        "filterExpressions": [DAY,
+                              {"field": "Return Flag", "operator": "=",
+                               "value": "RETURNED"}],
+    }
+    got = [tuple(r) for r in engine.dataframe(req).collect()]
+    exp = duck.execute("""
+        SELECT 'RETURNED', sum(l_quantity) FROM lineitem
+        WHERE l_returnflag = 'R' GROUP BY 1
+    """).fetchall()
+    rows_match(got, exp)
+
+
+def test_safe_divide_custom_rollup(engine, duck):
+    """Aggregate-then-divide, never average-of-averages."""
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Discount Rate"}],
+        "filterExpressions": [DAY],
+    }
+    got = [tuple(r) for r in engine.dataframe(req).collect()]
+    exp = duck.execute("""
+        SELECT CASE l_returnflag WHEN 'A' THEN 'ACCEPTED' WHEN 'N' THEN 'NONE'
+                    WHEN 'R' THEN 'RETURNED' ELSE 'UNKNOWN' END,
+               CASE WHEN sum(l_extendedprice) = 0 THEN 0.0
+                    ELSE sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice)
+               END
+        FROM lineitem GROUP BY 1
+    """).fetchall()
+    rows_match(got, exp)
+
+
+def test_topn_sort_limit(engine, duck):
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Part ID"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY],
+        "sortBy": [{"field": "Revenue", "order": "DESC"}],
+        "rowsPerPage": 5,
+    }
+    got = [tuple(r) for r in engine.dataframe(req).collect()]
+    exp = duck.execute("""
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1 ORDER BY rev DESC LIMIT 5
+    """).fetchall()
+    rows_match(got, exp)
+
+
+def test_validation_errors(engine):
+    from maha_spark.request.request import ValidationError
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "No Such Field"}],
+        "filterExpressions": [],
+    }
+    with pytest.raises(ValidationError) as ei:
+        engine.dataframe(req)
+    msgs = " ".join(ei.value.errors)
+    assert "No Such Field" in msgs
+    assert "Day filter missing" in msgs
+
+
+def test_schema_required_filter(engine):
+    from maha_spark.request.request import ValidationError
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY],
+    }
+    with pytest.raises(ValidationError, match="required filter for schema"):
+        engine.dataframe(req, schema="customer")
+    # with the filter present it passes
+    req["filterExpressions"].append(
+        {"field": "Customer ID", "operator": "=", "value": 1})
+    assert engine.dataframe(req, schema="customer") is not None
+
+
+def test_json_envelope(engine):
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY],
+    }
+    out = engine.execute(req)
+    assert out["header"]["cube"] == "lineitem_stats"
+    fields = {f["fieldName"]: f["fieldType"] for f in out["header"]["fields"]}
+    assert fields == {"Return Flag": "DIM", "Revenue": "FACT"}
+    assert len(out["rows"]) == 3
