@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry runs through the maha_spark semantic-layer engine
+(JSON reporting request -> validation -> RequestModel -> DataFrame planner)
+or a first-class data-pipeline operator (dedup / similarity / text
+analysis). ``oracle_sql()`` provides the DuckDB-equivalent SQL; value
+determinism across engines is guaranteed by exact decimal aggregation
+(see maha_spark/examples/contract.py docstring).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maha_spark.examples import contract  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary through the cube engine)."""
+    return contract.run_query(spark, "/root/testdata/sf0.001",
+                              "q1_pricing_summary")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make(name: str):
+        return lambda spark, sf_dir: contract.run_query(spark, sf_dir, name)
+
+    for name in contract.QUERIES:
+        out[name] = make(name)
+
+    try:
+        from maha_spark.ops import entry_queries as ops_queries
+        out.update(ops_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: q["sql"] for name, q in contract.QUERIES.items()
+           if q.get("sql")}
+    try:
+        from maha_spark.ops import entry_oracles as ops_oracles
+        out.update(ops_oracles())
+    except ImportError:
+        pass
+    return out

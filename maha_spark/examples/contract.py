@@ -1,0 +1,723 @@
+"""Driver-contract cube + query/oracle catalog.
+
+This module powers ``__spark_entry__.py``: every entry in ``QUERIES`` is a
+(JSON reporting request, equivalent DuckDB SQL) pair executed through the
+full semantic-layer engine (parse -> validate -> RequestModel -> DataFrame
+planner), exercising one operator family from SURVEY.md §2 each.
+
+Determinism contract: double-typed metrics are summed as DECIMAL
+(exact, order-independent) and cast to DOUBLE at the end, in BOTH the cube
+definition and the oracle SQL — so Spark and DuckDB produce bit-identical
+values regardless of aggregation order. Derived ratios divide the two
+identical doubles (IEEE division is deterministic).
+"""
+
+from __future__ import annotations
+
+from ..core.columns import DerivedDimCol, DerivedFactCol, DimCol, FactCol, safe_div
+from ..core.filters import IN_BETWEEN_EQUALITY
+from ..core.grain import DAILY, HOURLY
+from ..core.rollup import (
+    AverageRollup, CardinalityRollup, CountRollup, FilteredRollup, MaxRollup,
+    MinRollup,
+)
+from ..core.types import DateType, DecType, IntType, StaticMapping, StrType, TimestampType
+from ..registry.cube import (
+    DimensionTable, FactTable, PubCol, PublicDimension, PublicFact, Registry,
+    ViewPart,
+)
+
+DAY_ALL = {"field": "day", "operator": "between",
+           "from": "1995-01-01", "to": "2002-12-31"}
+
+ORDER_STATUS_MAP = StaticMapping({"O": "OPEN", "F": "FULFILLED", "P": "PENDING"},
+                                 "UNKNOWN")
+ORDER_STATUS_SQL = ("CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN "
+                    "'FULFILLED' WHEN 'P' THEN 'PENDING' ELSE 'UNKNOWN' END")
+RETURN_FLAG_MAP = StaticMapping({"A": "ACCEPTED", "N": "NONE", "R": "RETURNED"},
+                                "UNKNOWN")
+RETURN_FLAG_SQL = ("CASE l_returnflag WHEN 'A' THEN 'ACCEPTED' WHEN 'N' THEN "
+                   "'NONE' WHEN 'R' THEN 'RETURNED' ELSE 'UNKNOWN' END")
+
+QTY = "CAST({l_quantity} AS DECIMAL(12,2))"
+PRICE = "CAST({l_extendedprice} AS DECIMAL(12,2))"
+DISC = "CAST({l_discount} AS DECIMAL(4,2))"
+TAX = "CAST({l_tax} AS DECIMAL(4,2))"
+
+# same fragments in DuckDB spelling (identical here — ANSI)
+SQL_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+SQL_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+SQL_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+
+
+def build_contract_registry() -> Registry:
+    reg = Registry()
+
+    def nation_region(prefix: str, role: str) -> None:
+        region_t = DimensionTable(
+            name="region", primary_key="r_regionkey", level=1, cost=5,
+            columns={
+                "r_regionkey": DimCol("r_regionkey", IntType()),
+                "r_name": DimCol("r_name", StrType()),
+            })
+        reg.register_dimension(PublicDimension(
+            name=f"{role}_region", table=region_t,
+            pub_cols=[PubCol(f"{prefix}region_id", "r_regionkey"),
+                      PubCol(f"{prefix}region_name", "r_name")]))
+        nation_t = DimensionTable(
+            name="nation", primary_key="n_nationkey", level=2, cost=25,
+            parent_keys={"n_regionkey": f"{role}_region"},
+            columns={
+                "n_nationkey": DimCol("n_nationkey", IntType()),
+                "n_name": DimCol("n_name", StrType()),
+                "n_regionkey": DimCol("n_regionkey", IntType(),
+                                      foreign_key=f"{role}_region"),
+            })
+        reg.register_dimension(PublicDimension(
+            name=f"{role}_nation", table=nation_t,
+            pub_cols=[PubCol(f"{prefix}nation_id", "n_nationkey"),
+                      PubCol(f"{prefix}nation_name", "n_name")]))
+
+    nation_region("", "customer")
+    nation_region("supp_", "supplier")
+
+    customer = DimensionTable(
+        name="customer", primary_key="c_custkey", level=3, cost=150,
+        parent_keys={"c_nationkey": "customer_nation"},
+        schema_col_map={"customer": "c_custkey"},
+        columns={
+            "c_custkey": DimCol("c_custkey", IntType()),
+            "c_name": DimCol("c_name", StrType(), case_insensitive=True),
+            "c_nationkey": DimCol("c_nationkey", IntType(),
+                                  foreign_key="customer_nation"),
+            "c_acctbal": DimCol("c_acctbal", DecType()),
+            "c_mktsegment": DimCol("c_mktsegment", StrType()),
+        })
+    reg.register_dimension(PublicDimension(
+        name="customer", table=customer,
+        pub_cols=[PubCol("customer_id", "c_custkey"),
+                  PubCol("customer_name", "c_name"),
+                  PubCol("mktsegment", "c_mktsegment"),
+                  PubCol("acctbal", "c_acctbal")]))
+
+    orders = DimensionTable(
+        name="orders", primary_key="o_orderkey", level=4, cost=1500,
+        parent_keys={"o_custkey": "customer"},
+        columns={
+            "o_orderkey": DimCol("o_orderkey", IntType()),
+            "o_custkey": DimCol("o_custkey", IntType(), foreign_key="customer"),
+            "o_orderstatus": DimCol("o_orderstatus",
+                                    StrType(static_mapping=ORDER_STATUS_MAP)),
+            "o_totalprice": DimCol("o_totalprice", DecType()),
+            "o_orderdate": DimCol("o_orderdate", TimestampType()),
+            "o_orderpriority": DimCol("o_orderpriority", StrType()),
+            "order_day": DerivedDimCol("order_day", DateType(),
+                                       expr="CAST({o_orderdate} AS DATE)"),
+        })
+    reg.register_dimension(PublicDimension(
+        name="orders", table=orders,
+        pub_cols=[PubCol("order_key", "o_orderkey"),
+                  PubCol("order_status", "o_orderstatus"),
+                  PubCol("order_total", "o_totalprice"),
+                  PubCol("order_date", "order_day"),
+                  PubCol("order_priority", "o_orderpriority")]))
+
+    part = DimensionTable(
+        name="part", primary_key="p_partkey", level=4, cost=200,
+        columns={
+            "p_partkey": DimCol("p_partkey", IntType()),
+            "p_name": DimCol("p_name", StrType(), case_insensitive=True),
+            "p_brand": DimCol("p_brand", StrType()),
+            "p_type": DimCol("p_type", StrType()),
+            "p_size": DimCol("p_size", IntType()),
+            "p_retailprice": DimCol("p_retailprice", DecType()),
+        })
+    reg.register_dimension(PublicDimension(
+        name="part", table=part,
+        pub_cols=[PubCol("part_id", "p_partkey"),
+                  PubCol("part_name", "p_name"),
+                  PubCol("brand", "p_brand"),
+                  PubCol("part_type", "p_type"),
+                  PubCol("part_size", "p_size"),
+                  PubCol("retail_price", "p_retailprice")]))
+
+    supplier = DimensionTable(
+        name="supplier", primary_key="s_suppkey", level=4, cost=10,
+        parent_keys={"s_nationkey": "supplier_nation"},
+        columns={
+            "s_suppkey": DimCol("s_suppkey", IntType()),
+            "s_name": DimCol("s_name", StrType()),
+            "s_nationkey": DimCol("s_nationkey", IntType(),
+                                  foreign_key="supplier_nation"),
+            "s_acctbal": DimCol("s_acctbal", DecType()),
+        })
+    reg.register_dimension(PublicDimension(
+        name="supplier", table=supplier,
+        pub_cols=[PubCol("supplier_id", "s_suppkey"),
+                  PubCol("supplier_name", "s_name")]))
+
+    # ------------------------------------------------------------- fact
+    li_cols = {
+        "l_orderkey": DimCol("l_orderkey", IntType(), foreign_key="orders"),
+        "l_partkey": DimCol("l_partkey", IntType(), foreign_key="part"),
+        "l_suppkey": DimCol("l_suppkey", IntType(), foreign_key="supplier"),
+        "l_linenumber": DimCol("l_linenumber", IntType()),
+        "l_returnflag": DimCol("l_returnflag", StrType()),
+        "rf_label": DerivedDimCol(
+            "rf_label", StrType(static_mapping=RETURN_FLAG_MAP),
+            expr="{l_returnflag}"),
+        "l_linestatus": DimCol("l_linestatus", StrType()),
+        "l_shipdate": DimCol("l_shipdate", TimestampType(), is_day_column=True),
+        # raw physical metric columns (not public; sources for expressions)
+        "l_quantity": FactCol("l_quantity", DecType()),
+        "l_extendedprice": FactCol("l_extendedprice", DecType()),
+        "l_discount": FactCol("l_discount", DecType()),
+        "l_tax": FactCol("l_tax", DecType()),
+        "ship_day": DerivedDimCol("ship_day", DateType(),
+                                  expr="CAST({l_shipdate} AS DATE)"),
+        "ship_month": DerivedDimCol(
+            "ship_month", DateType(),
+            expr="CAST(date_trunc('month', {l_shipdate}) AS DATE)"),
+        # exact decimal partial aggregates (internal)
+        "qty_dec": FactCol("qty_dec", DecType(), expr=QTY,
+                           depends_on=("l_quantity",)),
+        "price_dec": FactCol("price_dec", DecType(), expr=PRICE,
+                             depends_on=("l_extendedprice",)),
+        "disc_price_dec": FactCol("disc_price_dec", DecType(),
+                                  expr=f"{PRICE} * (1 - {DISC})",
+                                  depends_on=("l_extendedprice", "l_discount")),
+        "charge_dec": FactCol("charge_dec", DecType(),
+                              expr=f"{PRICE} * (1 - {DISC}) * (1 + {TAX})",
+                              depends_on=("l_extendedprice", "l_discount", "l_tax")),
+        "disc_dec": FactCol("disc_dec", DecType(), expr=DISC,
+                            depends_on=("l_discount",)),
+        "ret_qty_dec": FactCol("ret_qty_dec", DecType(),
+                               rollup=FilteredRollup(condition_sql="l_returnflag = 'R'"),
+                               expr=QTY, depends_on=("l_returnflag", "l_quantity")),
+        "line_count": FactCol("line_count", IntType(default_value=0),
+                              rollup=CountRollup()),
+        "order_cnt": FactCol("order_cnt", IntType(),
+                             rollup=CardinalityRollup(exact=True),
+                             expr="{l_orderkey}", depends_on=("l_orderkey",)),
+        "order_cnt_approx": FactCol("order_cnt_approx", IntType(),
+                                    rollup=CardinalityRollup(exact=False),
+                                    expr="{l_orderkey}", depends_on=("l_orderkey",)),
+        "max_price_raw": FactCol("max_price_raw", DecType(), rollup=MaxRollup(),
+                                 expr="{l_extendedprice}",
+                                 depends_on=("l_extendedprice",)),
+        "min_price_raw": FactCol("min_price_raw", DecType(), rollup=MinRollup(),
+                                 expr="{l_extendedprice}",
+                                 depends_on=("l_extendedprice",)),
+        # public metric expressions (exact -> double)
+        "sum_qty": DerivedFactCol("sum_qty", DecType(),
+                                  expr="CAST({qty_dec} AS DOUBLE)"),
+        "sum_base_price": DerivedFactCol("sum_base_price", DecType(),
+                                         expr="CAST({price_dec} AS DOUBLE)"),
+        "revenue": DerivedFactCol("revenue", DecType(default_value=0.0),
+                                  expr="CAST({disc_price_dec} AS DOUBLE)"),
+        "charge": DerivedFactCol("charge", DecType(),
+                                 expr="CAST({charge_dec} AS DOUBLE)"),
+        "avg_qty": DerivedFactCol("avg_qty", DecType(),
+                                  expr="CAST({qty_dec} AS DOUBLE) / {line_count}"),
+        "avg_price": DerivedFactCol(
+            "avg_price", DecType(),
+            expr="CAST({price_dec} AS DOUBLE) / {line_count}"),
+        "avg_disc": DerivedFactCol("avg_disc", DecType(),
+                                   expr="CAST({disc_dec} AS DOUBLE) / {line_count}"),
+        "returned_qty": DerivedFactCol("returned_qty", DecType(),
+                                       expr="CAST({ret_qty_dec} AS DOUBLE)"),
+        "discount_rate": DerivedFactCol(
+            "discount_rate", DecType(),
+            expr=safe_div("CAST({disc_price_dec} AS DOUBLE)",
+                          "CAST({price_dec} AS DOUBLE)")),
+    }
+
+    lineitem = FactTable(name="lineitem", columns=li_cols, grain=DAILY,
+                         day_column="l_shipdate", cost=6000)
+    rollup_cols = {k: v for k, v in li_cols.items()
+                   if k not in ("l_partkey", "l_suppkey", "l_linenumber")}
+    lineitem_rollup = FactTable(
+        name="lineitem", columns=rollup_cols, grain=DAILY,
+        day_column="l_shipdate", cost=2000,
+        discarded={"l_partkey", "l_suppkey", "l_linenumber"})
+
+    pub_metrics = [
+        PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),
+        PubCol("revenue", "revenue"), PubCol("charge", "charge"),
+        PubCol("avg_qty", "avg_qty"), PubCol("avg_price", "avg_price"),
+        PubCol("avg_disc", "avg_disc"), PubCol("returned_qty", "returned_qty"),
+        PubCol("discount_rate", "discount_rate"),
+        PubCol("line_count", "line_count"), PubCol("order_count", "order_cnt"),
+        PubCol("order_count_approx", "order_cnt_approx"),
+        PubCol("max_price", "max_price_raw"), PubCol("min_price", "min_price_raw"),
+    ]
+    pub_dims = [
+        PubCol("day", "ship_day", IN_BETWEEN_EQUALITY),
+        PubCol("month", "ship_month", IN_BETWEEN_EQUALITY),
+        PubCol("return_flag", "l_returnflag"),
+        PubCol("return_flag_label", "rf_label"),
+        PubCol("line_status", "l_linestatus"),
+        PubCol("line_number", "l_linenumber"),
+    ]
+    reg.register_fact(PublicFact(
+        name="tpch", tables=[lineitem, lineitem_rollup],
+        pub_cols=pub_dims, pub_fact_cols=pub_metrics,
+        schema_required_alias={"customer": "customer_id"},
+        day_alias="day"))
+
+    # union view cube: two branches of the same physical fact with a
+    # constant discriminator column (fact/View.scala UnionView semantics)
+    uv_cols = dict(li_cols)
+    uv_cols["view_name"] = DimCol("view_name", StrType())
+    union_fact = FactTable(
+        name="lineitem_union", columns=uv_cols, grain=DAILY,
+        day_column="l_shipdate", cost=12000,
+        parts=[ViewPart("lineitem", {"view_name": "current"}),
+               ViewPart("lineitem", {"view_name": "adjustment"})])
+    reg.register_fact(PublicFact(
+        name="tpch_union",
+        tables=[union_fact],
+        pub_cols=pub_dims + [PubCol("view_name", "view_name")],
+        pub_fact_cols=pub_metrics,
+        day_alias="day"))
+
+    # ------------------------------------------------------------- events
+    ev_cols = {
+        "event_id": DimCol("event_id", IntType()),
+        "ts": DimCol("ts", TimestampType(), is_day_column=True),
+        "event_day": DerivedDimCol("event_day", DateType(),
+                                   expr="CAST({ts} AS DATE)"),
+        "event_hour": DerivedDimCol(
+            "event_hour", StrType(),
+            expr="date_format(date_trunc('hour', {ts}), 'yyyy-MM-dd HH:mm:ss')"),
+        "user_id": DimCol("user_id", IntType()),
+        "event_type": DimCol("event_type", StrType()),
+        "value": FactCol("value", DecType()),
+        "value_dec": FactCol("value_dec", DecType(), expr="CAST({value} AS DECIMAL(18,6))",
+                             depends_on=("value",)),
+        "event_count": FactCol("event_count", IntType(), rollup=CountRollup()),
+        "user_cnt": FactCol("user_cnt", IntType(),
+                            rollup=CardinalityRollup(exact=True),
+                            expr="{user_id}", depends_on=("user_id",)),
+        "total_value": DerivedFactCol("total_value", DecType(),
+                                      expr="CAST({value_dec} AS DOUBLE)"),
+    }
+    events = FactTable(name="events", columns=ev_cols, grain=HOURLY,
+                       day_column="ts", cost=1000)
+    reg.register_fact(PublicFact(
+        name="events_cube", tables=[events],
+        pub_cols=[PubCol("day", "event_day", IN_BETWEEN_EQUALITY),
+                  PubCol("hour", "event_hour"),
+                  PubCol("event_type", "event_type"),
+                  PubCol("user_id", "user_id")],
+        pub_fact_cols=[PubCol("total_value", "total_value"),
+                       PubCol("event_count", "event_count"),
+                       PubCol("user_count", "user_cnt")],
+        day_alias="day"))
+
+    return reg
+
+
+EV_DAY = {"field": "day", "operator": "between",
+          "from": "2024-01-01", "to": "2024-12-31"}
+
+SQL_REVENUE = f"CAST(SUM({SQL_PRICE} * (1 - {SQL_DISC})) AS DOUBLE)"
+SQL_CHARGE = f"CAST(SUM({SQL_PRICE} * (1 - {SQL_DISC}) * (1 + {SQL_TAX})) AS DOUBLE)"
+
+#: name -> {"request": reporting-request JSON, "sql": DuckDB oracle,
+#:          "cube"/"schema" extras}
+QUERIES: dict[str, dict] = {
+    # -- §2.4 aggregation: TPC-H Q1 pricing summary through the cube
+    "q1_pricing_summary": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [
+                {"field": "return_flag"}, {"field": "line_status"},
+                {"field": "sum_qty"}, {"field": "sum_base_price"},
+                {"field": "revenue"}, {"field": "charge"},
+                {"field": "avg_qty"}, {"field": "avg_price"},
+                {"field": "avg_disc"}, {"field": "line_count"},
+            ],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+                   CAST(SUM({SQL_QTY}) AS DOUBLE) AS sum_qty,
+                   CAST(SUM({SQL_PRICE}) AS DOUBLE) AS sum_base_price,
+                   {SQL_REVENUE} AS revenue,
+                   {SQL_CHARGE} AS charge,
+                   CAST(SUM({SQL_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM({SQL_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM({SQL_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1, 2
+        """,
+    },
+    # -- §2.6 TopN (sort by metric + limit; exact, beats Druid approx TopN)
+    "q2_topn_parts": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+            "sortBy": [{"field": "revenue", "order": "DESC"}],
+            "rowsPerPage": 10,
+        },
+        "sql": f"""
+            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1 ORDER BY revenue DESC LIMIT 10
+        """,
+    },
+    # -- §2.6 timeseries (grain grouping)
+    "q3_daily_revenue": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "day"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [{"field": "day", "operator": "between",
+                                   "from": "1996-01-01", "to": "1996-12-31"}],
+        },
+        "sql": f"""
+            SELECT CAST(l_shipdate AS DATE) AS day, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                  AND DATE '1996-12-31'
+            GROUP BY 1
+        """,
+    },
+    # -- §2.3 star join chain with dim filter (inner) + OGB re-aggregation
+    "q4_nation_revenue_by_segment": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "mktsegment", "operator": "=",
+                                   "value": "BUILDING"}],
+        },
+        "sql": f"""
+            SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1
+        """,
+    },
+    # -- §2.3 deepest snowflake chain (4 levels) + OGB
+    "q5_region_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "region_name"}, {"field": "revenue"},
+                             {"field": "sum_qty"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT r_name AS region_name, {SQL_REVENUE} AS revenue,
+                   CAST(SUM({SQL_QTY}) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+    },
+    # -- §2.6 dim-driven pagination: page over the dimension, LOJ fact,
+    #    zero-fact entities appear with coalesced defaults
+    "q6_dim_driven_orders": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_key"},
+                             {"field": "order_priority"},
+                             {"field": "revenue"}, {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+            "sortBy": [{"field": "order_priority", "order": "ASC"}],
+            "forceDimensionDriven": True,
+            "paginationStartIndex": 10,
+            "rowsPerPage": 25,
+        },
+        "sql": f"""
+            WITH page AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                ORDER BY o_orderpriority ASC, o_orderkey ASC
+                LIMIT 25 OFFSET 10
+            ), f AS (
+                SELECT l_orderkey, {SQL_REVENUE} AS revenue,
+                       COUNT(*) AS line_count
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o_orderkey AS order_key, o_orderpriority AS order_priority,
+                   COALESCE(f.revenue, 0.0) AS revenue,
+                   COALESCE(f.line_count, 0) AS line_count
+            FROM page LEFT JOIN f ON o_orderkey = l_orderkey
+        """,
+    },
+    # -- §1.2 static enum mapping decode on a joined dim attribute
+    "q7_order_status_decode": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_status"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT {ORDER_STATUS_SQL} AS order_status, {SQL_REVENUE} AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+    },
+    # -- §2.4 filtered rollup (DruidFilteredRollup -> sum(case when))
+    "q8_filtered_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"},
+                             {"field": "returned_qty"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {SQL_QTY} END)
+                        AS DOUBLE) AS returned_qty,
+                   COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.8 safe divide `/-` custom rollup (aggregate then divide)
+    "q9_safe_divide": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag_label"},
+                             {"field": "discount_rate"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT {RETURN_FLAG_SQL} AS return_flag_label,
+                   CASE WHEN CAST(SUM({SQL_PRICE}) AS DOUBLE) = 0
+                         OR CAST(SUM({SQL_PRICE}) AS DOUBLE) IS NULL THEN 0.0
+                        ELSE CAST(SUM({SQL_PRICE} * (1 - {SQL_DISC})) AS DOUBLE)
+                             / CAST(SUM({SQL_PRICE}) AS DOUBLE)
+                   END AS discount_rate
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.4 exact distinct-count rollup
+    "q10_count_distinct": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"}, {"field": "order_count"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": """
+            SELECT l_linestatus AS line_status,
+                   COUNT(DISTINCT l_orderkey) AS order_count,
+                   COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.2 metric filter -> HAVING
+    "q11_having": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "revenue", "operator": ">",
+                                   "value": 900000}],
+        },
+        "sql": f"""
+            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1
+            HAVING {SQL_REVENUE} > 900000
+        """,
+    },
+    # -- §2.2 filter operator battery (in / not in / like / between / >)
+    "q12_filter_ops": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "brand"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "part_type", "operator": "in",
+                 "values": ["SMALL", "MEDIUM", "LARGE"]},
+                {"field": "brand", "operator": "not in",
+                 "values": ["Brand#1", "Brand#2"]},
+                {"field": "part_name", "operator": "like", "value": "part"},
+                {"field": "part_size", "operator": ">", "value": 10},
+            ],
+        },
+        "sql": f"""
+            SELECT p_brand AS brand, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type IN ('SMALL','MEDIUM','LARGE')
+              AND p_brand NOT IN ('Brand#1','Brand#2')
+              AND lower(p_name) LIKE '%part%'
+              AND p_size > 10
+            GROUP BY 1
+        """,
+    },
+    # -- §2.3 two independent join chains in one query
+    "q13_two_chains": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "supp_nation_name"},
+                             {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "supp_nation_name", "operator": "in",
+                 "values": ["NATION_1", "NATION_2", "NATION_3"]},
+            ],
+        },
+        "sql": f"""
+            SELECT cn.n_name AS nation_name, sn.n_name AS supp_nation_name,
+                   {SQL_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3')
+            GROUP BY 1, 2
+        """,
+    },
+    # -- §2.4 dim-only SELECT DISTINCT
+    "q14_distinct_dims": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_status"},
+                             {"field": "order_priority"}],
+            "filterExpressions": [DAY_ALL],
+            "distinct": True,
+        },
+        "sql": f"""
+            SELECT DISTINCT {ORDER_STATUS_SQL} AS order_status,
+                   o_orderpriority AS order_priority
+            FROM orders
+        """,
+    },
+    # -- §2.2 outer filter on final projected aliases
+    "q15_outer_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"operator": "outer", "filterExpressions": [
+                    {"field": "nation_name", "operator": "like", "value": "NATION_1"},
+                ]},
+            ],
+        },
+        "sql": f"""
+            SELECT * FROM (
+                SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            ) WHERE nation_name LIKE '%NATION_1%'
+        """,
+    },
+    # -- §2.7 union view (UNION ALL with per-branch constants)
+    "q16_union_view": {
+        "request": {
+            "cube": "tpch_union",
+            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT view_name, l_returnflag AS return_flag,
+                   {SQL_REVENUE} AS revenue
+            FROM (
+                SELECT 'current' AS view_name, * FROM lineitem
+                UNION ALL
+                SELECT 'adjustment' AS view_name, * FROM lineitem
+            ) GROUP BY 1, 2
+        """,
+    },
+    # -- §2.6 hourly grain timeseries on the events table
+    "q17_events_hourly": {
+        "request": {
+            "cube": "events_cube",
+            "selectFields": [{"field": "hour"}, {"field": "event_type"},
+                             {"field": "event_count"}, {"field": "total_value"},
+                             {"field": "user_count"}],
+            "filterExpressions": [EV_DAY],
+        },
+        "sql": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                   COUNT(DISTINCT user_id) AS user_count
+            FROM events GROUP BY 1, 2
+        """,
+    },
+    # -- §2.2 subquery semi-join: dim filtered but not projected
+    "q18_semi_join": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "mktsegment", "operator": "in",
+                 "values": ["AUTOMOBILE", "MACHINERY"]},
+            ],
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment IN ('AUTOMOBILE','MACHINERY'))
+            GROUP BY 1
+        """,
+    },
+    # -- §2.5 row count window (Count(*) OVER() TOTALROWS)
+    "q19_row_count": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+            "includeRowCount": True,
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue,
+                   COUNT(*) OVER () AS TOTALROWS
+            FROM lineitem GROUP BY l_returnflag
+        """,
+    },
+    # -- §2.8 month grain derived (GET_INTERVAL_DATE 'M')
+    "q20_monthly_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "month"}, {"field": "revenue"},
+                             {"field": "max_price"}, {"field": "min_price"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   {SQL_REVENUE} AS revenue,
+                   MAX(l_extendedprice) AS max_price,
+                   MIN(l_extendedprice) AS min_price
+            FROM lineitem GROUP BY 1
+        """,
+    },
+}
+
+
+def run_query(spark, sf_dir: str, name: str):
+    """Execute one contract query through the full engine."""
+    from ..engine import engine_for_dir
+    q = QUERIES[name]
+    eng = engine_for_dir(spark, build_contract_registry(), sf_dir)
+    return eng.dataframe(q["request"])

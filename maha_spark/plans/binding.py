@@ -40,5 +40,31 @@ class ParquetBinding(TableBinding):
             return self._overrides[name]()
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
-            return self.spark.read.parquet(path)
+            return self._read_parquet(path)
         return self.spark.table(name)
+
+    def _read_parquet(self, path: str) -> DataFrame:
+        # Spark's parquet reader rejects TIMESTAMP(NANOS) outright
+        # (PARQUET_TYPE_ILLEGAL); read them as long nanos and convert to
+        # microsecond timestamps so downstream date logic is uniform.
+        ns_cols = _nano_timestamp_cols(path)
+        if not ns_cols:
+            return self.spark.read.parquet(path)
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        df = self.spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        return df
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]

@@ -284,9 +284,14 @@ class Planner:
         if having:
             def having_resolve(alias: str) -> ResolvedField:
                 pub = model.cube.fact_alias_map().get(alias)
-                if pub is not None and alias in gdf.columns:
-                    return ResolvedField(col=F.col(_q(alias)))
                 if pub is not None:
+                    col = table.columns.get(pub.name)
+                    if isinstance(col, DerivedFactCol):
+                        resolver = {n: _q(f"__base_{n}") for n in table.columns}
+                        return ResolvedField(
+                            col=F.expr(expand_expr(col.expr, resolver)))
+                    if alias in gdf.columns:
+                        return ResolvedField(col=F.col(_q(alias)))
                     return ResolvedField(col=F.col(_q(f"__base_{pub.name}")))
                 return ResolvedField(col=F.col(_q(alias)))
             for f in having:
@@ -500,6 +505,15 @@ class Planner:
                          df[_q(ch.fact_fk_col)] == chdf[_q(k2)],
                          "left_outer").drop(k2)
 
+        # FK projections of the driving chain come from the DIM side when the
+        # fact row is missing (entities with zero facts must appear —
+        # OracleQueryGeneratorTest.scala:460 coalesce rendering)
+        for p in model.projections:
+            if p.kind == FACT_DIM and p.pub_col is not None and \
+                    p.pub_col.name == driving.fact_fk_col:
+                df = df.withColumn(p.alias,
+                                   F.coalesce(F.col(_q(key)), F.col(_q(p.alias))))
+
         df = df.drop(key)
         return self._final_projection(model, df, coalesce_defaults=True,
                                       paginated=True)
@@ -532,8 +546,10 @@ class Planner:
             elif p.kind == METRIC and p.alias in derived_aliases:
                 col = table.columns[p.pub_col.name]
                 resolver = {name: _q(f"__base_{name}") for name in table.columns}
-                sql = expand_expr(col.expr, resolver)
-                cols.append(F.expr(sql).alias(p.alias))
+                c = F.expr(expand_expr(col.expr, resolver))
+                if coalesce_defaults and col.dtype.default_value is not None:
+                    c = F.coalesce(c, F.lit(col.dtype.default_value))
+                cols.append(c.alias(p.alias))
             elif p.kind == METRIC:
                 c: Column = F.col(_q(p.alias))
                 colmeta = table.columns.get(p.pub_col.name)
