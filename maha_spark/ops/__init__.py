@@ -1,0 +1,50 @@
+"""Data-pipeline operators (dedup / similarity / text / multimodal) and
+their driver-contract registration.
+
+``entry_queries`` / ``entry_oracles`` are consumed by ``__spark_entry__``:
+every operator is a (Spark callable, DuckDB oracle SQL) pair; operators
+that are approximate by construction (ANN within LSH buckets) register
+without an oracle and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def entry_queries() -> dict[str, Callable]:
+    from . import dedup, multimodal, similarity, text
+    from ..streaming import hourly
+    return {
+        "op_text_stats": text.text_stats,
+        "op_dedup_exact": dedup.dedup_exact,
+        "op_dedup_wordset": dedup.dedup_wordset,
+        "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "op_dedup_simhash": dedup.dedup_simhash,
+        "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "op_sim_topk": similarity.sim_topk,
+        "op_sim_pairs": similarity.sim_pairs,
+        "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
+        "op_sim_ann_topk": similarity.sim_ann_topk,
+        "op_mm_decode": multimodal.mm_decode_features,
+        "op_stream_hourly": hourly.streaming_hourly,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    from . import dedup, multimodal, similarity, text
+    from ..streaming import hourly
+    return {
+        "op_text_stats": text.text_stats_oracle(),
+        "op_dedup_exact": dedup.dedup_exact_oracle(),
+        "op_dedup_wordset": dedup.dedup_wordset_oracle(),
+        "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
+        "op_dedup_simhash": dedup.dedup_simhash_oracle(),
+        "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs_oracle(),
+        "op_sim_topk": similarity.sim_topk_oracle(),
+        "op_sim_pairs": similarity.sim_pairs_oracle(),
+        "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
+        # op_sim_ann_topk: approximate -> rows-only check
+        "op_mm_decode": multimodal.mm_decode_features_oracle(),
+        "op_stream_hourly": hourly.streaming_hourly_oracle(),
+    }

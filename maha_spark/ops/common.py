@@ -1,0 +1,73 @@
+"""Shared primitives for the data-pipeline operators (dedup / similarity /
+text analysis).
+
+Determinism contract with the DuckDB oracle: every hash is derived from
+``md5`` hex (identical across engines), integer math stays below 2^63
+(no overflow), and float expressions are written with identical
+association order on both sides so IEEE results are bit-equal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: prime modulus for minhash permutations (fits 32 bits)
+MINHASH_P = 2147483647
+#: rolling-hash modulus
+ROLL_P = 1000000007
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table via the engine's binding (nanos-timestamp safe,
+    optionally cached)."""
+    from ..plans.binding import ParquetBinding
+    return ParquetBinding(spark, sf_dir).table(name)
+
+
+def words_sql(text: str = "text") -> str:
+    """Whitespace tokenization (Spark spelling)."""
+    return f"split(trim({text}), '\\\\s+')"
+
+
+def duck_words_sql(text: str = "text") -> str:
+    """Whitespace tokenization (DuckDB spelling)."""
+    return f"string_split_regex(trim({text}), '\\s+')"
+
+
+def h28_sql(expr: str) -> str:
+    """First 7 md5 hex chars as an integer (< 2^28) — Spark spelling."""
+    return f"CAST(conv(substr(md5({expr}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def duck_h28_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 7))::BIGINT"
+
+
+def h32_sql(expr: str) -> str:
+    """First 8 md5 hex chars as an integer (< 2^32) — Spark spelling."""
+    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duck_h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def dot64_sql(a: str, b: str, one_based: bool, cast: str) -> str:
+    """Explicit 64-term dot product with strictly left-to-right addition.
+
+    Both engines evaluate ``+`` left-associatively, so writing the sum out
+    term-by-term (instead of an engine-specific list_dot_product /
+    aggregate fold) makes the IEEE result bit-identical.
+    """
+    lo = 1 if one_based else 0
+    terms = [
+        f"CAST({a}[{i}] AS {cast}) * CAST({b}[{i}] AS {cast})"
+        for i in range(lo, lo + 64)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def env_flag(name: str, default: str = "1") -> bool:
+    return os.environ.get(name, default) == "1"

@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (``array<float>`` 64-d).
+
+- ``sim_topk``: brute-force cosine top-k — the exactness baseline.  The
+  dot product is written as an explicit 64-term sum (identical IEEE
+  association order in Spark and DuckDB, so values hash-match).  At scale
+  this is the O(n*q) reference path; use the LSH variant for 100 TB.
+- ``sim_pairs``: all near-duplicate pairs above a cosine threshold.
+- ``sim_lsh_buckets``: random-hyperplane LSH bucketing (8 planes derived
+  deterministically from md5, so both engines agree bit-for-bit).  The
+  bucket histogram is the oracle-checked output; ``sim_ann_topk`` then
+  searches within buckets only (approximate, rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import dot64_sql, load_table
+
+TOPK = 5
+PAIR_COS_T = 0.95
+N_PLANES = 8
+DIM = 64
+# cap the query side of the brute-force top-k: keeps the demo O(q*n)
+# rather than O(n^2) as sf grows (the LSH path is the full-corpus answer)
+MAX_QUERY_ID = 1000
+
+
+def _norm_sql(v: str, one_based: bool) -> str:
+    return f"sqrt({dot64_sql(v, v, one_based, 'DOUBLE')})"
+
+
+def _cos_sql(a: str, b: str, one_based: bool) -> str:
+    return (f"({dot64_sql(a, b, one_based, 'DOUBLE')} "
+            f"/ ({_norm_sql(a, one_based)} * {_norm_sql(b, one_based)}))")
+
+
+# ------------------------------------------------------------- top-k
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (emb.filter(f"vec_id < {MAX_QUERY_ID}")
+         .selectExpr("vec_id AS qid", "embedding AS qv"))
+    b = emb.selectExpr("vec_id AS nid", "embedding AS nv")
+    cos = _cos_sql("qv", "nv", one_based=False)
+    pairs = (a.crossJoin(b).filter("qid != nid")
+             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {TOPK}")
+            .select("qid", "rank", "nid", "cos_sim"))
+
+
+def sim_topk_oracle() -> str:
+    cos = _cos_sql("a.embedding", "b.embedding", one_based=True)
+    return f"""
+        SELECT qid, rank, nid, cos_sim FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   round({cos}, 6) AS cos_sim,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos}, 6) DESC, b.vec_id ASC) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < {MAX_QUERY_ID}
+        ) WHERE rank <= {TOPK}
+    """
+
+
+# ------------------------------------------------------- near-dup pairs
+def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.selectExpr("vec_id AS a_id", "embedding AS av")
+    b = emb.selectExpr("vec_id AS b_id", "embedding AS bv")
+    cos = _cos_sql("av", "bv", one_based=False)
+    return (a.crossJoin(b).filter("a_id < b_id")
+            .selectExpr("a_id", "b_id", f"round({cos}, 6) AS cos_sim")
+            .filter(f"cos_sim >= {PAIR_COS_T}"))
+
+
+def sim_pairs_oracle() -> str:
+    cos = _cos_sql("a.embedding", "b.embedding", one_based=True)
+    return f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({cos}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({cos}, 6) >= {PAIR_COS_T}
+    """
+
+
+# ------------------------------------------------------- hyperplane LSH
+def _plane_weight(p: int, c: int) -> str:
+    """Deterministic pseudo-random weight in [-1, 1) for plane p, dim c,
+    derived from md5 of a literal tag — identical in any engine."""
+    import hashlib
+    h = int(hashlib.md5(f"plane{p}_{c}".encode()).hexdigest()[:7], 16)
+    return repr(h / float(1 << 27) - 1.0)
+
+
+def _bucket_sql(v: str, one_based: bool) -> str:
+    lo = 1 if one_based else 0
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{_plane_weight(p, c)} * CAST({v}[{lo + c}] AS DOUBLE)"
+            for c in range(DIM))
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.selectExpr(
+                f"{_bucket_sql('embedding', one_based=False)} AS bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("bucket"))
+
+
+def sim_lsh_buckets_oracle() -> str:
+    return f"""
+        SELECT {_bucket_sql('embedding', one_based=True)} AS bucket,
+               COUNT(*) AS n_vectors
+        FROM embeddings GROUP BY 1 ORDER BY 1
+    """
+
+
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: brute force restricted to same-LSH-bucket
+    candidates. The 100 TB path: bucket is the shuffle key, so each
+    partition does local top-k instead of an all-pairs cross join.
+    Approximate by construction -> no SQL oracle (rows-only check)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_b = emb.selectExpr(
+        "vec_id", "embedding",
+        f"{_bucket_sql('embedding', one_based=False)} AS bucket")
+    a = with_b.selectExpr("bucket", "vec_id AS qid", "embedding AS qv")
+    b = with_b.selectExpr("bucket", "vec_id AS nid", "embedding AS nv")
+    cos = _cos_sql("qv", "nv", one_based=False)
+    pairs = (a.join(b, "bucket").filter("qid != nid")
+             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {TOPK}")
+            .select("qid", "rank", "nid", "cos_sim"))

@@ -1,0 +1,96 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale-training-pipeline primitives the reference lacks (net-new,
+per the build brief): token counting, quality scoring, language-ID
+heuristic, and document fingerprinting.  All expressions are Spark
+built-ins (whole-stage codegen; no Python in the hot path) with exact
+DuckDB oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import duck_h28_sql, duck_words_sql, h28_sql, words_sql, ROLL_P
+
+STOPWORDS = {
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "los", "de", "que", "y", "es"),
+    "fr": ("le", "les", "des", "et", "une", "est", "dans"),
+}
+
+
+def _in_list(vals) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
+    """Column-name -> SQL expression, identical semantics in both engines."""
+    if spark_side:
+        flt = lambda lst: (f"size(filter({words}, w -> w IN ({_in_list(lst)})))")
+        n_tok = f"size({words})"
+        n_dis = f"size(array_distinct({words}))"
+        sum_len = (f"aggregate(transform({words}, w -> length(w)), 0, "
+                   f"(acc, x) -> acc + x)")
+        roll = (f"aggregate(transform({words}, w -> {h28_sql('w')}), "
+                f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {ROLL_P})")
+        fp_sorted = f"md5(array_join(array_sort(array_distinct({words})), ' '))"
+    else:
+        flt = lambda lst: (f"len(list_filter({words}, "
+                           f"w -> w IN ({_in_list(lst)})))")
+        n_tok = f"len({words})"
+        n_dis = f"len(list_distinct({words}))"
+        sum_len = f"list_sum(list_transform({words}, w -> length(w)))"
+        roll = (f"list_reduce(list_prepend(0::BIGINT, "
+                f"list_transform({words}, w -> {duck_h28_sql('w')})), "
+                f"(acc, x) -> (acc * 31 + x) % {ROLL_P})")
+        fp_sorted = (f"md5(array_to_string(list_sort(list_distinct({words})), "
+                     f"' '))")
+
+    votes = {lang: flt(sw) for lang, sw in STOPWORDS.items()}
+    # deterministic arg-max with fixed tie-break order en > de > es > fr
+    lang_pred = (
+        f"CASE WHEN {votes['en']} >= {votes['de']} AND {votes['en']} >= "
+        f"{votes['es']} AND {votes['en']} >= {votes['fr']} THEN 'en' "
+        f"WHEN {votes['de']} >= {votes['es']} AND {votes['de']} >= "
+        f"{votes['fr']} THEN 'de' "
+        f"WHEN {votes['es']} >= {votes['fr']} THEN 'es' ELSE 'fr' END")
+    stop_cnt = flt(STOPWORDS["en"])
+    return {
+        "n_tokens": n_tok,
+        "n_distinct": n_dis,
+        "avg_token_len": (f"round(CAST({sum_len} AS DOUBLE) "
+                          f"/ {n_tok}, 6)"),
+        "stop_ratio": f"round(CAST({stop_cnt} AS DOUBLE) / {n_tok}, 6)",
+        "type_token_ratio": (f"round(CAST({n_dis} AS DOUBLE) "
+                             f"/ {n_tok}, 6)"),
+        # composite quality score: length saturation + lexical diversity
+        # + stopword presence, each term a deterministic double
+        "quality_score": (
+            f"round(0.4 * (CAST(LEAST({n_tok}, 100) AS DOUBLE) / 100) "
+            f"+ 0.4 * (CAST({n_dis} AS DOUBLE) / {n_tok}) "
+            f"+ 0.2 * (CAST({stop_cnt} AS DOUBLE) / {n_tok}), 6)"),
+        "lang_pred": lang_pred,
+        "fp_exact": "md5(text)",
+        "fp_wordset": fp_sorted,
+        "fp_rolling": roll,
+    }
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exprs = _stats_exprs("w", spark_side=True)
+    proj = [f"{sql} AS {name}" for name, sql in exprs.items()]
+    return (docs
+            .selectExpr("doc_id", "text", f"{words_sql()} AS w")
+            .selectExpr("doc_id", *proj))
+
+
+def text_stats_oracle() -> str:
+    exprs = _stats_exprs("w", spark_side=False)
+    proj = ",\n       ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    return (f"SELECT doc_id,\n       {proj}\n"
+            f"FROM (SELECT doc_id, text, {duck_words_sql()} AS w "
+            f"FROM documents)")

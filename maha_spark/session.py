@@ -29,6 +29,13 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # /tmp may be reaped by the host while long benchmarks run, which
+        # kills shuffle files mid-query; keep block-manager dirs local
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS",
+                               os.path.join(os.path.dirname(
+                                   os.path.dirname(os.path.abspath(__file__))),
+                                   ".spark-tmp")))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )
