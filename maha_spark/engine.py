@@ -13,6 +13,7 @@ from typing import Any, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .core.bucketing import BucketSelector
 from .model.request_model import RequestModel, build_request_model
 from .output.serializers import to_json_response
 from .plans.binding import ParquetBinding, TableBinding
@@ -23,19 +24,27 @@ from .request.request import ReportingRequest, parse_request
 
 class MahaSparkEngine:
     def __init__(self, spark: SparkSession, registry: Registry,
-                 binding: TableBinding):
+                 binding: TableBinding,
+                 bucket_selector: Optional["BucketSelector"] = None):
         self.spark = spark
         self.registry = registry
         self.binding = binding
         self.planner = Planner(spark, binding)
+        self.bucket_selector = bucket_selector
 
     # ------------------------------------------------------------------
     def model(self, request: Union[dict, str, bytes, ReportingRequest],
               schema: str = "internal",
-              today: Optional[_dt.date] = None) -> RequestModel:
+              today: Optional[_dt.date] = None,
+              user_id: str = "") -> RequestModel:
         req = request if isinstance(request, ReportingRequest) else \
             parse_request(request, schema=schema)
-        return build_request_model(req, self.registry, today=today)
+        revision = None
+        if self.bucket_selector is not None:
+            sel = self.bucket_selector.select(req.cube, user_id=user_id)
+            revision = sel.revision
+        return build_request_model(req, self.registry, today=today,
+                                   revision=revision)
 
     def dataframe(self, request: Union[dict, str, bytes, ReportingRequest],
                   schema: str = "internal",

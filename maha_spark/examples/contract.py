@@ -93,13 +93,20 @@ def build_contract_registry() -> Registry:
                                   foreign_key="customer_nation"),
             "c_acctbal": DimCol("c_acctbal", DecType()),
             "c_mktsegment": DimCol("c_mktsegment", StrType()),
+            # COMPARE_PERCENTAGE-style banded labeling
+            # (DerivedExpression.scala:813 Oracle, :266 Postgres)
+            "acct_band": DerivedDimCol(
+                "acct_band", StrType(),
+                expr=("CASE WHEN {c_acctbal} < 0 THEN 'NEGATIVE' "
+                      "WHEN {c_acctbal} < 5000 THEN 'LOW' ELSE 'HIGH' END")),
         })
     reg.register_dimension(PublicDimension(
         name="customer", table=customer,
         pub_cols=[PubCol("customer_id", "c_custkey"),
                   PubCol("customer_name", "c_name"),
                   PubCol("mktsegment", "c_mktsegment"),
-                  PubCol("acctbal", "c_acctbal")]))
+                  PubCol("acctbal", "c_acctbal"),
+                  PubCol("acct_band", "acct_band")]))
 
     orders = DimensionTable(
         name="orders", primary_key="o_orderkey", level=4, cost=1500,
@@ -121,6 +128,7 @@ def build_contract_registry() -> Registry:
                   PubCol("order_status", "o_orderstatus"),
                   PubCol("order_total", "o_totalprice"),
                   PubCol("order_date", "order_day"),
+                  PubCol("order_ts", "o_orderdate"),
                   PubCol("order_priority", "o_orderpriority")]))
 
     part = DimensionTable(
@@ -132,6 +140,11 @@ def build_contract_registry() -> Registry:
             "p_type": DimCol("p_type", StrType()),
             "p_size": DimCol("p_size", IntType()),
             "p_retailprice": DimCol("p_retailprice", DecType()),
+            # REGEX_EXTRACT derived function (DerivedExpression.scala Hive
+            # :609, Presto :435) — second word of the part name
+            "p_noun": DerivedDimCol(
+                "p_noun", StrType(),
+                expr="regexp_extract({p_name}, ' ([a-z]+)$', 1)"),
         })
     reg.register_dimension(PublicDimension(
         name="part", table=part,
@@ -140,7 +153,8 @@ def build_contract_registry() -> Registry:
                   PubCol("brand", "p_brand"),
                   PubCol("part_type", "p_type"),
                   PubCol("part_size", "p_size"),
-                  PubCol("retail_price", "p_retailprice")]))
+                  PubCol("retail_price", "p_retailprice"),
+                  PubCol("part_noun", "p_noun")]))
 
     supplier = DimensionTable(
         name="supplier", primary_key="s_suppkey", level=4, cost=10,
@@ -179,6 +193,11 @@ def build_contract_registry() -> Registry:
         "ship_month": DerivedDimCol(
             "ship_month", DateType(),
             expr="CAST(date_trunc('month', {l_shipdate}) AS DATE)"),
+        # DAY_OF_WEEK derived function (DerivedExpression.scala Hive :572,
+        # Presto :398; DerivedFunction.scala:49)
+        "ship_dow": DerivedDimCol(
+            "ship_dow", StrType(),
+            expr="date_format({l_shipdate}, 'EEEE')"),
         # exact decimal partial aggregates (internal)
         "qty_dec": FactCol("qty_dec", DecType(), expr=QTY,
                            depends_on=("l_quantity",)),
@@ -259,6 +278,7 @@ def build_contract_registry() -> Registry:
         PubCol("return_flag_label", "rf_label"),
         PubCol("line_status", "l_linestatus"),
         PubCol("line_number", "l_linenumber"),
+        PubCol("day_of_week", "ship_dow"),
     ]
     reg.register_fact(PublicFact(
         name="tpch", tables=[lineitem, lineitem_rollup],
@@ -710,6 +730,191 @@ QUERIES: dict[str, dict] = {
                    MAX(l_extendedprice) AS max_price,
                    MIN(l_extendedprice) AS min_price
             FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.2 column-to-column compare (FieldEqualityFilter '==')
+    "q21_field_equality": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "return_flag", "operator": "==",
+                                   "compareTo": "line_status"}],
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue
+            FROM lineitem WHERE l_returnflag = l_linestatus GROUP BY 1
+        """,
+    },
+    # -- §2.2 OR combinator + NOT LIKE + IS NOT NULL
+    "q22_or_notlike": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "brand"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"operator": "or", "filterExpressions": [
+                    {"field": "part_size", "operator": "<", "value": 15},
+                    {"field": "brand", "operator": "not like",
+                     "value": "rand#1"},
+                ]},
+                {"field": "part_name", "operator": "isnotnull"},
+            ],
+        },
+        "sql": f"""
+            SELECT p_brand AS brand, {SQL_REVENUE} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
+              AND p_name IS NOT NULL
+            GROUP BY 1
+        """,
+    },
+    # -- §2.2 ISO datetime range on a timestamp dim attribute
+    "q23_datetime_between": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_status"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "order_ts", "operator": "datetimebetween",
+                 "from": "1996-03-01T00:00:00", "to": "1997-06-30T23:59:59"},
+            ],
+        },
+        "sql": f"""
+            SELECT {ORDER_STATUS_SQL} AS order_status,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
+            GROUP BY 1
+        """,
+    },
+    # -- §2.2 '<>' + AND combinator with range bounds
+    "q24_notequal_and": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "return_flag", "operator": "<>", "value": "N"},
+                {"operator": "and", "filterExpressions": [
+                    {"field": "line_number", "operator": ">", "value": 1},
+                    {"field": "line_number", "operator": "<", "value": 6},
+                ]},
+            ],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_returnflag <> 'N' AND l_linenumber > 1
+              AND l_linenumber < 6
+            GROUP BY 1
+        """,
+    },
+    # -- §2.6 offset pagination with a deterministic total order
+    "q25_offset_pagination": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+            "sortBy": [{"field": "revenue", "order": "DESC"},
+                       {"field": "part_id", "order": "ASC"}],
+            "paginationStartIndex": 5,
+            "rowsPerPage": 15,
+        },
+        "sql": f"""
+            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1
+            ORDER BY revenue DESC, part_id ASC LIMIT 15 OFFSET 5
+        """,
+    },
+    # -- §2.8 DAY_OF_WEEK derived function on the fact time column
+    "q26_day_of_week": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "day_of_week"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT dayname(l_shipdate) AS day_of_week,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.8 REGEX_EXTRACT derived dim attribute
+    "q27_regex_extract": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_noun"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT regexp_extract(p_name, ' ([a-z]+)$', 1) AS part_noun,
+                   {SQL_REVENUE} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+    },
+    # -- §2.8 COMPARE_PERCENTAGE-style banded labeling on a snowflake attr
+    "q28_banding": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "acct_band"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+                        WHEN c_acctbal < 5000 THEN 'LOW'
+                        ELSE 'HIGH' END AS acct_band,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+    },
+    # -- §1.2 filter on a static-mapped label: reverse map expands the
+    #    label back to raw values (DataType.scala reverseStaticMapping)
+    "q29_static_mapping_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "order_status", "operator": "=",
+                                   "value": "OPEN"}],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'O')
+            GROUP BY 1
+        """,
+    },
+    # -- §3.1 step 4 timezone: local-day filtering + local-time grouping
+    #    (BaseUTCTimeProvider day-shifting; Asia/Kolkata = fixed +05:30 so
+    #    the DuckDB oracle can use interval arithmetic without ICU)
+    "q30_timezone_day": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "day"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [{"field": "day", "operator": "between",
+                                   "from": "1996-06-01", "to": "1996-06-30"}],
+            "additionalParameters": {"timeZone": "Asia/Kolkata"},
+        },
+        "sql": f"""
+            SELECT CAST(l_shipdate + INTERVAL 330 MINUTE AS DATE) AS day,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
+            FROM lineitem
+            WHERE CAST(l_shipdate + INTERVAL 330 MINUTE AS DATE)
+                  BETWEEN DATE '1996-06-01' AND DATE '1996-06-30'
+            GROUP BY 1
         """,
     },
 }

@@ -97,6 +97,13 @@ class RequestModel:
     needed_fact_cols: set[str]
     requires_outer_group_by: bool
     utc_shifted: bool = False
+    #: request timezone (additionalParameters.timeZone): the fact's raw time
+    #: column is rendered in this zone before day/grain derivations
+    #: (BaseUTCTimeProvider.scala:16-127 semantics, Spark-native)
+    timezone: Optional[str] = None
+    #: parsed (from, to) of the mandatory Day between filter — used for the
+    #: widened UTC partition-pruning bound when timezone is set
+    day_range: Optional[tuple] = None
 
     @property
     def metric_aliases(self) -> list[str]:
@@ -140,9 +147,10 @@ def _parse_date(v: Any) -> Optional[_dt.date]:
 
 
 def build_request_model(request: ReportingRequest, registry: Registry,
-                        today: Optional[_dt.date] = None) -> RequestModel:
+                        today: Optional[_dt.date] = None,
+                        revision: Optional[int] = None) -> RequestModel:
     errors: list[str] = []
-    cube = registry.fact(request.cube)
+    cube = registry.fact(request.cube, revision=revision)
 
     dim_alias = cube.dim_alias_map()
     fact_alias = cube.fact_alias_map()
@@ -308,9 +316,11 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         errors.append(f"Day filter missing: a 'between' filter on "
                       f"{cube.day_alias!r} is required")
 
+    day_range = None
     if day_filter is not None:
         f_d, t_d = _parse_date(day_filter.from_value), _parse_date(day_filter.to_value)
         if f_d and t_d:
+            day_range = (f_d, t_d)
             if t_d < f_d:
                 errors.append("Day filter 'from' must be <= 'to'")
             window = (t_d - f_d).days + 1
@@ -464,4 +474,6 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         max_rows=request.rows_per_page,
         needed_fact_cols=needed,
         requires_outer_group_by=requires_ogb,
+        timezone=request.additional_parameters.get("timeZone"),
+        day_range=day_range,
     )

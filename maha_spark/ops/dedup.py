@@ -119,10 +119,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.selectExpr(
         "doc_id", "sh",
         f"explode(array({', '.join(band_cols)})) AS bk")
-    a = buckets.selectExpr("bk", "doc_id AS a_id", "sh AS a_sh")
-    b = buckets.selectExpr("bk", "doc_id AS b_id", "sh AS b_sh")
-    cand = (a.join(b, "bk").filter("a_id < b_id")
-            .select("a_id", "b_id", "a_sh", "b_sh").distinct())
+    a = buckets.selectExpr("bk", "doc_id AS a_id")
+    b = buckets.selectExpr("bk", "doc_id AS b_id")
+    # dedupe candidate pairs on ids BEFORE attaching shingle sets: the
+    # banded join multiplies pairs up to 12x and shuffling the (large)
+    # shingle arrays through that would dominate the run
+    cand = a.join(b, "bk").filter("a_id < b_id").select("a_id", "b_id").distinct()
+    cand = (cand
+            .join(base.selectExpr("doc_id AS a_id", "sh AS a_sh"), "a_id")
+            .join(base.selectExpr("doc_id AS b_id", "sh AS b_sh"), "b_id"))
     jac = ("CAST(size(array_intersect(a_sh, b_sh)) AS DOUBLE) / "
            "(size(a_sh) + size(b_sh) - size(array_intersect(a_sh, b_sh)))")
     return (cand.selectExpr("a_id", "b_id", f"round({jac}, 6) AS jaccard")
@@ -197,9 +202,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = chunks.selectExpr("ck", "doc_id AS a_id", "simhash AS a_sh")
     b = chunks.selectExpr("ck", "doc_id AS b_id", "simhash AS b_sh")
     return (a.join(b, "ck").filter("a_id < b_id")
-            .select("a_id", "b_id", "a_sh", "b_sh").distinct()
             .selectExpr("a_id", "b_id",
                         "bit_count(a_sh ^ b_sh) AS hamming")
+            .distinct()
             .filter(f"hamming <= {HAMMING_T}"))
 
 

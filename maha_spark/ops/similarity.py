@@ -38,10 +38,14 @@ def _cos_sql(a: str, b: str, one_based: bool) -> str:
 # ------------------------------------------------------------- top-k
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = (emb.filter(f"vec_id < {MAX_QUERY_ID}")
-         .selectExpr("vec_id AS qid", "embedding AS qv"))
-    b = emb.selectExpr("vec_id AS nid", "embedding AS nv")
-    cos = _cos_sql("qv", "nv", one_based=False)
+    # precompute each vector's norm once (the oracle recomputes it per
+    # pair, but from identical inputs -> identical IEEE double)
+    norm = _norm_sql("embedding", one_based=False)
+    with_n = emb.selectExpr("vec_id", "embedding", f"{norm} AS nrm")
+    a = (with_n.filter(f"vec_id < {MAX_QUERY_ID}")
+         .selectExpr("vec_id AS qid", "embedding AS qv", "nrm AS qn"))
+    b = with_n.selectExpr("vec_id AS nid", "embedding AS nv", "nrm AS nn")
+    cos = f"({dot64_sql('qv', 'nv', False, 'DOUBLE')} / (qn * nn))"
     pairs = (a.crossJoin(b).filter("qid != nid")
              .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
     from pyspark.sql import functions as F
@@ -70,9 +74,11 @@ def sim_topk_oracle() -> str:
 # ------------------------------------------------------- near-dup pairs
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.selectExpr("vec_id AS a_id", "embedding AS av")
-    b = emb.selectExpr("vec_id AS b_id", "embedding AS bv")
-    cos = _cos_sql("av", "bv", one_based=False)
+    norm = _norm_sql("embedding", one_based=False)
+    with_n = emb.selectExpr("vec_id", "embedding", f"{norm} AS nrm")
+    a = with_n.selectExpr("vec_id AS a_id", "embedding AS av", "nrm AS an")
+    b = with_n.selectExpr("vec_id AS b_id", "embedding AS bv", "nrm AS bn")
+    cos = f"({dot64_sql('av', 'bv', False, 'DOUBLE')} / (an * bn))"
     return (a.crossJoin(b).filter("a_id < b_id")
             .selectExpr("a_id", "b_id", f"round({cos}, 6) AS cos_sim")
             .filter(f"cos_sim >= {PAIR_COS_T}"))
@@ -134,12 +140,15 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     emb = load_table(spark, sf_dir, "embeddings")
+    norm = _norm_sql("embedding", one_based=False)
     with_b = emb.selectExpr(
-        "vec_id", "embedding",
+        "vec_id", "embedding", f"{norm} AS nrm",
         f"{_bucket_sql('embedding', one_based=False)} AS bucket")
-    a = with_b.selectExpr("bucket", "vec_id AS qid", "embedding AS qv")
-    b = with_b.selectExpr("bucket", "vec_id AS nid", "embedding AS nv")
-    cos = _cos_sql("qv", "nv", one_based=False)
+    a = with_b.selectExpr("bucket", "vec_id AS qid", "embedding AS qv",
+                          "nrm AS qn")
+    b = with_b.selectExpr("bucket", "vec_id AS nid", "embedding AS nv",
+                          "nrm AS nn")
+    cos = f"({dot64_sql('qv', 'nv', False, 'DOUBLE')} / (qn * nn))"
     pairs = (a.join(b, "bucket").filter("qid != nid")
              .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
     w = Window.partitionBy("qid").orderBy(

@@ -119,7 +119,8 @@ class Planner:
     # ------------------------------------------------------------------
     # fact side
     # ------------------------------------------------------------------
-    def _load_fact(self, table: FactTable) -> DataFrame:
+    def _load_fact(self, table: FactTable,
+                   model: Optional[RequestModel] = None) -> DataFrame:
         if table.parts:
             dfs = []
             for part in table.parts:
@@ -130,8 +131,32 @@ class Planner:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
-            return out
-        return self.binding.table(table.name)
+        else:
+            out = self.binding.table(table.name)
+        return self._apply_timezone(out, table, model)
+
+    def _apply_timezone(self, df: DataFrame, table: FactTable,
+                        model: Optional[RequestModel]) -> DataFrame:
+        """Render the fact's raw UTC time column in the request timezone.
+
+        Mirrors BaseUTCTimeProvider.scala:87-185: the local-day filter is
+        widened by ±1 day into a pushable predicate on the raw (UTC)
+        column — Spark prunes parquet row groups / partitions with it —
+        then the column itself is shifted so every derived day/hour/month
+        expression and the exact Day between filter evaluate in local time.
+        """
+        tz = model.timezone if model is not None else None
+        day_col = table.day_column
+        if not tz or not day_col or day_col not in df.columns:
+            return df
+        raw = F.col(_q(day_col))
+        if model.day_range:
+            import datetime as _dt
+            f_d, t_d = model.day_range
+            lo = F.lit((f_d - _dt.timedelta(days=1)).isoformat()).cast("timestamp")
+            hi = F.lit((t_d + _dt.timedelta(days=2)).isoformat()).cast("timestamp")
+            df = df.filter((raw >= lo) & (raw < hi))
+        return df.withColumn(day_col, F.from_utc_timestamp(raw, tz))
 
     def _fact_resolver(self, model: RequestModel):
         """alias -> ResolvedField over raw fact rows (pre-aggregation)."""
@@ -214,7 +239,7 @@ class Planner:
         """fact scan -> filter -> (groupBy.agg) with group keys =
         projected fact dims + FK cols needed by join chains."""
         table = model.fact_table
-        df = self._load_fact(table)
+        df = self._load_fact(table, model)
 
         # physical forced filters (over physical column names)
         for ff in table.forced_filters:
