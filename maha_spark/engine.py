@@ -71,6 +71,22 @@ class MahaSparkEngine:
             debug={"requestType": req.request_type} if req.is_debug else None,
         )
 
+    # ------------------------------------------------------------------
+    def sql(self, sql_text: str, schema: str = "internal",
+            today: Optional[_dt.date] = None) -> DataFrame:
+        """SQL SELECT over a cube's public aliases -> DataFrame
+        (MahaCalciteSqlParser parity; see request/sql.py for the
+        supported subset)."""
+        from .request.sql import sql_to_request_json
+        req = sql_to_request_json(sql_text, registry=self.registry)
+        return self.dataframe(req, schema=schema, today=today)
+
+    def execute_sql(self, sql_text: str, schema: str = "internal",
+                    today: Optional[_dt.date] = None) -> dict[str, Any]:
+        from .request.sql import sql_to_request_json
+        req = sql_to_request_json(sql_text, registry=self.registry)
+        return self.execute(req, schema=schema, today=today)
+
     def domain_json(self) -> dict[str, Any]:
         return self.registry.domain_json()
 

@@ -610,6 +610,8 @@ class Planner:
         if not model.is_dim_driven:  # dim-driven already paginated pre-join
             if model.start_index > 0:
                 df = df.offset(model.start_index)
-            if model.max_rows and model.max_rows > 0:
+            # 0 is a real limit (describe queries: SELECT * ... LIMIT 0
+            # serve the schema); -1 means unpaginated
+            if model.max_rows >= 0:
                 df = df.limit(model.max_rows)
         return df

@@ -1,0 +1,143 @@
+"""Plan-shape assertions: the properties that matter at 100 TB.
+
+These inspect the optimized/physical plan, not results:
+- join elimination: no dim join when only the FK is projected
+- filter pushdown: the Day bound reaches the parquet scan
+- broadcast: dimension joins use BroadcastHashJoin, not shuffle joins
+- partial aggregation: map-side combine before the exchange
+- column pruning: the scan reads only needed columns
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DAY_ALL = {"field": "day", "operator": "between",
+           "from": "1995-01-01", "to": "2002-12-31"}
+
+
+@pytest.fixture(scope="module")
+def contract_engine(spark):
+    # plan-shape assertions describe the 100 TB configuration: the fact
+    # table is NOT cached (caching rewrites scans into InMemoryRelation,
+    # which has no parquet pushdown to assert on). Spark's CacheManager
+    # substitutes ANY matching plan with a cached one, so tables cached by
+    # earlier test modules must be unpersisted too.
+    os.environ["MAHA_SPARK_CACHE"] = "0"
+    from maha_spark.plans.binding import _DF_CACHE
+    for df in _DF_CACHE.values():
+        df.unpersist(blocking=True)
+    _DF_CACHE.clear()
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    yield engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    os.environ.pop("MAHA_SPARK_CACHE", None)
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df) -> str:
+    """Full formatted physical plan (toString() truncates field lists)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return qe.explainString(mode)
+
+
+def test_no_dim_join_when_only_fk_projected(contract_engine):
+    """line_number/return_flag are fact-local: the plan must not join any
+    dimension (RequestModel join-elimination, RequestModel.scala:25-64)."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    assert "Join" not in _optimized(df)
+
+
+def test_dim_filter_without_projection_is_semi_join(contract_engine):
+    """Filtering on a dim attribute while not projecting it must produce a
+    semi join (subquery-filter semantics), not a full join."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL,
+                              {"field": "mktsegment", "operator": "=",
+                               "value": "BUILDING"}],
+    })
+    assert "LeftSemi" in _optimized(df)
+
+
+def test_day_filter_pushed_to_scan(contract_engine):
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1996-01-01", "to": "1996-12-31"}],
+    })
+    phys = _physical(df)
+    # the derived CAST(ts AS DATE) between range must reach the parquet
+    # scan as a raw-timestamp bound
+    assert "PushedFilters" in phys
+    assert "GreaterThanOrEqual(l_shipdate" in phys
+
+
+def test_dim_joins_broadcast(contract_engine):
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_partial_aggregation_before_exchange(contract_engine):
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    assert "partial_sum" in phys  # map-side combine
+
+
+def test_column_pruning_reaches_scan(contract_engine):
+    """A 2-column request over the 16-column lineitem must scan only the
+    needed physical columns."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "sum_qty"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", phys)
+    assert m, phys
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"l_returnflag", "l_quantity", "l_shipdate"}, cols
+
+
+def test_timezone_still_pushes_raw_bound(contract_engine):
+    """With a request timezone the widened UTC bound must still reach the
+    scan (partition pruning survives the local-time rendering)."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "day"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1996-06-01", "to": "1996-06-30"}],
+        "additionalParameters": {"timeZone": "Asia/Kolkata"},
+    })
+    phys = _physical(df)
+    assert "PushedFilters" in phys
+    assert "GreaterThanOrEqual(l_shipdate,1996-05-31" in phys
