@@ -36,11 +36,11 @@ class MahaSparkEngine:
     def model(self, request: Union[dict, str, bytes, ReportingRequest],
               schema: str = "internal",
               today: Optional[_dt.date] = None,
-              user_id: str = "") -> RequestModel:
+              user_id: str = "",
+              revision: Optional[int] = None) -> RequestModel:
         req = request if isinstance(request, ReportingRequest) else \
             parse_request(request, schema=schema)
-        revision = None
-        if self.bucket_selector is not None:
+        if revision is None and self.bucket_selector is not None:
             sel = self.bucket_selector.select(req.cube, user_id=user_id)
             revision = sel.revision
         return build_request_model(req, self.registry, today=today,
@@ -48,8 +48,27 @@ class MahaSparkEngine:
 
     def dataframe(self, request: Union[dict, str, bytes, ReportingRequest],
                   schema: str = "internal",
-                  today: Optional[_dt.date] = None) -> DataFrame:
-        return self.planner.build(self.model(request, schema=schema, today=today))
+                  today: Optional[_dt.date] = None,
+                  revision: Optional[int] = None) -> DataFrame:
+        return self.planner.build(self.model(request, schema=schema,
+                                             today=today, revision=revision))
+
+    def dataframe_with_fallback(
+            self, request: Union[dict, str, bytes, ReportingRequest],
+            fallback_revision: int,
+            schema: str = "internal",
+            today: Optional[_dt.date] = None) -> DataFrame:
+        """QueryPipelineWithFallback (QueryPipeline.scala:115-151): if the
+        primary plan fails to build/execute or returns no rows, re-plan
+        against the fallback cube revision."""
+        try:
+            df = self.dataframe(request, schema=schema, today=today)
+            if df.limit(1).count() > 0:
+                return df
+        except Exception:
+            pass
+        return self.dataframe(request, schema=schema, today=today,
+                              revision=fallback_revision)
 
     # ------------------------------------------------------------------
     def execute(self, request: Union[dict, str, bytes, ReportingRequest],

@@ -14,7 +14,9 @@ identical doubles (IEEE division is deterministic).
 
 from __future__ import annotations
 
-from ..core.columns import DerivedDimCol, DerivedFactCol, DimCol, FactCol, safe_div
+from ..core.columns import (
+    DerivedDimCol, DerivedFactCol, DimCol, FactCol, PostResultCol, safe_div,
+)
 from ..core.filters import IN_BETWEEN_EQUALITY
 from ..core.grain import DAILY, HOURLY
 from ..core.rollup import (
@@ -322,6 +324,12 @@ def build_contract_registry() -> Registry:
                             expr="{user_id}", depends_on=("user_id",)),
         "total_value": DerivedFactCol("total_value", DecType(),
                                       expr="CAST({value_dec} AS DOUBLE)"),
+        # POST_RESULT_DECODE (PostResultFunction.scala:42): expose the
+        # metric only for rows whose status dim matches
+        "value_if_click": PostResultCol(
+            "value_if_click", DecType(),
+            expr=("CASE WHEN {event_type} = 'click' THEN {total_value} "
+                  "ELSE NULL END")),
     }
     events = FactTable(name="events", columns=ev_cols, grain=HOURLY,
                        day_column="ts", cost=1000)
@@ -333,7 +341,8 @@ def build_contract_registry() -> Registry:
                   PubCol("user_id", "user_id")],
         pub_fact_cols=[PubCol("total_value", "total_value"),
                        PubCol("event_count", "event_count"),
-                       PubCol("user_count", "user_cnt")],
+                       PubCol("user_count", "user_cnt"),
+                       PubCol("value_if_click", "value_if_click")],
         day_alias="day"))
 
     return reg
@@ -894,6 +903,24 @@ QUERIES: dict[str, dict] = {
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'O')
             GROUP BY 1
+        """,
+    },
+    # -- §2.8 post-result function: metric exposed only when the status
+    #    dim matches (POST_RESULT_DECODE)
+    "q31_post_result_decode": {
+        "request": {
+            "cube": "events_cube",
+            "selectFields": [{"field": "event_type"},
+                             {"field": "event_count"},
+                             {"field": "value_if_click"}],
+            "filterExpressions": [EV_DAY],
+        },
+        "sql": """
+            SELECT event_type, COUNT(*) AS event_count,
+                   CASE WHEN event_type = 'click'
+                        THEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        ELSE NULL END AS value_if_click
+            FROM events GROUP BY 1
         """,
     },
     # -- §3.1 step 4 timezone: local-day filtering + local-time grouping

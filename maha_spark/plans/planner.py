@@ -209,6 +209,13 @@ class Planner:
             if isinstance(col, DerivedFactCol):
                 derived.append((p.alias, col))
                 add_base(p.pub_col.name)
+            elif isinstance(col, PostResultCol):
+                # post-result functions are final-projection expressions
+                # over aggregated metrics and projected dims
+                # (PostResultFunction.scala:42-182)
+                derived.append((p.alias, col))
+                for ref in _PLACEHOLDER.findall(col.expr):
+                    add_base(ref)
             elif isinstance(col, FactCol):
                 direct.append((p.alias, col))
                 base_needed[p.pub_col.name] = col
@@ -570,8 +577,25 @@ class Planner:
                 cols.append(F.col(_q(p.alias)))
             elif p.kind == METRIC and p.alias in derived_aliases:
                 col = table.columns[p.pub_col.name]
-                resolver = {name: _q(f"__base_{name}") for name in table.columns}
-                c = F.expr(expand_expr(col.expr, resolver))
+                # FactCol partials resolve to their __base_ aggregates,
+                # DerivedFactCols expand recursively (post-result functions
+                # may reference them), dim columns resolve to the projected
+                # group-key alias (post-result decode conditions)
+                dim_alias = {q.pub_col.name: q.alias for q in model.projections
+                             if q.kind != METRIC and q.pub_col is not None}
+
+                def render(name: str, _seen=()) -> str:
+                    c0 = table.columns.get(name)
+                    if isinstance(c0, DerivedFactCol) and name not in _seen:
+                        sub = {r: render(r, _seen + (name,))
+                               for r in _PLACEHOLDER.findall(c0.expr)}
+                        return "(" + expand_expr(c0.expr, sub) + ")"
+                    if name in dim_alias and not isinstance(c0, FactCol):
+                        return _q(dim_alias[name])
+                    return _q(f"__base_{name}")
+
+                sub = {r: render(r) for r in _PLACEHOLDER.findall(col.expr)}
+                c = F.expr(expand_expr(col.expr, sub))
                 if coalesce_defaults and col.dtype.default_value is not None:
                     c = F.coalesce(c, F.lit(col.dtype.default_value))
                 cols.append(c.alias(p.alias))
