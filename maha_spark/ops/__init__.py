@@ -13,15 +13,19 @@ from collections.abc import Callable
 
 
 def entry_queries() -> dict[str, Callable]:
-    from . import dedup, multimodal, similarity, text
+    from . import dedup, multimodal, similarity, sketches, text
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_stats,
         "op_dedup_exact": dedup.dedup_exact,
         "op_dedup_wordset": dedup.dedup_wordset,
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "op_dedup_embed_cosine": dedup.dedup_embed_cosine,
         "op_dedup_simhash": dedup.dedup_simhash,
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "op_sketch_setops": sketches.sketch_setops,
+        "op_sketch_approx_users": sketches.approx_set_counts,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
@@ -32,15 +36,19 @@ def entry_queries() -> dict[str, Callable]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import dedup, multimodal, similarity, text
+    from . import dedup, multimodal, similarity, sketches, text
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_stats_oracle(),
         "op_dedup_exact": dedup.dedup_exact_oracle(),
         "op_dedup_wordset": dedup.dedup_wordset_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
+        "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
+        "op_dedup_embed_cosine": dedup.dedup_embed_cosine_oracle(),
         "op_dedup_simhash": dedup.dedup_simhash_oracle(),
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs_oracle(),
+        "op_sketch_setops": sketches.sketch_setops_oracle(),
+        # op_sketch_approx_users: HLL estimate -> rows-only check
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),

@@ -90,10 +90,13 @@ def _shingles_duck(words: str) -> str:
             f"i -> {words}[i] || ' ' || {words}[i+1] || ' ' || {words}[i+2]))")
 
 
-def _minhash_sig_spark(sh: str) -> list[str]:
-    # permutation i: (h28 * (2i+1) + 7919*i) mod P ; products < 2^34
+def _minhash_sig_spark(hs: str) -> list[str]:
+    # permutation i over PRE-HASHED shingles: (h * (2i+1) + 7919*i) mod P;
+    # products < 2^34. Hashing once and permuting integers k times (instead
+    # of re-running md5 inside every permutation) cuts the dominant cost by
+    # the number of permutations.
     return [
-        (f"array_min(transform({sh}, s -> ({h28_sql('s')} * {2 * i + 1} "
+        (f"array_min(transform({hs}, h -> (h * {2 * i + 1} "
          f"+ {7919 * i}) % {MINHASH_P}))")
         for i in range(BANDS * ROWS)
     ]
@@ -107,10 +110,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # empty (DuckDB's range is empty) — guard short docs first
             .filter("size(w) >= 3")
             .selectExpr("doc_id", f"{_shingles_spark('w')} AS sh"))
-    sigs = base.selectExpr(
+    hashed = base.selectExpr(
+        "doc_id", "sh", f"transform(sh, s -> {h28_sql('s')}) AS hs")
+    sigs = hashed.selectExpr(
         "doc_id", "sh",
         *[f"{e} AS mh{i}" for i, e in
-          enumerate(_minhash_sig_spark("sh"))])
+          enumerate(_minhash_sig_spark("hs"))])
     band_cols = [
         f"named_struct('band', {b}, 'key', md5(concat_ws(',', "
         + ", ".join(f"mh{b * ROWS + r}" for r in range(ROWS)) + ")))"
@@ -152,11 +157,180 @@ def dedup_minhash_lsh_oracle() -> str:
     """
 
 
+# ----------------------------------------------- n-gram Jaccard (exact)
+NGRAM_JACCARD_T = 0.7
+
+
+def _bigrams_spark(words: str) -> str:
+    return (f"array_distinct(transform(sequence(1, size({words}) - 1), "
+            f"i -> concat_ws(' ', {words}[i-1], {words}[i])))")
+
+
+def _bigrams_duck(words: str) -> str:
+    return (f"list_distinct(list_transform(range(1, len({words})), "
+            f"i -> {words}[i] || ' ' || {words}[i+1]))")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-bigram Jaccard pairs >= t via AllPairs/PPJoin prefix
+    filtering (Bayardo et al., WWW'07): order tokens globally by ascending
+    document frequency; two sets with J >= t must share a token within the
+    first ``|g| - ceil(t*|g|) + 1`` rarest tokens, so joining on prefix
+    tokens only is LOSSLESS while candidate counts stay near-linear.
+
+    100 TB path: the only all-to-all operation is the equi-join on prefix
+    tokens (a shuffle keyed by rare tokens — bounded fan-out by
+    construction); no cross join anywhere. The DuckDB oracle computes the
+    exact all-pairs answer, which must match exactly.
+
+    Verification detail: this corpus has a tiny bigram vocabulary, so the
+    token universe is mapped onto a dense bitmap (ceil(U/64) longs per
+    doc); |A∩B| is then AND + bit_count inside whole-stage codegen —
+    ~100x cheaper per candidate than array_intersect, and the broadcast
+    side shrinks accordingly.  (With a web-scale vocabulary the bitmap
+    would be per-partition-dictionary or fall back to sorted-array
+    intersect; candidate generation is unchanged.)
+    """
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+            .filter("size(w) >= 2")
+            .selectExpr("doc_id", f"{_bigrams_spark('w')} AS g"))
+    toks = base.selectExpr("doc_id", "explode(g) AS tok")
+    # global total order: ascending df, token text as tiebreak (931-row
+    # window at test scale; at web scale: two-level rank by partial df)
+    order = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+             .selectExpr("tok", "row_number() OVER (ORDER BY df, tok) AS idx"))
+    # cache: consumed by masks (x2 broadcasts), the prefix explode, and the
+    # universe-size probe — without it the whole upstream re-runs per use
+    sorted_sets = (toks.join(order, "tok")
+                   .groupBy("doc_id")
+                   .agg(F.array_sort(F.collect_list("idx")).alias("toks"))
+                   .cache())
+    n_tokens = sorted_sets.selectExpr("max(array_max(toks)) AS u") \
+                          .collect()[0]["u"]
+    n_words = (int(n_tokens) + 63) // 64
+    # dense bitmap: word j = OR of bits (idx-1)%64 for tokens in slot j
+    bitmap = (f"transform(sequence(0, {n_words - 1}), j -> "
+              f"aggregate(filter(toks, t -> (t - 1) div 64 = j), "
+              f"CAST(0 AS BIGINT), "
+              f"(acc, t) -> acc | shiftleft(CAST(1 AS BIGINT), "
+              f"CAST((t - 1) % 64 AS INT))))")
+    masks = sorted_sets.selectExpr("doc_id", f"{bitmap} AS m")
+    prefix = sorted_sets.selectExpr(
+        "doc_id", "size(toks) AS n",
+        f"slice(toks, 1, size(toks) - CAST(ceil({NGRAM_JACCARD_T} * "
+        f"size(toks)) AS INT) + 1) AS pref")
+    ex = prefix.selectExpr("doc_id", "n",
+                           "posexplode(pref) AS (pos0, idx)")
+    a = ex.selectExpr("idx", "doc_id AS a_id", "n AS a_n", "pos0 + 1 AS a_pos")
+    b = ex.selectExpr("idx", "doc_id AS b_id", "n AS b_n", "pos0 + 1 AS b_pos")
+    # PPJoin position filter (lossless): common tokens all sit at positions
+    # >= the first match, so inter <= 1 + min(na-i, nb-k); J >= t needs
+    # inter >= t/(1+t) * (na+nb)
+    alpha = f"({NGRAM_JACCARD_T} / (1 + {NGRAM_JACCARD_T}) * (a_n + b_n))"
+    cand = (a.join(b, "idx")
+            .filter("a_id < b_id")
+            .filter(f"1 + least(a_n - a_pos, b_n - b_pos) >= {alpha}")
+            .join(F.broadcast(masks.selectExpr("doc_id AS a_id", "m AS a_m")),
+                  "a_id")
+            .join(F.broadcast(masks.selectExpr("doc_id AS b_id", "m AS b_m")),
+                  "b_id"))
+    inter = "(" + " + ".join(
+        f"bit_count(a_m[{j}] & b_m[{j}])" for j in range(n_words)) + ")"
+    jac = f"CAST({inter} AS DOUBLE) / (a_n + b_n - {inter})"
+    # verify every candidate row (cheap: popcounts in codegen, no shuffle),
+    # THEN dedupe only the qualifying pairs — orders of magnitude fewer
+    # rows through the exchange than distinct-ing raw candidates
+    return (cand.selectExpr("a_id", "b_id", f"round({jac}, 6) AS jaccard")
+            .filter(f"jaccard >= {NGRAM_JACCARD_T}")
+            .distinct())
+
+
+def dedup_ngram_jaccard_oracle() -> str:
+    inter = "len(list_intersect(a.g, b.g))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(a.g) + len(b.g) - {inter})"
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {_bigrams_duck('w')} AS g
+            FROM (SELECT doc_id, {duck_words_sql()} AS w FROM documents)
+            WHERE len(w) >= 2
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, round({jac}, 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE round({jac}, 6) >= {NGRAM_JACCARD_T}
+    """
+
+
+# ----------------------------------------- embedding-cosine near-dup
+EMBED_COS_T = 0.95
+
+
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate assignment over the embedding column: every vector
+    maps to the smallest vec_id in its cosine-similarity neighborhood
+    (1-hop keeper rule — deterministic, no iteration). Vectors with no
+    neighbor above the threshold keep themselves.
+
+    Scale note: this demo verifies with an exact pairwise pass (bounded
+    corpus); at 100 TB the candidate pairs come from the hyperplane-LSH
+    buckets (similarity.sim_lsh_buckets) so the shuffle is keyed by bucket
+    rather than all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from .similarity import _corpus_matrix, _np_dots
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, mat, norms = _corpus_matrix(emb)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def keeper_batches(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            out = []
+            for vid, vv in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(vv, dtype=np.float64)
+                vn = np.sqrt(_np_dots(v, v[None, :])[0])
+                cos = np.round(_np_dots(v, c_mat) / (vn * c_norms), 6)
+                near = (c_ids != vid) & (cos >= EMBED_COS_T)
+                n_near = int(near.sum())
+                keeper = int(min(vid, c_ids[near].min())) if n_near else int(vid)
+                out.append((vid, keeper, n_near, int(keeper != vid)))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "keeper_id", "n_near", "is_dup"])
+
+    return emb.mapInPandas(
+        keeper_batches,
+        schema="vec_id long, keeper_id long, n_near long, is_dup int")
+
+
+def dedup_embed_cosine_oracle() -> str:
+    from .similarity import _cos_sql
+    cos = _cos_sql("a.embedding", "b.embedding", one_based=True)
+    return f"""
+        WITH near AS (
+            SELECT a.vec_id AS a_id, MIN(b.vec_id) AS min_nb,
+                   COUNT(*) AS n_near
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE round({cos}, 6) >= {EMBED_COS_T}
+            GROUP BY a.vec_id
+        )
+        SELECT e.vec_id,
+               LEAST(e.vec_id, COALESCE(n.min_nb, e.vec_id)) AS keeper_id,
+               COALESCE(n.n_near, 0) AS n_near,
+               CAST(LEAST(e.vec_id, COALESCE(n.min_nb, e.vec_id))
+                    != e.vec_id AS INT) AS is_dup
+        FROM embeddings e LEFT JOIN near n ON e.vec_id = n.a_id
+    """
+
+
 # ------------------------------------------------------------ simhash
-def _simhash_expr_spark(dw: str) -> str:
+def _simhash_expr_spark(hw: str) -> str:
+    # hash each distinct word ONCE into ``hw``, then run the 32 per-bit
+    # majority votes over the integer array (md5 is ~all the cost)
     bit_sums = [
-        (f"(CASE WHEN aggregate({dw}, 0, (acc, x) -> acc + "
-         f"(CASE WHEN ({h32_sql('x')} div {1 << bit}) % 2 = 1 "
+        (f"(CASE WHEN aggregate({hw}, 0, (acc, h) -> acc + "
+         f"(CASE WHEN (h div {1 << bit}) % 2 = 1 "
          f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << bit} AS BIGINT) "
          f"ELSE CAST(0 AS BIGINT) END)")
         for bit in range(SIMHASH_BITS)
@@ -181,7 +355,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("doc_id",
                         f"array_distinct({words_sql()}) AS dw")
             .selectExpr("doc_id",
-                        f"{_simhash_expr_spark('dw')} AS simhash"))
+                        f"transform(dw, x -> {h32_sql('x')}) AS hw")
+            .selectExpr("doc_id",
+                        f"{_simhash_expr_spark('hw')} AS simhash"))
 
 
 def dedup_simhash_oracle() -> str:

@@ -35,26 +35,76 @@ def _cos_sql(a: str, b: str, one_based: bool) -> str:
             f"/ ({_norm_sql(a, one_based)} * {_norm_sql(b, one_based)}))")
 
 
+# ---------------------------------------------- vectorized kernel
+def _corpus_matrix(emb_df) -> "tuple":
+    """Collect (ids, float64 matrix, norms) for the broadcast side.
+
+    The corpus (indexed side) is broadcast to every task as a dense numpy
+    matrix; queries stream through mapInPandas in Arrow batches.  At
+    cluster scale the corpus side is tiled (one broadcast per tile, union
+    the results) — the kernel below is unchanged.
+    """
+    import numpy as np
+    rows = emb_df.selectExpr("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
+    return ids, mat, _np_norms(mat)
+
+
+def _np_dots(q: "object", mat: "object") -> "object":
+    """Dot products of one query against every corpus row, accumulated
+    dim-by-dim left-to-right — the exact IEEE association order of the
+    explicit 64-term SQL sum (dot64_sql), so results hash-match the
+    DuckDB oracle bit-for-bit."""
+    acc = q[0] * mat[:, 0]
+    for c in range(1, mat.shape[1]):
+        acc = acc + q[c] * mat[:, c]
+    return acc
+
+
+def _np_norms(mat: "object") -> "object":
+    """sqrt of the left-to-right self-dot — IEEE-identical to
+    ``sqrt(dot64_sql(v, v))``."""
+    import numpy as np
+    acc = mat[:, 0] * mat[:, 0]
+    for c in range(1, mat.shape[1]):
+        acc = acc + mat[:, c] * mat[:, c]
+    return np.sqrt(acc)
+
+
 # ------------------------------------------------------------- top-k
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, vectorized: corpus broadcast as a numpy
+    matrix, queries stream through mapInPandas (Arrow batches), each task
+    emits its local top-k — no pairwise shuffle at all.  The accumulation
+    order matches the SQL oracle exactly (see _np_dots)."""
+    import numpy as np
+    import pandas as pd
     emb = load_table(spark, sf_dir, "embeddings")
-    # precompute each vector's norm once (the oracle recomputes it per
-    # pair, but from identical inputs -> identical IEEE double)
-    norm = _norm_sql("embedding", one_based=False)
-    with_n = emb.selectExpr("vec_id", "embedding", f"{norm} AS nrm")
-    a = (with_n.filter(f"vec_id < {MAX_QUERY_ID}")
-         .selectExpr("vec_id AS qid", "embedding AS qv", "nrm AS qn"))
-    b = with_n.selectExpr("vec_id AS nid", "embedding AS nv", "nrm AS nn")
-    cos = f"({dot64_sql('qv', 'nv', False, 'DOUBLE')} / (qn * nn))"
-    pairs = (a.crossJoin(b).filter("qid != nid")
-             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("nid").asc())
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .filter(f"rank <= {TOPK}")
-            .select("qid", "rank", "nid", "cos_sim"))
+    ids, mat, norms = _corpus_matrix(emb)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def topk_batches(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            out = []
+            for qid, qv in zip(pdf["vec_id"], pdf["embedding"]):
+                q = np.asarray(qv, dtype=np.float64)
+                qn = np.sqrt(_np_dots(q, q[None, :])[0])
+                cos = np.round(_np_dots(q, c_mat) / (qn * c_norms), 6)
+                mask = c_ids != qid
+                cand_ids, cand_cos = c_ids[mask], cos[mask]
+                sel = np.lexsort((cand_ids, -cand_cos))[:TOPK]
+                for rank, s in enumerate(sel, start=1):
+                    out.append((qid, rank, cand_ids[s], cand_cos[s]))
+            yield pd.DataFrame(out, columns=["qid", "rank", "nid", "cos_sim"])
+
+    queries = emb.filter(f"vec_id < {MAX_QUERY_ID}")
+    return queries.mapInPandas(
+        topk_batches,
+        schema="qid long, rank int, nid long, cos_sim double")
 
 
 def sim_topk_oracle() -> str:
@@ -73,15 +123,31 @@ def sim_topk_oracle() -> str:
 
 # ------------------------------------------------------- near-dup pairs
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs above a cosine threshold, vectorized like sim_topk: each
+    Arrow batch of left-side vectors scans the broadcast corpus and emits
+    only the qualifying (a < b) pairs — the N^2 work is numpy inside the
+    task, and nothing but matches hits the output."""
+    import numpy as np
+    import pandas as pd
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = _norm_sql("embedding", one_based=False)
-    with_n = emb.selectExpr("vec_id", "embedding", f"{norm} AS nrm")
-    a = with_n.selectExpr("vec_id AS a_id", "embedding AS av", "nrm AS an")
-    b = with_n.selectExpr("vec_id AS b_id", "embedding AS bv", "nrm AS bn")
-    cos = f"({dot64_sql('av', 'bv', False, 'DOUBLE')} / (an * bn))"
-    return (a.crossJoin(b).filter("a_id < b_id")
-            .selectExpr("a_id", "b_id", f"round({cos}, 6) AS cos_sim")
-            .filter(f"cos_sim >= {PAIR_COS_T}"))
+    ids, mat, norms = _corpus_matrix(emb)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def pair_batches(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            out = []
+            for a_id, av in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(av, dtype=np.float64)
+                an = np.sqrt(_np_dots(a, a[None, :])[0])
+                cos = np.round(_np_dots(a, c_mat) / (an * c_norms), 6)
+                mask = (c_ids > a_id) & (cos >= PAIR_COS_T)
+                for b_id, cs in zip(c_ids[mask], cos[mask]):
+                    out.append((a_id, b_id, cs))
+            yield pd.DataFrame(out, columns=["a_id", "b_id", "cos_sim"])
+
+    return emb.mapInPandas(
+        pair_batches, schema="a_id long, b_id long, cos_sim double")
 
 
 def sim_pairs_oracle() -> str:

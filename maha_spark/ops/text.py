@@ -48,6 +48,16 @@ def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
         fp_sorted = (f"md5(array_to_string(list_sort(list_distinct({words})), "
                      f"' '))")
 
+    # BPE-ish sub-word segmentation: letter runs, single digits, and
+    # punctuation each count as one token (GPT-2-style pre-tokenizer
+    # collapsed to a portable character-class regex; space is the only
+    # whitespace in the corpus so the class stays engine-identical)
+    bpe_re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    if spark_side:
+        n_bpe = f"size(regexp_extract_all(text, '{bpe_re}', 0))"
+    else:
+        n_bpe = f"len(regexp_extract_all(text, '{bpe_re}'))"
+
     votes = {lang: flt(sw) for lang, sw in STOPWORDS.items()}
     # deterministic arg-max with fixed tie-break order en > de > es > fr
     lang_pred = (
@@ -59,6 +69,7 @@ def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
     stop_cnt = flt(STOPWORDS["en"])
     return {
         "n_tokens": n_tok,
+        "n_tokens_bpe": n_bpe,
         "n_distinct": n_dis,
         "avg_token_len": (f"round(CAST({sum_len} AS DOUBLE) "
                           f"/ {n_tok}, 6)"),

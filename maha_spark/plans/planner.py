@@ -412,18 +412,20 @@ class Planner:
     # strategies
     # ------------------------------------------------------------------
     def _needs_join_agg(self, model: RequestModel) -> bool:
-        """join-then-agg fallback when OGB is required but a metric cannot
-        be re-aggregated losslessly (cardinality)."""
-        if not model.requires_outer_group_by:
-            return False
-        table = model.fact_table
-        for p in model.projections:
-            if p.kind != METRIC:
-                continue
-            col = table.columns.get(p.pub_col.name)
-            if isinstance(col, FactCol) and isinstance(col.rollup, CardinalityRollup):
-                return True
-        return False
+        """Use join-then-agg (single aggregation at the final grain after
+        joining raw fact rows to the broadcast dims) whenever an outer
+        group-by would otherwise be needed.
+
+        The reference's OGB (inner agg + join + outer re-agg,
+        OracleOuterGroupByQueryGenerator.scala:35) exists because its
+        engines couldn't join-then-aggregate efficiently. In Spark the
+        inner aggregation keys include the join FKs — near fact grain, so
+        it shrinks nothing — while its exchange shuffles the whole fact.
+        Join-then-agg replaces that with broadcast probes on raw rows plus
+        ONE exchange of map-side-combined partials at the (tiny) final
+        alias grain, and is also the only lossless plan for
+        non-re-aggregatable metrics (cardinality, average)."""
+        return model.requires_outer_group_by
 
     def _build_fact_driven(self, model: RequestModel) -> DataFrame:
         if self._needs_join_agg(model):
@@ -471,6 +473,25 @@ class Planner:
         for name, col in base_needed.items():
             aggs.append(self._agg_expr(col, table).alias(f"__base_{name}"))
         gdf = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+        # HAVING-style filters on metric aliases (same resolution as the
+        # agg-then-join path, which applies them inside _build_fact_agg)
+        _, having = self._split_fact_filters(model)
+        if having:
+            def having_resolve(alias: str) -> ResolvedField:
+                pub = model.cube.fact_alias_map().get(alias)
+                if pub is not None:
+                    col = table.columns.get(pub.name)
+                    if isinstance(col, DerivedFactCol):
+                        resolver = {n: _q(f"__base_{n}") for n in table.columns}
+                        return ResolvedField(
+                            col=F.expr(expand_expr(col.expr, resolver)))
+                    if alias in gdf.columns:
+                        return ResolvedField(col=F.col(_q(alias)))
+                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")))
+                return ResolvedField(col=F.col(_q(alias)))
+            for f in having:
+                gdf = gdf.filter(f.to_column(having_resolve))
         return self._final_projection(model, gdf, keys_present=True)
 
     def _outer_group_by(self, model: RequestModel, df: DataFrame) -> DataFrame:
