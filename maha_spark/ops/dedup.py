@@ -192,31 +192,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect; candidate generation is unchanged.)
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
     base = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
             .filter("size(w) >= 2")
             .selectExpr("doc_id", f"{_bigrams_spark('w')} AS g"))
     toks = base.selectExpr("doc_id", "explode(g) AS tok")
-    # global total order: ascending df, token text as tiebreak (931-row
-    # window at test scale; at web scale: two-level rank by partial df)
-    order = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-             .selectExpr("tok", "row_number() OVER (ORDER BY df, tok) AS idx"))
-    # cache: consumed by masks (x2 broadcasts), the prefix explode, and the
-    # universe-size probe — without it the whole upstream re-runs per use
+    # global total order by (ascending df, token text) via TWO-LEVEL rank:
+    # range-partition the vocabulary on the sort key, rank locally in each
+    # partition (parallel window), then offset by the per-partition counts
+    # (a P-row cumulative sum, broadcast back). No single-partition window
+    # over the vocabulary anywhere — this survives a web-scale vocab.
+    n_rank_parts = 32
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (dfreq.repartitionByRange(n_rank_parts, "df", "tok")
+              .withColumn("pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("pid").orderBy("df", "tok")
+    local = ranked.withColumn("lr", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative offsets over at most n_rank_parts rows — metadata-sized
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    order = (local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+             .selectExpr("tok", "off + lr AS idx"))
+    # cache: consumed by masks (x2 broadcasts) and the prefix explode —
+    # without it the whole upstream re-runs per use
     sorted_sets = (toks.join(order, "tok")
                    .groupBy("doc_id")
                    .agg(F.array_sort(F.collect_list("idx")).alias("toks"))
                    .cache())
-    n_tokens = sorted_sets.selectExpr("max(array_max(toks)) AS u") \
-                          .collect()[0]["u"]
-    n_words = (int(n_tokens) + 63) // 64
+    # vocabulary size as a 1-row broadcast scalar (no driver probe): the
+    # bitmap width is ceil(u/64), computed inside the expression
+    usize = dfreq.agg(F.count(F.lit(1)).alias("u"))
     # dense bitmap: word j = OR of bits (idx-1)%64 for tokens in slot j
-    bitmap = (f"transform(sequence(0, {n_words - 1}), j -> "
-              f"aggregate(filter(toks, t -> (t - 1) div 64 = j), "
+    bitmap = (f"transform(sequence(0, CAST((u + 63) div 64 AS INT) - 1), "
+              f"j -> aggregate(filter(toks, t -> (t - 1) div 64 = j), "
               f"CAST(0 AS BIGINT), "
               f"(acc, t) -> acc | shiftleft(CAST(1 AS BIGINT), "
               f"CAST((t - 1) % 64 AS INT))))")
-    masks = sorted_sets.selectExpr("doc_id", f"{bitmap} AS m")
+    masks = (sorted_sets.crossJoin(F.broadcast(usize))
+             .selectExpr("doc_id", f"{bitmap} AS m"))
     prefix = sorted_sets.selectExpr(
         "doc_id", "size(toks) AS n",
         f"slice(toks, 1, size(toks) - CAST(ceil({NGRAM_JACCARD_T} * "
@@ -236,8 +253,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "a_id")
             .join(F.broadcast(masks.selectExpr("doc_id AS b_id", "m AS b_m")),
                   "b_id"))
-    inter = "(" + " + ".join(
-        f"bit_count(a_m[{j}] & b_m[{j}])" for j in range(n_words)) + ")"
+    # popcount of the AND-ed bitmaps, width-agnostic (zip_with + fold stays
+    # JVM-side codegen; no Python in the verify loop)
+    inter = ("aggregate(zip_with(a_m, b_m, (x, y) -> bit_count(x & y)), "
+             "0, (acc, c) -> acc + c)")
     jac = f"CAST({inter} AS DOUBLE) / (a_n + b_n - {inter})"
     # verify every candidate row (cheap: popcounts in codegen, no shuffle),
     # THEN dedupe only the qualifying pairs — orders of magnitude fewer
@@ -272,36 +291,19 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-hop keeper rule — deterministic, no iteration). Vectors with no
     neighbor above the threshold keep themselves.
 
-    Scale note: this demo verifies with an exact pairwise pass (bounded
-    corpus); at 100 TB the candidate pairs come from the hyperplane-LSH
-    buckets (similarity.sim_lsh_buckets) so the shuffle is keyed by bucket
-    rather than all-pairs.
+    Cluster-safe: neighborhoods come from the exact block-partitioned
+    kernel (similarity.cos_neighbor_stats — shuffle keyed by block pair,
+    partial stats merged by one groupBy(vec_id), nothing collected to
+    the driver).
     """
-    import numpy as np
-    import pandas as pd
-    from .similarity import _corpus_matrix, _np_dots
+    from .similarity import cos_neighbor_stats
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, mat, norms = _corpus_matrix(emb)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def keeper_batches(batches):
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in batches:
-            out = []
-            for vid, vv in zip(pdf["vec_id"], pdf["embedding"]):
-                v = np.asarray(vv, dtype=np.float64)
-                vn = np.sqrt(_np_dots(v, v[None, :])[0])
-                cos = np.round(_np_dots(v, c_mat) / (vn * c_norms), 6)
-                near = (c_ids != vid) & (cos >= EMBED_COS_T)
-                n_near = int(near.sum())
-                keeper = int(min(vid, c_ids[near].min())) if n_near else int(vid)
-                out.append((vid, keeper, n_near, int(keeper != vid)))
-            yield pd.DataFrame(
-                out, columns=["vec_id", "keeper_id", "n_near", "is_dup"])
-
-    return emb.mapInPandas(
-        keeper_batches,
-        schema="vec_id long, keeper_id long, n_near long, is_dup int")
+    return (cos_neighbor_stats(emb, EMBED_COS_T)
+            .selectExpr(
+                "vec_id",
+                "least(vec_id, min_nb) AS keeper_id",
+                "n_near",
+                "CAST(least(vec_id, min_nb) != vec_id AS INT) AS is_dup"))
 
 
 def dedup_embed_cosine_oracle() -> str:

@@ -1,14 +1,32 @@
 """Similarity search over the ``embeddings`` table (``array<float>`` 64-d).
 
-- ``sim_topk``: brute-force cosine top-k — the exactness baseline.  The
-  dot product is written as an explicit 64-term sum (identical IEEE
-  association order in Spark and DuckDB, so values hash-match).  At scale
-  this is the O(n*q) reference path; use the LSH variant for 100 TB.
-- ``sim_pairs``: all near-duplicate pairs above a cosine threshold.
+Cluster-safe designs (no driver-side collect of the corpus):
+
+- ``sim_topk``: exact cosine top-k with the *bounded query set* broadcast
+  (explicit ``MAX_QUERY_ID`` cap — the canonical small side) while the
+  corpus streams through ``mapInPandas`` in Arrow batches; each task emits
+  its partition-local top-k and a per-query window merges them.  The
+  corpus is never collected or broadcast, so the plan survives a corpus
+  1000x larger than executor memory.
+- ``sim_pairs``: exact all-pairs above a cosine threshold via a
+  block-partitioned nested loop: vectors are assigned to ``vec_id % B``
+  blocks, every block pair (bi <= bj) is a cogroup key, and the pairwise
+  work inside each cogroup is vectorized numpy.  Shuffle cost is
+  ``n * (B+1)`` rows; per-task memory is two ``n/B``-row tiles.  At 100 TB
+  B grows as sqrt(n) so tiles keep fitting — no all-pairs shuffle and no
+  driver state.
 - ``sim_lsh_buckets``: random-hyperplane LSH bucketing (8 planes derived
-  deterministically from md5, so both engines agree bit-for-bit).  The
-  bucket histogram is the oracle-checked output; ``sim_ann_topk`` then
-  searches within buckets only (approximate, rows-only check).
+  deterministically from md5, so both engines agree bit-for-bit).
+- ``sim_ann_topk``: approximate top-k searched within LSH buckets only,
+  with multi-table banding (L=2 hash tables) for recall; the bucket is the
+  shuffle key.
+
+The dot product is accumulated dim-by-dim left-to-right in numpy — the
+exact IEEE association order of the explicit 64-term SQL sum the DuckDB
+oracle runs (see ``common.dot64_sql``), so values hash-match bit-for-bit.
+
+Reference parity note: the reference has no vector operators; these are
+net-new LLM-pipeline operators (SURVEY.md section "beyond-reference").
 """
 
 from __future__ import annotations
@@ -20,10 +38,14 @@ from .common import dot64_sql, load_table
 TOPK = 5
 PAIR_COS_T = 0.95
 N_PLANES = 8
+N_TABLES = 2
 DIM = 64
 # cap the query side of the brute-force top-k: keeps the demo O(q*n)
 # rather than O(n^2) as sf grows (the LSH path is the full-corpus answer)
 MAX_QUERY_ID = 1000
+# block-nested-loop replication factor for exact all-pairs; B*(B+1)/2
+# cogroup tasks, each holding two n/B-row tiles
+PAIR_BLOCKS = 8
 
 
 def _norm_sql(v: str, one_based: bool) -> str:
@@ -36,23 +58,6 @@ def _cos_sql(a: str, b: str, one_based: bool) -> str:
 
 
 # ---------------------------------------------- vectorized kernel
-def _corpus_matrix(emb_df) -> "tuple":
-    """Collect (ids, float64 matrix, norms) for the broadcast side.
-
-    The corpus (indexed side) is broadcast to every task as a dense numpy
-    matrix; queries stream through mapInPandas in Arrow batches.  At
-    cluster scale the corpus side is tiled (one broadcast per tile, union
-    the results) — the kernel below is unchanged.
-    """
-    import numpy as np
-    rows = emb_df.selectExpr("vec_id", "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
-    return ids, mat, _np_norms(mat)
-
-
 def _np_dots(q: "object", mat: "object") -> "object":
     """Dot products of one query against every corpus row, accumulated
     dim-by-dim left-to-right — the exact IEEE association order of the
@@ -74,37 +79,66 @@ def _np_norms(mat: "object") -> "object":
     return np.sqrt(acc)
 
 
+def _pdf_matrix(pdf: "object") -> "tuple":
+    """(ids, float64 matrix, norms) from an Arrow-batch pandas frame."""
+    import numpy as np
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    mat = np.array([np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]], dtype=np.float64)
+    return ids, mat, _np_norms(mat)
+
+
 # ------------------------------------------------------------- top-k
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, vectorized: corpus broadcast as a numpy
-    matrix, queries stream through mapInPandas (Arrow batches), each task
-    emits its local top-k — no pairwise shuffle at all.  The accumulation
-    order matches the SQL oracle exactly (see _np_dots)."""
+    """Exact cosine top-k. The query side is bounded (vec_id cap) and
+    broadcast as a numpy matrix; the CORPUS streams through mapInPandas —
+    each task scores its partition against all queries and emits only its
+    local top-k per query, then a per-query window merges the partials.
+
+    Losslessness: the global top-k under (cos desc, nid asc) is contained
+    in the union of per-partition top-ks under the same total order.
+    """
     import numpy as np
     import pandas as pd
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, mat, norms = _corpus_matrix(emb)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # collect ONLY the bounded query side (<= MAX_QUERY_ID rows by
+    # construction) — the corpus is never collected
+    q_rows = (emb.filter(f"vec_id < {MAX_QUERY_ID}")
+              .selectExpr("vec_id", "embedding").collect())
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    q_mat = np.array([list(q_rows[i][1]) for i in order], dtype=np.float64)
+    q_norms = _np_norms(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
-    def topk_batches(batches):
-        c_ids, c_mat, c_norms = bc.value
+    def local_topk(batches):
+        l_ids, l_mat, l_norms = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids, c_mat, c_norms = _pdf_matrix(pdf)
             out = []
-            for qid, qv in zip(pdf["vec_id"], pdf["embedding"]):
-                q = np.asarray(qv, dtype=np.float64)
-                qn = np.sqrt(_np_dots(q, q[None, :])[0])
-                cos = np.round(_np_dots(q, c_mat) / (qn * c_norms), 6)
+            for qi in range(len(l_ids)):
+                qid = int(l_ids[qi])
+                cos = np.round(
+                    _np_dots(l_mat[qi], c_mat) / (l_norms[qi] * c_norms), 6)
                 mask = c_ids != qid
                 cand_ids, cand_cos = c_ids[mask], cos[mask]
                 sel = np.lexsort((cand_ids, -cand_cos))[:TOPK]
-                for rank, s in enumerate(sel, start=1):
-                    out.append((qid, rank, cand_ids[s], cand_cos[s]))
-            yield pd.DataFrame(out, columns=["qid", "rank", "nid", "cos_sim"])
+                for s in sel:
+                    out.append((qid, int(cand_ids[s]), float(cand_cos[s])))
+            yield pd.DataFrame(out, columns=["qid", "nid", "cos_sim"])
 
-    queries = emb.filter(f"vec_id < {MAX_QUERY_ID}")
-    return queries.mapInPandas(
-        topk_batches,
-        schema="qid long, rank int, nid long, cos_sim double")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    cand = emb.mapInPandas(
+        local_topk, schema="qid long, nid long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {TOPK}")
+            .select("qid", "rank", "nid", "cos_sim"))
 
 
 def sim_topk_oracle() -> str:
@@ -122,32 +156,135 @@ def sim_topk_oracle() -> str:
 
 
 # ------------------------------------------------------- near-dup pairs
-def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs above a cosine threshold, vectorized like sim_topk: each
-    Arrow batch of left-side vectors scans the broadcast corpus and emits
-    only the qualifying (a < b) pairs — the N^2 work is numpy inside the
-    task, and nothing but matches hits the output."""
+def exact_cos_pairs(emb: DataFrame, threshold: float,
+                    blocks: int = PAIR_BLOCKS) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a block-partitioned nested
+    loop (a_id < b_id, one row per unordered pair).
+
+    Every vector lands in block ``vec_id % B``; each unordered pair of
+    vectors falls in exactly one block pair (bi <= bj), which becomes a
+    cogroup key.  Inside a cogroup the cross product is numpy-vectorized
+    and only qualifying pairs are emitted.  Shuffle volume is n*(B+1)
+    vector rows; no cross join and nothing on the driver.
+    """
     import numpy as np
     import pandas as pd
+    B = blocks
+    e = emb.selectExpr("vec_id", "embedding",
+                       f"CAST(vec_id % {B} AS INT) AS blk")
+    # replicate each row to its block pairs via explode — no join needed:
+    # a row in block k is the LEFT side of pairs (k, k..B-1) and the RIGHT
+    # side of pairs (0..k, k)
+    left = e.selectExpr("blk AS bi",
+                        f"explode(sequence(blk, {B - 1})) AS bj",
+                        "vec_id", "embedding")
+    right = e.selectExpr("explode(sequence(0, blk)) AS bi",
+                         "blk AS bj", "vec_id", "embedding")
+
+    def block_pairs(key, lpdf, rpdf):
+        bi, bj = int(key[0]), int(key[1])
+        cols = ["a_id", "b_id", "cos_sim"]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=cols)
+        l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
+        r_ids, r_mat, r_norms = _pdf_matrix(rpdf)
+        out = []
+        for i in range(len(l_ids)):
+            cos = np.round(
+                _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
+            if bi == bj:
+                mask = (r_ids > l_ids[i]) & (cos >= threshold)
+            else:
+                mask = cos >= threshold
+            for r_id, cs in zip(r_ids[mask], cos[mask]):
+                a, b = (int(l_ids[i]), int(r_id))
+                if a > b:
+                    a, b = b, a
+                out.append((a, b, float(cs)))
+        return pd.DataFrame(out, columns=cols)
+
+    return (left.groupBy("bi", "bj")
+            .cogroup(right.groupBy("bi", "bj"))
+            .applyInPandas(block_pairs,
+                           schema="a_id long, b_id long, cos_sim double"))
+
+
+def cos_neighbor_stats(emb: DataFrame, threshold: float,
+                       blocks: int = PAIR_BLOCKS) -> DataFrame:
+    """Per-vector cosine-neighborhood stats (min neighbor id, neighbor
+    count) over the same block-partitioned nested loop as exact_cos_pairs,
+    but aggregated inside the kernel: each cogroup emits partial
+    (vec_id, min_nb, n_near) contributions for BOTH sides of its block
+    pair, and one groupBy(vec_id) merges the partials.  Every vector gets
+    a base row from its own (k, k) diagonal group (min_nb = itself,
+    n_near may be 0), so no join back to the corpus is needed — the whole
+    plan is one replicated scan + one shuffle keyed by block pair + one
+    merge groupBy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    B = blocks
+    e = emb.selectExpr("vec_id", "embedding",
+                       f"CAST(vec_id % {B} AS INT) AS blk")
+    left = e.selectExpr("blk AS bi",
+                        f"explode(sequence(blk, {B - 1})) AS bj",
+                        "vec_id", "embedding")
+    right = e.selectExpr("explode(sequence(0, blk)) AS bi",
+                         "blk AS bj", "vec_id", "embedding")
+
+    def block_stats(key, lpdf, rpdf):
+        bi, bj = int(key[0]), int(key[1])
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "min_nb": pd.Series([], dtype="int64"),
+                "n_near": pd.Series([], dtype="int64")})
+        l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
+        r_ids, r_mat, r_norms = _pdf_matrix(rpdf)
+        out = []
+        if bi == bj:
+            # diagonal: full square minus self; one row per vector even
+            # with zero neighbors (the base row)
+            for i in range(len(l_ids)):
+                cos = np.round(
+                    _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
+                mask = (r_ids != l_ids[i]) & (cos >= threshold)
+                n = int(mask.sum())
+                mn = int(r_ids[mask].min()) if n else int(l_ids[i])
+                out.append((int(l_ids[i]), mn, n))
+        else:
+            # off-diagonal: contribute stats for both sides of each pair
+            r_cnt = np.zeros(len(r_ids), dtype=np.int64)
+            r_min = np.full(len(r_ids), np.iinfo(np.int64).max,
+                            dtype=np.int64)
+            for i in range(len(l_ids)):
+                cos = np.round(
+                    _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
+                mask = cos >= threshold
+                n = int(mask.sum())
+                if n:
+                    out.append((int(l_ids[i]), int(r_ids[mask].min()), n))
+                    r_cnt += mask
+                    r_min[mask] = np.minimum(r_min[mask], int(l_ids[i]))
+            for j in np.nonzero(r_cnt)[0]:
+                out.append((int(r_ids[j]), int(r_min[j]), int(r_cnt[j])))
+        return pd.DataFrame(out, columns=["vec_id", "min_nb", "n_near"])
+
+    stats = (left.groupBy("bi", "bj")
+             .cogroup(right.groupBy("bi", "bj"))
+             .applyInPandas(block_stats,
+                            schema="vec_id long, min_nb long, n_near long"))
+    return stats.groupBy("vec_id").agg(
+        F.min("min_nb").alias("min_nb"),
+        F.sum("n_near").alias("n_near"))
+
+
+def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs above a cosine threshold — exact, via the block-partitioned
+    nested loop (see exact_cos_pairs); bucket-pair keyed shuffle, no
+    corpus broadcast."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, mat, norms = _corpus_matrix(emb)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def pair_batches(batches):
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in batches:
-            out = []
-            for a_id, av in zip(pdf["vec_id"], pdf["embedding"]):
-                a = np.asarray(av, dtype=np.float64)
-                an = np.sqrt(_np_dots(a, a[None, :])[0])
-                cos = np.round(_np_dots(a, c_mat) / (an * c_norms), 6)
-                mask = (c_ids > a_id) & (cos >= PAIR_COS_T)
-                for b_id, cs in zip(c_ids[mask], cos[mask]):
-                    out.append((a_id, b_id, cs))
-            yield pd.DataFrame(out, columns=["a_id", "b_id", "cos_sim"])
-
-    return emb.mapInPandas(
-        pair_batches, schema="a_id long, b_id long, cos_sim double")
+    return exact_cos_pairs(emb, PAIR_COS_T)
 
 
 def sim_pairs_oracle() -> str:
@@ -161,20 +298,21 @@ def sim_pairs_oracle() -> str:
 
 
 # ------------------------------------------------------- hyperplane LSH
-def _plane_weight(p: int, c: int) -> str:
-    """Deterministic pseudo-random weight in [-1, 1) for plane p, dim c,
-    derived from md5 of a literal tag — identical in any engine."""
+def _plane_weight(tag: str, c: int) -> str:
+    """Deterministic pseudo-random weight in [-1, 1) for plane tag, dim c,
+    derived from md5 of a literal string — identical in any engine."""
     import hashlib
-    h = int(hashlib.md5(f"plane{p}_{c}".encode()).hexdigest()[:7], 16)
+    h = int(hashlib.md5(f"{tag}_{c}".encode()).hexdigest()[:7], 16)
     return repr(h / float(1 << 27) - 1.0)
 
 
-def _bucket_sql(v: str, one_based: bool) -> str:
+def _bucket_sql(v: str, one_based: bool, table: int = 0) -> str:
     lo = 1 if one_based else 0
     bits = []
     for p in range(N_PLANES):
+        tag = f"plane{p}" if table == 0 else f"t{table}_plane{p}"
         terms = " + ".join(
-            f"{_plane_weight(p, c)} * CAST({v}[{lo + c}] AS DOUBLE)"
+            f"{_plane_weight(tag, c)} * CAST({v}[{lo + c}] AS DOUBLE)"
             for c in range(DIM))
         bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
@@ -200,23 +338,31 @@ def sim_lsh_buckets_oracle() -> str:
 
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: brute force restricted to same-LSH-bucket
-    candidates. The 100 TB path: bucket is the shuffle key, so each
-    partition does local top-k instead of an all-pairs cross join.
+    candidates, with MULTI-TABLE banding (L independent 8-plane tables)
+    so recall survives unlucky single-table splits. The (table, bucket)
+    pair is the shuffle key, so each partition does local work instead of
+    an all-pairs cross join; candidate pairs found by several tables are
+    deduplicated before ranking.
     Approximate by construction -> no SQL oracle (rows-only check)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     emb = load_table(spark, sf_dir, "embeddings")
     norm = _norm_sql("embedding", one_based=False)
+    tables = ", ".join(
+        f"named_struct('t', {t}, 'b', "
+        f"{_bucket_sql('embedding', one_based=False, table=t)})"
+        for t in range(N_TABLES))
     with_b = emb.selectExpr(
         "vec_id", "embedding", f"{norm} AS nrm",
-        f"{_bucket_sql('embedding', one_based=False)} AS bucket")
-    a = with_b.selectExpr("bucket", "vec_id AS qid", "embedding AS qv",
+        f"explode(array({tables})) AS bkt")
+    a = with_b.selectExpr("bkt", "vec_id AS qid", "embedding AS qv",
                           "nrm AS qn")
-    b = with_b.selectExpr("bucket", "vec_id AS nid", "embedding AS nv",
+    b = with_b.selectExpr("bkt", "vec_id AS nid", "embedding AS nv",
                           "nrm AS nn")
     cos = f"({dot64_sql('qv', 'nv', False, 'DOUBLE')} / (qn * nn))"
-    pairs = (a.join(b, "bucket").filter("qid != nid")
-             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
+    pairs = (a.join(b, "bkt").filter("qid != nid")
+             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim")
+             .distinct())
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
