@@ -19,9 +19,10 @@ from ..core.columns import (
 )
 from ..core.filters import IN_BETWEEN_EQUALITY
 from ..core.grain import DAILY, HOURLY
+from ..core.filters import EqualityFilter, LessThanFilter
 from ..core.rollup import (
     AverageRollup, CardinalityRollup, CountRollup, FilteredRollup, MaxRollup,
-    MinRollup,
+    MinRollup, NoopRollup, RoundedSumRollup,
 )
 from ..core.types import DateType, DecType, IntType, StaticMapping, StrType, TimestampType
 from ..registry.cube import (
@@ -230,6 +231,23 @@ def build_contract_registry() -> Registry:
         "min_price_raw": FactCol("min_price_raw", DecType(), rollup=MinRollup(),
                                  expr="{l_extendedprice}",
                                  depends_on=("l_extendedprice",)),
+        # AverageRollup (RollupExpression.scala:31 AverageRollup) — exact
+        # decimal AVG; re-agg goes through the planner's sum/count
+        # decomposition or join-then-agg, never avg-of-avgs
+        "avg_price_roll": FactCol("avg_price_roll", DecType(),
+                                  rollup=AverageRollup(), expr=PRICE,
+                                  depends_on=("l_extendedprice",)),
+        # NoopRollup (RollupExpression.scala:34) — pass-through value that
+        # is functionally dependent on the grouping key (never re-summed)
+        "status_label_raw": FactCol("status_label_raw", StrType(),
+                                    rollup=NoopRollup(),
+                                    expr="upper({l_returnflag})",
+                                    depends_on=("l_returnflag",)),
+        # RoundedSumRollup (druid-lookups RoundingDoubleSumAggregatorFactory)
+        "rounded_rev_raw": FactCol("rounded_rev_raw", DecType(),
+                                   rollup=RoundedSumRollup(scale=2),
+                                   expr=f"{PRICE} * (1 - {DISC})",
+                                   depends_on=("l_extendedprice", "l_discount")),
         # public metric expressions (exact -> double)
         "sum_qty": DerivedFactCol("sum_qty", DecType(),
                                   expr="CAST({qty_dec} AS DOUBLE)"),
@@ -252,6 +270,12 @@ def build_contract_registry() -> Registry:
             "discount_rate", DecType(),
             expr=safe_div("CAST({disc_price_dec} AS DOUBLE)",
                           "CAST({price_dec} AS DOUBLE)")),
+        "avg_price_rollup": DerivedFactCol(
+            "avg_price_rollup", DecType(),
+            expr="CAST({avg_price_roll} AS DOUBLE)"),
+        "revenue_rounded": DerivedFactCol(
+            "revenue_rounded", DecType(),
+            expr="CAST({rounded_rev_raw} AS DOUBLE)"),
     }
 
     lineitem = FactTable(name="lineitem", columns=li_cols, grain=DAILY,
@@ -272,6 +296,9 @@ def build_contract_registry() -> Registry:
         PubCol("line_count", "line_count"), PubCol("order_count", "order_cnt"),
         PubCol("order_count_approx", "order_cnt_approx"),
         PubCol("max_price", "max_price_raw"), PubCol("min_price", "min_price_raw"),
+        PubCol("avg_price_rollup", "avg_price_rollup"),
+        PubCol("status_label", "status_label_raw"),
+        PubCol("revenue_rounded", "revenue_rounded"),
     ]
     pub_dims = [
         PubCol("day", "ship_day", IN_BETWEEN_EQUALITY),
@@ -286,6 +313,22 @@ def build_contract_registry() -> Registry:
         name="tpch", tables=[lineitem, lineitem_rollup],
         pub_cols=pub_dims, pub_fact_cols=pub_metrics,
         schema_required_alias={"customer": "customer_id"},
+        day_alias="day"))
+
+    # forced-filter cube (fact/Fact.scala:433 forceFilters, overridable):
+    # cube-level forced filter over a PUBLIC alias (return_flag = 'R',
+    # overridable by a user filter on the same alias) plus a PHYSICAL
+    # forced filter on the fact table (l_linenumber < 7, never overridable)
+    lineitem_forced = FactTable(
+        name="lineitem", columns=li_cols, grain=DAILY,
+        day_column="l_shipdate", cost=6000,
+        forced_filters=[LessThanFilter(field="l_linenumber", value=7,
+                                       is_forced=True)])
+    reg.register_fact(PublicFact(
+        name="tpch_forced", tables=[lineitem_forced],
+        pub_cols=pub_dims, pub_fact_cols=pub_metrics,
+        forced_filters=[EqualityFilter(field="return_flag", value="R",
+                                       is_forced=True, is_overridable=True)],
         day_alias="day"))
 
     # union view cube: two branches of the same physical fact with a
@@ -921,6 +964,115 @@ QUERIES: dict[str, dict] = {
                         THEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                         ELSE NULL END AS value_if_click
             FROM events GROUP BY 1
+        """,
+    },
+    # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
+    #    join forces join-then-agg (or sum/count OGB decomposition) so the
+    #    result is the TRUE average over joined rows, never avg-of-avgs.
+    #    Spark AVG(DECIMAL(12,2)) yields DECIMAL(16,6) via exact HALF_UP
+    #    division; the oracle replicates it with integer arithmetic
+    #    ((2a+b) // 2b is half-up a/b) because DuckDB divides decimals as
+    #    doubles.
+    "q32_avg_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "avg_price_rollup"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            WITH s AS (
+                SELECT n_name,
+                       SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) AS cents,
+                       COUNT(*) AS n,
+                       {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            )
+            SELECT n_name AS nation_name,
+                   CAST((2 * cents * 10000 + n) // (2 * n) AS DOUBLE)
+                       / 1000000.0 AS avg_price_rollup,
+                   revenue
+            FROM s
+        """,
+    },
+    # -- §2.4 AverageRollup at plain fact grain + NoopRollup pass-through
+    #    (value functionally dependent on the group key, so first() is
+    #    deterministic and equals MAX in the oracle)
+    "q33_noop_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "status_label"},
+                             {"field": "avg_price_rollup"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag,
+                   MAX(upper(l_returnflag)) AS status_label,
+                   CAST((2 * SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) * 10000
+                         + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                       / 1000000.0 AS avg_price_rollup,
+                   COUNT(*) AS line_count
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.4 RoundedSumRollup: ROUND(SUM(x), 2) at aggregation time
+    "q34_rounded_sum": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"},
+                             {"field": "revenue_rounded"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status,
+                   CAST(ROUND(SUM({SQL_PRICE} * (1 - {SQL_DISC})), 2)
+                        AS DOUBLE) AS revenue_rounded,
+                   {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1
+        """,
+    },
+    # -- §2.2 forced filters: cube-level overridable (return_flag='R') +
+    #    physical table-level (l_linenumber < 7) are both injected
+    "q35_forced_filter": {
+        "request": {
+            "cube": "tpch_forced",
+            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_returnflag = 'R' AND l_linenumber < 7
+            GROUP BY 1
+        """,
+    },
+    # -- §2.2 forced-filter override: a user filter on the same alias
+    #    replaces the overridable forced filter; the physical one stays
+    "q36_forced_override": {
+        "request": {
+            "cube": "tpch_forced",
+            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "return_flag", "operator": "=",
+                                   "value": "A"}],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_returnflag = 'A' AND l_linenumber < 7
+            GROUP BY 1
         """,
     },
     # -- §3.1 step 4 timezone: local-day filtering + local-time grouping
