@@ -62,9 +62,12 @@ class MahaSparkEngine:
         primary plan fails to build/execute or returns no rows, re-plan
         against the fallback cube revision."""
         try:
-            df = self.dataframe(request, schema=schema, today=today)
+            # persist before probing so the emptiness check and the
+            # caller's consumption share one execution of the plan
+            df = self.dataframe(request, schema=schema, today=today).cache()
             if df.limit(1).count() > 0:
                 return df
+            df.unpersist()
         except Exception:
             pass
         return self.dataframe(request, schema=schema, today=today,
@@ -73,13 +76,18 @@ class MahaSparkEngine:
     # ------------------------------------------------------------------
     def execute(self, request: Union[dict, str, bytes, ReportingRequest],
                 schema: str = "internal",
-                today: Optional[_dt.date] = None) -> dict[str, Any]:
-        """Full lifecycle incl. curators -> reference JSON envelope."""
+                today: Optional[_dt.date] = None,
+                user_id: str = "",
+                revision: Optional[int] = None) -> dict[str, Any]:
+        """Full lifecycle incl. curators -> reference JSON envelope.
+        Routes through model() so revision A/B bucketing applies on the
+        primary execute path exactly as it does for dataframe()."""
         from .curators.curators import run_curators  # cycle-free local import
 
         req = request if isinstance(request, ReportingRequest) else \
             parse_request(request, schema=schema)
-        model = build_request_model(req, self.registry, today=today)
+        model = self.model(req, schema=schema, today=today,
+                           user_id=user_id, revision=revision)
         df = self.planner.build(model)
         curator_results = run_curators(self, model) if req.curators else None
         return to_json_response(

@@ -1075,6 +1075,37 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
+    # -- §2.5 dim-driven TOTALROWS: the row count is the UNPAGINATED number
+    #    of matching dim entities, not the page size (reference Oracle
+    #    generator computes TOTALROWS in the dim subquery before ROW_NUMBER
+    #    pagination)
+    "q37_dim_rowcount": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_key"},
+                             {"field": "order_priority"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+            "sortBy": [{"field": "order_priority", "order": "ASC"}],
+            "forceDimensionDriven": True,
+            "paginationStartIndex": 5,
+            "rowsPerPage": 10,
+            "includeRowCount": True,
+        },
+        "sql": f"""
+            WITH page AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                ORDER BY o_orderpriority ASC, o_orderkey ASC
+                LIMIT 10 OFFSET 5
+            ), f AS (
+                SELECT l_orderkey, {SQL_REVENUE} AS revenue
+                FROM lineitem GROUP BY 1
+            ), t AS (SELECT COUNT(*) AS TOTALROWS FROM orders)
+            SELECT o_orderkey AS order_key, o_orderpriority AS order_priority,
+                   COALESCE(f.revenue, 0.0) AS revenue, TOTALROWS
+            FROM page LEFT JOIN f ON o_orderkey = l_orderkey CROSS JOIN t
+        """,
+    },
     # -- §3.1 step 4 timezone: local-day filtering + local-time grouping
     #    (BaseUTCTimeProvider day-shifting; Asia/Kolkata = fixed +05:30 so
     #    the DuckDB oracle can use interval arithmetic without ICU)

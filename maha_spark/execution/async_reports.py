@@ -53,7 +53,6 @@ class AsyncReportRunner:
     def submit(self, request: Union[dict, str, bytes, ReportingRequest],
                output_format: str = "csv", schema: str = "internal",
                blocking: bool = True, single_file: bool = True) -> ReportJob:
-        self._single_file = single_file  # False at scale: parallel part files
         job = ReportJob(
             job_id=uuid.uuid4().hex[:16],
             cube=(request.cube if isinstance(request, ReportingRequest)
@@ -61,6 +60,9 @@ class AsyncReportRunner:
                         else json.loads(request)).get("cube", "?")),
             output_format=output_format,
             submitted_at=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+            # per-job, not runner-shared: concurrent submits with different
+            # single_file values must not race (False at scale: part files)
+            extra={"single_file": single_file},
         )
         job.output_path = os.path.join(self.output_dir, job.job_id)
         with self._lock:
@@ -86,20 +88,25 @@ class AsyncReportRunner:
                 from ..request.request import parse_request
                 req = parse_request(request, schema=schema,
                                     request_type="AsyncRequest")
-            df = self.engine.dataframe(req, schema=schema)
-            fmt = job.output_format
-            out_df = df.coalesce(1) if getattr(self, "_single_file", True) \
-                else df
-            writer = out_df.write.mode("overwrite")
-            if fmt == "csv":
-                writer.option("header", "true").csv(job.output_path)
-            elif fmt == "json":
-                writer.json(job.output_path)
-            elif fmt == "parquet":
-                writer.parquet(job.output_path)
-            else:
-                raise ValueError(f"unsupported output format {fmt!r}")
-            job.rows = df.count()
+            df = self.engine.dataframe(req, schema=schema).cache()
+            try:
+                fmt = job.output_format
+                out_df = df.coalesce(1) \
+                    if job.extra.get("single_file", True) else df
+                writer = out_df.write.mode("overwrite")
+                if fmt == "csv":
+                    writer.option("header", "true").csv(job.output_path)
+                elif fmt == "json":
+                    writer.json(job.output_path)
+                elif fmt == "parquet":
+                    writer.parquet(job.output_path)
+                else:
+                    raise ValueError(f"unsupported output format {fmt!r}")
+                # cached: the count reuses the materialized result instead
+                # of executing the whole plan a second time
+                job.rows = df.count()
+            finally:
+                df.unpersist()
             job.status = "COMPLETED"
         except Exception as e:
             job.status = "FAILED"

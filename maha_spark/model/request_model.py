@@ -170,7 +170,9 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             try:
                 d = registry.dimension(last)
             except KeyError:
-                break
+                # one unregistered dim prunes only ITS path; sibling /
+                # parent paths still queued in the frontier must survive
+                continue
             for parent in d.table.parent_keys.values():
                 if parent not in [p for p in path]:
                     frontier.append(path + [parent])
@@ -299,8 +301,20 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             dname = next(iter(owners))
             dim_use(dname)["filters"].append(inner)
         else:
-            # mixed fact+dim predicate -> evaluate after joins (outer)
-            outer_filters.append(OuterFilter(filters=(inner,)))
+            # mixed fact+dim predicate -> evaluate after joins over the
+            # FINAL projected aliases. That only resolves if every
+            # referenced field is projected; otherwise fail validation now
+            # instead of an AnalysisException at execution time.
+            missing = sorted({a for leaf in leaves for a in leaf.fields()
+                              if a not in used_aliases})
+            if missing:
+                errors.append(
+                    "Filter mixes fact and dimension fields "
+                    f"{sorted({a for lf in leaves for a in lf.fields()})}; "
+                    f"such a predicate is evaluated over the projected "
+                    f"result, but {missing} are not in selectFields")
+            else:
+                outer_filters.append(OuterFilter(filters=(inner,)))
 
     for f in request.filters:
         classify(f)

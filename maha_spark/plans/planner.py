@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..core.columns import (
     BaseCol, ConstCol, DerivedDimCol, DerivedFactCol, DimCol, FactCol,
@@ -99,10 +99,15 @@ class Planner:
 
         df = self._apply_outer_filters(model, df)
 
-        if model.include_row_count:
-            df = df.withColumn(
-                ROW_COUNT_ALIAS,
-                F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+        if model.include_row_count and not model.is_dim_driven:
+            # COUNT(*) OVER() semantics without funneling the result
+            # through one partition: a 1-row count aggregate broadcast back
+            # onto every row. (Dim-driven requests attach the count of the
+            # UNPAGINATED dim side inside _build_dim_driven — the reference
+            # computes TOTALROWS in the dim subquery before ROW_NUMBER
+            # pagination, OracleQueryGenerator row-count rendering.)
+            total = df.agg(F.count(F.lit(1)).alias(ROW_COUNT_ALIAS))
+            df = df.crossJoin(F.broadcast(total))
 
         df = self._apply_order_and_page(model, df)
 
@@ -530,6 +535,12 @@ class Planner:
         driving = model.chains[0]
         dimdf = self._build_chain_df(driving)
 
+        # TOTALROWS = matching dim entities BEFORE pagination (the page
+        # size is not the answer); 1-row aggregate broadcast onto the page
+        total = None
+        if model.include_row_count:
+            total = dimdf.agg(F.count(F.lit(1)).alias(ROW_COUNT_ALIAS))
+
         # pre-join ordering + pagination on the dim side
         order = []
         for s in model.dim_sorts:
@@ -568,8 +579,12 @@ class Planner:
                                    F.coalesce(F.col(_q(key)), F.col(_q(p.alias))))
 
         df = df.drop(key)
-        return self._final_projection(model, df, coalesce_defaults=True,
-                                      paginated=True)
+        out = self._final_projection(model, df, coalesce_defaults=True,
+                                     paginated=True)
+        if total is not None:
+            out = out.crossJoin(F.broadcast(total))
+            out._maha_paginated = True  # type: ignore[attr-defined]
+        return out
 
     def _build_dim_only(self, model: RequestModel) -> DataFrame:
         """Dim-only SELECT DISTINCT (RequestModel.isRequestingDistict)."""

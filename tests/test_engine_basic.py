@@ -146,6 +146,46 @@ def test_validation_errors(engine):
     assert "Day filter missing" in msgs
 
 
+def test_mixed_owner_filter_requires_projection(engine):
+    """OR across a metric and a non-projected dim attribute must fail
+    validation (not AnalysisException at execution) — the predicate is
+    evaluated over projected aliases (ADVICE r01)."""
+    from maha_spark.request.request import ValidationError
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY, {"operator": "or", "filterExpressions": [
+            {"field": "Revenue", "operator": ">", "value": 100},
+            {"field": "Nation Name", "operator": "=", "value": "NATION_1"},
+        ]}],
+    }
+    with pytest.raises(ValidationError, match="not in selectFields"):
+        engine.dataframe(req)
+
+
+def test_mixed_owner_filter_on_projected_fields_works(engine, duck):
+    """Same mixed predicate succeeds when every field IS projected."""
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Nation Name"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY, {"operator": "or", "filterExpressions": [
+            {"field": "Revenue", "operator": ">", "value": 8000000},
+            {"field": "Nation Name", "operator": "=", "value": "NATION_1"},
+        ]}],
+    }
+    got = [tuple(r) for r in engine.dataframe(req).collect()]
+    exp = duck.execute("""
+        SELECT * FROM (
+            SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        ) WHERE rev > 8000000 OR n_name = 'NATION_1'
+    """).fetchall()
+    rows_match(got, exp)
+
+
 def test_schema_required_filter(engine):
     from maha_spark.request.request import ValidationError
     req = {

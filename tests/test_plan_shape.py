@@ -128,6 +128,37 @@ def test_column_pruning_reaches_scan(contract_engine):
     assert cols <= {"l_returnflag", "l_quantity", "l_shipdate"}, cols
 
 
+def test_row_count_has_no_single_partition_window(contract_engine):
+    """includeRowCount must NOT funnel the result through one partition
+    (Window over lit(1)); it is a 1-row count aggregate broadcast back."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+        "includeRowCount": True,
+    })
+    phys = _physical(df)
+    assert "Window" not in phys, phys
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
+
+
+def test_dim_driven_row_count_counts_unpaginated(contract_engine):
+    """Dim-driven TOTALROWS equals the total matching dim entities, not
+    the page size (ADVICE r01: count before offset/limit)."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_key"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+        "forceDimensionDriven": True,
+        "rowsPerPage": 5,
+        "includeRowCount": True,
+    })
+    rows = df.collect()
+    assert len(rows) == 5
+    # sf0.001: orders has far more rows than the page
+    assert rows[0]["TOTALROWS"] > 5
+
+
 def test_timezone_still_pushes_raw_bound(contract_engine):
     """With a request timezone the widened UTC bound must still reach the
     scan (partition pruning survives the local-time rendering)."""
