@@ -130,7 +130,10 @@ def build_registry() -> Registry:
         pub_cols=[
             PubCol("Part ID", "p_partkey"),
             PubCol("Part Name", "p_name"),
-            PubCol("Brand", "p_brand"),
+            # dependsOnColumns (fact/Fact.scala:1650): Brand is only
+            # meaningful alongside Part Type in this registry
+            PubCol("Brand", "p_brand",
+                   depends_on_columns=frozenset({"Part Type"})),
             PubCol("Part Type", "p_type"),
             PubCol("Part Size", "p_size"),
             PubCol("Retail Price", "p_retailprice"),

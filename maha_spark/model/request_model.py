@@ -246,14 +246,28 @@ def build_request_model(request: ReportingRequest, registry: Registry,
 
     for a in used_aliases + filter_fields:
         pub = cube.col_by_alias(a)
-        if pub is not None and pub.restricted_schemas and \
+        if pub is None:
+            # dim attributes carry validation attributes too
+            hit = locate_dim_attr(a)
+            pub = hit[1] if hit else None
+        if pub is None:
+            continue
+        if pub.restricted_schemas and \
                 request.schema not in pub.restricted_schemas:
             errors.append(f"field {a!r} is restricted to schemas "
                           f"{sorted(pub.restricted_schemas)}")
-        if pub is not None and pub.incompatible_columns:
+        if pub.incompatible_columns:
             clash = pub.incompatible_columns & set(used_aliases)
             if clash and a in used_aliases:
                 errors.append(f"field {a!r} is incompatible with {sorted(clash)}")
+        # dependent columns (RequestModel.scala:453: every dependsOnColumns
+        # alias must also be requested or filtered)
+        if pub.depends_on_columns:
+            present = set(used_aliases) | set(filter_fields)
+            for dep in sorted(pub.depends_on_columns):
+                if dep not in present:
+                    errors.append(f"Missing dependent column: field {a!r} "
+                                  f"depends on {dep!r}")
 
     for p in list(cube.pub_cols) + list(cube.pub_fact_cols):
         if p.filtering_required and p.alias not in filter_fields:
@@ -454,6 +468,21 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     if request.rows_per_page > request.max_rows_cap:
         errors.append(f"rowsPerPage {request.rows_per_page} exceeds cap "
                       f"{request.max_rows_cap}")
+
+    # per-schema dim row security: a dimension whose table maps the request
+    # schema to a physical column requires a filter on that column's public
+    # alias (schemaColMap, dimension/Dimension.scala:607,1113-1117 — the
+    # schema entity id scopes every dim access)
+    for ch in chains.values():
+        for d in ch.dims:
+            col = d.table.schema_col_map.get(request.schema)
+            if not col:
+                continue
+            alias = next((p.alias for p in d.pub_cols if p.name == col), None)
+            if alias is not None and alias not in filter_fields:
+                errors.append(
+                    f"schema {request.schema!r} requires a filter on "
+                    f"{alias!r} when querying dimension {d.name!r}")
 
     if errors:
         raise ValidationError(errors)

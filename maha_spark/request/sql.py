@@ -7,6 +7,7 @@ Supported surface — deliberately the same narrow one the reference parses:
     SELECT <alias list | *> FROM <cube>
     [WHERE <conjunction of predicates, OR groups allowed>]
     [GROUP BY ...]            -- ignored: grouping is implicit in the cube
+    [HAVING <same predicate grammar over metric aliases>]
     [ORDER BY alias [ASC|DESC], ...]
     [LIMIT n] [OFFSET m]
 
@@ -226,8 +227,13 @@ def sql_to_request_json(sql: str,
         while p.accept("op", ","):
             p.next()
     if p.accept("kw", "having"):
-        raise SqlParseError("HAVING is not supported; filter on the metric "
-                            "alias in WHERE instead")
+        # HAVING predicates use the same grammar as WHERE; metric-alias
+        # filters classify into the aggregate (HAVING) path downstream
+        # (MahaCalciteSqlParser.scala:248-380 WHERE+HAVING handling)
+        cond = p.or_expr()
+        extra = (cond["filterExpressions"]
+                 if cond.get("operator") == "and" else [cond])
+        req.setdefault("filterExpressions", []).extend(extra)
     if p.accept("kw", "order"):
         p.expect("kw", "by")
         sorts = []

@@ -77,6 +77,28 @@ def test_sql_equals_json_request(contract_engine):
     assert sql_df.collect() == json_df.collect()
 
 
+def test_sql_having_maps_to_metric_filter(contract_engine):
+    """HAVING on a metric alias produces the q11 result (metric filters
+    classify into the aggregate path; SQL == JSON request)."""
+    sql_df = contract_engine.sql("""
+        SELECT part_id, revenue FROM tpch
+        WHERE day BETWEEN '1995-01-01' AND '2002-12-31'
+        GROUP BY part_id
+        HAVING revenue > 900000
+    """)
+    json_df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1995-01-01", "to": "2002-12-31"},
+            {"field": "revenue", "operator": ">", "value": 900000}],
+    })
+    assert sorted(map(tuple, sql_df.collect())) == \
+        sorted(map(tuple, json_df.collect()))
+    assert len(sql_df.collect()) > 0
+
+
 def test_sql_select_star_describe(contract_engine):
     """SELECT * FROM cube LIMIT 0 serves the schema (describe query)."""
     df = contract_engine.sql(
