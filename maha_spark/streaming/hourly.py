@@ -64,8 +64,9 @@ def hourly_stream(spark: SparkSession, events_dir: str,
 
 def run_available_now(spark: SparkSession, sf_dir: str,
                       table_name: str = "stream_hourly") -> DataFrame:
-    """Drain the events backlog through the streaming pipeline into an
-    in-memory sink and return the materialized result."""
+    """DEBUG-ONLY harness: drain the backlog into an in-memory sink with
+    complete mode. Driver-side state — never the scale path (that is
+    ``drain_append``, a parquet sink in append mode)."""
     agg = hourly_stream(spark, sf_dir, glob="events.parquet")
     with tempfile.TemporaryDirectory(prefix="maha-ckpt-") as ckpt:
         q = (agg.writeStream
@@ -79,8 +80,68 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+# ---------------------------------------------------------------- scale path
+def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
+                 ckpt_dir: str, glob: str | None = None) -> None:
+    """One availableNow drain of the backlog into a parquet APPEND sink.
+
+    This is the production shape: finalized windows (watermark passed the
+    window end) are written exactly-once to files; open windows stay in
+    the state store (checkpointed) until a later drain closes them. No
+    driver-side state, any number of restarts — the checkpoint carries
+    source offsets + window state + sink commit log.
+    """
+    agg = hourly_stream(spark, events_dir, glob=glob)
+    q = (agg.writeStream
+         .format("parquet")
+         .outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def write_sentinel(spark: SparkSession, input_dir: str,
+                   ts_nanos: int) -> None:
+    """Append a single far-future flush event to the input directory: the
+    next drain advances the watermark past every real window, closing and
+    emitting them all. The sentinel's own window stays open and is never
+    emitted, so the file output equals the batch answer exactly."""
+    row = [(int(-1), int(ts_nanos), int(-1), "__flush__", 0.0, "")]
+    (spark.createDataFrame(row, schema=EVENT_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(input_dir))
+
+
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(spark, sf_dir)
+    """Correctness entry for the APPEND-mode file-sink path: stage the
+    events backlog, drain it, flush the tail windows with a sentinel
+    batch, and read back the parquet output. Exercises multi-batch
+    ingestion + watermark advancement across drains.
+    """
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="maha-stream-")
+    input_dir = os.path.join(work, "input")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(input_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(input_dir, "batch1.parquet"))
+
+    # drain 1: real backlog (windows older than max(ts)-1h are finalized)
+    drain_append(spark, input_dir, out_dir, ckpt)
+    # drain 2: sentinel advances the watermark, flushing the tail windows
+    max_ns = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+              .agg(F.max("ts")).collect()[0][0])
+    write_sentinel(spark, input_dir, int(max_ns) + 3 * 3600 * 10**9)
+    drain_append(spark, input_dir, out_dir, ckpt)
+
+    out_schema = ("hour string, event_type string, "
+                  "event_count long, total_value double")
+    return spark.read.schema(out_schema).parquet(out_dir)
 
 
 def streaming_hourly_oracle() -> str:

@@ -88,3 +88,48 @@ def test_streaming_incremental(spark, tmp_path):
     second = spark.table("inc_test").collect()
     assert sum(r["event_count"] for r in second) == 3
     assert {r["event_type"] for r in second} == {"a", "b"}
+
+
+def test_streaming_append_sink_drops_late_rows(spark, tmp_path):
+    """Scale path: append-mode parquet sink over multiple drains. Rows
+    later than the 1h watermark are dropped; the final file output equals
+    the batch answer minus the dropped-late rows."""
+    import pandas as pd
+    from maha_spark.streaming.hourly import drain_append, write_sentinel
+
+    H = 3_600 * 10**9  # one hour in nanos
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    (tmp_path / "src").mkdir()
+
+    # batch 1: hours 10,11,12,13 (one event each) -> watermark = 13h-1h
+    rows1 = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": [10 * H + 1800 * 10**9, 11 * H, 12 * H, 13 * H],
+        "user_id": [1, 2, 3, 4], "event_type": ["a"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0], "props": [""] * 4,
+    })
+    rows1.to_parquet(tmp_path / "src" / "b1.parquet")
+    drain_append(spark, src, out, ckpt)
+
+    # batch 2: one LATE row at 10:45 (window already finalized -> dropped)
+    # and one on-time row at 14:10 (counted)
+    rows2 = pd.DataFrame({
+        "event_id": [5, 6], "ts": [10 * H + 2700 * 10**9, 14 * H + 600 * 10**9],
+        "user_id": [5, 6], "event_type": ["a", "b"],
+        "value": [100.0, 6.0], "props": ["", ""],
+    })
+    rows2.to_parquet(tmp_path / "src" / "b2.parquet")
+    drain_append(spark, src, out, ckpt)
+
+    # sentinel drain flushes the remaining open windows (13h, 14h)
+    write_sentinel(spark, src, 20 * H)
+    drain_append(spark, src, out, ckpt)
+
+    got = {(r["hour"][11:13], r["event_type"]): (r["event_count"],
+                                                 r["total_value"])
+           for r in spark.read.parquet(out).collect()}
+    # late 10:45 row NOT in hour 10; on-time 14:10 row present
+    assert got[("10", "a")] == (1, 1.0)
+    assert got[("14", "b")] == (1, 6.0)
+    assert set(got) == {("10", "a"), ("11", "a"), ("12", "a"),
+                        ("13", "a"), ("14", "b")}
