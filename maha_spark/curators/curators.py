@@ -40,24 +40,37 @@ if TYPE_CHECKING:  # pragma: no cover
 MAX_DRILLDOWN_ROWS = 1000  # DrilldownConfig.scala
 
 
+def _run_one(engine: "MahaSparkEngine", model: RequestModel,
+             name: str, raw_cfg: Any) -> dict[str, Any]:
+    cfg = (raw_cfg or {}).get("config", {}) if isinstance(raw_cfg, dict) else {}
+    try:
+        if name == "totalmetrics":
+            return total_metrics(engine, model)
+        if name == "rowcount":
+            return row_count(engine, model)
+        if name == "drilldown":
+            return drilldown(engine, model, cfg)
+        if name == "timeshift":
+            return timeshift(engine, model, cfg)
+        return {"error": f"unknown curator {name!r}"}
+    except Exception as e:  # curator failure must not fail the request
+        return {"error": str(e)}
+
+
 def run_curators(engine: "MahaSparkEngine", model: RequestModel) -> dict[str, Any]:
-    out: dict[str, Any] = {}
-    for name, cfg in model.request.curators.items():
-        cfg = (cfg or {}).get("config", {}) if isinstance(cfg, dict) else {}
-        try:
-            if name == "totalmetrics":
-                out[name] = total_metrics(engine, model)
-            elif name == "rowcount":
-                out[name] = row_count(engine, model)
-            elif name == "drilldown":
-                out[name] = drilldown(engine, model, cfg)
-            elif name == "timeshift":
-                out[name] = timeshift(engine, model, cfg)
-            else:
-                out[name] = {"error": f"unknown curator {name!r}"}
-        except Exception as e:  # curator failure must not fail the request
-            out[name] = {"error": str(e)}
-    return out
+    """Run requested curators CONCURRENTLY (the reference runs them as
+    non-blocking ParRequests, RequestCoordinator.scala:97-151). Spark
+    schedules jobs submitted from multiple threads of one session in
+    parallel, so a thread per curator overlaps their cluster work."""
+    items = list(model.request.curators.items())
+    if len(items) <= 1:
+        return {name: _run_one(engine, model, name, cfg)
+                for name, cfg in items}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+        futs = {name: pool.submit(_run_one, engine, model, name, cfg)
+                for name, cfg in items}
+        return {name: fut.result() for name, fut in futs.items()}
 
 
 def _clone_request(req: ReportingRequest, **changes: Any) -> ReportingRequest:

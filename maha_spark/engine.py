@@ -31,6 +31,10 @@ class MahaSparkEngine:
         self.binding = binding
         self.planner = Planner(spark, binding)
         self.bucket_selector = bucket_selector
+        #: dry-run shadow execution ledger (RequestModel.scala:1465-1510:
+        #: the dry-run revision's query runs out-of-band, result discarded)
+        self.dry_run_log: list[dict[str, Any]] = []
+        self._dry_run_threads: list[Any] = []
 
     # ------------------------------------------------------------------
     def model(self, request: Union[dict, str, bytes, ReportingRequest],
@@ -86,8 +90,15 @@ class MahaSparkEngine:
 
         req = request if isinstance(request, ReportingRequest) else \
             parse_request(request, schema=schema)
+        sel = None
+        if revision is None and self.bucket_selector is not None:
+            sel = self.bucket_selector.select(req.cube, user_id=user_id)
+            revision = sel.revision
         model = self.model(req, schema=schema, today=today,
                            user_id=user_id, revision=revision)
+        if sel is not None and sel.dry_run_revision is not None and \
+                sel.dry_run_revision != model.cube.revision:
+            self._spawn_dry_run(req, schema, today, sel.dry_run_revision)
         df = self.planner.build(model)
         curator_results = run_curators(self, model) if req.curators else None
         return to_json_response(
@@ -97,6 +108,37 @@ class MahaSparkEngine:
             curators=curator_results,
             debug={"requestType": req.request_type} if req.is_debug else None,
         )
+
+    # ------------------------------------------------------------------
+    def _spawn_dry_run(self, req: ReportingRequest, schema: str,
+                       today: Optional[_dt.date], revision: int) -> None:
+        """Build + execute the shadow revision's plan out-of-band; the
+        result is discarded, only status/rows/error are recorded."""
+        import threading
+
+        rec: dict[str, Any] = {"cube": req.cube, "revision": revision,
+                               "status": "RUNNING", "rows": -1, "error": ""}
+        self.dry_run_log.append(rec)
+
+        def work() -> None:
+            try:
+                df = self.dataframe(req, schema=schema, today=today,
+                                    revision=revision)
+                rec["rows"] = df.count()
+                rec["status"] = "COMPLETED"
+            except Exception as e:  # shadow failure never affects serving
+                rec["status"] = "FAILED"
+                rec["error"] = str(e)[:500]
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._dry_run_threads.append(t)
+
+    def wait_for_dry_runs(self, timeout: Optional[float] = None) -> list[dict]:
+        for t in self._dry_run_threads:
+            t.join(timeout)
+        self._dry_run_threads.clear()
+        return self.dry_run_log
 
     # ------------------------------------------------------------------
     def sql(self, sql_text: str, schema: str = "internal",

@@ -119,6 +119,67 @@ def test_timeshift(contract_engine, duck):
         pytest.approx(prev, rel=1e-12)
 
 
+def test_dry_run_shadow_execution(spark):
+    """A dry_run revision selected by bucketing is built AND executed
+    out-of-band (result discarded, status recorded) — the serving result
+    comes from the primary revision only."""
+    import dataclasses
+
+    from maha_spark.engine import MahaSparkEngine
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.plans.binding import ParquetBinding
+    reg = build_contract_registry()
+    # register a revision-2 shadow of the tpch cube (same shape)
+    base = reg.fact("tpch")
+    reg.register_fact(dataclasses.replace(base, revision=2), default=False)
+    sel = BucketSelector({
+        "tpch": CubeBucketConfig("tpch", internal={0: 100},
+                                 dry_run={2: 100}),
+    })
+    eng = MahaSparkEngine(spark, reg,
+                          ParquetBinding(spark, "/root/testdata/sf0.001"),
+                          bucket_selector=sel)
+    out = eng.execute({"cube": "tpch",
+                       "selectFields": [{"field": "return_flag"},
+                                        {"field": "revenue"}],
+                       "filterExpressions": [DAY_ALL]}, user_id="u1")
+    assert len(out["rows"]) == 3  # served from revision 0
+    log = eng.wait_for_dry_runs(timeout=120)
+    assert len(log) == 1
+    assert log[0]["revision"] == 2
+    assert log[0]["status"] == "COMPLETED"
+    assert log[0]["rows"] == 3
+
+
+def test_curators_run_concurrently(contract_engine, monkeypatch):
+    """Curators overlap in time (thread-pooled ParRequest parity)."""
+    import time
+
+    from maha_spark.curators import curators as cur_mod
+
+    spans: dict[str, tuple[float, float]] = {}
+
+    def slow(name):
+        def fn(*a, **k):
+            t0 = time.time()
+            time.sleep(0.5)
+            spans[name] = (t0, time.time())
+            return {"rows": []}
+        return fn
+
+    monkeypatch.setattr(cur_mod, "total_metrics", slow("totalmetrics"))
+    monkeypatch.setattr(cur_mod, "row_count", slow("rowcount"))
+    out = contract_engine.execute({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+        "curators": {"totalmetrics": {}, "rowcount": {}},
+    })
+    assert set(out["curators"]) == {"totalmetrics", "rowcount"}
+    (a0, a1), (b0, b1) = spans["totalmetrics"], spans["rowcount"]
+    assert a0 < b1 and b0 < a1, f"curators did not overlap: {spans}"
+
+
 def test_engine_bucketed_revision(spark):
     """Engine + BucketSelector picks the configured revision."""
     from maha_spark.engine import MahaSparkEngine
