@@ -5,22 +5,49 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query executes through the full semantic-layer engine (request JSON ->
-RequestModel -> DataFrame plan) and is forced with a count()-style action so
-the measured time includes scan + shuffle + aggregation, not plan building.
+Two tiers, both engines on identical files:
+
+1. BASE: every contract query + pipeline op at the sf dir, with the
+   DuckDB oracle timed alongside (cube queries only — the op oracles are
+   deliberately naive all-pairs SQL). At sf0.1 DuckDB finishes in
+   5-90 ms/query, so this tier measures Spark's fixed per-query overhead
+   floor (job scheduling + codegen + Python<->JVM), not throughput.
+2. SCALED: the headline cube queries on row-multiplied fact tables
+   (lineitem/events x $SPARK_GRAFT_BENCH_MULT, dims untouched), DuckDB on
+   the same multiplied files. Data cost dominates here, so the per-query
+   spark/duckdb ratio reflects actual engine throughput — the number that
+   projects to the 100 TB case.
+
+Each Spark query executes through the full semantic-layer engine (request
+JSON -> RequestModel -> DataFrame plan) into a noop sink (materializes all
+output columns; a bare count() would let Catalyst prune the aggregates).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "32"))
+
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings")
+#: fact tables that get row-multiplied for the scaled tier
+FACT_TABLES = ("lineitem", "events")
+#: headline cube queries for the scaled tier (scan/join/agg/window mix)
+SCALED_QUERIES = (
+    "q1_pricing_summary", "q3_daily_revenue", "q4_nation_revenue_by_segment",
+    "q5_region_rollup", "q6_dim_driven_orders", "q11_having",
+    "q17_events_hourly", "q25_offset_pagination",
+)
 
 
 def guess_sf(path: str) -> float:
@@ -33,46 +60,152 @@ def guess_sf(path: str) -> float:
     return -1.0
 
 
-def main() -> None:
-    from maha_spark.session import get_spark
-    import __spark_entry__ as entrymod
+def ensure_scaled_dir(spark, src: str, mult: int) -> str:
+    """Materialize fact tables x mult (dims symlinked) under the repo;
+    idempotent across rounds via a _READY marker."""
+    from pyspark.sql import functions as F
 
-    spark = get_spark("maha-spark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
-    spark.sparkContext.setLogLevel("ERROR")
+    from maha_spark.plans.binding import ParquetBinding
 
-    queries = entrymod.queries()
+    dst = os.path.join(
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}")
+    marker = os.path.join(dst, "_READY")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    binding = ParquetBinding(spark, src)
+    for t in ALL_TABLES:
+        sp = os.path.join(src, f"{t}.parquet")
+        if not os.path.exists(sp):
+            continue
+        dp = os.path.join(dst, f"{t}.parquet")
+        if t in FACT_TABLES:
+            # _read_parquet normalizes nano timestamps to micros, so the
+            # written copy is directly readable by both engines
+            df = binding._read_parquet(sp)
+            df = (df.withColumn(
+                      "__m", F.explode(F.array(*[F.lit(i)
+                                                 for i in range(mult)])))
+                  .drop("__m")
+                  .repartition(CPUS))
+            df.write.mode("overwrite").parquet(dp)
+        else:
+            os.symlink(sp, dp)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def duck_connect(data_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {CPUS}")
+    for t in ALL_TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def time_spark(queries, names, spark, data_dir, passes=2,
+               skip_repeat_prefix=None) -> dict[str, float]:
     timings: dict[str, float] = {}
-
-    # warm the JVM + parquet footers once with the cheapest query so q1's
-    # number isn't dominated by session start-up
-    first = sorted(queries)[0]
-    try:
-        queries[first](spark, SF_DIR).limit(1).collect()
-    except Exception:
-        pass
-
-    # two passes, report the min: the host occasionally stalls a single
-    # query by 10-40s (GC / noisy neighbor); steady-state time is the
-    # representative number for throughput comparison
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     for p in range(passes):
-        for name in sorted(queries):
-            if p > 0 and name.startswith("op_"):
+        for name in names:
+            if p > 0 and skip_repeat_prefix and \
+                    name.startswith(skip_repeat_prefix):
                 continue  # ops are long-running and stable; one pass
-            fn = queries[name]
             t0 = time.perf_counter()
             try:
-                df = fn(spark, SF_DIR)
-                # noop sink materializes every output column; a bare count()
-                # would let Catalyst prune the aggregate expressions away
+                df = queries[name](spark, data_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 timings[name] = round(min(timings.get(name, dt), dt), 4)
             except Exception as e:  # pragma: no cover - report, keep going
                 timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
+    return timings
+
+
+def time_duckdb(oracles, names, con, passes=2) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                con.execute(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, dt), dt), 4)
+            except Exception as e:  # pragma: no cover
+                timings[name] = -1.0
+                print(f"# duckdb error {name}: {e}", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    from maha_spark.session import get_spark
+
+    spark = get_spark("maha-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    cube_names = sorted(n for n in queries if not n.startswith("op_"))
+    all_names = sorted(queries)
+
+    # warm the JVM + parquet footers once so q1 isn't session start-up
+    try:
+        queries[all_names[0]](spark, SF_DIR).limit(1).collect()
+    except Exception:
+        pass
+
+    # ---- tier 1: full suite at the sf dir (Spark) + cube oracles (DuckDB)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    timings = time_spark(queries, all_names, spark, SF_DIR,
+                         passes=passes, skip_repeat_prefix="op_")
+    con = duck_connect(SF_DIR)
+    duck_base = time_duckdb(oracles, [n for n in cube_names if n in oracles],
+                            con, passes=passes)
+    con.close()
     total = sum(v for v in timings.values() if v > 0)
+    duck_total = sum(v for v in duck_base.values() if v > 0)
+
+    # ---- tier 2: headline queries on row-multiplied facts, both engines
+    scaled: dict = {}
+    if MULT > 1:
+        sdir = ensure_scaled_dir(spark, SF_DIR, MULT)
+        s_names = [n for n in SCALED_QUERIES if n in queries]
+        try:
+            queries[s_names[0]](spark, sdir).limit(1).collect()  # warm
+        except Exception:
+            pass
+        s_spark = time_spark(queries, s_names, spark, sdir, passes=passes)
+        con = duck_connect(sdir)
+        s_duck = time_duckdb(oracles, [n for n in s_names if n in oracles],
+                             con, passes=passes)
+        con.close()
+        sp_tot = sum(v for v in s_spark.values() if v > 0)
+        du_tot = sum(v for v in s_duck.values() if v > 0)
+        scaled = {
+            "mult": MULT,
+            "queries": s_spark,
+            "duckdb": s_duck,
+            "spark_total": round(sp_tot, 4),
+            "duckdb_total": round(du_tot, 4),
+            "ratio": round(sp_tot / du_tot, 3) if du_tot > 0 else -1.0,
+            "ratio_per_query": {
+                n: round(s_spark[n] / s_duck[n], 3)
+                for n in s_names
+                if s_spark.get(n, -1) > 0 and s_duck.get(n, -1) > 0},
+        }
 
     print(json.dumps({
         "metric": "contract_queries_total",
@@ -81,6 +214,9 @@ def main() -> None:
         "queries": timings,
         "sf": guess_sf(SF_DIR),
         "cpus": CPUS,
+        "duckdb": duck_base,
+        "duckdb_total": round(duck_total, 4),
+        "scaled": scaled,
     }))
     spark.stop()
 

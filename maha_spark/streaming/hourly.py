@@ -53,7 +53,7 @@ def hourly_stream(spark: SparkSession, events_dir: str,
             .groupBy(F.window("ts", "1 hour").alias("win"),
                      F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("event_count"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 F.sum(F.col("value").cast("decimal(8,5)"))
                   .alias("value_dec"))
             .select(
                 F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
@@ -149,7 +149,7 @@ def streaming_hourly_oracle() -> str:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type,
                COUNT(*) AS event_count,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)
                    AS total_value
         FROM events GROUP BY 1, 2
     """

@@ -73,9 +73,9 @@ def test_totalmetrics_and_rowcount(contract_engine, duck):
         "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem").fetchone()[0]
     assert rc["rows"][0][0] == n_flags
     total = duck.execute(
-        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) "
-        "FROM lineitem").fetchone()[0]
+        "SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(8,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(8,2))) "
+        "AS DOUBLE) FROM lineitem").fetchone()[0]
     assert tm["rows"][0][0] == pytest.approx(total, rel=1e-12)
 
 
@@ -109,8 +109,9 @@ def test_timeshift(contract_engine, duck):
     # verify one row's Prev against DuckDB (previous 365-day window)
     flag = ts["rows"][0][fields.index("return_flag")]
     prev = duck.execute(f"""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-               (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(8,2)) *
+               (1 - CAST(l_discount AS DECIMAL(4,2))), 2)
+               AS DECIMAL(8,2))) AS DOUBLE)
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE)
               BETWEEN DATE '1996-01-02' AND DATE '1996-12-31'

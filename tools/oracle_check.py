@@ -14,6 +14,7 @@ import time
 
 
 def _norm_cell(v):
+    import datetime as _dt
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -22,6 +23,14 @@ def _norm_cell(v):
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
+    # DuckDB fetchdf maps DATE to midnight Timestamps while Spark yields
+    # datetime.date — normalize midnight-exact values to the date string
+    if isinstance(v, _dt.datetime):
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     return str(v)
 
 
