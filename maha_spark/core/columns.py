@@ -42,7 +42,8 @@ def safe_div(num: str, den: str) -> str:
 
 def expand_expr(expr: str, resolver: dict[str, str]) -> str:
     """Recursively expand {name} placeholders (ColumnContext.render,
-    Column.scala:170-198). ``resolver`` maps name -> SQL fragment (which may
+    Column.scala:170-198), then DerivedFunction-parity macros
+    (functions/macros.py). ``resolver`` maps name -> SQL fragment (which may
     itself contain placeholders)."""
     seen: set[str] = set()
 
@@ -57,7 +58,8 @@ def expand_expr(expr: str, resolver: dict[str, str]) -> str:
 
         return _PLACEHOLDER.sub(repl, e)
 
-    return sub(expr)
+    from ..functions.macros import expand_macros  # cycle-free local import
+    return expand_macros(sub(expr))
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,9 @@ class ResolvedField:
     col: Column
     dtype: Optional[DataType] = None
     case_insensitive: bool = False
+    #: SQL fragment for this field (needed by ExpressionFilter, which
+    #: splices resolved fields into a textual SQL predicate)
+    sql: Optional[str] = None
 
 
 def _map_value(rf: ResolvedField, v: Any) -> list[Any]:
@@ -231,6 +234,42 @@ class FieldEqualityFilter(Filter):
 
 
 @dataclass(frozen=True)
+class ExpressionFilter(Filter):
+    """JavaScriptFilter parity (FilterOperation.scala:278; Druid JS filter
+    rendering :1074). The reference ships a JavaScript predicate to Druid;
+    executing user JS in Spark would force a per-row Python/JS bridge, so
+    the predicate is a Spark SQL boolean expression instead -- same intent
+    (an arbitrary predicate over one or more fields), but it stays inside
+    JVM whole-stage codegen. Fields are referenced as ``{alias}``
+    placeholders and resolve through the same alias resolution as every
+    other filter; registered UDFs (functions.register_udf) and
+    DerivedFunction macros are usable inside the expression.
+    """
+
+    expression: str = ""
+    operator: str = "expression"
+
+    def to_column(self, resolve: FieldResolver) -> Column:
+        from .columns import _PLACEHOLDER, expand_expr
+        resolver: dict[str, str] = {}
+        for name in set(_PLACEHOLDER.findall(self.expression)):
+            rf = resolve(name)
+            if rf.sql is None:
+                raise ValueError(
+                    f"field {name!r} cannot be used in an expression filter "
+                    "(no SQL rendering available)")
+            resolver[name] = rf.sql
+        return F.expr(expand_expr(self.expression, resolver))
+
+    def fields(self) -> list[str]:
+        from .columns import _PLACEHOLDER
+        refs = list(dict.fromkeys(_PLACEHOLDER.findall(self.expression)))
+        if self.field and self.field not in refs:
+            refs.insert(0, self.field)
+        return refs
+
+
+@dataclass(frozen=True)
 class OrFilter(Filter):
     filters: tuple[Filter, ...] = ()
     operator: str = "or"
@@ -314,6 +353,7 @@ IN_NOTIN_EQUALITY_NOTEQUALS_LIKE = IN_NOTIN_EQUALITY_LIKE | frozenset({"<>"})
 ALL_OPS = frozenset({
     "in", "not in", "between", "datetimebetween", "=", "<>", ">", "<",
     "like", "not like", "isnull", "isnotnull", "==", "or", "and",
+    "expression",
 })
 
 
@@ -348,6 +388,11 @@ def parse_filter_json(obj: dict[str, Any]) -> Filter:
         return IsNotNullFilter(field=fld)
     if op == "==":
         return FieldEqualityFilter(field=fld, compare_to=obj["compareTo"])
+    if op in ("expression", "javascript"):
+        # "function" accepted for JavaScriptFilter-shaped request JSON
+        return ExpressionFilter(field=fld,
+                                expression=obj.get("expression") or
+                                obj.get("function", ""))
     if op == "or":
         return OrFilter(filters=tuple(parse_filter_json(f) for f in obj["filterExpressions"]))
     if op == "and":

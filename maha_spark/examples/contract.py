@@ -160,11 +160,17 @@ def build_contract_registry() -> Registry:
             "p_type": DimCol("p_type", StrType()),
             "p_size": DimCol("p_size", IntType()),
             "p_retailprice": DimCol("p_retailprice", DecType()),
-            # REGEX_EXTRACT derived function (DerivedExpression.scala Hive
-            # :609, Presto :435) — second word of the part name
+            # REGEX derived function (DerivedExpression.scala Hive :609,
+            # Presto :435; DerivedFunction.scala:141) — last word of the name
             "p_noun": DerivedDimCol(
                 "p_noun", StrType(),
-                expr="regexp_extract({p_name}, ' ([a-z]+)$', 1)"),
+                expr="REGEX({p_name}, ' ([a-z]+)$', 1)"),
+            # JAVASCRIPT derived function parity (DerivedFunction.scala:113):
+            # arbitrary per-row logic = a registered vectorized UDF
+            # referenced by name (functions.register_pandas_udf)
+            "p_name_rev": DerivedDimCol(
+                "p_name_rev", StrType(),
+                expr="py_reverse({p_name})"),
         })
     reg.register_dimension(PublicDimension(
         name="part", table=part,
@@ -174,7 +180,8 @@ def build_contract_registry() -> Registry:
                   PubCol("part_type", "p_type"),
                   PubCol("part_size", "p_size"),
                   PubCol("retail_price", "p_retailprice"),
-                  PubCol("part_noun", "p_noun")]))
+                  PubCol("part_noun", "p_noun"),
+                  PubCol("part_name_rev", "p_name_rev")]))
 
     supplier = DimensionTable(
         name="supplier", primary_key="s_suppkey", level=4, cost=10,
@@ -210,14 +217,16 @@ def build_contract_registry() -> Registry:
         "l_tax": FactCol("l_tax", DecType()),
         "ship_day": DerivedDimCol("ship_day", DateType(),
                                   expr="CAST({l_shipdate} AS DATE)"),
+        # GET_INTERVAL_DATE derived function via the macro language
+        # (DerivedFunction.scala:21; functions/macros.py)
         "ship_month": DerivedDimCol(
             "ship_month", DateType(),
-            expr="CAST(date_trunc('month', {l_shipdate}) AS DATE)"),
+            expr="GET_INTERVAL_DATE({l_shipdate}, 'M')"),
         # DAY_OF_WEEK derived function (DerivedExpression.scala Hive :572,
         # Presto :398; DerivedFunction.scala:49)
         "ship_dow": DerivedDimCol(
             "ship_dow", StrType(),
-            expr="date_format({l_shipdate}, 'EEEE')"),
+            expr="DAY_OF_WEEK({l_shipdate})"),
         # exact decimal partial aggregates (internal)
         "qty_dec": FactCol("qty_dec", DecType(), expr=QTY,
                            depends_on=("l_quantity",)),
@@ -1144,12 +1153,67 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
+    # -- §2.2 JavaScriptFilter parity: arbitrary predicate over fields as a
+    #    Spark SQL expression (FilterOperation.scala:278; core/filters.py
+    #    ExpressionFilter) — stays in JVM codegen instead of a JS engine
+    "q32_expression_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "line_number", "operator": "expression",
+                 "expression": ("{line_number} * 2 > 8 "
+                                "OR {line_status} = 'F'")}],
+        },
+        "sql": f"""
+            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_linenumber * 2 > 8 OR l_linestatus = 'F'
+            GROUP BY 1
+        """,
+    },
+    # -- §2.10 UDF plumbing: a registered vectorized (Arrow) UDF used by a
+    #    derived dimension column (JAVASCRIPT function intent,
+    #    DerivedFunction.scala:113; functions.register_pandas_udf)
+    "q33_udf_function": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_name_rev"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "part_size", "operator": "<",
+                                   "value": 5}],
+        },
+        "sql": f"""
+            SELECT reverse(p_name) AS part_name_rev,
+                   {SQL_REVENUE} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 5
+            GROUP BY 1
+        """,
+    },
 }
+
+
+def ensure_udfs(spark) -> None:
+    """Register the contract's UDFs once per session (the reference's
+    registered-UDF statements prepended to generated queries,
+    HiveQueryGeneratorCommon; SURVEY §2.10)."""
+    from ..functions import register_pandas_udf, registered_functions
+    if "py_reverse" in registered_functions(spark):
+        return
+    register_pandas_udf(
+        spark, "py_reverse",
+        lambda s: s.map(lambda x: None if x is None else x[::-1]),
+        "string")
 
 
 def run_query(spark, sf_dir: str, name: str):
     """Execute one contract query through the full engine."""
     from ..engine import engine_for_dir
     q = QUERIES[name]
+    ensure_udfs(spark)
     eng = engine_for_dir(spark, build_contract_registry(), sf_dir)
     return eng.dataframe(q["request"])

@@ -169,9 +169,9 @@ def build_registry() -> Registry:
         "ship_day": DerivedDimCol("ship_day", DateType(),
                                   expr="CAST({l_shipdate} AS DATE)"),
         "ship_month": DerivedDimCol("ship_month", DateType(),
-                                    expr="CAST(date_trunc('month', {l_shipdate}) AS DATE)"),
+                                    expr="GET_INTERVAL_DATE({l_shipdate}, 'M')"),
         "ship_week": DerivedDimCol("ship_week", DateType(),
-                                   expr="CAST(date_trunc('week', {l_shipdate}) AS DATE)"),
+                                   expr="GET_INTERVAL_DATE({l_shipdate}, 'W')"),
         "l_quantity": FactCol("l_quantity", DecType(default_value=0.0)),
         "l_extendedprice": FactCol("l_extendedprice", DecType(default_value=0.0)),
         "l_discount": FactCol("l_discount", DecType(), rollup=AverageRollup()),

@@ -1,0 +1,181 @@
+"""DerivedFunction-parity macro language.
+
+The reference's Druid derived functions (core/.../DerivedFunction.scala:
+GET_INTERVAL_DATE:21, DAY_OF_WEEK:49, DATETIME_FORMATTER:64,
+DECODE_DIM:81, REGEX:141, plus PostResultFunction.scala
+START_OF_THE_WEEK:117 / START_OF_THE_MONTH:149) are query-time dimension
+extraction functions. Here each is a textual macro over Spark SQL: cube
+authors write ``GET_INTERVAL_DATE({col}, 'M')`` in a derived expression
+and ``expand_macros`` rewrites it into the built-in (JVM codegen)
+equivalent -- no UDF, no extraction-function runtime.
+
+Macros expand AFTER {placeholder} substitution, on plain SQL text, so any
+derived column / filter expression can use them. The JAVASCRIPT /
+JAVASCRIPT_WITH_LIST_OF_FIELDS functions (DerivedFunction.scala:113,128)
+have no textual equivalent -- their intent (arbitrary per-row logic) maps
+to a registered UDF (see functions.register_udf) referenced by name in
+the same expressions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+_MACRO_NAME = re.compile(r"\b([A-Z][A-Z0-9_]{2,})\s*\(")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a macro argument list on top-level commas (paren/quote aware)."""
+    args, depth, cur, i, n = [], 0, [], 0, len(argstr)
+    in_str: str | None = None
+    while i < n:
+        ch = argstr[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    return s
+
+
+_GRAIN = {"D": "day", "DAY": "day", "W": "week", "WEEK": "week",
+          "M": "month", "MONTH": "month", "YR": "year", "YEAR": "year"}
+
+
+def _get_interval_date(args: list[str]) -> str:
+    """GET_INTERVAL_DATE(col, 'D'|'W'|'M'|'YR') (DerivedFunction.scala:21;
+    Oracle renderer DerivedExpression.scala:698)."""
+    col, fmt = args[0], _unquote(args[1]).upper()
+    grain = _GRAIN.get(fmt)
+    if grain is None:
+        raise ValueError(f"GET_INTERVAL_DATE: unknown grain {fmt!r}")
+    return f"CAST(date_trunc('{grain}', {col}) AS DATE)"
+
+
+def _day_of_week(args: list[str]) -> str:
+    """DAY_OF_WEEK(col) -> full day name (DerivedFunction.scala:49)."""
+    return f"date_format({args[0]}, 'EEEE')"
+
+
+def _datetime_formatter(args: list[str]) -> str:
+    """DATETIME_FORMATTER(col, index, length): substring of the formatted
+    'yyyy-MM-dd HH' rendering (DerivedFunction.scala:64)."""
+    col, idx, length = args[0], int(_unquote(args[1])), int(_unquote(args[2]))
+    return (f"substring(date_format({col}, 'yyyy-MM-dd HH:mm:ss'), "
+            f"{idx + 1}, {length})")
+
+
+def _decode_dim(args: list[str]) -> str:
+    """DECODE_DIM(col, v1, r1[, v2, r2 ...][, default])
+    (DerivedFunction.scala:81; Oracle DECODE)."""
+    col, rest = args[0], args[1:]
+    pairs, default = rest, "NULL"
+    if len(rest) % 2 == 1:
+        pairs, default = rest[:-1], rest[-1]
+    branches = " ".join(
+        f"WHEN ({col}) = {pairs[i]} THEN {pairs[i + 1]}"
+        for i in range(0, len(pairs), 2))
+    return f"CASE {branches} ELSE {default} END"
+
+
+def _regex(args: list[str]) -> str:
+    """REGEX(col, 'pattern', index) (DerivedFunction.scala:141)."""
+    col, pat = args[0], args[1]
+    idx = int(_unquote(args[2])) if len(args) > 2 else 1
+    return f"regexp_extract({col}, {pat}, {idx})"
+
+
+def _start_of_week(args: list[str]) -> str:
+    """START_OF_THE_WEEK (PostResultFunction.scala:117)."""
+    return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
+
+
+def _start_of_month(args: list[str]) -> str:
+    """START_OF_THE_MONTH (PostResultFunction.scala:149)."""
+    return f"CAST(date_trunc('month', {args[0]}) AS DATE)"
+
+
+def _time_format(args: list[str]) -> str:
+    """DRUID_TIME_FORMAT / TIME_FORMAT_WITH_REQUEST_CONTEXT
+    (DerivedFunction.scala:296,332): format a time column; the request
+    timezone is already applied to the column by the planner."""
+    fmt = args[1] if len(args) > 1 else "'yyyy-MM-dd'"
+    return f"date_format({args[0]}, {fmt})"
+
+
+MACROS: dict[str, Callable[[list[str]], str]] = {
+    "GET_INTERVAL_DATE": _get_interval_date,
+    "DAY_OF_WEEK": _day_of_week,
+    "DATETIME_FORMATTER": _datetime_formatter,
+    "DECODE_DIM": _decode_dim,
+    "REGEX": _regex,
+    "START_OF_THE_WEEK": _start_of_week,
+    "START_OF_THE_MONTH": _start_of_month,
+    "TIME_FORMAT": _time_format,
+}
+
+
+def expand_macros(sql: str, max_depth: int = 8) -> str:
+    """Rewrite every MACRO(arg, ...) call into its Spark SQL equivalent.
+    Iterates to a fixpoint so macros may nest."""
+    for _ in range(max_depth):
+        out, changed = _expand_once(sql)
+        if not changed:
+            return out
+        sql = out
+    raise ValueError(f"macro expansion did not converge: {sql[:120]}")
+
+
+def _expand_once(sql: str) -> tuple[str, bool]:
+    m = _MACRO_NAME.search(sql)
+    while m is not None:
+        name = m.group(1)
+        fn = MACROS.get(name)
+        if fn is None:
+            m = _MACRO_NAME.search(sql, m.end())
+            continue
+        # find the balanced closing paren
+        depth, i = 1, m.end()
+        in_str: str | None = None
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in "'\"":
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in macro call: {sql[m.start():][:80]}")
+        args = _split_args(sql[m.end():i - 1])
+        replacement = "(" + fn(args) + ")"
+        return sql[:m.start()] + replacement + sql[i:], True
+    return sql, False

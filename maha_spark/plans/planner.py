@@ -174,8 +174,9 @@ class Planner:
             col = table.columns.get(name)
             dtype = col.dtype if col is not None else None
             ci = isinstance(col, DimCol) and col.case_insensitive
-            return ResolvedField(col=F.expr(_col_sql(table.columns, name)),
-                                 dtype=dtype, case_insensitive=ci)
+            sql = _col_sql(table.columns, name)
+            return ResolvedField(col=F.expr(sql), dtype=dtype,
+                                 case_insensitive=ci, sql=sql)
 
         return resolve
 
@@ -257,7 +258,8 @@ class Planner:
         for ff in table.forced_filters:
             def raw_resolve(alias: str, _t=table) -> ResolvedField:
                 col = _t.columns.get(alias)
-                return ResolvedField(col=F.expr(_col_sql(_t.columns, alias)),
+                sql = _col_sql(_t.columns, alias)
+                return ResolvedField(col=F.expr(sql), sql=sql,
                                      dtype=col.dtype if col else None)
             df = df.filter(ff.to_column(raw_resolve))
 
@@ -325,12 +327,13 @@ class Planner:
                     col = table.columns.get(pub.name)
                     if isinstance(col, DerivedFactCol):
                         resolver = {n: _q(f"__base_{n}") for n in table.columns}
-                        return ResolvedField(
-                            col=F.expr(expand_expr(col.expr, resolver)))
+                        sql = expand_expr(col.expr, resolver)
+                        return ResolvedField(col=F.expr(sql), sql=sql)
                     if alias in gdf.columns:
-                        return ResolvedField(col=F.col(_q(alias)))
-                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")))
-                return ResolvedField(col=F.col(_q(alias)))
+                        return ResolvedField(col=F.col(_q(alias)), sql=_q(alias))
+                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")),
+                                         sql=_q(f"__base_{pub.name}"))
+                return ResolvedField(col=F.col(_q(alias)), sql=_q(alias))
             for f in having:
                 gdf = gdf.filter(f.to_column(having_resolve))
         return gdf
@@ -355,7 +358,8 @@ class Planner:
             name = pub.name if pub is not None else alias
             col = t.columns.get(name)
             ci = isinstance(col, DimCol) and col.case_insensitive
-            return ResolvedField(col=F.expr(_col_sql(t.columns, name)),
+            sql = _col_sql(t.columns, name)
+            return ResolvedField(col=F.expr(sql), sql=sql,
                                  dtype=col.dtype if col else None,
                                  case_insensitive=ci)
 
@@ -489,12 +493,13 @@ class Planner:
                     col = table.columns.get(pub.name)
                     if isinstance(col, DerivedFactCol):
                         resolver = {n: _q(f"__base_{n}") for n in table.columns}
-                        return ResolvedField(
-                            col=F.expr(expand_expr(col.expr, resolver)))
+                        sql = expand_expr(col.expr, resolver)
+                        return ResolvedField(col=F.expr(sql), sql=sql)
                     if alias in gdf.columns:
-                        return ResolvedField(col=F.col(_q(alias)))
-                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")))
-                return ResolvedField(col=F.col(_q(alias)))
+                        return ResolvedField(col=F.col(_q(alias)), sql=_q(alias))
+                    return ResolvedField(col=F.col(_q(f"__base_{pub.name}")),
+                                         sql=_q(f"__base_{pub.name}"))
+                return ResolvedField(col=F.col(_q(alias)), sql=_q(alias))
             for f in having:
                 gdf = gdf.filter(f.to_column(having_resolve))
         return self._final_projection(model, gdf, keys_present=True)
@@ -652,7 +657,7 @@ class Planner:
             return df
 
         def resolve(alias: str) -> ResolvedField:
-            return ResolvedField(col=F.col(_q(alias)))
+            return ResolvedField(col=F.col(_q(alias)), sql=_q(alias))
 
         for f in model.outer_filters:
             df = df.filter(f.to_column(resolve))

@@ -112,7 +112,8 @@ def cube_view_df(spark: SparkSession, registry: Registry,
     for ff in table.forced_filters:
         def raw_resolve(alias: str, _t=table) -> ResolvedField:
             col = _t.columns.get(alias)
-            return ResolvedField(col=F.expr(_col_sql(_t.columns, alias)),
+            sql = _col_sql(_t.columns, alias)
+            return ResolvedField(col=F.expr(sql), sql=sql,
                                  dtype=col.dtype if col else None)
         df = df.filter(ff.to_column(raw_resolve))
 

@@ -1,0 +1,155 @@
+"""DerivedFunction-parity macros, ExpressionFilter (JavaScriptFilter
+parity), and the UDF registration surface (SURVEY §2.2/§2.8/§2.10)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.functions import (  # noqa: E402
+    register_pandas_udf, register_udf, registered_functions,
+)
+from maha_spark.functions.macros import expand_macros  # noqa: E402
+from maha_spark.request.request import ValidationError  # noqa: E402
+
+DAY = {"field": "Day", "operator": "between",
+       "from": "1995-01-01", "to": "2002-12-31"}
+
+
+# ------------------------------------------------------------- macros
+def test_get_interval_date_macro():
+    assert expand_macros("GET_INTERVAL_DATE(`ts`, 'M')") == \
+        "(CAST(date_trunc('month', `ts`) AS DATE))"
+    assert expand_macros("GET_INTERVAL_DATE(`ts`, 'W')") == \
+        "(CAST(date_trunc('week', `ts`) AS DATE))"
+
+
+def test_macro_nested_and_args_with_parens():
+    out = expand_macros("DAY_OF_WEEK(GET_INTERVAL_DATE(`ts`, 'D'))")
+    assert out == "(date_format((CAST(date_trunc('day', `ts`) AS DATE)), 'EEEE'))"
+
+
+def test_decode_dim_macro_with_default():
+    out = expand_macros("DECODE_DIM(`s`, 'O', 'OPEN', 'C', 'CLOSED', 'NA')")
+    assert out == ("(CASE WHEN (`s`) = 'O' THEN 'OPEN' "
+                   "WHEN (`s`) = 'C' THEN 'CLOSED' ELSE 'NA' END)")
+
+
+def test_regex_macro_comma_inside_quotes():
+    out = expand_macros("REGEX(`v`, '([a-z]+),([0-9]+)', 2)")
+    assert out == "(regexp_extract(`v`, '([a-z]+),([0-9]+)', 2))"
+
+
+def test_unknown_macro_left_alone():
+    assert expand_macros("SOME_FN(`x`)") == "SOME_FN(`x`)"
+    assert expand_macros("upper(`x`)") == "upper(`x`)"
+
+
+def test_unknown_grain_raises():
+    with pytest.raises(ValueError, match="unknown grain"):
+        expand_macros("GET_INTERVAL_DATE(`ts`, 'Q')")
+
+
+def test_macros_in_spark_plan(spark):
+    df = spark.sql("SELECT timestamp'2024-03-15 10:00:00' AS ts") \
+        .selectExpr(expand_macros("GET_INTERVAL_DATE(ts, 'M')") + " AS m",
+                    expand_macros("DAY_OF_WEEK(ts)") + " AS dow",
+                    expand_macros("DATETIME_FORMATTER(ts, 0, 7)") + " AS ym")
+    row = df.collect()[0]
+    assert str(row.m) == "2024-03-01"
+    assert row.dow == "Friday"
+    assert row.ym == "2024-03"
+
+
+# ---------------------------------------------------- expression filter
+def test_expression_filter_allowed_op_enforced(engine):
+    # "Day" only allows in/between/= -> expression must be rejected with an
+    # accumulated validation error, not an execution failure
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY,
+                              {"field": "Day", "operator": "expression",
+                               "expression": "year({Day}) = 1995"}],
+    }
+    with pytest.raises(ValidationError, match="expression"):
+        engine.dataframe(req)
+
+
+def test_expression_filter_runs(engine):
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY,
+                              {"field": "Line Number", "operator": "expression",
+                               "expression": "{Line Number} % 2 = 1"}],
+    }
+    rows = engine.dataframe(req).collect()
+    assert len(rows) > 0
+
+
+def test_javascript_shaped_json_accepted(engine):
+    # JavaScriptFilter-shaped request JSON: "function" key
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY,
+                              {"field": "Line Number",
+                               "operator": "javascript",
+                               "function": "{Line Number} > 5"}],
+    }
+    rows = engine.dataframe(req).collect()
+    assert len(rows) > 0
+
+
+def test_expression_filter_unknown_field_rejected(engine):
+    req = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY,
+                              {"field": "No Such", "operator": "expression",
+                               "expression": "{No Such} > 5"}],
+    }
+    with pytest.raises(ValidationError):
+        engine.dataframe(req)
+
+
+# ------------------------------------------------------------ UDF surface
+def test_register_udf_row_at_a_time(spark):
+    register_udf(spark, "t_double_it", lambda x: None if x is None else x * 2,
+                 "bigint")
+    assert spark.sql("SELECT t_double_it(21) AS v").collect()[0].v == 42
+    assert "t_double_it" in registered_functions(spark)
+
+
+def test_register_pandas_udf_vectorized(spark):
+    register_pandas_udf(spark, "t_vec_len",
+                        lambda s: s.map(lambda x: len(x or "")), "int")
+    assert spark.sql("SELECT t_vec_len('hello') AS v").collect()[0].v == 5
+
+
+def test_udf_usable_in_derived_column_and_filter(spark):
+    """A registered UDF works inside derived expressions AND expression
+    filters (JAVASCRIPT derived-function intent, DerivedFunction.scala:113)."""
+    import json
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry, ensure_udfs
+    ensure_udfs(spark)
+    eng = engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    df = eng.dataframe(json.dumps({
+        "cube": "tpch",
+        "selectFields": [{"field": "part_name_rev"}, {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1995-01-01", "to": "2002-12-31"},
+            {"field": "part_name_rev", "operator": "expression",
+             "expression": "{part_name_rev} LIKE 'a%'"}],
+        "rowsPerPage": 20,
+    }))
+    rows = df.collect()
+    assert all(r.part_name_rev.startswith("a") for r in rows)
