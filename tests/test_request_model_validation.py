@@ -1,0 +1,266 @@
+"""RequestModelTest-style validation breadth
+(reference core/src/test/.../RequestModelTest.scala: ~140 cases over
+required fields, filter ops, day windows, schema access, caps).
+
+Pure model-layer tests: build_request_model needs only the registry, no
+SparkSession, so every negative path is exercised cheaply."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.core.columns import DerivedDimCol, DimCol, FactCol  # noqa: E402
+from maha_spark.core.filters import (  # noqa: E402
+    BetweenFilter, EqualityFilter, IN_BETWEEN_EQUALITY,
+)
+from maha_spark.core.grain import DAILY  # noqa: E402
+from maha_spark.core.types import DateType, IntType, StrType  # noqa: E402
+from maha_spark.model.request_model import build_request_model  # noqa: E402
+from maha_spark.registry.cube import (  # noqa: E402
+    DimensionTable, FactTable, PubCol, PublicDimension, PublicFact, Registry,
+)
+from maha_spark.request.request import (  # noqa: E402
+    ValidationError, parse_request,
+)
+
+TODAY = dt.date(2001, 6, 1)
+
+
+def make_registry() -> Registry:
+    """Fixture cube exercising every validation attribute
+    (RequestModelTest.scala fixture style: one cube, many annotations)."""
+    reg = Registry()
+    adv = DimensionTable(
+        name="advertiser", primary_key="a_id", level=1,
+        schema_col_map={"advertiser": "a_id"},
+        columns={"a_id": DimCol("a_id", IntType()),
+                 "a_name": DimCol("a_name", StrType())})
+    reg.register_dimension(PublicDimension(
+        name="advertiser", table=adv,
+        pub_cols=[PubCol("Advertiser ID", "a_id"),
+                  PubCol("Advertiser Name", "a_name")]))
+
+    cols = {
+        "day_col": DimCol("day_col", DateType(), is_day_column=True),
+        "stats_day": DerivedDimCol("stats_day", DateType(),
+                                   expr="CAST({day_col} AS DATE)"),
+        "advertiser_id": DimCol("advertiser_id", IntType(),
+                                foreign_key="advertiser"),
+        "campaign_id": DimCol("campaign_id", IntType()),
+        "device": DimCol("device", StrType()),
+        "secret_col": DimCol("secret_col", StrType()),
+        "imps": FactCol("imps", IntType()),
+        "clicks": FactCol("clicks", IntType()),
+    }
+    fact = FactTable(name="stats", columns=cols, grain=DAILY, cost=100)
+    reg.register_fact(PublicFact(
+        name="perf",
+        tables=[fact],
+        pub_cols=[
+            PubCol("Day", "stats_day", IN_BETWEEN_EQUALITY),
+            PubCol("Advertiser ID", "advertiser_id",
+                   filtering_required=True),
+            PubCol("Campaign ID", "campaign_id"),
+            # Device only valid with Campaign ID present (dependsOnColumns)
+            PubCol("Device", "device",
+                   depends_on_columns=frozenset({"Campaign ID"})),
+            # internal-only column (restrictedSchemas, Column.scala:13-24)
+            PubCol("Secret", "secret_col",
+                   restricted_schemas=frozenset({"internal"})),
+        ],
+        pub_fact_cols=[
+            PubCol("Impressions", "imps"),
+            # Clicks may not be requested together with Secret
+            PubCol("Clicks", "clicks",
+                   incompatible_columns=frozenset({"Secret"})),
+        ],
+        schema_required_alias={"advertiser": "Advertiser ID"},
+        max_days_window=31,
+        max_days_lookback=400,
+        day_alias="Day",
+    ))
+    return reg
+
+
+REG = make_registry()
+DAY = {"field": "Day", "operator": "between",
+       "from": "2001-05-01", "to": "2001-05-30"}
+ADV = {"field": "Advertiser ID", "operator": "=", "value": 1}
+
+
+def build(select, filters, schema="internal", **extra):
+    req = parse_request({
+        "cube": "perf",
+        "selectFields": [{"field": f} for f in select],
+        "filterExpressions": filters,
+        **extra,
+    }, schema=schema)
+    return build_request_model(req, REG, today=TODAY)
+
+
+def errs(select, filters, schema="internal", **extra) -> str:
+    with pytest.raises(ValidationError) as ei:
+        build(select, filters, schema=schema, **extra)
+    return " ".join(ei.value.errors)
+
+
+# ------------------------------------------------------------ happy path
+def test_valid_request_builds():
+    m = build(["Day", "Impressions"], [DAY, ADV])
+    assert [p.alias for p in m.projections] == ["Day", "Impressions"]
+
+
+# ------------------------------------------------------- field resolution
+def test_unknown_cube():
+    req = parse_request({"cube": "nope", "selectFields": [{"field": "Day"}],
+                         "filterExpressions": [DAY]})
+    with pytest.raises((ValidationError, KeyError)):
+        build_request_model(req, REG, today=TODAY)
+
+
+def test_unknown_select_field():
+    assert "Field not found" in errs(["Bogus", "Impressions"], [DAY, ADV])
+
+
+def test_unknown_filter_field():
+    assert "Filter field not found" in errs(
+        ["Impressions"], [DAY, ADV,
+                          {"field": "Bogus", "operator": "=", "value": 1}])
+
+
+def test_unknown_sort_field():
+    assert "Sort field not found" in errs(
+        ["Impressions"], [DAY, ADV],
+        sortBy=[{"field": "Bogus", "order": "ASC"}])
+
+
+# ------------------------------------------------------------ day window
+def test_missing_day_filter():
+    assert "Day filter missing" in errs(["Impressions"], [ADV])
+
+
+def test_day_from_after_to():
+    assert "'from' must be <= 'to'" in errs(
+        ["Impressions"],
+        [{"field": "Day", "operator": "between",
+          "from": "2001-05-30", "to": "2001-05-01"}, ADV])
+
+
+def test_max_days_window_exceeded():
+    assert "Max days window exceeded" in errs(
+        ["Impressions"],
+        [{"field": "Day", "operator": "between",
+          "from": "2001-01-01", "to": "2001-05-30"}, ADV])
+
+
+def test_max_days_lookback_exceeded():
+    assert "look back exceeded" in errs(
+        ["Impressions"],
+        [{"field": "Day", "operator": "between",
+          "from": "2000-01-01", "to": "2000-01-20"}, ADV])
+
+
+def test_lookback_boundary_ok():
+    m = build(["Impressions"],
+              [{"field": "Day", "operator": "between",
+                "from": "2000-06-01", "to": "2000-06-20"}, ADV])
+    assert m.day_range == (dt.date(2000, 6, 1), dt.date(2000, 6, 20))
+
+
+# ----------------------------------------------------- filter operations
+def test_disallowed_op_on_day():
+    assert "Unsupported operation" in errs(
+        ["Impressions"],
+        [DAY, ADV, {"field": "Day", "operator": "like", "value": "2001"}])
+
+
+def test_in_list_cap():
+    from maha_spark.model.request_model import MAX_ALLOWED_FILTER_VALUES
+    vals = list(range(MAX_ALLOWED_FILTER_VALUES + 1))
+    assert "max allowed values" in errs(
+        ["Impressions"],
+        [DAY, ADV, {"field": "Campaign ID", "operator": "in", "values": vals}])
+
+
+def test_disallowed_op_inside_or_combinator():
+    assert "Unsupported operation" in errs(
+        ["Impressions"],
+        [DAY, ADV, {"operator": "or", "filterExpressions": [
+            {"field": "Day", "operator": "like", "value": "x"},
+            {"field": "Campaign ID", "operator": "=", "value": 1}]}])
+
+
+# --------------------------------------------------- schema access control
+def test_schema_required_filter_missing():
+    assert "required filter for schema" in errs(
+        ["Impressions"], [DAY], schema="advertiser")
+
+
+def test_schema_required_filter_present():
+    m = build(["Impressions"], [DAY, ADV], schema="advertiser")
+    assert m.cube.name == "perf"
+
+
+def test_restricted_schema_blocks_field():
+    assert "restricted to schemas" in errs(
+        ["Secret", "Impressions"], [DAY, ADV], schema="advertiser")
+
+
+def test_restricted_schema_allows_listed():
+    m = build(["Secret", "Campaign ID", "Impressions"], [DAY, ADV],
+              schema="internal")
+    assert "Secret" in [p.alias for p in m.projections]
+
+
+# -------------------------------------------- column compatibility rules
+def test_incompatible_columns():
+    assert "incompatible with" in errs(
+        ["Secret", "Clicks"], [DAY, ADV])
+
+
+def test_depends_on_columns_missing():
+    assert "Missing dependent column" in errs(
+        ["Device", "Impressions"], [DAY, ADV])
+
+
+def test_depends_on_columns_via_filter():
+    m = build(["Device", "Impressions"],
+              [DAY, ADV, {"field": "Campaign ID", "operator": "=", "value": 3}])
+    assert "Device" in [p.alias for p in m.projections]
+
+
+def test_filtering_required_enforced():
+    assert "filtering is required" in errs(["Impressions"], [DAY])
+
+
+# ------------------------------------------------------------- row caps
+def test_sync_rows_cap():
+    assert "exceeds cap" in errs(["Impressions"], [DAY, ADV],
+                                 rowsPerPage=5001)
+
+
+def test_async_rows_cap_allows_more():
+    m = build(["Impressions"], [DAY, ADV], rowsPerPage=50000,
+              requestType="AsyncRequest")
+    assert m.max_rows == 50000
+
+
+def test_async_rows_cap_limit():
+    assert "exceeds cap" in errs(["Impressions"], [DAY, ADV],
+                                 rowsPerPage=100001,
+                                 requestType="AsyncRequest")
+
+
+# ----------------------------------------------------- errors accumulate
+def test_errors_accumulate_not_fail_fast():
+    msgs = errs(["Bogus", "Device"], [])
+    assert "Field not found" in msgs
+    assert "Day filter missing" in msgs
+    assert "Missing dependent column" in msgs
+    assert "filtering is required" in msgs
