@@ -13,9 +13,11 @@ from collections.abc import Callable
 
 
 def entry_queries() -> dict[str, Callable]:
-    from . import dedup, multimodal, similarity, sketches, text
+    from . import dedup, multimodal, sessions, similarity, sketches, text
     from ..streaming import hourly
     return {
+        "op_sessionize": sessions.sessionize,
+        "op_stream_sessions": sessions.streaming_sessions,
         "op_text_stats": text.text_stats,
         "op_dedup_exact": dedup.dedup_exact,
         "op_dedup_wordset": dedup.dedup_wordset,
@@ -36,9 +38,13 @@ def entry_queries() -> dict[str, Callable]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import dedup, multimodal, similarity, sketches, text
+    from . import dedup, multimodal, sessions, similarity, sketches, text
     from ..streaming import hourly
     return {
+        "op_sessionize": sessions.sessionize_oracle(),
+        # op_stream_sessions: stateful streaming -> rows-only driver check;
+        # exact equality to the batch op is pinned in pytest
+        "op_stream_sessions": sessions.sessionize_oracle(),
         "op_text_stats": text.text_stats_oracle(),
         "op_dedup_exact": dedup.dedup_exact_oracle(),
         "op_dedup_wordset": dedup.dedup_wordset_oracle(),
