@@ -33,6 +33,8 @@ def entry_queries() -> dict[str, Callable]:
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
         "op_sim_ann_topk": similarity.sim_ann_topk,
         "op_mm_decode": multimodal.mm_decode_features,
+        "op_mm_resize": multimodal.mm_resize,
+        "op_mm_frame_sample": multimodal.mm_frame_sample,
         "op_stream_hourly": hourly.streaming_hourly,
     }
 
@@ -60,5 +62,7 @@ def entry_oracles() -> dict[str, str]:
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
         # op_sim_ann_topk: approximate -> rows-only check
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
+        "op_mm_resize": multimodal.mm_resize_oracle(),
+        "op_mm_frame_sample": multimodal.mm_frame_sample_oracle(),
         "op_stream_hourly": hourly.streaming_hourly_oracle(),
     }
