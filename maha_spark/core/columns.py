@@ -107,9 +107,22 @@ class ConstCol(BaseCol):
 @dataclass(frozen=True)
 class DerivedDimCol(BaseCol):
     """Row-level derived expression (pre-aggregation), e.g.
-    GET_INTERVAL_DATE({stats_date},'M')."""
+    GET_INTERVAL_DATE({stats_date},'M').
+
+    ``render_expr`` (optional) splits the column into a cheap GROUP
+    expression (``expr``) and a presentation step applied AFTER
+    aggregation, referencing the grouped value as ``{self}`` — e.g.
+    ``expr="date_trunc('hour', {ts})"`` with
+    ``render_expr="date_format({self}, 'yyyy-MM-dd HH:mm:ss')"``.
+    Heavy aggregations then hash/shuffle an 8-byte timestamp instead of a
+    formatted string, and the format runs once per OUTPUT row. The render
+    must be injective over ``expr``'s values (a pure formatting bijection),
+    otherwise the output could carry duplicate user-visible keys.
+    Mirrors Druid's granularity-bucket-then-format split
+    (DruidQueryGenerator.scala granularity vs extraction rendering)."""
 
     expr: str = ""
+    render_expr: str = ""
 
     @property
     def is_derived(self) -> bool:

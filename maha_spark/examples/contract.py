@@ -381,7 +381,10 @@ def build_contract_registry() -> Registry:
                                    expr="CAST({ts} AS DATE)"),
         "event_hour": DerivedDimCol(
             "event_hour", StrType(),
-            expr="date_format(date_trunc('hour', {ts}), 'yyyy-MM-dd HH:mm:ss')"),
+            # group on the 8-byte truncated timestamp; format once per
+            # OUTPUT row (render_expr) instead of once per input row
+            expr="date_trunc('hour', {ts})",
+            render_expr="date_format({self}, 'yyyy-MM-dd HH:mm:ss')"),
         "user_id": DimCol("user_id", IntType()),
         "event_type": DimCol("event_type", StrType()),
         "value": FactCol("value", DecType()),

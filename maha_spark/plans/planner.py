@@ -60,7 +60,12 @@ def _col_sql(table_cols: dict[str, BaseCol], name: str) -> str:
         return _q(name)
     if isinstance(col, (DerivedDimCol, PostResultCol)):
         resolver = {n: _inner_sql(table_cols, n) for n in table_cols}
-        return expand_expr(col.expr, resolver)
+        expanded = expand_expr(col.expr, resolver)
+        if isinstance(col, DerivedDimCol) and col.render_expr:
+            # full user-facing value = render over the group expression
+            # (filters/describe see the rendered form)
+            return expand_expr(col.render_expr, {"self": f"({expanded})"})
+        return expanded
     if isinstance(col, ConstCol):
         return repr(col.value) if not isinstance(col.value, str) else \
             "'" + col.value.replace("'", "''") + "'"
@@ -238,12 +243,23 @@ class Planner:
         return base_needed, direct, derived
 
     def _group_key_exprs(self, model: RequestModel) -> list[tuple[str, str]]:
-        """(alias, sql) group keys answerable at fact grain."""
+        """(alias, sql) group keys answerable at fact grain.
+
+        Columns with a ``render_expr`` group on the UNRENDERED expression
+        (e.g. an 8-byte truncated timestamp, not its formatted string);
+        _final_projection applies the render once per output row."""
         table = model.fact_table
         out = []
         for p in model.projections:
             if p.kind == FACT_DIM:
-                out.append((p.alias, _decode_sql(table.columns, p.pub_col)))
+                col = table.columns.get(p.pub_col.name)
+                if isinstance(col, DerivedDimCol) and col.render_expr and \
+                        not col.dtype.has_static_mapping:
+                    resolver = {n: _inner_sql(table.columns, n)
+                                for n in table.columns}
+                    out.append((p.alias, expand_expr(col.expr, resolver)))
+                else:
+                    out.append((p.alias, _decode_sql(table.columns, p.pub_col)))
         return out
 
     def _build_fact_agg(self, model: RequestModel,
@@ -592,10 +608,19 @@ class Planner:
         return out
 
     def _build_dim_only(self, model: RequestModel) -> DataFrame:
-        """Dim-only SELECT DISTINCT (RequestModel.isRequestingDistict)."""
+        """Dim-only SELECT DISTINCT (RequestModel.isRequestingDistict).
+
+        Each chain is reduced to its projected attributes and de-duplicated
+        BEFORE chains are combined, so a request spanning unrelated chains
+        cross-joins the small distinct sets (product bounded by attribute
+        cardinalities) instead of the raw dimension tables."""
         parts = []
         for ch in model.chains:
-            parts.append(self._build_chain_df(ch))
+            chdf = self._build_chain_df(ch)
+            keep = [a for als in ch.projected.values() for a in als]
+            keep += [s.field for s in ch.sorts
+                     if s.field not in keep and s.field in chdf.columns]
+            parts.append(chdf.select(*[F.col(_q(a)) for a in keep]).distinct())
         df = parts[0]
         for p in parts[1:]:
             df = df.crossJoin(p)
@@ -615,7 +640,17 @@ class Planner:
             if p.kind == CONSTANT:
                 cols.append(F.lit(p.value).alias(p.output_name if False else p.alias))
             elif p.kind in (FACT_DIM, DIM_ATTR):
-                cols.append(F.col(_q(p.alias)))
+                colmeta = table.columns.get(p.pub_col.name) \
+                    if p.pub_col is not None else None
+                if p.kind == FACT_DIM and isinstance(colmeta, DerivedDimCol) \
+                        and colmeta.render_expr and \
+                        not colmeta.dtype.has_static_mapping:
+                    # presentation step deferred from the group key
+                    cols.append(F.expr(expand_expr(
+                        colmeta.render_expr,
+                        {"self": _q(p.alias)})).alias(p.alias))
+                else:
+                    cols.append(F.col(_q(p.alias)))
             elif p.kind == METRIC and p.alias in derived_aliases:
                 col = table.columns[p.pub_col.name]
                 # FactCol partials resolve to their __base_ aggregates,
