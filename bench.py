@@ -207,17 +207,35 @@ def main() -> None:
                 if s_spark.get(n, -1) > 0 and s_duck.get(n, -1) > 0},
         }
 
-    print(json.dumps({
-        "metric": "contract_queries_total",
-        "value": round(total, 4),
-        "unit": "sec",
+    # Full per-engine detail (duckdb per-query, scaled tier) goes to a
+    # sidecar file; the stdout contract line must stay short enough for the
+    # driver's bounded tail capture to parse (BENCH_r02 lesson: a >2 KB
+    # line gets truncated -> "parsed": null).
+    detail = {
         "queries": timings,
-        "sf": guess_sf(SF_DIR),
-        "cpus": CPUS,
         "duckdb": duck_base,
         "duckdb_total": round(duck_total, 4),
         "scaled": scaled,
-    }))
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    line = {
+        "metric": "contract_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": guess_sf(SF_DIR),
+        "cpus": CPUS,
+        "duckdb_total": round(duck_total, 2),
+        "scaled_mult": scaled.get("mult", 0),
+        "scaled_ratio": scaled.get("ratio", -1.0),
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1700:  # last-resort: drop per-query detail, keep headline
+        line["queries"] = {"see": "BENCH_DETAIL.json"}
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
     spark.stop()
 
 

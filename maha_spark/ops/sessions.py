@@ -46,8 +46,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ts is TIMESTAMP_NTZ (binding-normalized); naive datetime subtraction
+    # is timezone-free on both engines (DuckDB epoch_us is also naive)
+    us_expr = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     b = (ev.select("user_id", "event_id", "ts", "value",
-                   F.unix_micros("ts").alias("us"))
+                   us_expr.alias("us"))
          .withColumn("prev_us", F.lag("us").over(w))
          .withColumn("new_s",
                      F.when(F.col("prev_us").isNull(), 0)
@@ -117,13 +121,15 @@ def streaming_sessions_df(spark: SparkSession, events_dir: str,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from ..streaming.hourly import EVENT_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP (not NTZ); pin the session to UTC so the
+    # NTZ->TIMESTAMP cast is the identity instant and every boundary /
+    # formatted string is timezone-free.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(events_dir)
-    ev = (raw.withColumn(
-              "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = (raw.withColumn("ts", F.col("ts").cast("timestamp"))
           .withWatermark("ts", "1 second"))
 
     out_cols = ["user_id", "session_id", "n_events",
@@ -204,9 +210,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     drain()  # batch 1: gap-closed sessions emit; tails stay in state
-    max_ns = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+    import datetime as _dt
+    max_ts = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
               .agg(F.max("ts")).collect()[0][0])
-    write_sentinel(spark, input_dir, int(max_ns) + 3 * 3600 * 10 ** 9)
+    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
     drain()  # batch 2: watermark jump fires every event-time timeout
 
     return (spark.read.schema(OUT_SCHEMA).parquet(out_dir)

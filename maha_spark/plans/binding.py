@@ -55,18 +55,28 @@ class ParquetBinding(TableBinding):
         return self.spark.table(name)
 
     def _read_parquet(self, path: str) -> DataFrame:
-        # Spark's parquet reader rejects TIMESTAMP(NANOS) outright
-        # (PARQUET_TYPE_ILLEGAL); read them as long nanos and convert to
-        # microsecond timestamps so downstream date logic is uniform.
-        ns_cols = _nano_timestamp_cols(path)
-        if not ns_cols:
-            return self.spark.read.parquet(path)
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Canonical timestamp dtype is TIMESTAMP_NTZ (naive wall clock —
+        # what DuckDB and the testdata parquet store).  Two non-NTZ shapes
+        # get normalized so every downstream expression sees one dtype
+        # regardless of the session's parquet-inference config:
+        #  * TIMESTAMP(NANOS) parquet: Spark rejects it outright
+        #    (PARQUET_TYPE_ILLEGAL); read as long nanos -> micros -> NTZ.
+        #  * TIMESTAMP (ltz) columns (inferTimestampNTZ disabled): cast.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
+        ns_cols = _nano_timestamp_cols(path)
+        if ns_cols:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                                "true")
         df = self.spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    .cast("timestamp_ntz"))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                df = df.withColumn(f.name,
+                                   F.col(f.name).cast("timestamp_ntz"))
         return df
 
 

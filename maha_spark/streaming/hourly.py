@@ -20,11 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # nanos (see binding.py nanos handling)
+    StructField("ts", TimestampNTZType()),  # naive micros (testdata layout)
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -39,15 +40,16 @@ def hourly_stream(spark: SparkSession, events_dir: str,
     ``events_dir`` must be a directory (Spark file-source requirement);
     ``glob`` optionally restricts which files in it are ingested.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP; with the session pinned to UTC the
+    # NTZ->TIMESTAMP cast is the identity instant (tz-free boundaries).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (spark.readStream
               .schema(EVENT_SCHEMA)
               .format("parquet"))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(events_dir)
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return (ev
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"),
@@ -103,12 +105,15 @@ def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
 
 
 def write_sentinel(spark: SparkSession, input_dir: str,
-                   ts_nanos: int) -> None:
+                   ts) -> None:
     """Append a single far-future flush event to the input directory: the
     next drain advances the watermark past every real window, closing and
     emitting them all. The sentinel's own window stays open and is never
-    emitted, so the file output equals the batch answer exactly."""
-    row = [(int(-1), int(ts_nanos), int(-1), "__flush__", 0.0, "")]
+    emitted, so the file output equals the batch answer exactly.
+
+    ``ts`` is a naive ``datetime`` (EVENT_SCHEMA stores TIMESTAMP_NTZ).
+    """
+    row = [(int(-1), ts, int(-1), "__flush__", 0.0, "")]
     (spark.createDataFrame(row, schema=EVENT_SCHEMA)
      .coalesce(1).write.mode("append").parquet(input_dir))
 
@@ -122,7 +127,6 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="maha-stream-")
     input_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "out")
@@ -134,9 +138,10 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain 1: real backlog (windows older than max(ts)-1h are finalized)
     drain_append(spark, input_dir, out_dir, ckpt)
     # drain 2: sentinel advances the watermark, flushing the tail windows
-    max_ns = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+    import datetime as _dt
+    max_ts = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
               .agg(F.max("ts")).collect()[0][0])
-    write_sentinel(spark, input_dir, int(max_ns) + 3 * 3600 * 10**9)
+    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
     drain_append(spark, input_dir, out_dir, ckpt)
 
     out_schema = ("hour string, event_type string, "

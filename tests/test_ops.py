@@ -51,19 +51,28 @@ def test_binary_decode_batching(spark):
     assert 1 <= a["width"] <= 1024 and 1 <= a["height"] <= 1024
 
 
+def _events_pdf(event_ids, ts_nanos, user_ids, event_types, values):
+    """Build an events frame with naive us-precision timestamps (the
+    testdata parquet layout: TIMESTAMP_NTZ)."""
+    import pandas as pd
+    return pd.DataFrame({
+        "event_id": event_ids,
+        "ts": pd.to_datetime(pd.Series(ts_nanos, dtype="int64"))
+                .astype("datetime64[us]"),
+        "user_id": user_ids, "event_type": event_types,
+        "value": values, "props": [""] * len(event_ids),
+    })
+
+
 def test_streaming_incremental(spark, tmp_path):
     """The hourly stream aggregates across micro-batches: feed two files
     sequentially with availableNow and check the merged counts."""
-    import pandas as pd
     from maha_spark.streaming.hourly import hourly_stream
 
     src = tmp_path / "events"
     src.mkdir()
-    rows1 = pd.DataFrame({
-        "event_id": [1, 2], "ts": [3_600_000_000_000, 3_700_000_000_000],
-        "user_id": [1, 2], "event_type": ["a", "a"],
-        "value": [1.0, 2.0], "props": ["", ""],
-    })
+    rows1 = _events_pdf([1, 2], [3_600_000_000_000, 3_700_000_000_000],
+                        [1, 2], ["a", "a"], [1.0, 2.0])
     rows1.to_parquet(src / "f1.parquet")
     agg = hourly_stream(spark, str(src))
     ckpt = str(tmp_path / "ckpt")
@@ -75,11 +84,7 @@ def test_streaming_incremental(spark, tmp_path):
              for r in spark.table("inc_test").collect()}
     assert sum(first.values()) == 2
 
-    rows2 = pd.DataFrame({
-        "event_id": [3], "ts": [3_800_000_000_000],
-        "user_id": [3], "event_type": ["b"],
-        "value": [3.0], "props": [""],
-    })
+    rows2 = _events_pdf([3], [3_800_000_000_000], [3], ["b"], [3.0])
     rows2.to_parquet(src / "f2.parquet")
     q = (agg.writeStream.format("memory").queryName("inc_test")
          .outputMode("complete").option("checkpointLocation", ckpt)
@@ -94,7 +99,7 @@ def test_streaming_append_sink_drops_late_rows(spark, tmp_path):
     """Scale path: append-mode parquet sink over multiple drains. Rows
     later than the 1h watermark are dropped; the final file output equals
     the batch answer minus the dropped-late rows."""
-    import pandas as pd
+    import datetime as dt
     from maha_spark.streaming.hourly import drain_append, write_sentinel
 
     H = 3_600 * 10**9  # one hour in nanos
@@ -102,27 +107,22 @@ def test_streaming_append_sink_drops_late_rows(spark, tmp_path):
     (tmp_path / "src").mkdir()
 
     # batch 1: hours 10,11,12,13 (one event each) -> watermark = 13h-1h
-    rows1 = pd.DataFrame({
-        "event_id": [1, 2, 3, 4],
-        "ts": [10 * H + 1800 * 10**9, 11 * H, 12 * H, 13 * H],
-        "user_id": [1, 2, 3, 4], "event_type": ["a"] * 4,
-        "value": [1.0, 2.0, 3.0, 4.0], "props": [""] * 4,
-    })
+    rows1 = _events_pdf([1, 2, 3, 4],
+                        [10 * H + 1800 * 10**9, 11 * H, 12 * H, 13 * H],
+                        [1, 2, 3, 4], ["a"] * 4, [1.0, 2.0, 3.0, 4.0])
     rows1.to_parquet(tmp_path / "src" / "b1.parquet")
     drain_append(spark, src, out, ckpt)
 
     # batch 2: one LATE row at 10:45 (window already finalized -> dropped)
     # and one on-time row at 14:10 (counted)
-    rows2 = pd.DataFrame({
-        "event_id": [5, 6], "ts": [10 * H + 2700 * 10**9, 14 * H + 600 * 10**9],
-        "user_id": [5, 6], "event_type": ["a", "b"],
-        "value": [100.0, 6.0], "props": ["", ""],
-    })
+    rows2 = _events_pdf([5, 6],
+                        [10 * H + 2700 * 10**9, 14 * H + 600 * 10**9],
+                        [5, 6], ["a", "b"], [100.0, 6.0])
     rows2.to_parquet(tmp_path / "src" / "b2.parquet")
     drain_append(spark, src, out, ckpt)
 
     # sentinel drain flushes the remaining open windows (13h, 14h)
-    write_sentinel(spark, src, 20 * H)
+    write_sentinel(spark, src, dt.datetime(1970, 1, 1) + dt.timedelta(hours=20))
     drain_append(spark, src, out, ckpt)
 
     got = {(r["hour"][11:13], r["event_type"]): (r["event_count"],
