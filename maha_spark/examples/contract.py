@@ -455,36 +455,43 @@ QUERIES: dict[str, dict] = {
             FROM lineitem GROUP BY 1, 2
         """,
     },
-    # -- §2.6 TopN (sort by metric + limit; exact, beats Druid approx TopN)
+    # -- §2.6 TopN (sort by metric + deterministic tiebreak; exact, beats
+    #    Druid approx TopN) + offset pagination in the same request
     "q2_topn_parts": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
             "filterExpressions": [DAY_ALL],
-            "sortBy": [{"field": "revenue", "order": "DESC"}],
-            "rowsPerPage": 10,
+            "sortBy": [{"field": "revenue", "order": "DESC"},
+                       {"field": "part_id", "order": "ASC"}],
+            "paginationStartIndex": 5,
+            "rowsPerPage": 15,
         },
         "sql": f"""
             SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
-            FROM lineitem GROUP BY 1 ORDER BY revenue DESC LIMIT 10
+            FROM lineitem GROUP BY 1
+            ORDER BY revenue DESC, part_id ASC LIMIT 15 OFFSET 5
         """,
     },
-    # -- §2.6 timeseries (grain grouping)
+    # -- §2.6 timeseries (grain grouping) + §2.8 DAY_OF_WEEK derived
+    #    function (functionally dependent on the day key)
     "q3_daily_revenue": {
         "request": {
             "cube": "tpch",
-            "selectFields": [{"field": "day"}, {"field": "revenue"},
-                             {"field": "line_count"}],
+            "selectFields": [{"field": "day"}, {"field": "day_of_week"},
+                             {"field": "revenue"}, {"field": "line_count"}],
             "filterExpressions": [{"field": "day", "operator": "between",
                                    "from": "1996-01-01", "to": "1996-12-31"}],
         },
         "sql": f"""
-            SELECT CAST(l_shipdate AS DATE) AS day, {SQL_REVENUE} AS revenue,
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   dayname(l_shipdate) AS day_of_week,
+                   {SQL_REVENUE} AS revenue,
                    COUNT(*) AS line_count
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
                   AND DATE '1996-12-31'
-            GROUP BY 1
+            GROUP BY 1, 2
         """,
     },
     # -- §2.3 star join chain with dim filter (inner) + OGB re-aggregation
@@ -557,16 +564,23 @@ QUERIES: dict[str, dict] = {
             FROM page LEFT JOIN f ON o_orderkey = l_orderkey
         """,
     },
-    # -- §1.2 static enum mapping decode on a joined dim attribute
+    # -- §1.2 static enum mapping decode on a joined dim attribute, with a
+    #    §2.2 DateTimeBetween ISO range on the dim's timestamp attribute
     "q7_order_status_decode": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "order_status"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "order_ts", "operator": "datetimebetween",
+                 "from": "1996-03-01T00:00:00", "to": "1997-06-30T23:59:59"},
+            ],
         },
         "sql": f"""
             SELECT {ORDER_STATUS_SQL} AS order_status, {SQL_REVENUE} AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
             GROUP BY 1
         """,
     },
@@ -584,24 +598,6 @@ QUERIES: dict[str, dict] = {
                    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {SQL_QTY} END)
                         AS DOUBLE) AS returned_qty,
                    COUNT(*) AS line_count
-            FROM lineitem GROUP BY 1
-        """,
-    },
-    # -- §2.8 safe divide `/-` custom rollup (aggregate then divide)
-    "q9_safe_divide": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "return_flag_label"},
-                             {"field": "discount_rate"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            SELECT {RETURN_FLAG_SQL} AS return_flag_label,
-                   CASE WHEN CAST(SUM({SQL_PRICE}) AS DOUBLE) = 0
-                         OR CAST(SUM({SQL_PRICE}) AS DOUBLE) IS NULL THEN 0.0
-                        ELSE CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)
-                             / CAST(SUM({SQL_PRICE}) AS DOUBLE)
-                   END AS discount_rate
             FROM lineitem GROUP BY 1
         """,
     },
@@ -649,6 +645,8 @@ QUERIES: dict[str, dict] = {
                  "values": ["Brand#1", "Brand#2"]},
                 {"field": "part_name", "operator": "like", "value": "part"},
                 {"field": "part_size", "operator": ">", "value": 10},
+                {"field": "return_flag", "operator": "==",
+                 "compareTo": "line_status"},
             ],
         },
         "sql": f"""
@@ -659,6 +657,7 @@ QUERIES: dict[str, dict] = {
               AND p_brand NOT IN ('Brand#1','Brand#2')
               AND lower(p_name) LIKE '%part%'
               AND p_size > 10
+              AND l_returnflag = l_linestatus
             GROUP BY 1
         """,
     },
@@ -813,20 +812,6 @@ QUERIES: dict[str, dict] = {
             FROM lineitem GROUP BY 1
         """,
     },
-    # -- §2.2 column-to-column compare (FieldEqualityFilter '==')
-    "q21_field_equality": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "return_flag", "operator": "==",
-                                   "compareTo": "line_status"}],
-        },
-        "sql": f"""
-            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue
-            FROM lineitem WHERE l_returnflag = l_linestatus GROUP BY 1
-        """,
-    },
     # -- §2.2 OR combinator + NOT LIKE + IS NOT NULL
     "q22_or_notlike": {
         "request": {
@@ -847,27 +832,6 @@ QUERIES: dict[str, dict] = {
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
               AND p_name IS NOT NULL
-            GROUP BY 1
-        """,
-    },
-    # -- §2.2 ISO datetime range on a timestamp dim attribute
-    "q23_datetime_between": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "order_status"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"field": "order_ts", "operator": "datetimebetween",
-                 "from": "1996-03-01T00:00:00", "to": "1997-06-30T23:59:59"},
-            ],
-        },
-        "sql": f"""
-            SELECT {ORDER_STATUS_SQL} AS order_status,
-                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
-              AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
             GROUP BY 1
         """,
     },
@@ -895,37 +859,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.6 offset pagination with a deterministic total order
-    "q25_offset_pagination": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-            "sortBy": [{"field": "revenue", "order": "DESC"},
-                       {"field": "part_id", "order": "ASC"}],
-            "paginationStartIndex": 5,
-            "rowsPerPage": 15,
-        },
-        "sql": f"""
-            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
-            FROM lineitem GROUP BY 1
-            ORDER BY revenue DESC, part_id ASC LIMIT 15 OFFSET 5
-        """,
-    },
-    # -- §2.8 DAY_OF_WEEK derived function on the fact time column
-    "q26_day_of_week": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "day_of_week"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            SELECT dayname(l_shipdate) AS day_of_week,
-                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
-            FROM lineitem GROUP BY 1
-        """,
-    },
     # -- §2.8 REGEX_EXTRACT derived dim attribute
     "q27_regex_extract": {
         "request": {
@@ -941,10 +874,12 @@ QUERIES: dict[str, dict] = {
         """,
     },
     # -- §2.8 COMPARE_PERCENTAGE-style banded labeling on a snowflake attr
+    #    + safe divide `/-` custom rollup (aggregate then divide)
     "q28_banding": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "acct_band"}, {"field": "revenue"},
+                             {"field": "discount_rate"},
                              {"field": "line_count"}],
             "filterExpressions": [DAY_ALL],
         },
@@ -952,7 +887,13 @@ QUERIES: dict[str, dict] = {
             SELECT CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
                         WHEN c_acctbal < 5000 THEN 'LOW'
                         ELSE 'HIGH' END AS acct_band,
-                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
+                   {SQL_REVENUE} AS revenue,
+                   CASE WHEN CAST(SUM({SQL_PRICE}) AS DOUBLE) = 0
+                         OR CAST(SUM({SQL_PRICE}) AS DOUBLE) IS NULL THEN 0.0
+                        ELSE CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)
+                             / CAST(SUM({SQL_PRICE}) AS DOUBLE)
+                   END AS discount_rate,
+                   COUNT(*) AS line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1029,15 +970,18 @@ QUERIES: dict[str, dict] = {
             FROM s
         """,
     },
-    # -- §2.4 AverageRollup at plain fact grain + NoopRollup pass-through
-    #    (value functionally dependent on the group key, so first() is
-    #    deterministic and equals MAX in the oracle)
+    # -- §2.4 rollup family at plain fact grain: AverageRollup + NoopRollup
+    #    pass-through (value functionally dependent on the group key, so
+    #    first() is deterministic and equals MAX in the oracle) +
+    #    RoundedSumRollup (ROUND(SUM(x), 2) at aggregation time)
     "q33_noop_rollup": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "return_flag"},
                              {"field": "status_label"},
                              {"field": "avg_price_rollup"},
+                             {"field": "revenue_rounded"},
+                             {"field": "revenue"},
                              {"field": "line_count"}],
             "filterExpressions": [DAY_ALL],
         },
@@ -1047,24 +991,10 @@ QUERIES: dict[str, dict] = {
                    CAST((2 * SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) * 10000
                          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
                        / 1000000.0 AS avg_price_rollup,
-                   COUNT(*) AS line_count
-            FROM lineitem GROUP BY 1
-        """,
-    },
-    # -- §2.4 RoundedSumRollup: ROUND(SUM(x), 2) at aggregation time
-    "q34_rounded_sum": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "line_status"},
-                             {"field": "revenue_rounded"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            SELECT l_linestatus AS line_status,
                    CAST(ROUND(SUM({SQL_DISC_PRICE}), 2)
                         AS DOUBLE) AS revenue_rounded,
-                   {SQL_REVENUE} AS revenue
+                   {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
             FROM lineitem GROUP BY 1
         """,
     },
@@ -1156,44 +1086,29 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.2 JavaScriptFilter parity: arbitrary predicate over fields as a
-    #    Spark SQL expression (FilterOperation.scala:278; core/filters.py
-    #    ExpressionFilter) — stays in JVM codegen instead of a JS engine
-    "q32_expression_filter": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "return_flag"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"field": "line_number", "operator": "expression",
-                 "expression": ("{line_number} * 2 > 8 "
-                                "OR {line_status} = 'F'")}],
-        },
-        "sql": f"""
-            SELECT l_returnflag AS return_flag, {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
-            FROM lineitem
-            WHERE l_linenumber * 2 > 8 OR l_linestatus = 'F'
-            GROUP BY 1
-        """,
-    },
     # -- §2.10 UDF plumbing: a registered vectorized (Arrow) UDF used by a
     #    derived dimension column (JAVASCRIPT function intent,
-    #    DerivedFunction.scala:113; functions.register_pandas_udf)
+    #    DerivedFunction.scala:113; functions.register_pandas_udf), plus
+    #    §2.2 JavaScriptFilter parity: arbitrary predicate over fields as a
+    #    Spark SQL expression (FilterOperation.scala:278; core/filters.py
+    #    ExpressionFilter) — stays in JVM codegen instead of a JS engine
     "q33_udf_function": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "part_name_rev"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "part_size", "operator": "<",
-                                   "value": 5}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "part_size", "operator": "<", "value": 5},
+                {"field": "line_number", "operator": "expression",
+                 "expression": ("{line_number} * 2 > 8 "
+                                "OR {line_status} = 'F'")}],
         },
         "sql": f"""
             SELECT reverse(p_name) AS part_name_rev,
                    {SQL_REVENUE} AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_size < 5
+              AND (l_linenumber * 2 > 8 OR l_linestatus = 'F')
             GROUP BY 1
         """,
     },

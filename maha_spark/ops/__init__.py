@@ -13,29 +13,37 @@ from collections.abc import Callable
 
 
 def entry_queries() -> dict[str, Callable]:
+    """Ordered for the driver's bounded correctness gate: exact
+    oracle-backed ops first (cheapest, strongest check), then the
+    approximate rows-only entries, then the long-running streaming
+    runners — so a count or time cap cuts the weakest checks, never an
+    exact one.
+
+    ``op_dedup_signatures`` is the single entry for the three
+    signature-family dedups (exact / wordset / simhash); the individual
+    functions remain public API (dedup.dedup_exact etc.).
+    """
     from . import dedup, multimodal, sessions, similarity, sketches, text
     from ..streaming import hourly
     return {
-        "op_sessionize": sessions.sessionize,
-        "op_stream_sessions": sessions.streaming_sessions,
         "op_text_stats": text.text_stats,
-        "op_dedup_exact": dedup.dedup_exact,
-        "op_dedup_wordset": dedup.dedup_wordset,
+        "op_dedup_signatures": dedup.dedup_signatures,
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine,
-        "op_dedup_simhash": dedup.dedup_simhash,
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "op_sketch_setops": sketches.sketch_setops,
-        "op_sketch_approx_users": sketches.approx_set_counts,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
-        "op_sim_ann_topk": similarity.sim_ann_topk,
         "op_mm_decode": multimodal.mm_decode_features,
         "op_mm_resize": multimodal.mm_resize,
         "op_mm_frame_sample": multimodal.mm_frame_sample,
+        "op_sessionize": sessions.sessionize,
+        "op_sketch_approx_users": sketches.approx_set_counts,
+        "op_sim_ann_topk": similarity.sim_ann_topk,
         "op_stream_hourly": hourly.streaming_hourly,
+        "op_stream_sessions": sessions.streaming_sessions,
     }
 
 
@@ -48,12 +56,10 @@ def entry_oracles() -> dict[str, str]:
         # exact equality to the batch op is pinned in pytest
         "op_stream_sessions": sessions.sessionize_oracle(),
         "op_text_stats": text.text_stats_oracle(),
-        "op_dedup_exact": dedup.dedup_exact_oracle(),
-        "op_dedup_wordset": dedup.dedup_wordset_oracle(),
+        "op_dedup_signatures": dedup.dedup_signatures_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine_oracle(),
-        "op_dedup_simhash": dedup.dedup_simhash_oracle(),
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs_oracle(),
         "op_sketch_setops": sketches.sketch_setops_oracle(),
         # op_sketch_approx_users: HLL estimate -> rows-only check

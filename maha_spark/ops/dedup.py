@@ -370,6 +370,57 @@ def dedup_simhash_oracle() -> str:
     """
 
 
+def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signature table: exact content hash, order-insensitive
+    wordset fingerprint, and 32-bit simhash, each with its group's keeper
+    (min doc_id) and duplicate count.
+
+    One driver-contract entry covering the three signature-family dedup
+    ops (``dedup_exact`` / ``dedup_wordset`` / ``dedup_simhash``) in a
+    single pass. Scale shape: signature computation is pure codegen; the
+    keeper/count windows are two keyed shuffles (partitioned by
+    fingerprint), identical cost to the groupBy formulations.
+    """
+    from pyspark.sql import Window, functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    ws_fp = f"md5(array_join(array_sort(array_distinct({words_sql()})), ' '))"
+    sig = (docs
+           .selectExpr("doc_id",
+                       "md5(text) AS content_hash",
+                       f"{ws_fp} AS wordset_fp",
+                       f"array_distinct({words_sql()}) AS dw")
+           .selectExpr("doc_id", "content_hash", "wordset_fp",
+                       f"transform(dw, x -> {h32_sql('x')}) AS hw")
+           .selectExpr("doc_id", "content_hash", "wordset_fp",
+                       f"{_simhash_expr_spark('hw')} AS simhash"))
+    w_exact = Window.partitionBy("content_hash")
+    w_ws = Window.partitionBy("wordset_fp")
+    return (sig
+            .withColumn("exact_keeper", F.min("doc_id").over(w_exact))
+            .withColumn("exact_dups", F.count(F.lit(1)).over(w_exact))
+            .withColumn("wordset_keeper", F.min("doc_id").over(w_ws))
+            .withColumn("wordset_dups", F.count(F.lit(1)).over(w_ws)))
+
+
+def dedup_signatures_oracle() -> str:
+    return f"""
+        SELECT doc_id, content_hash, wordset_fp, simhash,
+               MIN(doc_id) OVER (PARTITION BY content_hash) AS exact_keeper,
+               COUNT(*) OVER (PARTITION BY content_hash) AS exact_dups,
+               MIN(doc_id) OVER (PARTITION BY wordset_fp) AS wordset_keeper,
+               COUNT(*) OVER (PARTITION BY wordset_fp) AS wordset_dups
+        FROM (
+            SELECT doc_id, md5(text) AS content_hash,
+                   md5(array_to_string(list_sort(list_distinct(
+                       {duck_words_sql()})), ' ')) AS wordset_fp,
+                   {_simhash_expr_duck('dw')} AS simhash
+            FROM (SELECT doc_id, text,
+                         list_distinct({duck_words_sql()}) AS dw
+                  FROM documents)
+        )
+    """
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash(spark, sf_dir)
     chunks = sh.selectExpr(
