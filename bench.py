@@ -46,7 +46,7 @@ FACT_TABLES = ("lineitem", "events")
 SCALED_QUERIES = (
     "q1_pricing_summary", "q3_daily_revenue", "q4_nation_revenue_by_segment",
     "q5_region_rollup", "q6_dim_driven_orders", "q11_having",
-    "q17_events_hourly", "q25_offset_pagination",
+    "q17_events_hourly", "q2_topn_parts",
 )
 
 
@@ -152,6 +152,9 @@ def main() -> None:
 
     from maha_spark.session import get_spark
 
+    # both tiers cache multi-GB fact tables; the 8g default leaves the
+    # storage fraction thrashing against execution memory
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("maha-spark-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +184,14 @@ def main() -> None:
     # ---- tier 2: headline queries on row-multiplied facts, both engines
     scaled: dict = {}
     if MULT > 1:
+        # drop tier-1 cached tables + plans so the scaled tier isn't
+        # fighting them for executor memory (measured: q17 0.8s isolated
+        # vs 1.9s with tier-1 caches resident)
+        from maha_spark.examples import contract as _contract
+        from maha_spark.plans import binding as _binding
+        _binding._DF_CACHE.clear()
+        _contract._PLAN_CACHE.clear()
+        spark.catalog.clearCache()
         sdir = ensure_scaled_dir(spark, SF_DIR, MULT)
         s_names = [n for n in SCALED_QUERIES if n in queries]
         try:

@@ -21,9 +21,23 @@ ROLL_P = 1000000007
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table via the engine's binding (nanos-timestamp safe,
-    optionally cached)."""
+    optionally cached).
+
+    The corpus tables ship as a single small parquet file, which Spark
+    scans as ONE partition — and the pipeline ops do expression-heavy
+    per-row work (md5 minhash permutations, bigram explode), so a
+    1-partition scan serializes the whole op on one core (measured 2.5x
+    end-to-end on ngram-jaccard at sf0.1). Fan the rows out to the
+    session's parallelism first; at real scale the input is already
+    many-filed and this is a no-op.
+    """
     from ..plans.binding import ParquetBinding
-    return ParquetBinding(spark, sf_dir).table(name)
+    df = ParquetBinding(spark, sf_dir).table(name)
+    if name in ("documents", "embeddings"):
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def words_sql(text: str = "text") -> str:

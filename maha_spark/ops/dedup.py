@@ -192,78 +192,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect; candidate generation is unchanged.)
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
     base = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
             .filter("size(w) >= 2")
             .selectExpr("doc_id", f"{_bigrams_spark('w')} AS g"))
-    toks = base.selectExpr("doc_id", "explode(g) AS tok")
-    # global total order by (ascending df, token text) via TWO-LEVEL rank:
-    # range-partition the vocabulary on the sort key, rank locally in each
-    # partition (parallel window), then offset by the per-partition counts
-    # (a P-row cumulative sum, broadcast back). No single-partition window
-    # over the vocabulary anywhere — this survives a web-scale vocab.
-    n_rank_parts = 32
+    # consumed twice (document-frequency agg + the order join); cache the
+    # exploded tokens so the split/bigram expression chain runs once
+    toks = base.selectExpr("doc_id", "explode(g) AS tok").cache()
+    # Global total order WITHOUT any global rank: prefix filtering only
+    # needs a consistent total order on tokens, and the (ascending df,
+    # token) SORT KEY is itself that order — sort each document's tokens
+    # by it locally after a keyed df join. No global window, no
+    # repartition-and-offset machinery, no driver probe; two keyed
+    # shuffles total (df groupBy + per-doc collect), which is the minimum
+    # and survives a web-scale vocabulary unchanged.
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (dfreq.repartitionByRange(n_rank_parts, "df", "tok")
-              .withColumn("pid", F.spark_partition_id()))
-    w_local = Window.partitionBy("pid").orderBy("df", "tok")
-    local = ranked.withColumn("lr", F.row_number().over(w_local))
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # cumulative offsets over at most n_rank_parts rows — metadata-sized
-    w_off = (Window.orderBy("pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-    order = (local.join(F.broadcast(offsets.select("pid", "off")), "pid")
-             .selectExpr("tok", "off + lr AS idx"))
-    # cache: consumed by masks (x2 broadcasts) and the prefix explode —
-    # without it the whole upstream re-runs per use
-    sorted_sets = (toks.join(order, "tok")
+    sorted_sets = (toks.join(dfreq, "tok")
                    .groupBy("doc_id")
-                   .agg(F.array_sort(F.collect_list("idx")).alias("toks"))
+                   .agg(F.array_sort(
+                       F.collect_list(F.struct("df", "tok"))).alias("st"))
+                   .selectExpr("doc_id",
+                               "transform(st, s -> s.tok) AS toks")
                    .cache())
-    # vocabulary size as a 1-row broadcast scalar (no driver probe): the
-    # bitmap width is ceil(u/64), computed inside the expression
-    usize = dfreq.agg(F.count(F.lit(1)).alias("u"))
-    # dense bitmap: word j = OR of bits (idx-1)%64 for tokens in slot j
-    bitmap = (f"transform(sequence(0, CAST((u + 63) div 64 AS INT) - 1), "
-              f"j -> aggregate(filter(toks, t -> (t - 1) div 64 = j), "
-              f"CAST(0 AS BIGINT), "
-              f"(acc, t) -> acc | shiftleft(CAST(1 AS BIGINT), "
-              f"CAST((t - 1) % 64 AS INT))))")
-    masks = (sorted_sets.crossJoin(F.broadcast(usize))
-             .selectExpr("doc_id", f"{bitmap} AS m"))
     prefix = sorted_sets.selectExpr(
         "doc_id", "size(toks) AS n",
         f"slice(toks, 1, size(toks) - CAST(ceil({NGRAM_JACCARD_T} * "
         f"size(toks)) AS INT) + 1) AS pref")
     ex = prefix.selectExpr("doc_id", "n",
-                           "posexplode(pref) AS (pos0, idx)")
-    a = ex.selectExpr("idx", "doc_id AS a_id", "n AS a_n", "pos0 + 1 AS a_pos")
-    b = ex.selectExpr("idx", "doc_id AS b_id", "n AS b_n", "pos0 + 1 AS b_pos")
+                           "posexplode(pref) AS (pos0, tok)")
+    a = ex.selectExpr("tok", "doc_id AS a_id", "n AS a_n", "pos0 + 1 AS a_pos")
+    b = ex.selectExpr("tok", "doc_id AS b_id", "n AS b_n", "pos0 + 1 AS b_pos")
     # PPJoin position filter (lossless): common tokens all sit at positions
     # >= the first match, so inter <= 1 + min(na-i, nb-k); J >= t needs
     # inter >= t/(1+t) * (na+nb)
     alpha = f"({NGRAM_JACCARD_T} / (1 + {NGRAM_JACCARD_T}) * (a_n + b_n))"
-    cand = (a.join(b, "idx")
+    cand = (a.join(b, "tok")
             .filter("a_id < b_id")
             .filter(f"1 + least(a_n - a_pos, b_n - b_pos) >= {alpha}")
-            .join(F.broadcast(masks.selectExpr("doc_id AS a_id", "m AS a_m")),
-                  "a_id")
-            .join(F.broadcast(masks.selectExpr("doc_id AS b_id", "m AS b_m")),
-                  "b_id"))
-    # popcount of the AND-ed bitmaps, width-agnostic (zip_with + fold stays
-    # JVM-side codegen; no Python in the verify loop)
-    inter = ("aggregate(zip_with(a_m, b_m, (x, y) -> bit_count(x & y)), "
-             "0, (acc, c) -> acc + c)")
-    jac = f"CAST({inter} AS DOUBLE) / (a_n + b_n - {inter})"
-    # verify every candidate row (cheap: popcounts in codegen, no shuffle),
-    # THEN dedupe only the qualifying pairs — orders of magnitude fewer
-    # rows through the exchange than distinct-ing raw candidates
-    return (cand.selectExpr("a_id", "b_id", f"round({jac}, 6) AS jaccard")
-            .filter(f"jaccard >= {NGRAM_JACCARD_T}")
+            .select("a_id", "b_id")
             .distinct())
+    # exact verify on the deduped candidates: array_intersect of the
+    # per-doc token arrays is a native codegen'd builtin (the earlier
+    # dense-bitmap + lambda-fold variant blew janino's 64 KB method limit
+    # and fell back to interpreted evaluation — slower in practice)
+    # plain equi-joins on doc_id: AQE broadcasts while the side fits and
+    # falls back to a keyed shuffle join at scale (no forced broadcast of
+    # the corpus — that was the cluster-unsafe pattern to avoid)
+    sets_a = sorted_sets.selectExpr("doc_id AS a_id", "toks AS a_t")
+    sets_b = sorted_sets.selectExpr("doc_id AS b_id", "toks AS b_t")
+    inter = "size(array_intersect(a_t, b_t))"
+    jac = f"CAST({inter} AS DOUBLE) / (size(a_t) + size(b_t) - {inter})"
+    return (cand.join(sets_a, "a_id")
+            .join(sets_b, "b_id")
+            .selectExpr("a_id", "b_id", f"round({jac}, 6) AS jaccard")
+            .filter(f"jaccard >= {NGRAM_JACCARD_T}"))
 
 
 def dedup_ngram_jaccard_oracle() -> str:

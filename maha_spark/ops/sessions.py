@@ -191,6 +191,12 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from ..streaming.hourly import write_sentinel
 
+    # One state-store instance per shuffle partition per micro-batch: a
+    # default 200-partition session spends more time instantiating stores
+    # than sessionizing at test scale. 32 matches the local core count;
+    # a real cluster sizes this to executor-cores x executors.
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     work = tempfile.mkdtemp(prefix="maha-sess-")
     input_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "out")

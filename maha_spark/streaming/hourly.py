@@ -127,6 +127,9 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    # bound state-store instancing on default-200-partition sessions
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     work = tempfile.mkdtemp(prefix="maha-stream-")
     input_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "out")
