@@ -83,5 +83,20 @@ def dot64_sql(a: str, b: str, one_based: bool, cast: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def dot_fold_sql(a: str, b: str, cast: str = "DOUBLE") -> str:
+    """Left-fold dot product (Spark side only).
+
+    Semantically identical to ``dot64_sql``'s explicit left-associated
+    64-term sum — ``aggregate`` folds strictly left-to-right, and
+    ``0.0 + t0 == t0`` in IEEE — but the generated code is O(1) instead of
+    O(dims). The inline form, repeated across LSH planes/tables in one
+    projection, overflowed janino's 64 KB method limit and dropped the
+    whole stage to interpreted evaluation.
+    """
+    return (f"aggregate(zip_with({a}, {b}, (p, q) -> "
+            f"CAST(p AS {cast}) * CAST(q AS {cast})), "
+            f"CAST(0 AS {cast}), (acc, t) -> acc + t)")
+
+
 def env_flag(name: str, default: str = "1") -> bool:
     return os.environ.get(name, default) == "1"

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .common import dot64_sql, load_table
+from .common import dot64_sql, dot_fold_sql, load_table
 
 TOPK = 5
 PAIR_COS_T = 0.95
@@ -49,11 +49,17 @@ PAIR_BLOCKS = 8
 
 
 def _norm_sql(v: str, one_based: bool) -> str:
-    return f"sqrt({dot64_sql(v, v, one_based, 'DOUBLE')})"
+    # one_based = DuckDB oracle spelling (explicit 64-term sum); the Spark
+    # side folds — same IEEE association order, O(1) generated code
+    if one_based:
+        return f"sqrt({dot64_sql(v, v, one_based, 'DOUBLE')})"
+    return f"sqrt({dot_fold_sql(v, v)})"
 
 
 def _cos_sql(a: str, b: str, one_based: bool) -> str:
-    return (f"({dot64_sql(a, b, one_based, 'DOUBLE')} "
+    dot = (dot64_sql(a, b, one_based, 'DOUBLE') if one_based
+           else dot_fold_sql(a, b))
+    return (f"({dot} "
             f"/ ({_norm_sql(a, one_based)} * {_norm_sql(b, one_based)}))")
 
 
@@ -307,14 +313,23 @@ def _plane_weight(tag: str, c: int) -> str:
 
 
 def _bucket_sql(v: str, one_based: bool, table: int = 0) -> str:
-    lo = 1 if one_based else 0
+    # one_based = DuckDB oracle spelling: explicit per-dim terms. Spark
+    # side: the plane weights become a constant-folded array literal and
+    # the dot is a left fold — identical IEEE order/values, but 8 planes
+    # x 64 inline terms in one projection blew janino's 64 KB method
+    # limit and deopted the stage to interpreted evaluation.
     bits = []
     for p in range(N_PLANES):
         tag = f"plane{p}" if table == 0 else f"t{table}_plane{p}"
-        terms = " + ".join(
-            f"{_plane_weight(tag, c)} * CAST({v}[{lo + c}] AS DOUBLE)"
-            for c in range(DIM))
-        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+        if one_based:
+            dot = " + ".join(
+                f"{_plane_weight(tag, c)} * CAST({v}[{1 + c}] AS DOUBLE)"
+                for c in range(DIM))
+        else:
+            w_arr = ("array(" + ", ".join(
+                _plane_weight(tag, c) for c in range(DIM)) + ")")
+            dot = dot_fold_sql(w_arr, v)
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -359,7 +374,7 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "nrm AS qn")
     b = with_b.selectExpr("bkt", "vec_id AS nid", "embedding AS nv",
                           "nrm AS nn")
-    cos = f"({dot64_sql('qv', 'nv', False, 'DOUBLE')} / (qn * nn))"
+    cos = f"({dot_fold_sql('qv', 'nv')} / (qn * nn))"
     pairs = (a.join(b, "bkt").filter("qid != nid")
              .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim")
              .distinct())
