@@ -352,6 +352,44 @@ def dedup_simhash_oracle() -> str:
     """
 
 
+# ------------------------------------------------------ streaming dedup
+DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def streaming_dedup_df(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming exact dedup: drop any document whose content hash was
+    already seen in ANY earlier micro-batch (first occurrence wins).
+
+    ``dropDuplicates`` on a streaming frame keeps the seen-key set in the
+    checkpointed state store, partitioned by the hash — the streaming twin
+    of ``dedup_exact``'s hash-groupBy, and the shape an ingest pipeline
+    uses to dedupe a continuous document feed. State grows with distinct
+    keys; bound it with ``dropDuplicatesWithinWatermark`` when the feed
+    has event time (the test corpus has none).
+    """
+    raw = (spark.readStream.schema(DOC_SCHEMA).format("parquet")
+           .load(docs_dir))
+    return (raw.selectExpr("doc_id", "md5(text) AS content_hash",
+                           "lang", "source", "n_chars")
+            .dropDuplicates(["content_hash"]))
+
+
+def streaming_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                    ckpt_dir: str) -> None:
+    """One availableNow drain of the document backlog through the
+    stateful dedup into an append parquet sink (exactly-once via the sink
+    commit log + checkpointed seen-key state)."""
+    q = (streaming_dedup_df(spark, docs_dir).writeStream
+         .format("parquet")
+         .outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature table: exact content hash, order-insensitive
     wordset fingerprint, and 32-bit simhash, each with its group's keeper

@@ -31,6 +31,65 @@ def test_ann_topk_quality(spark, sf_dir):
     assert (joined["ann"] <= joined["exact"] + 1e-9).all()
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: a hash seen in batch 1 must not re-emit
+    from batch 2; the final key set equals the batch-distinct answer."""
+    import pandas as pd
+    from maha_spark.ops.dedup import streaming_dedup
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    (tmp_path / "src").mkdir()
+
+    def docs(ids, texts):
+        return pd.DataFrame({
+            "doc_id": ids, "text": texts,
+            "lang": ["en"] * len(ids), "source": ["t"] * len(ids),
+            "n_chars": [len(t) for t in texts]})
+
+    docs([1, 2, 3], ["alpha", "beta", "alpha"]).to_parquet(
+        tmp_path / "src" / "b1.parquet")
+    streaming_dedup(spark, src, out, ckpt)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 2  # alpha deduped within the batch
+
+    # batch 2: one re-offered duplicate (alpha) + one new doc (gamma)
+    docs([4, 5], ["alpha", "gamma"]).to_parquet(
+        tmp_path / "src" / "b2.parquet")
+    streaming_dedup(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    hashes = {r["content_hash"] for r in rows}
+    assert len(rows) == 3 and len(hashes) == 3  # alpha NOT re-emitted
+    got_ids = {r["doc_id"] for r in rows}
+    assert 5 in got_ids and 4 not in got_ids
+
+
+def test_ivf_topk_quality(spark, sf_dir):
+    """IVF ANN: valid ranks, deterministic centroids, and top-1 recall
+    comparable to exact search on the clustered test corpus."""
+    from maha_spark.ops.similarity import sim_ivf_topk, sim_topk
+    ivf = sim_ivf_topk(spark, sf_dir).toPandas()
+    assert set(ivf.columns) == {"qid", "rank", "nid", "cos_sim"}
+    assert (ivf["rank"] >= 1).all() and (ivf["rank"] <= 5).all()
+    assert not ivf.duplicated(["qid", "rank"]).any()
+    assert (ivf["qid"] != ivf["nid"]).all()
+
+    exact = sim_topk(spark, sf_dir).toPandas()
+    top1 = exact[exact["rank"] == 1].set_index("qid")["cos_sim"]
+    ivf1 = ivf[ivf["rank"] == 1].set_index("qid")["cos_sim"]
+    joined = top1.to_frame("exact").join(ivf1.to_frame("ivf"), how="inner")
+    # ANN never beats exact; at nprobe/k = 1/4 the probed cells contain
+    # the true top-1 for roughly two-thirds of queries on this corpus
+    assert (joined["ivf"] <= joined["exact"] + 1e-9).all()
+    recall = (joined["ivf"] >= joined["exact"] - 1e-9).mean()
+    assert recall >= 0.6, f"IVF top-1 recall too low: {recall:.2f}"
+
+    # determinism: same centroids on a second run
+    ivf2 = sim_ivf_topk(spark, sf_dir).toPandas()
+    a = ivf.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = ivf2.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_binary_decode_batching(spark):
     """mapInPandas decode: schema, Arrow round-trip, determinism."""
     import pandas as pd
