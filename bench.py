@@ -164,34 +164,21 @@ def main() -> None:
     cube_names = sorted(n for n in queries if not n.startswith("op_"))
     all_names = sorted(queries)
 
-    # warm the JVM + parquet footers once so q1 isn't session start-up
-    try:
-        queries[all_names[0]](spark, SF_DIR).limit(1).collect()
-    except Exception:
-        pass
-
-    # ---- tier 1: full suite at the sf dir (Spark) + cube oracles (DuckDB)
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings = time_spark(queries, all_names, spark, SF_DIR,
-                         passes=passes, skip_repeat_prefix="op_")
-    con = duck_connect(SF_DIR)
-    duck_base = time_duckdb(oracles, [n for n in cube_names if n in oracles],
-                            con, passes=passes)
-    con.close()
-    total = sum(v for v in timings.values() if v > 0)
-    duck_total = sum(v for v in duck_base.values() if v > 0)
-
-    # ---- tier 2: headline queries on row-multiplied facts, both engines
-    scaled: dict = {}
-    if MULT > 1:
-        # drop tier-1 cached tables + plans so the scaled tier isn't
-        # fighting them for executor memory (measured: q17 0.8s isolated
-        # vs 1.9s with tier-1 caches resident)
+    def clear_caches():
         from maha_spark.examples import contract as _contract
         from maha_spark.plans import binding as _binding
         _binding._DF_CACHE.clear()
         _contract._PLAN_CACHE.clear()
         spark.catalog.clearCache()
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
+    # ---- tier 2 FIRST (fresh JVM): headline queries on row-multiplied
+    # facts, both engines. The throughput ratio is the headline number, so
+    # it must not share executor memory with 50 tier-1 cached plans
+    # (measured: scaled q17 1.9s after tier 1 vs 0.8s on a fresh session).
+    scaled: dict = {}
+    if MULT > 1:
         sdir = ensure_scaled_dir(spark, SF_DIR, MULT)
         s_names = [n for n in SCALED_QUERIES if n in queries]
         try:
@@ -217,6 +204,21 @@ def main() -> None:
                 for n in s_names
                 if s_spark.get(n, -1) > 0 and s_duck.get(n, -1) > 0},
         }
+        clear_caches()
+
+    # ---- tier 1: full suite at the sf dir (Spark) + cube oracles (DuckDB)
+    try:
+        queries[all_names[0]](spark, SF_DIR).limit(1).collect()  # warm
+    except Exception:
+        pass
+    timings = time_spark(queries, all_names, spark, SF_DIR,
+                         passes=passes, skip_repeat_prefix="op_")
+    con = duck_connect(SF_DIR)
+    duck_base = time_duckdb(oracles, [n for n in cube_names if n in oracles],
+                            con, passes=passes)
+    con.close()
+    total = sum(v for v in timings.values() if v > 0)
+    duck_total = sum(v for v in duck_base.values() if v > 0)
 
     # Full per-engine detail (duckdb per-query, scaled tier) goes to a
     # sidecar file; the stdout contract line must stay short enough for the

@@ -112,6 +112,21 @@ def test_partial_aggregation_before_exchange(contract_engine):
     assert "partial_sum" in phys  # map-side combine
 
 
+def test_money_metrics_aggregate_as_longs(contract_engine):
+    """The cents-long fast path: money sums must aggregate raw BIGINTs in
+    codegen, never per-row decimals (no BigDecimal casts / UnscaledValue
+    wrapping in the aggregate)."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"},
+                         {"field": "charge"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    assert "UnscaledValue" not in phys
+    assert "as decimal" not in phys.lower()
+
+
 def test_column_pruning_reaches_scan(contract_engine):
     """A 2-column request over the 16-column lineitem must scan only the
     needed physical columns."""
