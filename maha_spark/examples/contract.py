@@ -226,6 +226,10 @@ def build_contract_registry() -> Registry:
         "l_partkey": DimCol("l_partkey", IntType(), foreign_key="part"),
         "l_suppkey": DimCol("l_suppkey", IntType(), foreign_key="supplier"),
         "l_linenumber": DimCol("l_linenumber", IntType()),
+        # degenerate dimension over the (whole-number) quantity so a
+        # same-table FieldEqualityFilter can produce non-empty results
+        "l_qty_int": DerivedDimCol("l_qty_int", IntType(),
+                                   expr="CAST({l_quantity} AS INT)"),
         "l_returnflag": DimCol("l_returnflag", StrType()),
         "rf_label": DerivedDimCol(
             "rf_label", StrType(static_mapping=RETURN_FLAG_MAP),
@@ -365,6 +369,7 @@ def build_contract_registry() -> Registry:
         PubCol("return_flag_label", "rf_label"),
         PubCol("line_status", "l_linestatus"),
         PubCol("line_number", "l_linenumber"),
+        PubCol("quantity_int", "l_qty_int"),
         PubCol("day_of_week", "ship_dow"),
     ]
     reg.register_fact(PublicFact(
@@ -679,10 +684,13 @@ QUERIES: dict[str, dict] = {
                  "values": ["SMALL", "MEDIUM", "LARGE"]},
                 {"field": "brand", "operator": "not in",
                  "values": ["Brand#1", "Brand#2"]},
-                {"field": "part_name", "operator": "like", "value": "part"},
-                {"field": "part_size", "operator": ">", "value": 10},
-                {"field": "return_flag", "operator": "==",
-                 "compareTo": "line_status"},
+                {"field": "part_name", "operator": "like", "value": "bolt"},
+                {"field": "part_size", "operator": ">", "value": 2},
+                # same-table field-equality with non-empty results (line
+                # number = whole-number quantity), so the oracle hash
+                # actually verifies values
+                {"field": "line_number", "operator": "==",
+                 "compareTo": "quantity_int"},
             ],
         },
         "sql": f"""
@@ -691,9 +699,9 @@ QUERIES: dict[str, dict] = {
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_type IN ('SMALL','MEDIUM','LARGE')
               AND p_brand NOT IN ('Brand#1','Brand#2')
-              AND lower(p_name) LIKE '%part%'
-              AND p_size > 10
-              AND l_returnflag = l_linestatus
+              AND lower(p_name) LIKE '%bolt%'
+              AND p_size > 2
+              AND l_linenumber = CAST(l_quantity AS INT)
             GROUP BY 1
         """,
     },
