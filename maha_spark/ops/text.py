@@ -86,6 +86,45 @@ def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
         "fp_exact": "md5(text)",
         "fp_wordset": fp_sorted,
         "fp_rolling": roll,
+        **_pii_exprs(spark_side),
+    }
+
+
+# PII patterns shared by both engines (Java regex and RE2): plain
+# character classes only — no backslash classes, so string-literal
+# escaping cannot diverge between the two SQL dialects
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_ID_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_redact_sql(spark_side: bool, col: str = "text") -> str:
+    """Redacted-text expression: emails, then phones, then id numbers."""
+    def redact(inner: str, pat: str, tag: str) -> str:
+        if spark_side:
+            return f"regexp_replace({inner}, '{pat}', '<{tag}>')"
+        return f"regexp_replace({inner}, '{pat}', '<{tag}>', 'g')"
+
+    return redact(redact(redact(col, PII_EMAIL_RE, "EMAIL"),
+                         PII_PHONE_RE, "PHONE"), PII_ID_RE, "ID")
+
+
+def _pii_exprs(spark_side: bool) -> dict[str, str]:
+    """PII detection + redaction: match counts per category and the hash
+    of the fully-redacted text (the hash stays content-dependent, so the
+    oracle verifies the whole redaction pipeline even when counts are 0).
+    Spark's regexp_replace is replace-all; DuckDB needs the 'g' flag."""
+    def count(pat: str) -> str:
+        if spark_side:
+            return f"size(regexp_extract_all(text, '{pat}', 0))"
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    red = pii_redact_sql(spark_side)
+    return {
+        "pii_emails": count(PII_EMAIL_RE),
+        "pii_phones": count(PII_PHONE_RE),
+        "pii_ids": count(PII_ID_RE),
+        "fp_redacted": f"md5({red})",
     }
 
 

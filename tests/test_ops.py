@@ -31,6 +31,32 @@ def test_ann_topk_quality(spark, sf_dir):
     assert (joined["ann"] <= joined["exact"] + 1e-9).all()
 
 
+def test_pii_detection_and_redaction(spark):
+    """The PII expressions must fire on real PII and redact it; the
+    synthetic corpus has none, so this covers the non-zero path."""
+    import pandas as pd
+    from maha_spark.ops.text import _pii_exprs, pii_redact_sql
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail me at jo.doe+x@example.co or call 555-123-4567 "
+                 "id 123-45-6789", "clean text no pii"],
+    })
+    exprs = _pii_exprs(spark_side=True)
+    df = spark.createDataFrame(pdf)
+    out = (df.selectExpr("doc_id",
+                         *(f"{sql} AS {name}" for name, sql in exprs.items()),
+                         f"{pii_redact_sql(True)} AS redacted")
+           .orderBy("doc_id").collect())
+    assert (out[0]["pii_emails"], out[0]["pii_phones"],
+            out[0]["pii_ids"]) == (1, 1, 1)
+    assert "<EMAIL>" in out[0]["redacted"] and "<PHONE>" in out[0]["redacted"]
+    assert "<ID>" in out[0]["redacted"]
+    assert "example.co" not in out[0]["redacted"]
+    assert (out[1]["pii_emails"], out[1]["pii_phones"],
+            out[1]["pii_ids"]) == (0, 0, 0)
+    assert out[1]["redacted"] == "clean text no pii"
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """Stateful streaming dedup: a hash seen in batch 1 must not re-emit
     from batch 2; the final key set equals the batch-distinct answer."""
