@@ -369,6 +369,17 @@ def parse_filter_json(obj: dict[str, Any]) -> Filter:
     if op == "between":
         return BetweenFilter(field=fld, from_value=obj["from"], to_value=obj["to"])
     if op in ("datetimebetween", "date time between"):
+        # validate ISO-8601 at parse time (DateTimeBetweenFilterHelper
+        # format check) instead of surfacing a runtime cast failure
+        import datetime as _dt
+        for k in ("from", "to"):
+            v = str(obj[k])
+            try:
+                _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError:
+                raise ValueError(
+                    f"datetimebetween {k!r} must be an ISO-8601 datetime, "
+                    f"got {v!r}") from None
         return DateTimeBetweenFilter(field=fld, from_value=obj["from"], to_value=obj["to"])
     if op in ("=", "equals", "equality"):
         return EqualityFilter(field=fld, value=obj["value"])

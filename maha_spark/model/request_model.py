@@ -150,7 +150,11 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                         today: Optional[_dt.date] = None,
                         revision: Optional[int] = None) -> RequestModel:
     errors: list[str] = []
-    cube = registry.fact(request.cube, revision=revision)
+    try:
+        cube = registry.fact(request.cube, revision=revision)
+    except KeyError as e:
+        # unknown cube / unknown revision is a request error, not a crash
+        raise ValidationError([str(e).strip('"')]) from None
 
     dim_alias = cube.dim_alias_map()
     fact_alias = cube.fact_alias_map()
@@ -367,7 +371,15 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # ------------------------------------------------------------------
     fact_sorts: list[SortBy] = []
     dim_sorts: list[SortBy] = []
+    selected_aliases = {sf.field for sf in request.select_fields}
     for s in request.sort_by:
+        # reference rule (RequestModel validation): ordering fields must be
+        # among the requested fields — sorting on an unprojected column is
+        # rejected, not silently planned
+        if s.field not in selected_aliases:
+            errors.append(
+                f"Ordering field must be in requested fields: {s.field!r}")
+            continue
         if s.field in dim_alias or s.field in fact_alias:
             fact_sorts.append(s)
         else:

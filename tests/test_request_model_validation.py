@@ -135,7 +135,9 @@ def test_unknown_filter_field():
 
 
 def test_unknown_sort_field():
-    assert "Sort field not found" in errs(
+    # an unknown sort field is also unselected, so the ordering-fields
+    # rule rejects it before cube resolution is even attempted
+    assert "Ordering field must be in requested fields" in errs(
         ["Impressions"], [DAY, ADV],
         sortBy=[{"field": "Bogus", "order": "ASC"}])
 
@@ -258,6 +260,34 @@ def test_async_rows_cap_limit():
 
 
 # ----------------------------------------------------- errors accumulate
+def test_sort_field_must_be_selected():
+    # a known metric that is NOT in selectFields is still rejected
+    # (reference: ordering fields must be among requested fields)
+    assert "Ordering field must be in requested fields" in errs(
+        ["Impressions"], [DAY, ADV],
+        sortBy=[{"field": "Clicks", "order": "DESC"}])
+
+
+def test_unknown_revision_is_validation_error():
+    req = parse_request({
+        "cube": "perf",
+        "selectFields": [{"field": "Impressions"}],
+        "filterExpressions": [DAY, ADV]})
+    with pytest.raises(ValidationError, match="revision"):
+        build_request_model(req, REG, today=TODAY, revision=99)
+
+
+def test_datetimebetween_requires_iso8601():
+    with pytest.raises(ValueError, match="ISO-8601"):
+        parse_request({
+            "cube": "perf",
+            "selectFields": [{"field": "Impressions"}],
+            "filterExpressions": [
+                DAY,
+                {"field": "Day", "operator": "datetimebetween",
+                 "from": "not-a-date", "to": "2020"}]})
+
+
 def test_errors_accumulate_not_fail_fast():
     msgs = errs(["Bogus", "Device"], [])
     assert "Field not found" in msgs
