@@ -1,0 +1,54 @@
+"""Aggregate-awareness: cheapest covering fact table wins
+(reference DefaultQueryPipelineFactory.findBestFactCandidate,
+QueryPipeline.scala:487-561 — candidates pruned by column coverage, then
+ordered by cost)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.examples.contract import build_contract_registry  # noqa: E402
+from maha_spark.model.request_model import build_request_model  # noqa: E402
+from maha_spark.request.request import parse_request  # noqa: E402
+
+REG = build_contract_registry()
+DAY = {"field": "day", "operator": "between",
+       "from": "1995-01-01", "to": "2002-12-31"}
+
+
+def _model(select, filters=None):
+    return build_request_model(parse_request({
+        "cube": "tpch",
+        "selectFields": [{"field": f} for f in select],
+        "filterExpressions": [DAY] + (filters or [])}), REG)
+
+
+def test_cheap_rollup_chosen_when_columns_covered():
+    # return_flag + revenue need no discarded column -> the cost-2000
+    # rollup (without l_partkey/l_suppkey/l_linenumber) must be picked
+    m = _model(["return_flag", "revenue"])
+    assert m.fact_table.cost == 2000
+
+
+def test_base_table_forced_by_discarded_projection():
+    # line_number is discarded from the rollup -> base table (cost 6000)
+    m = _model(["line_number", "revenue"])
+    assert m.fact_table.cost == 6000
+
+
+def test_base_table_forced_by_discarded_fk_join():
+    # joining the part dimension needs the l_partkey FK, which the rollup
+    # discards -> base table
+    m = _model(["brand", "revenue"])
+    assert m.fact_table.cost == 6000
+
+
+def test_base_table_forced_by_filter_dependency():
+    # a filter on a discarded column forces the base table even when the
+    # projection alone would fit the rollup
+    m = _model(["return_flag", "revenue"],
+               [{"field": "line_number", "operator": ">", "value": 3}])
+    assert m.fact_table.cost == 6000
