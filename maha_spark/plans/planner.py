@@ -132,11 +132,35 @@ class Planner:
     def _load_fact(self, table: FactTable,
                    model: Optional[RequestModel] = None) -> DataFrame:
         if table.parts:
-            dfs = []
+            # Branches over the SAME physical table fold into ONE scan with
+            # the per-branch constants exploded (each row generated once per
+            # branch) — UNION ALL of k same-table branches would scan the
+            # fact k times; the fold always reads it exactly once, which is
+            # the difference that matters at 100 TB. Branches over distinct
+            # tables still union (and Catalyst still prunes whole branches
+            # under a constant-column filter).
+            by_table: dict[str, list] = {}
             for part in table.parts:
-                df = self.binding.table(part.table)
-                for cname, v in part.constants.items():
-                    df = df.withColumn(cname, F.lit(v))
+                by_table.setdefault(part.table, []).append(part)
+            dfs = []
+            for tname, parts in by_table.items():
+                df = self.binding.table(tname)
+                if len(parts) == 1:
+                    for cname, v in parts[0].constants.items():
+                        df = df.withColumn(cname, F.lit(v))
+                else:
+                    keys = sorted({c for p in parts for c in p.constants})
+                    entries = [
+                        F.struct(*[
+                            (F.lit(p.constants[c]) if c in p.constants
+                             else F.lit(None).cast("string")).alias(c)
+                            for c in keys])
+                        for p in parts]
+                    df = df.withColumn("__branch",
+                                       F.explode(F.array(*entries)))
+                    for c in keys:
+                        df = df.withColumn(c, F.col(f"__branch.{c}"))
+                    df = df.drop("__branch")
                 dfs.append(df)
             out = dfs[0]
             for d in dfs[1:]:

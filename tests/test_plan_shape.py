@@ -143,6 +143,22 @@ def test_column_pruning_reaches_scan(contract_engine):
     assert cols <= {"l_returnflag", "l_quantity", "l_shipdate"}, cols
 
 
+def test_union_view_same_table_single_scan(contract_engine):
+    """Same-table union branches must fold into ONE fact scan with the
+    branch constants exploded — not k scans unioned."""
+    df = contract_engine.dataframe({
+        "cube": "tpch_union",
+        "selectFields": [{"field": "view_name"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    assert "Generate" in phys and "explode" in phys
+    # formatted plans mention each node twice (tree + detail): one
+    # physical scan = 2 mentions; a 2-branch union would be 4
+    assert phys.count("Scan parquet") <= 2
+    assert "Union" not in phys
+
+
 def test_row_count_has_no_single_partition_window(contract_engine):
     """includeRowCount must NOT funnel the result through one partition
     (Window over lit(1)); it is a 1-row count aggregate broadcast back."""
