@@ -63,7 +63,6 @@ class ParquetBinding(TableBinding):
         #    (PARQUET_TYPE_ILLEGAL); read as long nanos -> micros -> NTZ.
         #  * TIMESTAMP (ltz) columns (inferTimestampNTZ disabled): cast.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import TimestampType
         ns_cols = _nano_timestamp_cols(path)
         if ns_cols:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
@@ -73,11 +72,50 @@ class ParquetBinding(TableBinding):
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     .cast("timestamp_ntz"))
-        for f in df.schema.fields:
-            if isinstance(f.dataType, TimestampType):
-                df = df.withColumn(f.name,
-                                   F.col(f.name).cast("timestamp_ntz"))
-        return df
+        return normalize_timestamps(df)
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP (ltz) column to the engine-canonical
+    TIMESTAMP_NTZ so downstream date logic sees one dtype regardless of
+    source format or session inference config."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
+class FormatBinding(TableBinding):
+    """Reads ``{base_dir}/{name}.{ext}`` in any Spark batch source format
+    (csv / json / orc / parquet / avro...), with the same canonical
+    timestamp normalization as ParquetBinding.
+
+    The reference binds facts/dims to six engines; here any Spark
+    DataSource becomes a cube's physical table — pass ``options`` for
+    format specifics (csv headers, json schemas) and ``schema`` to skip
+    inference (the scale path: schema inference reads the data twice).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 fmt: str = "parquet", ext: Optional[str] = None,
+                 options: Optional[dict] = None, schema=None):
+        super().__init__(spark)
+        self.base_dir = base_dir
+        self.fmt = fmt
+        self.ext = ext or fmt
+        self.options = dict(options or {})
+        self.schema = schema
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._overrides:
+            return self._overrides[name]()
+        path = os.path.join(self.base_dir, f"{name}.{self.ext}")
+        reader = self.spark.read.format(self.fmt).options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return normalize_timestamps(reader.load(path))
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:
