@@ -1,0 +1,62 @@
+"""Scale utilities: skew-salted joins and bucketed (co-located) tables.
+
+The cube planner's default posture is to let AQE handle skew
+(`spark.sql.adaptive.skewJoin.enabled`, session.py) and to broadcast
+small dims. These helpers cover the two cases that need explicit
+treatment on a 1000-executor cluster:
+
+* a shuffle join where ONE key holds a large fraction of the fact rows
+  (AQE splits oversized partitions post-shuffle, but pre-salting bounds
+  the partition before any data moves), and
+* repeated large-fact-to-large-fact joins on a stable key, where writing
+  both sides bucketed by that key makes every subsequent join
+  exchange-free (co-located, no shuffle at read time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salt: int = 8, how: str = "left") -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``key`` with an explicit salt: the fact
+    side gets a deterministic per-row salt in [0, n_salt) and the dim side
+    is replicated once per salt value, so the shuffle key becomes
+    (key, salt) and no single hot key can exceed 1/n_salt of its rows in
+    one partition.
+
+    The salt is ``pmod(hash(all fact columns), n_salt)`` — deterministic
+    (re-runs produce identical plans/results), no RNG. Dim replication
+    multiplies the SMALLER side by n_salt, the standard trade for bounding
+    the larger side's partition size.
+    """
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]),
+                         F.lit(n_salt)))
+    dim_s = (dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))))
+    out = fact_s.join(dim_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   buckets: int = 32, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    Both sides of a recurring join written with the same (key, buckets)
+    join WITHOUT any Exchange: Spark plans a sort-merge join directly on
+    the co-located buckets. This is the parquet-warehouse equivalent of
+    the reference's pre-partitioned Druid segments.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -1,0 +1,57 @@
+"""Skew salting and bucketed co-located joins (plans/scale.py)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.plans.scale import (  # noqa: E402
+    bucketed_join, salted_join, write_bucketed,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+    # skewed fact: 90% of rows share key 1
+    fact = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE id % 100 END AS k",
+        "id AS v")
+    dim = spark.range(100).selectExpr("id AS k", "concat('n', id) AS name")
+    plain = fact.join(dim, "k", "left").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("name").alias("nm"))
+    salted = salted_join(fact, dim, "k", n_salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("name").alias("nm"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    # the join key is (k, salt): shows up in the physical join criteria
+    phys = _physical(salted_join(fact, dim, "k", n_salt=8))
+    assert "__salt" in phys
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+            .select("l_orderkey", "l_quantity")
+        od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+            .select("o_orderkey", "o_orderpriority") \
+            .withColumnRenamed("o_orderkey", "l_orderkey")
+        write_bucketed(li, "t_li_b", "l_orderkey", buckets=8)
+        write_bucketed(od, "t_od_b", "l_orderkey", buckets=8)
+        j = bucketed_join(spark, "t_li_b", "t_od_b", "l_orderkey")
+        phys = _physical(j)
+        assert "SortMergeJoin" in phys
+        assert "Exchange" not in phys  # co-located: no shuffle at all
+        # sanity: same row count as the shuffle join on raw parquet
+        assert j.count() == li.join(od, "l_orderkey").count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_od_b")
