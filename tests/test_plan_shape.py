@@ -143,6 +143,44 @@ def test_column_pruning_reaches_scan(contract_engine):
     assert cols <= {"l_returnflag", "l_quantity", "l_shipdate"}, cols
 
 
+def test_cents_path_equals_decimal_semantics(spark):
+    """Property check beyond the corpus: for random 2dp money values the
+    cents-long formulas must equal the DECIMAL formulas bit-for-bit
+    (sums, per-row rounded products, and the final double division)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 20_000
+    pdf = pd.DataFrame({
+        "price": np.round(rng.uniform(0.01, 99_999.99, n), 2),
+        "disc": np.round(rng.uniform(0.0, 0.10, n), 2),
+        "tax": np.round(rng.uniform(0.0, 0.08, n), 2),
+    })
+    df = spark.createDataFrame(pdf)
+    DEC = ("CAST(CAST(price AS DECIMAL(8,2)) * (1 - CAST(disc AS "
+           "DECIMAL(4,2))) AS DECIMAL(8,2))")
+    DECC = ("CAST(CAST(price AS DECIMAL(8,2)) * (1 - CAST(disc AS "
+            "DECIMAL(4,2))) * (1 + CAST(tax AS DECIMAL(4,2))) "
+            "AS DECIMAL(8,2))")
+    PC = "CAST(ROUND(price * 100) AS BIGINT)"
+    DH = "CAST(ROUND(disc * 100) AS BIGINT)"
+    TH = "CAST(ROUND(tax * 100) AS BIGINT)"
+    CENTS = f"(({PC} * (100 - {DH}) + 50) DIV 100)"
+    CENTSC = f"(({PC} * (100 - {DH}) * (100 + {TH}) + 5000) DIV 10000)"
+    row = df.selectExpr(
+        f"SUM(CAST({DEC} AS DOUBLE)) AS dec_sum_naive",
+        f"CAST(SUM({DEC}) AS DOUBLE) AS dec_sum",
+        f"CAST(SUM({CENTS}) AS DOUBLE) / 100.0 AS cents_sum",
+        f"CAST(SUM({DECC}) AS DOUBLE) AS dec_charge",
+        f"CAST(SUM({CENTSC}) AS DOUBLE) / 100.0 AS cents_charge",
+        f"SUM(CASE WHEN CAST({DEC} * 100 AS BIGINT) != {CENTS} "
+        f"THEN 1 ELSE 0 END) AS rowwise_mismatch",
+    ).collect()[0]
+    assert row["rowwise_mismatch"] == 0
+    assert row["dec_sum"] == row["cents_sum"]
+    assert row["dec_charge"] == row["cents_charge"]
+
+
 def test_union_view_same_table_single_scan(contract_engine):
     """Same-table union branches must fold into ONE fact scan with the
     branch constants exploded — not k scans unioned."""
