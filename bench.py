@@ -114,12 +114,15 @@ def duck_connect(data_dir: str):
 
 def time_spark(queries, names, spark, data_dir, passes=2,
                skip_repeat_prefix=None) -> dict[str, float]:
+    # name-major: a query's passes run back-to-back so its min is two
+    # adjacent warm runs — pass-major interleaving let the other queries'
+    # cache/GC churn land between a query's passes (scaled q17 swung
+    # 0.9s-2.4s run-to-run; adjacent passes are stable)
     timings: dict[str, float] = {}
-    for p in range(passes):
-        for name in names:
-            if p > 0 and skip_repeat_prefix and \
-                    name.startswith(skip_repeat_prefix):
-                continue  # ops are long-running and stable; one pass
+    for name in names:
+        n_passes = 1 if (skip_repeat_prefix
+                         and name.startswith(skip_repeat_prefix)) else passes
+        for _ in range(n_passes):
             t0 = time.perf_counter()
             try:
                 df = queries[name](spark, data_dir)
