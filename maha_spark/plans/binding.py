@@ -92,10 +92,14 @@ class FormatBinding(TableBinding):
     (csv / json / orc / parquet / avro...), with the same canonical
     timestamp normalization as ParquetBinding.
 
-    The reference binds facts/dims to six engines; here any Spark
-    DataSource becomes a cube's physical table — pass ``options`` for
-    format specifics (csv headers, json schemas) and ``schema`` to skip
-    inference (the scale path: schema inference reads the data twice).
+    Reference parity: maha routes each physical table to an
+    engine-specific executor (``core/.../query/QueryExecutor.scala:21``
+    ``trait QueryExecutor { def engine: Engine }`` with Druid / Oracle /
+    Presto / Hive / Postgres / Bigquery implementations); here every
+    "engine" collapses to a Spark DataSource format — pass ``options``
+    for format specifics (csv headers, json schemas) and ``schema`` to
+    skip inference (the scale path: schema inference reads the data
+    twice).
     """
 
     def __init__(self, spark: SparkSession, base_dir: str,
