@@ -32,6 +32,7 @@ def entry_queries() -> dict[str, Callable]:
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine,
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "op_dedup_clusters": dedup.dedup_clusters,
         "op_sketch_setops": sketches.sketch_setops,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
@@ -40,7 +41,10 @@ def entry_queries() -> dict[str, Callable]:
         "op_mm_resize": multimodal.mm_resize,
         "op_mm_frame_sample": multimodal.mm_frame_sample,
         "op_sessionize": sessions.sessionize,
-        "op_sketch_approx_users": sketches.approx_set_counts,
+        # approx_set_counts (HLL) stays public API with a pytest tolerance
+        # gate (test_ops.py::test_hll_within_rsd) — an approximate count
+        # can only get a rows-only driver check, and the 50-entry budget
+        # is better spent on the oracle-checked clustering op
         "op_sim_ann_topk": similarity.sim_ann_topk,
         "op_stream_hourly": hourly.streaming_hourly,
         "op_stream_sessions": sessions.streaming_sessions,
@@ -61,8 +65,8 @@ def entry_oracles() -> dict[str, str]:
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine_oracle(),
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs_oracle(),
+        "op_dedup_clusters": dedup.dedup_clusters_oracle(),
         "op_sketch_setops": sketches.sketch_setops_oracle(),
-        # op_sketch_approx_users: HLL estimate -> rows-only check
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),

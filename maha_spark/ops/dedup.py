@@ -465,3 +465,69 @@ def dedup_simhash_pairs_oracle() -> str:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
     """
+
+
+# ------------------------------------------------------------- clustering
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   max_iters: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the simhash
+    near-dup pair graph, each document labeled with its component's
+    minimum doc_id (the canonical keeper) plus the component size.
+
+    This is the step that turns pair lists into dedup decisions (keep one
+    doc per cluster). Min-label propagation to a fixed point: every
+    iteration is one keyed join + one groupBy-min — the standard
+    large-scale connected-components shape (cf. Hash-to-Min,
+    Rastogi et al., ICDE'13); iterations needed = graph diameter, which
+    for near-dup clusters is tiny. The convergence probe is a 1-row
+    count, not a data collect. Deterministic: the fixed point is unique.
+    """
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (pairs.selectExpr("a_id AS u", "b_id AS v")
+             .unionByName(pairs.selectExpr("b_id AS u", "a_id AS v"))
+             .cache())
+    labels = docs.selectExpr("doc_id", "doc_id AS label").cache()
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.selectExpr("doc_id AS v", "label"), "v")
+                 .selectExpr("u AS doc_id", "label"))
+        new_labels = (labels.unionByName(neigh)
+                      .groupBy("doc_id")
+                      .agg(F.min("label").alias("label"))
+                      .cache())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "doc_id")
+                   .filter("label < old").limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .selectExpr("doc_id", "label AS cluster_id", "cluster_size")
+            .orderBy("doc_id"))
+
+
+def dedup_clusters_oracle() -> str:
+    """Transitive-closure min-label via a recursive CTE (exact; the pair
+    graph is near-dup-sized, so closure rows stay bounded)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({dedup_simhash_pairs_oracle()}),
+        e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id AS u, a_id AS v FROM pairs
+        ),
+        reach(d, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.l FROM e JOIN reach ON reach.d = e.v
+        ),
+        lbl AS (SELECT d AS doc_id, MIN(l) AS cluster_id
+                FROM reach GROUP BY d)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lbl ORDER BY doc_id
+    """

@@ -31,6 +31,40 @@ def test_ann_topk_quality(spark, sf_dir):
     assert (joined["ann"] <= joined["exact"] + 1e-9).all()
 
 
+def test_hll_within_rsd(spark, sf_dir, duck):
+    """HLL approximate distinct-user counts must land within a few
+    relative standard deviations of the exact answer."""
+    from maha_spark.ops.sketches import approx_set_counts
+    got = {r["event_type"]: r["approx_users"]
+           for r in approx_set_counts(spark, sf_dir).collect()}
+    exact = dict(duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+        "GROUP BY 1").fetchall())
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= 0.2 * exact[et] + 5, (et, est, exact[et])
+
+
+def test_dedup_clusters_structure(spark, sf_dir):
+    """Cluster labels are canonical minima and consistent with the edge
+    graph: every pair's two docs share a cluster, and each cluster id is
+    a member of its own cluster."""
+    from maha_spark.ops.dedup import dedup_clusters, dedup_simhash_pairs
+    labels = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+              for r in dedup_clusters(spark, sf_dir).collect()}
+    # cluster id is the min member and belongs to the cluster
+    for d, (c, _n) in labels.items():
+        assert c <= d and labels[c][0] == c
+    # every near-dup pair is in one cluster
+    for r in dedup_simhash_pairs(spark, sf_dir).collect():
+        assert labels[r["a_id"]][0] == labels[r["b_id"]][0]
+    # sizes consistent
+    from collections import Counter
+    sizes = Counter(c for c, _ in labels.values())
+    for d, (c, n) in labels.items():
+        assert sizes[c] == n
+
+
 def test_pii_detection_and_redaction(spark):
     """The PII expressions must fire on real PII and redact it; the
     synthetic corpus has none, so this covers the non-zero path."""
