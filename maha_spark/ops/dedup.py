@@ -486,20 +486,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = (pairs.selectExpr("a_id AS u", "b_id AS v")
-             .unionByName(pairs.selectExpr("b_id AS u", "a_id AS v"))
-             .cache())
-    labels = docs.selectExpr("doc_id", "doc_id AS label").cache()
+             .unionByName(pairs.selectExpr("b_id AS u", "a_id AS v")))
+    # localCheckpoint each round: without it the logical plan nests the
+    # previous round's plan three times per iteration (neighbor + jump +
+    # carry branches) — exponential lineage that OOMs the analyzer on a
+    # default-sized driver. Truncating lineage per round is the standard
+    # iterative-graph pattern (GraphX/Pregel do the same).
+    edges = edges.localCheckpoint()
+    labels = docs.selectExpr("doc_id", "doc_id AS label").localCheckpoint()
     for _ in range(max_iters):
+        # one neighbor hop + one pointer jump (label(label(d))) per round:
+        # distance-to-minimum halves every round, so convergence takes
+        # O(log diameter) rounds instead of O(diameter)
         neigh = (edges.join(labels.selectExpr("doc_id AS v", "label"), "v")
                  .selectExpr("u AS doc_id", "label"))
-        new_labels = (labels.unionByName(neigh)
+        jump = (labels.selectExpr("doc_id", "label AS j")
+                .join(labels.selectExpr("doc_id AS j", "label"), "j")
+                .select("doc_id", "label"))
+        new_labels = (labels.unionByName(neigh).unionByName(jump)
                       .groupBy("doc_id")
                       .agg(F.min("label").alias("label"))
-                      .cache())
+                      .localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    "doc_id")
                    .filter("label < old").limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
