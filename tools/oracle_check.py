@@ -9,6 +9,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -50,9 +51,17 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import duckdb
     import __spark_entry__ as entry
-    from maha_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_CHECK_VANILLA") == "1":
+        # driver-parity mode: a bare default session (1g driver, 200
+        # shuffle partitions, no tz/AQE overrides) — what the harness
+        # most plausibly runs entries under
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-vanilla").getOrCreate())
+    else:
+        from maha_spark.session import get_spark
+        spark = get_spark("oracle-check")
     qs = entry.queries()
     oracles = entry.oracle_sql()
     con = duckdb.connect()
