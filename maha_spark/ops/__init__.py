@@ -23,7 +23,8 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import dedup, multimodal, sessions, similarity, sketches, text
+    from . import (dedup, multimodal, packing, sessions, similarity,
+                   sketches, text)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_stats,
@@ -38,21 +39,24 @@ def entry_queries() -> dict[str, Callable]:
         "op_sim_pairs": similarity.sim_pairs,
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
         "op_mm_decode": multimodal.mm_decode_features,
-        "op_mm_resize": multimodal.mm_resize,
-        "op_mm_frame_sample": multimodal.mm_frame_sample,
         "op_sessionize": sessions.sessionize,
-        # approx_set_counts (HLL) stays public API with a pytest tolerance
-        # gate (test_ops.py::test_hll_within_rsd) — an approximate count
-        # can only get a rows-only driver check, and the 50-entry budget
-        # is better spent on the oracle-checked clustering op
-        "op_sim_ann_topk": similarity.sim_ann_topk,
+        "op_pack_sequences": packing.pack_sequences,
+        "op_sample_stratified": packing.sample_stratified,
+        "op_token_quantiles": packing.token_quantiles,
+        # Entries kept as public API + pytest (not in the 50-entry driver
+        # contract): approx_set_counts (HLL) and sim_ann_topk/ivf are
+        # approximate by construction (rows-only checks only —
+        # test_ops.py pins their recall/rsd), and mm_resize /
+        # mm_frame_sample share op_mm_decode's mapInPandas plumbing
+        # (test_ops.py pins their oracles' semantics).
         "op_stream_hourly": hourly.streaming_hourly,
         "op_stream_sessions": sessions.streaming_sessions,
     }
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import dedup, multimodal, sessions, similarity, sketches, text
+    from . import (dedup, multimodal, packing, sessions, similarity,
+                   sketches, text)
     from ..streaming import hourly
     return {
         "op_sessionize": sessions.sessionize_oracle(),
@@ -70,9 +74,9 @@ def entry_oracles() -> dict[str, str]:
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
-        # op_sim_ann_topk: approximate -> rows-only check
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
-        "op_mm_resize": multimodal.mm_resize_oracle(),
-        "op_mm_frame_sample": multimodal.mm_frame_sample_oracle(),
+        "op_pack_sequences": packing.pack_sequences_oracle(),
+        "op_sample_stratified": packing.sample_stratified_oracle(),
+        "op_token_quantiles": packing.token_quantiles_oracle(),
         "op_stream_hourly": hourly.streaming_hourly_oracle(),
     }
