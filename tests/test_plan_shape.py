@@ -162,9 +162,11 @@ def test_cents_path_equals_decimal_semantics(spark):
     DECC = ("CAST(CAST(price AS DECIMAL(8,2)) * (1 - CAST(disc AS "
             "DECIMAL(4,2))) * (1 + CAST(tax AS DECIMAL(4,2))) "
             "AS DECIMAL(8,2))")
-    PC = "CAST(ROUND(price * 100) AS BIGINT)"
-    DH = "CAST(ROUND(disc * 100) AS BIGINT)"
-    TH = "CAST(ROUND(tax * 100) AS BIGINT)"
+    # the production spelling (contract.QTY_C et al.): BigDecimal-free
+    # floor(x*100 + 0.5), exact for non-negative decimal-clean doubles
+    PC = "CAST(price * 100 + 0.5 AS BIGINT)"
+    DH = "CAST(disc * 100 + 0.5 AS BIGINT)"
+    TH = "CAST(tax * 100 + 0.5 AS BIGINT)"
     CENTS = f"(({PC} * (100 - {DH}) + 50) DIV 100)"
     CENTSC = f"(({PC} * (100 - {DH}) * (100 + {TH}) + 5000) DIV 10000)"
     row = df.selectExpr(
