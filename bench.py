@@ -229,8 +229,13 @@ def main() -> None:
             load_table(spark, SF_DIR, t).count()
     except Exception:
         pass
+    # ops use the same min-over-passes methodology as the cube queries
+    # (pass 1 pays cache materialization + JIT; the min reflects steady
+    # state). The streaming runners rebuild their checkpoint/sink dirs
+    # every invocation, so extra passes cost full wall time for no new
+    # information — they stay single-pass.
     timings = time_spark(queries, all_names, spark, SF_DIR,
-                         passes=passes, skip_repeat_prefix="op_")
+                         passes=passes, skip_repeat_prefix="op_stream")
     con = duck_connect(SF_DIR)
     duck_base = time_duckdb(oracles, [n for n in cube_names if n in oracles],
                             con, passes=passes)
