@@ -220,6 +220,18 @@ def main() -> None:
         clear_caches()
 
     # ---- tier 1: full suite at the sf dir (Spark) + cube oracles (DuckDB)
+    # warm the streaming engine once at the smallest SF: the first
+    # streaming query in a session pays ~10s of one-time init (state-store
+    # machinery, micro-batch planner, sink committer JIT) that a
+    # long-running production stream never re-pays per query
+    tiny = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    for s_op in ("op_stream_hourly", "op_stream_sessions"):
+        if s_op in queries:
+            try:
+                queries[s_op](spark, tiny if os.path.isdir(tiny)
+                              else SF_DIR).count()
+            except Exception:
+                pass
     try:
         queries[all_names[0]](spark, SF_DIR).limit(1).collect()  # warm
         # materialize the corpus table caches outside the op timings (ops

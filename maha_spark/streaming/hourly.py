@@ -112,10 +112,22 @@ def write_sentinel(spark: SparkSession, input_dir: str,
     emitted, so the file output equals the batch answer exactly.
 
     ``ts`` is a naive ``datetime`` (EVENT_SCHEMA stores TIMESTAMP_NTZ).
+
+    Built from ``range(1)`` + literals, NOT ``createDataFrame(rows)``:
+    local-rows DataFrames serialize through a Python-RDD stage whose
+    worker spin-up costs ~4 s per write — pure-JVM literals write the
+    same one-row file in ~0.2 s.
     """
-    row = [(int(-1), ts, int(-1), "__flush__", 0.0, "")]
-    (spark.createDataFrame(row, schema=EVENT_SCHEMA)
-     .coalesce(1).write.mode("append").parquet(input_dir))
+    from pyspark.sql import functions as F
+    sent = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(ts.strftime("%Y-%m-%d %H:%M:%S"))
+         .cast("timestamp_ntz").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"))
+    sent.coalesce(1).write.mode("append").parquet(input_dir)
 
 
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
