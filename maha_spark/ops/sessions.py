@@ -189,14 +189,8 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sentinel watermark advance, and read the files back. The sentinel's
     own group (user -1) stays open and is excluded."""
     import shutil
-    from ..streaming.hourly import write_sentinel
+    from ..streaming.hourly import bounded_shuffle, write_sentinel
 
-    # One state-store instance per shuffle partition per micro-batch: a
-    # default 200-partition session spends more time instantiating stores
-    # than sessionizing at test scale. 32 matches the local core count;
-    # a real cluster sizes this to executor-cores x executors.
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
     work = tempfile.mkdtemp(prefix="maha-sess-")
     input_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "out")
@@ -215,12 +209,14 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              .start())
         q.awaitTermination()
 
-    drain()  # batch 1: gap-closed sessions emit; tails stay in state
-    import datetime as _dt
-    max_ts = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
-              .agg(F.max("ts")).collect()[0][0])
-    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
-    drain()  # batch 2: watermark jump fires every event-time timeout
+    with bounded_shuffle(spark):
+        drain()  # batch 1: gap-closed sessions emit; tails stay in state
+        import datetime as _dt
+        max_ts = (spark.read
+                  .parquet(os.path.join(input_dir, "batch1.parquet"))
+                  .agg(F.max("ts")).collect()[0][0])
+        write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
+        drain()  # batch 2: watermark jump fires every event-time timeout
 
     return (spark.read.schema(OUT_SCHEMA).parquet(out_dir)
             .filter("user_id >= 0"))

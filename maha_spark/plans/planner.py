@@ -288,9 +288,20 @@ class Planner:
 
     def _build_fact_agg(self, model: RequestModel,
                         extra_keys: Optional[list[str]] = None,
-                        skip_group: bool = False) -> DataFrame:
+                        skip_group: bool = False,
+                        prefilter_keys: Optional[tuple[str, DataFrame]] = None
+                        ) -> DataFrame:
         """fact scan -> filter -> (groupBy.agg) with group keys =
-        projected fact dims + FK cols needed by join chains."""
+        projected fact dims + FK cols needed by join chains.
+
+        ``prefilter_keys=(fk_col, keys_df)`` semi-joins the RAW fact on the
+        driving dimension's paginated key set before any aggregation — the
+        Spark-first form of the reference's dim-driven InFilter injection
+        (QueryPipeline.scala:918-946: dim query first, then
+        ``InFilter(fact_fk, page_keys)`` on the fact query). The page is
+        bounded by rowsPerPage (<=5k sync / 100k async), so a broadcast
+        hash semi-join prunes the fact scan instead of aggregating the
+        whole table into high-cardinality groups."""
         table = model.fact_table
         df = self._load_fact(table, model)
 
@@ -325,6 +336,12 @@ class Planner:
                 df = df.join(F.broadcast(dim_keys),
                              df[ch.fact_fk_col] == dim_keys["__semi_key"],
                              "left_semi")
+
+        # dim-driven page-key pushdown (see docstring)
+        if prefilter_keys is not None:
+            fk_name, keys_df = prefilter_keys
+            df = df.join(F.broadcast(keys_df),
+                         df[fk_name] == keys_df["__page_key"], "left_semi")
 
         base_needed, direct, derived = self._metric_plan(model)
 
@@ -600,7 +617,15 @@ class Planner:
                 dimdf = dimdf.offset(model.start_index)
             dimdf = dimdf.limit(model.max_rows)
 
-        fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col])
+        # paginated page => bounded, deterministic key set (total order with
+        # the __dimkey tiebreak) — push it into the fact scan as the
+        # reference pushes an InFilter (QueryPipeline.scala:918-946)
+        prefilter = None
+        if model.max_rows and model.max_rows > 0:
+            prefilter = (driving.fact_fk_col,
+                         dimdf.select(F.col(_q(key)).alias("__page_key")))
+        fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col],
+                                    prefilter_keys=prefilter)
         df = dimdf.join(fact, dimdf[_q(key)] == fact[_q(driving.fact_fk_col)],
                         "left_outer")
 

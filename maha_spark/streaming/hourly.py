@@ -82,6 +82,33 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+class bounded_shuffle:
+    """Temporarily bound ``spark.sql.shuffle.partitions`` for a streaming
+    drain. One state-store instance (plus, for stateful Pandas ops, one
+    Python worker round) spins up per shuffle partition per micro-batch; at
+    harness scale that instancing dominates the drain. A production stream
+    sizes the setting to executor-cores x executors instead — this only
+    ever LOWERS it, and restores the caller's value on exit so batch
+    queries in the same session keep their parallelism.
+    """
+
+    def __init__(self, spark: SparkSession, cap: int = 8):
+        self.spark, self.cap, self.saved = spark, cap, None
+
+    def __enter__(self):
+        cur = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if cur > self.cap:
+            self.saved = cur
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.cap))
+        return self
+
+    def __exit__(self, *exc):
+        if self.saved is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions",
+                                str(self.saved))
+        return False
+
+
 # ---------------------------------------------------------------- scale path
 def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
                  ckpt_dir: str, glob: str | None = None) -> None:
@@ -139,9 +166,6 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    # bound state-store instancing on default-200-partition sessions
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
     work = tempfile.mkdtemp(prefix="maha-stream-")
     input_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "out")
@@ -150,14 +174,16 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(os.path.join(sf_dir, "events.parquet"),
                 os.path.join(input_dir, "batch1.parquet"))
 
-    # drain 1: real backlog (windows older than max(ts)-1h are finalized)
-    drain_append(spark, input_dir, out_dir, ckpt)
-    # drain 2: sentinel advances the watermark, flushing the tail windows
-    import datetime as _dt
-    max_ts = (spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
-              .agg(F.max("ts")).collect()[0][0])
-    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
-    drain_append(spark, input_dir, out_dir, ckpt)
+    with bounded_shuffle(spark):
+        # drain 1: real backlog (windows older than max(ts)-1h finalized)
+        drain_append(spark, input_dir, out_dir, ckpt)
+        # drain 2: sentinel advances the watermark, flushing tail windows
+        import datetime as _dt
+        max_ts = (spark.read
+                  .parquet(os.path.join(input_dir, "batch1.parquet"))
+                  .agg(F.max("ts")).collect()[0][0])
+        write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
+        drain_append(spark, input_dir, out_dir, ckpt)
 
     out_schema = ("hour string, event_type string, "
                   "event_count long, total_value double")
