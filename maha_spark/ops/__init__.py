@@ -23,11 +23,14 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import (dedup, multimodal, packing, sessions, similarity,
-                   sketches, text)
+    from . import (asof, contamination, dedup, multimodal, packing,
+                   sessions, similarity, sketches, text)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_stats,
+        "op_text_repetition": text.text_repetition,
+        "op_contamination": contamination.contamination,
+        "op_asof_join": asof.asof_join,
         "op_dedup_signatures": dedup.dedup_signatures,
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -55,8 +58,8 @@ def entry_queries() -> dict[str, Callable]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import (dedup, multimodal, packing, sessions, similarity,
-                   sketches, text)
+    from . import (asof, contamination, dedup, multimodal, packing,
+                   sessions, similarity, sketches, text)
     from ..streaming import hourly
     return {
         "op_sessionize": sessions.sessionize_oracle(),
@@ -64,6 +67,9 @@ def entry_oracles() -> dict[str, str]:
         # exact equality to the batch op is pinned in pytest
         "op_stream_sessions": sessions.sessionize_oracle(),
         "op_text_stats": text.text_stats_oracle(),
+        "op_text_repetition": text.text_repetition_oracle(),
+        "op_contamination": contamination.contamination_oracle(),
+        "op_asof_join": asof.asof_join_oracle(),
         "op_dedup_signatures": dedup.dedup_signatures_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),

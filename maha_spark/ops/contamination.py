@@ -1,0 +1,108 @@
+"""Benchmark-contamination detection over the ``documents`` table.
+
+A training-data pipeline must exclude (or at least measure) documents
+that overlap an evaluation benchmark. The standard check (GPT-3 appendix
+C; PaLM §9; Dodge et al. 2021 "Documenting Large Webtext Corpora") is
+n-gram collision: a candidate document is contaminated to the degree its
+word n-grams also occur in the benchmark corpus.
+
+Here the benchmark split is carved deterministically out of the corpus
+itself (``doc_id % BENCH_MOD == 0``), which both exercises the operator
+and gives the DuckDB oracle identical inputs.
+
+Scale shape: candidate shingles explode to (doc_id, h) with md5-hashed
+shingles (128-bit hash keys bound shuffle width no matter how long the
+n-grams get); the benchmark shingle set is DISTINCT-collapsed and
+broadcast — benchmarks are eval sets, bounded by construction (thousands
+of documents), so the broadcast stays small even when the candidate side
+is 100 TB. The join is a broadcast left-semi per shingle occurrence, then
+one groupBy(doc_id). Nothing global, no Python, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import duck_words_sql, load_table, words_sql
+
+#: doc_id % BENCH_MOD == 0 -> document belongs to the benchmark split
+BENCH_MOD = 10
+#: shingle width in words (13 is the GPT-3 setting; the synthetic corpus
+#: averages ~60 words/doc, so 8 keeps per-doc shingle counts meaningful)
+SHINGLE_N = 8
+
+
+def _shingles_spark(words: str, n: int) -> str:
+    """Array of md5-hashed word n-grams — empty-safe."""
+    return (f"CASE WHEN size({words}) >= {n} THEN "
+            f"transform(sequence(1, size({words}) - {n} + 1), "
+            f"i -> md5(array_join(slice({words}, i, {n}), ' '))) "
+            f"ELSE array() END")
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-document contamination report: distinct shingles,
+    how many also occur anywhere in the benchmark split, the fraction,
+    and the verdict (any hit = contaminated, the conservative filter)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"{_shingles_spark(words_sql(), SHINGLE_N)} AS sh")
+
+    bench_sh = (sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+                .select(F.explode("sh").alias("h")).distinct())
+    cand = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # per-doc DISTINCT occurrences (a shingle repeated within one doc
+    # counts once, matching the oracle's set semantics)
+    cand_sh = (cand.select("doc_id", F.explode("sh").alias("h"))
+               .distinct())
+
+    hits = (cand_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    per_doc = (cand.select("doc_id", F.size(F.array_distinct("sh"))
+                           .alias("n_shingles")))
+    out = (per_doc.join(hits, "doc_id", "left_outer")
+           .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
+    return (out.withColumn(
+                "contaminated_frac",
+                F.round(F.when(F.col("n_shingles") > 0,
+                               F.col("n_hit").cast("double")
+                               / F.col("n_shingles"))
+                        .otherwise(F.lit(0.0)), 6))
+            .withColumn("is_contaminated",
+                        (F.col("n_hit") > 0).cast("int")))
+
+
+def contamination_oracle() -> str:
+    return f"""
+        WITH words AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   md5(array_to_string(w[i:i + {SHINGLE_N - 1}], ' ')) AS h
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {SHINGLE_N} + 2)) AS i
+                  FROM words)
+        ), bench AS (
+            SELECT DISTINCT h FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ), cand AS (
+            SELECT DISTINCT doc_id, h FROM sh
+            WHERE doc_id % {BENCH_MOD} <> 0
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN h IN (SELECT h FROM bench)
+                            THEN 1 ELSE 0 END) AS n_hit
+            FROM cand GROUP BY 1
+        )
+        SELECT w.doc_id,
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               COALESCE(p.n_hit, 0) AS n_hit,
+               round(CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                          THEN CAST(p.n_hit AS DOUBLE) / p.n_shingles
+                          ELSE 0.0 END, 6) AS contaminated_frac,
+               CAST(COALESCE(p.n_hit, 0) > 0 AS INT) AS is_contaminated
+        FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+        WHERE w.doc_id % {BENCH_MOD} <> 0
+    """

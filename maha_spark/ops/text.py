@@ -144,3 +144,117 @@ def text_stats_oracle() -> str:
     return (f"SELECT doc_id,\n       {proj}\n"
             f"FROM (SELECT doc_id, text, {duck_words_sql()} AS w "
             f"FROM documents)")
+
+
+# ------------------------------------------------------------- repetition
+#: top-n-gram / duplicate-n-gram widths (Gopher repetition signals:
+#: Rae et al. 2021, "Scaling Language Models: ... Gopher", Table A1 —
+#: fraction of the doc occupied by the most frequent 2/3-gram and the
+#: fraction of duplicated 5/8-grams; thresholds below are the published
+#: filter settings adapted to token-count fractions)
+TOP_NS = (2, 3)
+DUP_NS = (5, 8)
+TOP2_MAX, DUP5_MAX = 0.20, 0.15
+
+
+def _gram_arrays_spark(words: str) -> str:
+    """Array of (n, gram) structs across all widths — empty-safe."""
+    parts = []
+    for n in sorted({*TOP_NS, *DUP_NS}):
+        parts.append(
+            f"CASE WHEN size({words}) >= {n} THEN "
+            f"transform(sequence(1, size({words}) - {n} + 1), "
+            f"i -> struct({n} AS n, "
+            f"array_join(slice({words}, i, {n}), ' ') AS gram)) "
+            f"ELSE array() END")
+    return f"concat({', '.join(parts)})"
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    ``topN_frac`` = occurrences of the most frequent n-gram / total
+    n-grams (n=2,3); ``dupN_frac`` = fraction of n-gram occurrences that
+    are repeats of an earlier one (n=5,8); plus the filter verdict.
+
+    Scale shape: one explode over (doc, n, gram) -> count per gram ->
+    per-(doc, n) totals -> conditional-agg fold to one row per doc. Every
+    shuffle is keyed by doc_id (+gram/n) — partial aggregation collapses
+    within-partition repeats map-side, nothing is global, no Python.
+    """
+    from pyspark.sql import functions as F
+    from .common import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr("doc_id", f"size({words_sql()}) AS n_words",
+                           f"{_gram_arrays_spark(words_sql())} AS grams")
+    g = (base.select("doc_id", F.explode("grams").alias("g"))
+         .select("doc_id", "g.n", "g.gram"))
+    per_gram = g.groupBy("doc_id", "n", "gram").count()
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("count").alias("total"), F.max("count").alias("top"),
+        F.count(F.lit(1)).alias("dis"))
+
+    def frac(n: int, kind: str) -> "F.Column":
+        num = (F.max(F.when(F.col("n") == n, F.col("top")))
+               if kind == "top" else
+               F.max(F.when(F.col("n") == n,
+                            F.col("total") - F.col("dis"))))
+        den = F.max(F.when(F.col("n") == n, F.col("total")))
+        return F.round(F.coalesce(num.cast("double") / den, F.lit(0.0)), 6)
+
+    folded = per_n.groupBy("doc_id").agg(
+        *[frac(n, "top").alias(f"top{n}_frac") for n in TOP_NS],
+        *[frac(n, "dup").alias(f"dup{n}_frac") for n in DUP_NS])
+    out = (base.select("doc_id", "n_words")
+           .join(folded, "doc_id", "left_outer"))
+    fracs = [f"top{n}_frac" for n in TOP_NS] + [f"dup{n}_frac"
+                                                for n in DUP_NS]
+    for c in fracs:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out.withColumn(
+        "is_repetitive",
+        ((F.col("top2_frac") > TOP2_MAX)
+         | (F.col("dup5_frac") > DUP5_MAX)).cast("int"))
+
+
+def text_repetition_oracle() -> str:
+    ns = sorted({*TOP_NS, *DUP_NS})
+    gram_branches = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, "
+        f"array_to_string(w[i:i + {n - 1}], ' ') AS gram "
+        f"FROM (SELECT doc_id, w, "
+        f"unnest(range(1, len(w) - {n} + 2)) AS i FROM words)"
+        for n in ns)
+
+    def frac(n: int, kind: str) -> str:
+        num = (f"MAX(CASE WHEN n = {n} THEN top END)" if kind == "top"
+               else f"MAX(CASE WHEN n = {n} THEN total - dis END)")
+        den = f"MAX(CASE WHEN n = {n} THEN total END)"
+        return (f"round(COALESCE(CAST({num} AS DOUBLE) / {den}, 0.0), 6)")
+
+    frac_cols = ", ".join(
+        [f"{frac(n, 'top')} AS top{n}_frac" for n in TOP_NS]
+        + [f"{frac(n, 'dup')} AS dup{n}_frac" for n in DUP_NS])
+    return f"""
+        WITH words AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ), g AS (
+            {gram_branches}
+        ), per_gram AS (
+            SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+        ), per_n AS (
+            SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top,
+                   COUNT(*) AS dis
+            FROM per_gram GROUP BY 1, 2
+        ), folded AS (
+            SELECT doc_id, {frac_cols} FROM per_n GROUP BY 1
+        )
+        SELECT w.doc_id, len(w.w) AS n_words,
+               COALESCE(top2_frac, 0.0) AS top2_frac,
+               COALESCE(top3_frac, 0.0) AS top3_frac,
+               COALESCE(dup5_frac, 0.0) AS dup5_frac,
+               COALESCE(dup8_frac, 0.0) AS dup8_frac,
+               CAST(COALESCE(top2_frac, 0.0) > {TOP2_MAX}
+                    OR COALESCE(dup5_frac, 0.0) > {DUP5_MAX} AS INT)
+                   AS is_repetitive
+        FROM words w LEFT JOIN folded f ON w.doc_id = f.doc_id
+    """
