@@ -243,3 +243,35 @@ def test_timezone_still_pushes_raw_bound(contract_engine):
     phys = _physical(df)
     assert "PushedFilters" in phys
     assert "GreaterThanOrEqual(l_shipdate,1996-05-31" in phys
+
+
+def test_dim_driven_pushes_page_keys_into_fact(contract_engine):
+    """Dim-driven requests must semi-join the raw fact on the broadcast
+    page-key set BEFORE aggregating (the reference's InFilter injection,
+    QueryPipeline.scala:918-946) — never aggregate the whole fact into
+    per-orderkey groups to serve one page."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_key"},
+                         {"field": "order_priority"},
+                         {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+        "sortBy": [{"field": "order_priority", "order": "ASC"}],
+        "forceDimensionDriven": True,
+        "rowsPerPage": 25,
+    })
+    phys = _physical(df)
+    # the page-key semi-join must exist and be broadcast
+    assert "LeftSemi" in phys, phys
+    # and it must sit BELOW the fact aggregation: the first HashAggregate
+    # (bottom-up formatted output lists scans first) appears after the
+    # semi join operator id in the tree section
+    tree = phys.split("\n\n")[0]
+    semi_line = next(i for i, ln in enumerate(tree.splitlines())
+                     if "LeftSemi" in ln or "BroadcastHashJoin" in ln
+                     and "LeftSemi" in ln)
+    agg_lines = [i for i, ln in enumerate(tree.splitlines())
+                 if "HashAggregate" in ln]
+    # at least one aggregate consumes the semi-join output (appears above
+    # it in the tree = smaller line index)
+    assert any(i < semi_line for i in agg_lines), tree
