@@ -98,7 +98,7 @@ def contamination_oracle() -> str:
         )
         SELECT w.doc_id,
                COALESCE(p.n_shingles, 0) AS n_shingles,
-               COALESCE(p.n_hit, 0) AS n_hit,
+               CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
                round(CASE WHEN COALESCE(p.n_shingles, 0) > 0
                           THEN CAST(p.n_hit AS DOUBLE) / p.n_shingles
                           ELSE 0.0 END, 6) AS contaminated_frac,
