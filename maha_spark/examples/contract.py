@@ -631,11 +631,16 @@ QUERIES: dict[str, dict] = {
         """,
     },
     # -- §2.4 filtered rollup (DruidFilteredRollup -> sum(case when))
+    # -- §2.4 filtered rollup (DruidFilteredRollup -> sum(case when)) AND
+    #    exact distinct-count rollup (DruidCardinalityRollup exact) in one
+    #    request — both metrics live on the cube, one grouping exercises
+    #    both rollup renderers (was q8 + q10 before the 50-entry cap)
     "q8_filtered_rollup": {
         "request": {
             "cube": "tpch",
             "selectFields": [{"field": "line_status"},
                              {"field": "returned_qty"},
+                             {"field": "order_count"},
                              {"field": "line_count"}],
             "filterExpressions": [DAY_ALL],
         },
@@ -643,20 +648,6 @@ QUERIES: dict[str, dict] = {
             SELECT l_linestatus AS line_status,
                    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {SQL_QTY} END)
                         AS DOUBLE) AS returned_qty,
-                   COUNT(*) AS line_count
-            FROM lineitem GROUP BY 1
-        """,
-    },
-    # -- §2.4 exact distinct-count rollup
-    "q10_count_distinct": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "line_status"}, {"field": "order_count"},
-                             {"field": "line_count"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": """
-            SELECT l_linestatus AS line_status,
                    COUNT(DISTINCT l_orderkey) AS order_count,
                    COUNT(*) AS line_count
             FROM lineitem GROUP BY 1
@@ -696,6 +687,13 @@ QUERIES: dict[str, dict] = {
                 # actually verifies values
                 {"field": "line_number", "operator": "==",
                  "compareTo": "quantity_int"},
+                # <> and the And combinator (was q24 before the 50-entry
+                # cap) — both bite: line 1 and N-flag rows are dropped
+                {"field": "return_flag", "operator": "<>", "value": "N"},
+                {"operator": "and", "filterExpressions": [
+                    {"field": "line_number", "operator": ">", "value": 1},
+                    {"field": "line_number", "operator": "<", "value": 7},
+                ]},
             ],
         },
         "sql": f"""
@@ -707,6 +705,8 @@ QUERIES: dict[str, dict] = {
               AND lower(p_name) LIKE '%bolt%'
               AND p_size > 2
               AND l_linenumber = CAST(l_quantity AS INT)
+              AND l_returnflag <> 'N'
+              AND l_linenumber > 1 AND l_linenumber < 7
             GROUP BY 1
         """,
     },
@@ -885,29 +885,6 @@ QUERIES: dict[str, dict] = {
         """,
     },
     # -- §2.2 '<>' + AND combinator with range bounds
-    "q24_notequal_and": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"field": "return_flag", "operator": "<>", "value": "N"},
-                {"operator": "and", "filterExpressions": [
-                    {"field": "line_number", "operator": ">", "value": 1},
-                    {"field": "line_number", "operator": "<", "value": 6},
-                ]},
-            ],
-        },
-        "sql": f"""
-            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
-            FROM lineitem
-            WHERE l_returnflag <> 'N' AND l_linenumber > 1
-              AND l_linenumber < 6
-            GROUP BY 1
-        """,
-    },
     # -- §2.8 REGEX_EXTRACT derived dim attribute
     "q27_regex_extract": {
         "request": {
@@ -1049,38 +1026,42 @@ QUERIES: dict[str, dict] = {
     },
     # -- §2.2 forced filters: cube-level overridable (return_flag='R') +
     #    physical table-level (l_linenumber < 7) are both injected
+    # -- §2.2 forced filters: variant 'forced' takes the cube + physical
+    #    forced filters as-is; variant 'override' replaces the overridable
+    #    cube-level forced filter with a user filter on the same alias
+    #    while the physical one stays (was q35 + q36 before the 50-entry
+    #    cap; one UNION-ALL entry keeps both paths oracle-checked)
     "q35_forced_filter": {
-        "request": {
-            "cube": "tpch_forced",
-            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [DAY_ALL],
-        },
+        "requests": [
+            ("forced", {
+                "cube": "tpch_forced",
+                "selectFields": [{"field": "line_status"},
+                                 {"field": "revenue"},
+                                 {"field": "line_count"}],
+                "filterExpressions": [DAY_ALL],
+            }),
+            ("override", {
+                "cube": "tpch_forced",
+                "selectFields": [{"field": "line_status"},
+                                 {"field": "revenue"},
+                                 {"field": "line_count"}],
+                "filterExpressions": [DAY_ALL,
+                                      {"field": "return_flag",
+                                       "operator": "=", "value": "A"}],
+            }),
+        ],
         "sql": f"""
-            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
+            SELECT 'forced' AS variant, l_linestatus AS line_status,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
             FROM lineitem
             WHERE l_returnflag = 'R' AND l_linenumber < 7
-            GROUP BY 1
-        """,
-    },
-    # -- §2.2 forced-filter override: a user filter on the same alias
-    #    replaces the overridable forced filter; the physical one stays
-    "q36_forced_override": {
-        "request": {
-            "cube": "tpch_forced",
-            "selectFields": [{"field": "line_status"}, {"field": "revenue"},
-                             {"field": "line_count"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "return_flag", "operator": "=",
-                                   "value": "A"}],
-        },
-        "sql": f"""
-            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
+            GROUP BY 2
+            UNION ALL
+            SELECT 'override' AS variant, l_linestatus AS line_status,
+                   {SQL_REVENUE} AS revenue, COUNT(*) AS line_count
             FROM lineitem
             WHERE l_returnflag = 'A' AND l_linenumber < 7
-            GROUP BY 1
+            GROUP BY 2
         """,
     },
     # -- §2.5 dim-driven TOTALROWS: the row count is the UNPAGINATED number
@@ -1195,6 +1176,16 @@ def run_query(spark, sf_dir: str, name: str):
     q = QUERIES[name]
     ensure_udfs(spark)
     eng = engine_for_dir(spark, build_contract_registry(), sf_dir)
-    df = eng.dataframe(q["request"])
+    if "requests" in q:
+        # multi-variant entry: UNION ALL of per-variant engine runs with a
+        # label column (each variant is a full engine lifecycle)
+        from pyspark.sql import functions as F
+        df = None
+        for label, req in q["requests"]:
+            part = eng.dataframe(req).select(
+                F.lit(label).alias("variant"), "*")
+            df = part if df is None else df.unionByName(part)
+    else:
+        df = eng.dataframe(q["request"])
     _PLAN_CACHE[key] = df
     return df

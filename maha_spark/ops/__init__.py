@@ -27,8 +27,7 @@ def entry_queries() -> dict[str, Callable]:
                    sessions, similarity, sketches, text)
     from ..streaming import hourly
     return {
-        "op_text_stats": text.text_stats,
-        "op_text_repetition": text.text_repetition,
+        "op_text_stats": text.text_profile,
         "op_contamination": contamination.contamination,
         "op_asof_join": asof.asof_join,
         "op_dedup_signatures": dedup.dedup_signatures,
@@ -41,10 +40,11 @@ def entry_queries() -> dict[str, Callable]:
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
+        "op_embed_quantize": similarity.embed_quantize,
         "op_mm_decode": multimodal.mm_decode_features,
         "op_sessionize": sessions.sessionize,
         "op_pack_sequences": packing.pack_sequences,
-        "op_sample_stratified": packing.sample_stratified,
+        "op_sample_stratified": packing.sample_profile,
         "op_token_quantiles": packing.token_quantiles,
         # Entries kept as public API + pytest (not in the 50-entry driver
         # contract): approx_set_counts (HLL) and sim_ann_topk/ivf are
@@ -66,8 +66,7 @@ def entry_oracles() -> dict[str, str]:
         # op_stream_sessions: stateful streaming -> rows-only driver check;
         # exact equality to the batch op is pinned in pytest
         "op_stream_sessions": sessions.sessionize_oracle(),
-        "op_text_stats": text.text_stats_oracle(),
-        "op_text_repetition": text.text_repetition_oracle(),
+        "op_text_stats": text.text_profile_oracle(),
         "op_contamination": contamination.contamination_oracle(),
         "op_asof_join": asof.asof_join_oracle(),
         "op_dedup_signatures": dedup.dedup_signatures_oracle(),
@@ -80,9 +79,10 @@ def entry_oracles() -> dict[str, str]:
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
+        "op_embed_quantize": similarity.embed_quantize_oracle(),
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
         "op_pack_sequences": packing.pack_sequences_oracle(),
-        "op_sample_stratified": packing.sample_stratified_oracle(),
+        "op_sample_stratified": packing.sample_profile_oracle(),
         "op_token_quantiles": packing.token_quantiles_oracle(),
         "op_stream_hourly": hourly.streaming_hourly_oracle(),
     }

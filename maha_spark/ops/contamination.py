@@ -33,10 +33,13 @@ SHINGLE_N = 8
 
 
 def _shingles_spark(words: str, n: int) -> str:
-    """Array of md5-hashed word n-grams — empty-safe."""
+    """Array of md5-hashed word n-grams — empty-safe. concat_ws over
+    element_at probes, not array_join(slice(...)): the slice form
+    allocates per position and measured ~50x slower (see ops/text.py)."""
+    cat = ", ".join(f"element_at({words}, i + {k})" for k in range(n))
     return (f"CASE WHEN size({words}) >= {n} THEN "
             f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> md5(array_join(slice({words}, i, {n}), ' '))) "
+            f"i -> md5(concat_ws(' ', {cat}))) "
             f"ELSE array() END")
 
 

@@ -198,3 +198,133 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_tok").cast("double") / F.count(F.lit(1)))
                  .alias("mean_tok"),
                  *aggs))
+
+
+# --------------------------------------------------------- mixture balance
+def _mix_bucket(spark_side: bool) -> str:
+    h = h32_sql if spark_side else duck_h32_sql
+    seed_id = (f"concat('{SAMPLE_SEED}', CAST(doc_id AS STRING))"
+               if spark_side else f"'{SAMPLE_SEED}' || doc_id::VARCHAR")
+    return f"{h(seed_id)} % 1000"
+
+
+def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture balancing: derive the per-domain sampling rates
+    that produce a UNIFORM mixture over ``lang`` without upsampling any
+    domain (i.e. the largest achievable balanced corpus: with uniform
+    targets the binding domain is the smallest one, so
+    ``rate_l = min_count / count_l``), then hash-sample deterministically
+    with those rates and report per-domain achieved counts plus the
+    inverse-probability weight downstream aggregations need.
+
+    This is the static-mixture half of domain reweighting (the fixed
+    mixtures of GPT-3 Table 2.2 / The Pile; DoReMi learns the targets,
+    the application step is identical). All arithmetic is integer
+    (``rate_pm = (min_c * 1000) DIV count_l``) so both engines agree
+    exactly.
+
+    Scale shape: one tiny groupBy(lang) for the histogram, a broadcast of
+    the k-domain rate table back onto the corpus, and a pure-codegen
+    md5-bucket filter — the corpus is never shuffled. Reproducible under
+    corpus growth (same seed keeps the same documents).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_c = counts.agg(F.min("n_docs").alias("min_c"))
+    rates = (counts.crossJoin(F.broadcast(min_c))
+             .withColumn("rate_pm",
+                         F.expr("CAST((min_c * 1000) DIV n_docs AS BIGINT)")))
+    kept = (docs.selectExpr("doc_id", "lang",
+                            f"{_mix_bucket(True)} AS bucket")
+            .join(F.broadcast(rates.select("lang", "rate_pm")), "lang")
+            .filter(F.col("bucket") < F.col("rate_pm")))
+    n_kept = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (rates.join(n_kept, "lang", "left_outer")
+            .select("lang", "n_docs", "rate_pm",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                    F.round(F.lit(1000.0) / F.col("rate_pm"), 6)
+                     .alias("weight")))
+
+
+def mix_balance_oracle() -> str:
+    return f"""
+        WITH c AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        ), m AS (
+            SELECT MIN(n_docs) AS min_c FROM c
+        ), r AS (
+            SELECT lang, n_docs,
+                   CAST((min_c * 1000) // n_docs AS BIGINT) AS rate_pm
+            FROM c, m
+        ), k AS (
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM (SELECT doc_id, lang, {_mix_bucket(False)} AS bucket
+                  FROM documents) d
+            JOIN r USING (lang)
+            WHERE d.bucket < r.rate_pm
+            GROUP BY 1
+        )
+        SELECT r.lang, r.n_docs, r.rate_pm,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               round(1000.0 / r.rate_pm, 6) AS weight
+        FROM r LEFT JOIN k ON r.lang = k.lang
+    """
+
+
+def sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sampling profile: ONE row per document carrying both
+    keep decisions — the fixed per-stratum rates (``sample_stratified``)
+    and the mixture-derived rates (``mix_balance``) — plus their
+    inverse-probability weights. Emitting flags instead of filtered rows
+    makes the oracle verify the rule on EVERY document, kept or dropped.
+    One driver entry for the sampling surface; both underlying operators
+    stay public API."""
+    bucket, rate, weight = _bucket_exprs(spark_side=True)
+    docs = (load_table(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "lang", f"{bucket} AS bucket",
+                        f"CAST({rate} AS BIGINT) AS strat_rate_pm",
+                        f"{weight} AS strat_weight"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_c = counts.agg(F.min("n_docs").alias("min_c"))
+    rates = (counts.crossJoin(F.broadcast(min_c))
+             .selectExpr("lang",
+                         "CAST((min_c * 1000) DIV n_docs AS BIGINT)"
+                         " AS mix_rate_pm"))
+    return (docs.join(F.broadcast(rates), "lang")
+            .selectExpr(
+                "doc_id", "lang", "bucket",
+                "strat_rate_pm",
+                "CAST(bucket < strat_rate_pm AS INT) AS strat_kept",
+                "strat_weight",
+                "mix_rate_pm",
+                "CAST(bucket < mix_rate_pm AS INT) AS mix_kept",
+                "round(CAST(1000.0 AS DOUBLE) / mix_rate_pm, 6)"
+                " AS mix_weight"))
+
+
+def sample_profile_oracle() -> str:
+    bucket, rate, weight = _bucket_exprs(spark_side=False)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, {bucket} AS bucket,
+                   CAST({rate} AS BIGINT) AS strat_rate_pm,
+                   {weight} AS strat_weight
+            FROM documents
+        ), c AS (
+            SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY 1
+        ), m AS (
+            SELECT MIN(n_docs) AS min_c FROM c
+        ), r AS (
+            SELECT lang,
+                   CAST((min_c * 1000) // n_docs AS BIGINT) AS mix_rate_pm
+            FROM c, m
+        )
+        SELECT d.doc_id, d.lang, d.bucket,
+               d.strat_rate_pm,
+               CAST(d.bucket < d.strat_rate_pm AS INT) AS strat_kept,
+               d.strat_weight,
+               r.mix_rate_pm,
+               CAST(d.bucket < r.mix_rate_pm AS INT) AS mix_kept,
+               round(1000.0 / r.mix_rate_pm, 6) AS mix_weight
+        FROM d JOIN r USING (lang)
+    """

