@@ -44,6 +44,18 @@ class ParquetBinding(TableBinding):
     def table(self, name: str) -> DataFrame:
         if name in self._overrides:
             return self._overrides[name]()
+        # Hive-partitioned directory layout ({base}/{name}/dt=.../*.parquet)
+        # takes precedence: the 100 TB shape, read with partition discovery
+        # so the planner's day bound becomes a PartitionFilter
+        pdir = os.path.join(self.base_dir, name)
+        if os.path.isdir(pdir):
+            if os.environ.get("MAHA_SPARK_CACHE", "1") == "1":
+                key = (id(self.spark), pdir)
+                if key not in _DF_CACHE:
+                    _DF_CACHE[key] = normalize_timestamps(
+                        self.spark.read.parquet(pdir)).cache()
+                return _DF_CACHE[key]
+            return normalize_timestamps(self.spark.read.parquet(pdir))
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
             if os.environ.get("MAHA_SPARK_CACHE", "1") == "1":

@@ -167,7 +167,34 @@ class Planner:
                 out = out.unionByName(d, allowMissingColumns=True)
         else:
             out = self.binding.table(table.name)
+        out = self._apply_partition_pruning(out, table, model)
         return self._apply_timezone(out, table, model)
+
+    def _apply_partition_pruning(self, df: DataFrame, table: FactTable,
+                                 model: Optional[RequestModel]) -> DataFrame:
+        """Emit the day-range predicate on the PHYSICAL date-partition
+        column (``FactTable.partition_columns[0]``, holding
+        ``DATE(day_column)`` by layout convention).
+
+        At 100 TB the fact table is date-partitioned; the mandatory Day
+        Between filter must become a PartitionFilter so the scan touches
+        only the requested days' directories — row-group statistics alone
+        still enumerate every file. When a request timezone shifts local
+        days across UTC date lines the bound widens ±1 day, mirroring the
+        pushable-bound widening in _apply_timezone
+        (BaseUTCTimeProvider.scala:87-185)."""
+        if (not table.partition_columns or model is None
+                or not model.day_range):
+            return df
+        pcol = table.partition_columns[0]
+        if pcol not in df.columns:
+            return df
+        import datetime as _dt
+        f_d, t_d = model.day_range
+        widen = _dt.timedelta(days=1 if model.timezone else 0)
+        return df.filter(
+            (F.col(_q(pcol)) >= F.lit((f_d - widen).isoformat()))
+            & (F.col(_q(pcol)) <= F.lit((t_d + widen).isoformat())))
 
     def _apply_timezone(self, df: DataFrame, table: FactTable,
                         model: Optional[RequestModel]) -> DataFrame:

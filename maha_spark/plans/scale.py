@@ -60,3 +60,22 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   key: str, how: str = "inner") -> DataFrame:
     """Join two same-bucketed catalog tables on their bucket key."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def partition_fact(spark: SparkSession, src_parquet: str, dst_dir: str,
+                   day_col: str, partition_col: str = "dt") -> None:
+    """Rewrite a fact parquet file as a Hive-partitioned directory keyed
+    by ``DATE(day_col)`` — the 100 TB storage layout
+    (``.../dt=YYYY-MM-DD/part-*.parquet``).
+
+    Pairs with ``FactTable.partition_columns=["dt"]``: the planner then
+    emits the mandatory Day Between bound as a PartitionFilter, so a
+    one-week query over a three-year table opens seven directories
+    instead of enumerating every file's row-group statistics.
+    """
+    import os
+    from .binding import ParquetBinding
+    df = ParquetBinding(
+        spark, os.path.dirname(src_parquet))._read_parquet(src_parquet)
+    (df.withColumn(partition_col, F.to_date(F.col(day_col)))
+       .write.mode("overwrite").partitionBy(partition_col).parquet(dst_dir))
