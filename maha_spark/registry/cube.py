@@ -257,5 +257,49 @@ class Registry:
                     for p in f.pub_fact_cols if not p.hidden_from_json
                 ],
             }
-        return {"schemas": {}, "cubes": cubes,
+        return {"schemas": self._schema_map(), "cubes": cubes,
                 "dimensions": sorted(self._dims)}
+
+    def _schema_map(self) -> dict[str, list[str]]:
+        """schema label -> cube names (Registry.scala:755-760)."""
+        out: dict[str, set[str]] = {}
+        for name in self.cubes():
+            for t in self.fact(name).tables:
+                for sch in t.schemas:
+                    out.setdefault(str(sch), set()).add(name)
+        return {k: sorted(v) for k, v in sorted(out.items())}
+
+    def cube_json(self, name: str,
+                  revision: Optional[int] = None) -> dict[str, Any]:
+        """Per-cube slice of the domain document
+        (Registry.cubesJsonStringByName :685)."""
+        if (name, self._default_rev.get(name) if revision is None
+                else revision) not in self._facts:
+            raise KeyError(f"unknown cube {name!r}")
+        return self.domain_json()["cubes"][name]
+
+    def flatten_domain_json(self) -> dict[str, Any]:
+        """Flat discovery document (Registry.flattenDomainJsonAsString
+        :738-768): cube/dimension field NAMES only, plus the
+        schema -> cubes map — the lightweight shape UI pickers consume."""
+        return {
+            "dimensions": [
+                {"name": n,
+                 "fields": [p.alias for p in self._dims[n].pub_cols
+                            if not p.hidden_from_json]}
+                for n in sorted(self._dims)],
+            "schemas": self._schema_map(),
+            "cubes": [self.flatten_cube_json(n) for n in self.cubes()],
+        }
+
+    def flatten_cube_json(self, name: str,
+                          revision: Optional[int] = None) -> dict[str, Any]:
+        """Flat per-cube field list
+        (Registry.getFlattenCubeJsonAsStringForCube :770)."""
+        f = self.fact(name, revision)
+        return {
+            "name": name,
+            "mainEntityIds": f.schema_required_alias,
+            "fields": [p.alias for p in (f.pub_cols + f.pub_fact_cols)
+                       if not p.hidden_from_json],
+        }

@@ -1,0 +1,146 @@
+"""REST serving surface: the reference's primary entry point
+(api-jersey ``MahaResource.scala`` — ``@Path("/registry")``) rebuilt on
+the standard-library HTTP server over a live engine.
+
+Routes (all under ``/registry/{registry}``, mirroring MahaResource):
+
+- ``GET  /cubes``                          cube-name list (:53-61)
+- ``GET  /domain``                         full domain json (:64-73)
+- ``GET  /domain/cubes/{cube}``            per-cube domain (:76-85)
+- ``GET  /flattenDomain``                  flat domain (:88-97)
+- ``GET  /flattenDomain/cubes/{cube}``     flat per-cube (:100-121)
+- ``POST /schemas/{schema}/query``         JSON reporting request ->
+  reference JSON envelope via the full engine lifecycle (:170+)
+- ``POST /schemas/{schema}/sql``           SQL text -> same envelope
+  (the Calcite entry ``MahaCalciteSqlParser``; our grammar is
+  ``request/sql.py``)
+
+Scale posture: the handler is a thin adapter — the engine executes on
+the cluster, rows stream through ``toLocalIterator`` inside the JSON
+serializer, and the server is ``ThreadingHTTPServer`` so one slow query
+never blocks discovery endpoints. A production deployment would put the
+same engine behind any WSGI/ASGI stack; nothing here is stdlib-bound by
+design, only by the no-new-dependencies environment.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+from ..engine import MahaSparkEngine
+
+
+class RestServer:
+    """In-process HTTP server bound to one engine + registry name."""
+
+    def __init__(self, engine: MahaSparkEngine,
+                 registry_name: str = "maha", port: int = 0):
+        self.engine = engine
+        self.registry_name = registry_name
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self.port = port
+
+    # ------------------------------------------------------------------
+    def start(self) -> "RestServer":
+        handler = _make_handler(self.engine, self.registry_name)
+        self._httpd = ThreadingHTTPServer(("localhost", self.port), handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    @property
+    def base_url(self) -> str:
+        return f"http://localhost:{self.port}"
+
+
+def _make_handler(engine: MahaSparkEngine, registry_name: str):
+    registry = engine.registry
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        # ------------------------------------------------------ helpers
+        def _send(self, code: int, payload: Any) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _not_found(self, msg: str) -> None:
+            # MahaResource NotFoundException(Error(...)) shape
+            self._send(404, {"errorMsg": msg})
+
+        def _parts(self) -> list[str]:
+            return [p for p in self.path.split("?")[0].split("/") if p]
+
+        def _check_registry(self, parts: list[str]) -> bool:
+            if len(parts) < 2 or parts[0] != "registry" \
+                    or parts[1] != registry_name:
+                self._not_found(
+                    f"registry {'/'.join(parts[1:2]) or '?'} not found")
+                return False
+            return True
+
+        # ------------------------------------------------------- routes
+        def do_GET(self) -> None:
+            p = self._parts()
+            if not self._check_registry(p):
+                return
+            try:
+                rest = p[2:]
+                if rest == ["cubes"]:
+                    self._send(200, registry.cubes())
+                elif rest == ["domain"]:
+                    self._send(200, registry.domain_json())
+                elif len(rest) == 3 and rest[:2] == ["domain", "cubes"]:
+                    self._send(200, registry.cube_json(rest[2]))
+                elif rest == ["flattenDomain"]:
+                    self._send(200, registry.flatten_domain_json())
+                elif len(rest) == 3 and \
+                        rest[:2] == ["flattenDomain", "cubes"]:
+                    self._send(200, registry.flatten_cube_json(rest[2]))
+                elif len(rest) == 4 and \
+                        rest[:2] == ["flattenDomain", "cubes"]:
+                    self._send(200, registry.flatten_cube_json(
+                        rest[2], int(rest[3])))
+                else:
+                    self._not_found(f"no route {self.path}")
+            except KeyError as e:
+                self._not_found(str(e))
+
+        def do_POST(self) -> None:
+            p = self._parts()
+            if not self._check_registry(p):
+                return
+            rest = p[2:]
+            if len(rest) != 3 or rest[0] != "schemas" \
+                    or rest[2] not in ("query", "sql"):
+                self._not_found(f"no route {self.path}")
+                return
+            schema = rest[1]
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n).decode()
+            try:
+                if rest[2] == "sql":
+                    from ..request.sql import sql_to_request_json
+                    body = sql_to_request_json(body, registry=registry)
+                self._send(200, engine.execute(body, schema=schema))
+            except Exception as e:  # validation/parse -> 400, not 500
+                self._send(400, {"errorMsg": str(e)})
+
+    return Handler
