@@ -470,6 +470,22 @@ class Planner:
                 cols.append(F.expr(_decode_sql(t.columns, pub)).alias(s.field))
         return df.select(*cols)
 
+    #: estimated-rows ceiling for hinting a dimension broadcast; a dim
+    #: declaring a larger cardinality joins unhinted, so Catalyst/AQE pick
+    #: the strategy from real sizes (shuffled hash / sort-merge, with
+    #: runtime broadcast conversion if the filtered side turns out small)
+    BROADCAST_DIM_MAX_ROWS = 5_000_000
+
+    def _maybe_broadcast(self, ddf: DataFrame, dims) -> DataFrame:
+        """Broadcast-hint a dim frame unless any participating dimension
+        declares a cardinality above the ceiling — a billion-row customer
+        dim must never be shipped to every executor."""
+        for d in dims:
+            card = d.table.cardinality
+            if card is not None and card > self.BROADCAST_DIM_MAX_ROWS:
+                return ddf
+        return F.broadcast(ddf)
+
     def _build_chain_df(self, ch: DimJoinChain, keys_only: bool = False) -> DataFrame:
         """Join the snowflake chain d0 <- d1 <- ... into one dim-side DF
         keyed by d0's primary key."""
@@ -484,7 +500,7 @@ class Planner:
             ddf = self._load_dim(d, ch)
             # inner if this dim carries filters, else left to keep chain rows
             jt = "inner" if ch.filters.get(d.name) else "left_outer"
-            df = df.join(F.broadcast(ddf),
+            df = df.join(self._maybe_broadcast(ddf, [d]),
                          df[fk_col] == ddf[_q(d.table.primary_key)], jt)
             df = df.drop(ddf[_q(d.table.primary_key)])
             prev = d
@@ -531,7 +547,7 @@ class Planner:
                 continue
             dimdf = self._build_chain_df(ch)
             key = f"__dimkey_{ch.fact_fk_col}"
-            df = df.join(F.broadcast(dimdf),
+            df = df.join(self._maybe_broadcast(dimdf, ch.dims),
                          df[_q(ch.fact_fk_col)] == dimdf[_q(key)],
                          ch.join_type).drop(key)
 
@@ -551,7 +567,7 @@ class Planner:
                 continue
             dimdf = self._build_chain_df(ch)
             key = f"__dimkey_{ch.fact_fk_col}"
-            df = df.join(F.broadcast(dimdf),
+            df = df.join(self._maybe_broadcast(dimdf, ch.dims),
                          df[_q(ch.fact_fk_col)] == dimdf[_q(key)],
                          ch.join_type).drop(key)
 
@@ -662,7 +678,7 @@ class Planner:
                 continue
             chdf = self._build_chain_df(ch)
             k2 = f"__dimkey_{ch.fact_fk_col}"
-            df = df.join(F.broadcast(chdf),
+            df = df.join(self._maybe_broadcast(chdf, ch.dims),
                          df[_q(ch.fact_fk_col)] == chdf[_q(k2)],
                          "left_outer").drop(k2)
 

@@ -95,6 +95,11 @@ class DimensionTable:
     #: (schemaColMap, dimension/Dimension.scala:607)
     schema_col_map: dict[str, str] = field(default_factory=dict)
     cost: int = 100
+    #: estimated row count; None = curated-small (broadcast-hinted).
+    #: Set it for big dims so the planner stops hinting broadcast and the
+    #: join falls back to AQE's choice (dimCardinalityEnginePreference,
+    #: fact/Fact.scala — the reference also routes on dim cardinality)
+    cardinality: Optional[int] = None
 
 
 @dataclass(frozen=True)

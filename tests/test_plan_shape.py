@@ -275,3 +275,38 @@ def test_dim_driven_pushes_page_keys_into_fact(contract_engine):
     # at least one aggregate consumes the semi-join output (appears above
     # it in the tree = smaller line index)
     assert any(i < semi_line for i in agg_lines), tree
+
+
+def test_large_dim_is_not_broadcast_hinted(spark):
+    """A dimension declaring cardinality above the ceiling must join
+    WITHOUT a broadcast hint: with autoBroadcastJoinThreshold disabled the
+    plan falls to a non-broadcast join (AQE would still convert small
+    filtered sides at runtime) — a billion-row dim is never shipped to
+    every executor. The default (curated-small) dim keeps the hint and
+    broadcasts even with the threshold disabled."""
+    import os
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+
+    os.environ["MAHA_SPARK_CACHE"] = "0"
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    }
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = engine_for_dir(spark, build_contract_registry(),
+                               "/root/testdata/sf0.001")
+        assert "BroadcastHashJoin" in _physical(small.dataframe(req))
+
+        reg = build_contract_registry()
+        for dim in reg._dims.values():
+            dim.table.cardinality = 10 ** 9
+        big = engine_for_dir(spark, reg, "/root/testdata/sf0.001")
+        phys = _physical(big.dataframe(req))
+        assert "BroadcastHashJoin" not in phys, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        os.environ.pop("MAHA_SPARK_CACHE", None)
