@@ -473,9 +473,17 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         needed.add(base.day_column)
 
     candidates = cube.candidate_tables(needed)
+    if day_range is not None:
+        # availableOnwardsDate (fact/Fact.scala:1752): a table backfilled
+        # from some date cannot serve a window starting before it
+        candidates = [
+            t for t in candidates
+            if t.available_onwards is None
+            or _parse_date(t.available_onwards) <= day_range[0]]
     if not candidates:
         errors.append(
-            f"no fact table in cube {request.cube!r} covers columns {sorted(needed)}")
+            f"no fact table in cube {request.cube!r} covers columns "
+            f"{sorted(needed)} for the requested window")
 
     if request.rows_per_page > request.max_rows_cap:
         errors.append(f"rowsPerPage {request.rows_per_page} exceeds cap "

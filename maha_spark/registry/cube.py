@@ -65,6 +65,11 @@ class FactTable:
     parts: list[ViewPart] = field(default_factory=list)
     #: physical partition column names (partition pruning)
     partition_columns: list[str] = field(default_factory=list)
+    #: ISO date the table has data from; a candidate is disqualified when
+    #: the requested window starts earlier (availableOnwardsDate,
+    #: fact/Fact.scala getCandidatesFor:1752 — rollups backfilled later
+    #: than the base fact must not serve historical windows)
+    available_onwards: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.day_column is None:

@@ -52,3 +52,31 @@ def test_base_table_forced_by_filter_dependency():
     m = _model(["return_flag", "revenue"],
                [{"field": "line_number", "operator": ">", "value": 3}])
     assert m.fact_table.cost == 6000
+
+
+def test_available_onwards_disqualifies_rollup_for_old_windows():
+    """availableOnwardsDate (fact/Fact.scala getCandidatesFor:1752): a
+    rollup backfilled from 1998 cannot serve a window starting in 1995;
+    a window entirely after the backfill date can use it."""
+    import copy
+    reg = build_contract_registry()
+    fact = reg.fact("tpch")
+    fact = copy.deepcopy(fact)
+    for t in fact.tables:
+        if t.cost == 2000:
+            t.available_onwards = "1998-01-01"
+    reg.register_fact(fact)
+
+    def model(day_from, day_to):
+        return build_request_model(parse_request({
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [
+                {"field": "day", "operator": "between",
+                 "from": day_from, "to": day_to}]}), reg)
+
+    # window starts before the rollup's data exists -> base table
+    assert model("1995-01-01", "2002-12-31").fact_table.cost == 6000
+    # window fully inside the rollup's availability -> cheap rollup
+    assert model("1998-06-01", "1999-06-01").fact_table.cost == 2000
