@@ -32,41 +32,47 @@ BENCH_MOD = 10
 SHINGLE_N = 8
 
 
-def _shingles_spark(words: str, n: int) -> str:
-    """Array of md5-hashed word n-grams — empty-safe. concat_ws over
-    element_at probes, not array_join(slice(...)): the slice form
-    allocates per position and measured ~50x slower (see ops/text.py)."""
-    cat = ", ".join(f"element_at({words}, i + {k})" for k in range(n))
-    return (f"CASE WHEN size({words}) >= {n} THEN "
-            f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> md5(concat_ws(' ', {cat}))) "
-            f"ELSE array() END")
-
-
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-candidate-document contamination report: distinct shingles,
     how many also occur anywhere in the benchmark split, the fraction,
-    and the verdict (any hit = contaminated, the conservative filter)."""
+    and the verdict (any hit = contaminated, the conservative filter).
+
+    Shingle rows are generated as explode(position indices) with the md5
+    hash computed AFTER the Generate — exploding a computed hash array
+    re-evaluates the whole array per output row (see ops/text.py
+    ``gram_rows_spark``)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr(
-        "doc_id", f"{_shingles_spark(words_sql(), SHINGLE_N)} AS sh")
+    n = SHINGLE_N
+    sh_rows = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+               .selectExpr(
+                   "doc_id", "w",
+                   f"explode(CASE WHEN size(w) >= {n} THEN "
+                   f"sequence(1, size(w) - {n} + 1) ELSE "
+                   f"array() END) AS i")
+               .selectExpr(
+                   "doc_id",
+                   f"md5(array_join(slice(w, i, {n}), ' ')) AS h"))
 
-    bench_sh = (sh.filter(F.col("doc_id") % BENCH_MOD == 0)
-                .select(F.explode("sh").alias("h")).distinct())
-    cand = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench_sh = (sh_rows.filter(F.col("doc_id") % BENCH_MOD == 0)
+                .select("h").distinct())
     # per-doc DISTINCT occurrences (a shingle repeated within one doc
     # counts once, matching the oracle's set semantics)
-    cand_sh = (cand.select("doc_id", F.explode("sh").alias("h"))
+    cand_sh = (sh_rows.filter(F.col("doc_id") % BENCH_MOD != 0)
                .distinct())
 
     hits = (cand_sh.join(F.broadcast(bench_sh), "h", "left_semi")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hit")))
-    per_doc = (cand.select("doc_id", F.size(F.array_distinct("sh"))
-                           .alias("n_shingles")))
-    out = (per_doc.join(hits, "doc_id", "left_outer")
+    counts = (cand_sh.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shingles")))
+    cand_ids = (docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+                .select("doc_id"))
+    out = (cand_ids.join(counts, "doc_id", "left_outer")
+           .join(hits, "doc_id", "left_outer")
+           .withColumn("n_shingles",
+                       F.coalesce(F.col("n_shingles"), F.lit(0)))
            .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
     return (out.withColumn(
                 "contaminated_frac",

@@ -157,22 +157,31 @@ DUP_NS = (5, 8)
 TOP2_MAX, DUP5_MAX = 0.20, 0.15
 
 
-def _gram_arrays_spark(words: str) -> str:
-    """Array of (n, gram) structs across all widths — empty-safe.
+def gram_rows_spark(words_df: "DataFrame", ns) -> "DataFrame":
+    """(doc_id, n, gram) rows for every width in ``ns`` over a
+    ``(doc_id, w)`` frame.
 
-    Grams are built as ``concat_ws`` of ``element_at`` probes, NOT
-    ``array_join(slice(...))``: the slice form allocates an array per
-    position and measured ~50x slower (it drops out of efficient codegen);
-    the element_at form is pure string concat in whole-stage codegen."""
-    parts = []
-    for n in sorted({*TOP_NS, *DUP_NS}):
-        cat = ", ".join(f"element_at({words}, i + {k})" for k in range(n))
-        parts.append(
-            f"CASE WHEN size({words}) >= {n} THEN "
-            f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> struct({n} AS n, concat_ws(' ', {cat}) AS gram)) "
-            f"ELSE array() END")
-    return f"concat({', '.join(parts)})"
+    The gram string is built AFTER the explode, from cheap position
+    indices: ``explode`` of a *computed* array re-evaluates the array
+    expression once per OUTPUT row (GenerateExec keeps the generator
+    child inline), which made the build-arrays-then-explode form O(doc
+    length) per emitted gram — measured 165x slower than this shape at
+    sf0.1. Post-explode, ``array_join(slice(w, i, n))`` touches only the
+    n elements of its own gram."""
+    branches = []
+    for n in sorted(set(ns)):
+        branches.append(
+            words_df.selectExpr(
+                "doc_id", "w",
+                f"explode(CASE WHEN size(w) >= {n} THEN "
+                f"sequence(1, size(w) - {n} + 1) ELSE "
+                f"array() END) AS i")
+            .selectExpr("doc_id", f"{n} AS n",
+                        f"array_join(slice(w, i, {n}), ' ') AS gram"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,10 +198,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from .common import load_table
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.selectExpr("doc_id", f"size({words_sql()}) AS n_words",
-                           f"{_gram_arrays_spark(words_sql())} AS grams")
-    g = (base.select("doc_id", F.explode("grams").alias("g"))
-         .select("doc_id", "g.n", "g.gram"))
+    base = docs.selectExpr("doc_id", f"{words_sql()} AS w")
+    g = gram_rows_spark(base, {*TOP_NS, *DUP_NS})
     per_gram = g.groupBy("doc_id", "n", "gram").count()
     per_n = per_gram.groupBy("doc_id", "n").agg(
         F.sum("count").alias("total"), F.max("count").alias("top"),
@@ -209,7 +216,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = per_n.groupBy("doc_id").agg(
         *[frac(n, "top").alias(f"top{n}_frac") for n in TOP_NS],
         *[frac(n, "dup").alias(f"dup{n}_frac") for n in DUP_NS])
-    out = (base.select("doc_id", "n_words")
+    out = (base.selectExpr("doc_id", "size(w) AS n_words")
            .join(folded, "doc_id", "left_outer"))
     fracs = [f"top{n}_frac" for n in TOP_NS] + [f"dup{n}_frac"
                                                 for n in DUP_NS]
