@@ -114,16 +114,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sh", f"transform(sh, s -> {h28_sql('s')}) AS hs")
     sigs = hashed.selectExpr(
         "doc_id", "sh",
-        *[f"{e} AS mh{i}" for i, e in
-          enumerate(_minhash_sig_spark("hs"))])
-    band_cols = [
-        f"named_struct('band', {b}, 'key', md5(concat_ws(',', "
-        + ", ".join(f"mh{b * ROWS + r}" for r in range(ROWS)) + ")))"
-        for b in range(BANDS)
-    ]
-    buckets = sigs.selectExpr(
-        "doc_id", "sh",
-        f"explode(array({', '.join(band_cols)})) AS bk")
+        f"array({', '.join(_minhash_sig_spark('hs'))}) AS mhs")
+    # Explode literal band INDICES; the signature array passes THROUGH the
+    # Generate (required child output — evaluated once per input row) and
+    # each band key is derived post-explode from its own two slots.
+    # Exploding an array of computed band structs re-evaluated the whole
+    # 24-permutation signature once per emitted band (see ops/text.py
+    # gram_rows_spark for the GenerateExec inlining mechanics).
+    slots = ", ".join(f"mhs[band * {ROWS} + {r}]" for r in range(ROWS))
+    buckets = (sigs
+               .selectExpr("doc_id", "sh", "mhs",
+                           f"explode(sequence(0, {BANDS - 1})) AS band")
+               .selectExpr(
+                   "doc_id", "sh",
+                   f"named_struct('band', band, 'key', "
+                   f"md5(concat_ws(',', {slots}))) AS bk"))
     a = buckets.selectExpr("bk", "doc_id AS a_id")
     b = buckets.selectExpr("bk", "doc_id AS b_id")
     # dedupe candidate pairs on ids BEFORE attaching shingle sets: the
@@ -193,12 +198,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
     docs = load_table(spark, sf_dir, "documents")
-    base = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
-            .filter("size(w) >= 2")
-            .selectExpr("doc_id", f"{_bigrams_spark('w')} AS g"))
+    wdf = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+           .filter("size(w) >= 2"))
     # consumed twice (document-frequency agg + the order join); cache the
-    # exploded tokens so the split/bigram expression chain runs once
-    toks = base.selectExpr("doc_id", "explode(g) AS tok").cache()
+    # exploded tokens so the split/bigram chain runs once. Bigrams are
+    # built AFTER the position explode (w passes through the Generate);
+    # the distinct() reproduces the array_distinct semantics of the
+    # per-doc bigram set.
+    toks = (wdf.selectExpr("doc_id", "w",
+                           "explode(sequence(1, size(w) - 1)) AS i")
+            .selectExpr("doc_id", "concat_ws(' ', w[i-1], w[i]) AS tok")
+            .distinct().cache())
     # Global total order WITHOUT any global rank: prefix filtering only
     # needs a consistent total order on tokens, and the (ascending df,
     # token) SORT KEY is itself that order — sort each document's tokens
@@ -443,11 +453,17 @@ def dedup_signatures_oracle() -> str:
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash(spark, sf_dir)
-    chunks = sh.selectExpr(
-        "doc_id", "simhash",
-        "explode(array(" + ", ".join(
-            f"named_struct('c', {c}, 'v', (simhash div {1 << (8 * c)}) % 256)"
-            for c in range(SIMHASH_CHUNKS)) + ")) AS ck")
+    # literal chunk indices explode; simhash (an md5-heavy projection)
+    # passes through the Generate and each chunk value is sliced out
+    # post-explode — the array-of-structs form re-evaluated the full
+    # simhash expression once per emitted chunk
+    chunks = (sh.selectExpr("doc_id", "simhash",
+                            f"explode(sequence(0, {SIMHASH_CHUNKS - 1})) "
+                            f"AS c")
+              .selectExpr(
+                  "doc_id", "simhash",
+                  "named_struct('c', c, 'v', (simhash div "
+                  "shiftleft(CAST(1 AS BIGINT), 8 * c)) % 256) AS ck"))
     a = chunks.selectExpr("ck", "doc_id AS a_id", "simhash AS a_sh")
     b = chunks.selectExpr("ck", "doc_id AS b_id", "simhash AS b_sh")
     return (a.join(b, "ck").filter("a_id < b_id")

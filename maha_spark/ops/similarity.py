@@ -466,13 +466,19 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     emb = load_table(spark, sf_dir, "embeddings")
     norm = _norm_sql("embedding", one_based=False)
-    tables = ", ".join(
-        f"named_struct('t', {t}, 'b', "
-        f"{_bucket_sql('embedding', one_based=False, table=t)})"
-        for t in range(N_TABLES))
-    with_b = emb.selectExpr(
-        "vec_id", "embedding", f"{norm} AS nrm",
-        f"explode(array({tables})) AS bkt")
+    # explode literal table ids; embedding/nrm pass through the Generate
+    # and a CASE computes ONLY that row's table bucket — exploding an
+    # array of computed buckets re-evaluated every table's 8 plane dots
+    # per emitted row (see ops/text.py gram_rows_spark)
+    bucket_case = "CASE t " + " ".join(
+        f"WHEN {t} THEN "
+        f"{_bucket_sql('embedding', one_based=False, table=t)}"
+        for t in range(N_TABLES)) + " END"
+    with_b = (emb.selectExpr("vec_id", "embedding", f"{norm} AS nrm",
+                             f"explode(sequence(0, {N_TABLES - 1})) AS t")
+              .selectExpr("vec_id", "embedding", "nrm",
+                          f"named_struct('t', t, 'b', {bucket_case}) "
+                          f"AS bkt"))
     a = with_b.selectExpr("bkt", "vec_id AS qid", "embedding AS qv",
                           "nrm AS qn")
     b = with_b.selectExpr("bkt", "vec_id AS nid", "embedding AS nv",
