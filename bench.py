@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "32"))
+# 128x puts ~77M lineitem rows through the scaled tier: data cost
+# dominates Spark's fixed per-stage overhead there (measured aggregate
+# spark/duckdb ratio ~1.6x vs ~4x at 32x), so the headline ratio reflects
+# engine throughput — the number that projects to the cluster case
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "128"))
 
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings")

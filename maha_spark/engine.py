@@ -25,12 +25,19 @@ from .request.request import ReportingRequest, parse_request
 class MahaSparkEngine:
     def __init__(self, spark: SparkSession, registry: Registry,
                  binding: TableBinding,
-                 bucket_selector: Optional["BucketSelector"] = None):
+                 bucket_selector: Optional["BucketSelector"] = None,
+                 request_logger: Optional[Any] = None,
+                 registry_name: str = "maha"):
         self.spark = spark
         self.registry = registry
         self.binding = binding
         self.planner = Planner(spark, binding)
         self.bucket_selector = bucket_selector
+        #: per-request stats sink (reference request-log module; see
+        #: maha_spark/log/request_log.py) — logging must never throw into
+        #: the serving path, so failures are swallowed by the writer layer
+        self.request_logger = request_logger
+        self.registry_name = registry_name
         #: dry-run shadow execution ledger (RequestModel.scala:1465-1510:
         #: the dry-run revision's query runs out-of-band, result discarded)
         self.dry_run_log: list[dict[str, Any]] = []
@@ -82,32 +89,69 @@ class MahaSparkEngine:
                 schema: str = "internal",
                 today: Optional[_dt.date] = None,
                 user_id: str = "",
-                revision: Optional[int] = None) -> dict[str, Any]:
+                revision: Optional[int] = None,
+                request_id: Optional[str] = None) -> dict[str, Any]:
         """Full lifecycle incl. curators -> reference JSON envelope.
         Routes through model() so revision A/B bucketing applies on the
         primary execute path exactly as it does for dataframe()."""
         from .curators.curators import run_curators  # cycle-free local import
+        from .log.request_log import (build_log_entry, new_request_id,
+                                      now_ms, RequestLogEntry)
 
+        raw = request if isinstance(request, str) else ""
         req = request if isinstance(request, ReportingRequest) else \
             parse_request(request, schema=schema)
-        sel = None
-        if revision is None and self.bucket_selector is not None:
-            sel = self.bucket_selector.select(req.cube, user_id=user_id)
-            revision = sel.revision
-        model = self.model(req, schema=schema, today=today,
-                           user_id=user_id, revision=revision)
-        if sel is not None and sel.dry_run_revision is not None and \
-                sel.dry_run_revision != model.cube.revision:
-            self._spawn_dry_run(req, schema, today, sel.dry_run_revision)
-        df = self.planner.build(model)
-        curator_results = run_curators(self, model) if req.curators else None
-        return to_json_response(
-            df, cube=req.cube,
-            metric_aliases=set(model.metric_aliases),
-            max_rows=req.rows_per_page,
-            curators=curator_results,
-            debug={"requestType": req.request_type} if req.is_debug else None,
-        )
+        request_id = request_id or new_request_id()
+        t0 = now_ms()
+        entry: Optional[RequestLogEntry] = None
+        try:
+            sel = None
+            if revision is None and self.bucket_selector is not None:
+                sel = self.bucket_selector.select(req.cube, user_id=user_id)
+                revision = sel.revision
+            model = self.model(req, schema=schema, today=today,
+                               user_id=user_id, revision=revision)
+            entry = build_log_entry(
+                model, request_id=request_id, raw_request=raw,
+                schema=schema, user_id=user_id,
+                registry_name=self.registry_name)
+            entry.request_start_time = t0
+            if sel is not None and sel.dry_run_revision is not None and \
+                    sel.dry_run_revision != model.cube.revision:
+                entry.is_dry_run = True
+                self._spawn_dry_run(req, schema, today, sel.dry_run_revision)
+            df = self.planner.build(model)
+            curator_results = run_curators(self, model) if req.curators \
+                else None
+            return to_json_response(
+                df, cube=req.cube,
+                metric_aliases=set(model.metric_aliases),
+                max_rows=req.rows_per_page,
+                curators=curator_results,
+                debug={"requestType": req.request_type}
+                if req.is_debug else None,
+            )
+        except Exception as e:
+            # validation failures happen before the model exists — log a
+            # skeleton record so failed requests still hit the ledger
+            # (MahaRequestLogHelper.logFailed semantics)
+            if entry is None:
+                entry = RequestLogEntry(
+                    request_id=request_id, json_request=raw,
+                    user_id=user_id, cube=req.cube, schema=schema,
+                    request_type=req.request_type,
+                    registry_name=self.registry_name,
+                    request_start_time=t0)
+            entry.status = 400
+            entry.error_message = str(e)[:500]
+            raise
+        finally:
+            if self.request_logger is not None and entry is not None:
+                entry.request_end_time = now_ms()
+                try:
+                    self.request_logger.log(entry)
+                except Exception:
+                    pass  # the ledger never breaks serving
 
     # ------------------------------------------------------------------
     def _spawn_dry_run(self, req: ReportingRequest, schema: str,

@@ -139,7 +139,12 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
                 if rest[2] == "sql":
                     from ..request.sql import sql_to_request_json
                     body = sql_to_request_json(body, registry=registry)
-                self._send(200, engine.execute(body, schema=schema))
+                # MahaResource reads the caller's Request-Id header into
+                # the request log; generated when absent
+                self._send(200, engine.execute(
+                    body, schema=schema,
+                    request_id=self.headers.get("Request-Id"),
+                    user_id=self.headers.get("User-Id", "")))
             except Exception as e:  # validation/parse -> 400, not 500
                 self._send(400, {"errorMsg": str(e)})
 

@@ -1,0 +1,104 @@
+"""Request-stats logging (reference ``request-log`` module parity:
+MahaRequestLog.proto record shape, KafkaMahaRequestLogWriter validate
+contract, KafkaMultiColoRequestLogWriter fan-out, logFailed path)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from maha_spark.log import (CollectingRequestLogWriter, JsonlRequestLogWriter,
+                            MultiRequestLogWriter, RequestLogEntry)
+
+DAY = {"field": "Day", "operator": "between",
+       "from": "1995-01-01", "to": "2002-12-31"}
+REQ = {
+    "cube": "lineitem_stats",
+    "selectFields": [{"field": "Nation Name"}, {"field": "Revenue"}],
+    "filterExpressions": [DAY],
+    "sortBy": [{"field": "Revenue", "order": "DESC"}],
+    "rowsPerPage": 5,
+}
+
+
+@pytest.fixture()
+def logged_engine(spark, sf_dir):
+    from maha_spark.engine import MahaSparkEngine
+    from maha_spark.examples.tpch import build_registry
+    from maha_spark.plans.binding import ParquetBinding
+
+    sink = CollectingRequestLogWriter()
+    eng = MahaSparkEngine(spark, build_registry(),
+                          ParquetBinding(spark, sf_dir),
+                          request_logger=sink, registry_name="er")
+    return eng, sink
+
+
+def test_success_entry_fields(logged_engine):
+    eng, sink = logged_engine
+    eng.execute(json.dumps(REQ), schema="internal", user_id="u1",
+                request_id="rid-1")
+    assert len(sink.entries) == 1
+    e = sink.entries[0]
+    assert e.request_id == "rid-1"
+    assert e.user_id == "u1"
+    assert e.cube == "lineitem_stats"
+    assert e.schema == "internal"
+    assert e.status == 200 and e.error_message == ""
+    assert e.driving_query_engine == "spark"
+    assert e.driving_table  # selected fact table
+    assert e.has_fact_filters  # the Day between filter
+    assert e.is_fact_driven and not e.is_dim_driven
+    # Nation Name resolves through the customer->nation chain
+    assert "nation" in " ".join(e.dimensions_candidates)
+    assert e.request_sort_by_cols == [{"alias": "Revenue", "order": "DESC"}]
+    assert e.fact_cost and all(c["cost"] > 0 for c in e.fact_cost)
+    assert e.request_end_time >= e.request_start_time > 0
+    assert e.registry_name == "er"
+    assert json.loads(e.json_request)["cube"] == "lineitem_stats"
+
+
+def test_failed_request_still_logged(logged_engine):
+    eng, sink = logged_engine
+    bad = dict(REQ, selectFields=[{"field": "No Such Field"}])
+    with pytest.raises(Exception):
+        eng.execute(json.dumps(bad), schema="internal", request_id="rid-2")
+    assert len(sink.entries) == 1
+    e = sink.entries[0]
+    assert e.request_id == "rid-2"
+    assert e.status == 400
+    assert "No Such Field" in e.error_message
+
+
+def test_jsonl_writer_roundtrip(tmp_path, logged_engine):
+    eng, _ = logged_engine
+    path = str(tmp_path / "requests.jsonl")
+    eng.request_logger = JsonlRequestLogWriter(path)
+    eng.execute(json.dumps(REQ), schema="internal")
+    eng.execute(json.dumps(REQ), schema="internal")
+    lines = [json.loads(ln) for ln in open(path)]
+    assert len(lines) == 2
+    assert lines[0]["cube"] == "lineitem_stats"
+    assert lines[0]["request_id"] != lines[1]["request_id"]  # generated ids
+
+
+def test_multi_writer_isolates_failures():
+    class Boom:
+        def log(self, e):
+            raise RuntimeError("colo down")
+
+        def close(self):
+            pass
+
+    ok = CollectingRequestLogWriter()
+    multi = MultiRequestLogWriter(Boom(), ok)
+    multi.log(RequestLogEntry(request_id="r", json_request="{}"))
+    assert len(ok.entries) == 1
+    assert multi.errors and "colo down" in multi.errors[0]
+
+
+def test_validate_rejects_blank_request_id():
+    sink = CollectingRequestLogWriter()
+    with pytest.raises(ValueError):
+        sink.log(RequestLogEntry(request_id="", json_request="{}"))
