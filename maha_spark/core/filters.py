@@ -409,7 +409,12 @@ def parse_filter_json(obj: dict[str, Any]) -> Filter:
     if op == "and":
         return AndFilter(filters=tuple(parse_filter_json(f) for f in obj["filterExpressions"]))
     if op == "outer":
-        return OuterFilter(filters=tuple(parse_filter_json(f) for f in obj["filterExpressions"]))
+        # the reference's JSON key is "outerFilters"
+        # (FilterOperation.scala:1998 OuterFilter.applyJSON);
+        # "filterExpressions" stays accepted for symmetry with or/and
+        inner = obj.get("outerFilters", obj.get("filterExpressions", ()))
+        return OuterFilter(filters=tuple(parse_filter_json(f)
+                                         for f in inner))
     if op == "pushdown":
         return PushDownFilter(inner=parse_filter_json(obj["filterExpression"]))
     raise ValueError(f"unsupported filter operator: {op!r}")

@@ -30,8 +30,8 @@ from typing import Any, Optional
 
 from ..core.columns import DerivedDimCol, DerivedFactCol, DimCol, FactCol, _PLACEHOLDER
 from ..core.filters import (
-    AndFilter, BetweenFilter, Filter, InFilter, NotInFilter, OrFilter,
-    OuterFilter, PushDownFilter,
+    AndFilter, BetweenFilter, FieldEqualityFilter, Filter, InFilter,
+    NotInFilter, OrFilter, OuterFilter, PushDownFilter,
 )
 from ..registry.cube import FactTable, PubCol, PublicDimension, PublicFact, Registry
 from ..request.request import ReportingRequest, SortBy, ValidationError
@@ -238,6 +238,27 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                                                   pub_col=pub, dim_name=dname))
                 dim_use(dname)["projected"].append(a)
 
+    # duplicate output aliases (RequestModel.scala "Duplicate fields/
+    # aliases found"): two select fields may not share a result name
+    seen_out: set[str] = set()
+    dup_out: set[str] = set()
+    for sf in request.select_fields:
+        key = sf.output_name or sf.field
+        if key in seen_out:
+            dup_out.add(key)
+        seen_out.add(key)
+    if dup_out:
+        errors.append(f"Duplicate fields/aliases found: cube="
+                      f"{request.cube!r}, duplicate fields are "
+                      f"{sorted(dup_out)}")
+
+    # required public columns must be requested ("Missing required field:
+    # cube=..., field=...")
+    for p in list(cube.pub_cols) + list(cube.pub_fact_cols):
+        if p.required and p.alias not in used_aliases:
+            errors.append(f"Missing required field: cube={request.cube!r}, "
+                          f"field={p.alias!r}")
+
     # ------------------------------------------------------------------
     # schema access control + required filters
     # ------------------------------------------------------------------
@@ -247,6 +268,17 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     if req_alias and req_alias not in filter_fields:
         errors.append(
             f"required filter for schema {request.schema!r} not found: {req_alias!r}")
+    elif req_alias:
+        # the schema filter is an access-control key: only In / = pin it
+        # to concrete tenant values ("Invalid Schema Required Filter ...
+        # expected at least one of set(In,=)")
+        for f in request.filters:
+            for lf in _leaf_filters(f):
+                if lf.field == req_alias and lf.operator not in ("in", "="):
+                    errors.append(
+                        f"Invalid schema required filter operation on "
+                        f"{req_alias!r}: expected one of ('in', '='), "
+                        f"found {lf.operator!r}")
 
     for a in used_aliases + filter_fields:
         pub = cube.col_by_alias(a)
@@ -284,9 +316,73 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     outer_filters: list[OuterFilter] = []
     day_filter: Optional[BetweenFilter] = None
 
+    def _dtype_of(alias: str):
+        pub = cube.col_by_alias(alias)
+        if pub is not None:
+            for t in cube.tables:
+                col = t.columns.get(pub.name)
+                if col is not None:
+                    return col.dtype
+            return None
+        hit = locate_dim_attr(alias)
+        if hit is not None:
+            dname, dpub = hit
+            col = registry.dimension(dname).table.columns.get(dpub.name)
+            return col.dtype if col is not None else None
+        return None
+
+    def _check_filter_values(leaf: Filter) -> None:
+        """Value-level filter semantics (RequestModel.scala: max-length,
+        statically-mapped-op, numeric-value, field-equality type rules)."""
+        from ..core.types import DecType, IntType, StrType
+        dt = _dtype_of(leaf.field)
+        if dt is None:
+            return
+        if isinstance(leaf, FieldEqualityFilter):
+            other = _dtype_of(leaf.compare_to)
+            if other is not None and type(other) is not type(dt):
+                errors.append(
+                    "Both fields being compared must be the same data "
+                    f"type: {leaf.field!r} is {type(dt).__name__}, "
+                    f"{leaf.compare_to!r} is {type(other).__name__}")
+            return
+        vals = list(getattr(leaf, "values", ()) or ())
+        if not vals and getattr(leaf, "value", None) is not None:
+            vals = [leaf.value]
+        if isinstance(dt, StrType) and dt.length:
+            for v in vals:
+                if isinstance(v, str) and len(v) > dt.length:
+                    errors.append(
+                        f"Value for {leaf.field!r} exceeds max length "
+                        f"of {dt.length} characters")
+        if dt.has_static_mapping and leaf.operator in (
+                "like", "not like", ">", "<"):
+            errors.append(
+                "Unsupported filter operation on statically mapped "
+                f"field: {leaf.field!r} operator {leaf.operator!r}")
+        if isinstance(dt, (IntType, DecType)) and not dt.has_static_mapping \
+                and leaf.operator in (">", "<", "=", "<>"):
+            for v in vals:
+                if isinstance(v, str):
+                    try:
+                        float(v)
+                    except ValueError:
+                        errors.append(
+                            f"Unknown filter value for field="
+                            f"{leaf.field!r}, value={v!r}")
+
     def classify(f: Filter) -> None:
         nonlocal day_filter
         if isinstance(f, OuterFilter):
+            # outer filters run over the FINAL projected aliases, so every
+            # referenced field must be selected ("OuterFilter ... is not
+            # in selected column list")
+            out_names = {p.output_name for p in projections}
+            for lf in _leaf_filters(f):
+                for a in lf.fields():
+                    if a not in out_names:
+                        errors.append(f"OuterFilter {a!r} is not in "
+                                      f"selected column list")
             outer_filters.append(f)
             return
         inner = f.inner if isinstance(f, PushDownFilter) and f.inner else f
@@ -298,6 +394,7 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                     owners.add("__fact__")
                     pub = cube.col_by_alias(a)
                     _check_filter_ops(leaf, pub, errors)
+                    _check_filter_values(leaf)
                 else:
                     hit = locate_dim_attr(a)
                     if hit is None:
@@ -311,6 +408,7 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                     else:
                         owners.add(dname)
                     _check_filter_ops(leaf, pub, errors)
+                    _check_filter_values(leaf)
         if owners == {"__fact__"} or not owners:
             fact_filters.append(inner)
             if isinstance(inner, BetweenFilter) and inner.field == cube.day_alias:

@@ -20,7 +20,9 @@ from maha_spark.core.filters import (  # noqa: E402
     BetweenFilter, EqualityFilter, IN_BETWEEN_EQUALITY,
 )
 from maha_spark.core.grain import DAILY  # noqa: E402
-from maha_spark.core.types import DateType, IntType, StrType  # noqa: E402
+from maha_spark.core.types import (  # noqa: E402
+    DateType, IntType, StaticMapping, StrType,
+)
 from maha_spark.model.request_model import build_request_model  # noqa: E402
 from maha_spark.registry.cube import (  # noqa: E402
     DimensionTable, FactTable, PubCol, PublicDimension, PublicFact, Registry,
@@ -55,6 +57,13 @@ def make_registry() -> Registry:
         "campaign_id": DimCol("campaign_id", IntType()),
         "device": DimCol("device", StrType()),
         "secret_col": DimCol("secret_col", StrType()),
+        # bounded varchar (DataType.scala StrType(length)): filter values
+        # longer than the column are a validation error
+        "tag": DimCol("tag", StrType(length=5)),
+        # statically mapped enum (DataType.scala:43-64): only =/<>/in/not
+        # in make sense against labels
+        "pricing": DimCol("pricing", IntType(static_mapping=StaticMapping(
+            {1: "CPC", 2: "CPM"}, "NONE"))),
         "imps": FactCol("imps", IntType()),
         "clicks": FactCol("clicks", IntType()),
     }
@@ -73,6 +82,8 @@ def make_registry() -> Registry:
             # internal-only column (restrictedSchemas, Column.scala:13-24)
             PubCol("Secret", "secret_col",
                    restricted_schemas=frozenset({"internal"})),
+            PubCol("Tag", "tag"),
+            PubCol("Pricing Type", "pricing"),
         ],
         pub_fact_cols=[
             PubCol("Impressions", "imps"),
@@ -294,3 +305,131 @@ def test_errors_accumulate_not_fail_fast():
     assert "Day filter missing" in msgs
     assert "Missing dependent column" in msgs
     assert "filtering is required" in msgs
+
+
+# ---------------------------------------------- round-3 breadth additions
+def test_duplicate_select_fields():
+    msgs = errs(["Impressions", "Impressions"], [DAY, ADV])
+    assert "Duplicate fields/aliases" in msgs
+
+
+def test_duplicate_output_alias_across_fields():
+    req = parse_request({
+        "cube": "perf",
+        "selectFields": [{"field": "Impressions", "alias": "X"},
+                         {"field": "Clicks", "alias": "X"}],
+        "filterExpressions": [DAY, ADV]})
+    with pytest.raises(ValidationError, match="Duplicate"):
+        build_request_model(req, REG, today=TODAY)
+
+
+def test_distinct_aliases_for_same_field_ok():
+    req = parse_request({
+        "cube": "perf",
+        "selectFields": [{"field": "Impressions", "alias": "A"},
+                         {"field": "Impressions", "alias": "B"}],
+        "filterExpressions": [DAY, ADV]})
+    m = build_request_model(req, REG, today=TODAY)
+    assert [p.output_name for p in m.projections] == ["A", "B"]
+
+
+def test_required_field_must_be_requested():
+    reg = Registry()
+    cols = {
+        "day_col": DimCol("day_col", DateType(), is_day_column=True),
+        "account": DimCol("account", IntType()),
+        "imps": FactCol("imps", IntType()),
+    }
+    reg.register_fact(PublicFact(
+        name="req_cube",
+        tables=[FactTable(name="f", columns=cols, grain=DAILY)],
+        pub_cols=[PubCol("Day", "day_col", IN_BETWEEN_EQUALITY),
+                  PubCol("Account", "account", required=True)],
+        pub_fact_cols=[PubCol("Impressions", "imps")],
+        day_alias="Day"))
+    req = parse_request({
+        "cube": "req_cube",
+        "selectFields": [{"field": "Impressions"}],
+        "filterExpressions": [DAY]})
+    with pytest.raises(ValidationError, match="Missing required field"):
+        build_request_model(req, reg, today=TODAY)
+    ok = parse_request({
+        "cube": "req_cube",
+        "selectFields": [{"field": "Account"}, {"field": "Impressions"}],
+        "filterExpressions": [DAY]})
+    build_request_model(ok, reg, today=TODAY)
+
+
+def test_schema_required_filter_op_must_be_in_or_eq():
+    msgs = errs(["Impressions"],
+                [DAY, {"field": "Advertiser ID", "operator": ">",
+                       "value": "0"}],
+                schema="advertiser")
+    assert "Invalid schema required filter" in msgs
+
+
+def test_schema_required_filter_in_op_ok():
+    build(["Impressions"],
+          [DAY, {"field": "Advertiser ID", "operator": "in",
+                 "values": [1, 2]}],
+          schema="advertiser")
+
+
+def test_outer_filter_field_must_be_selected():
+    msgs = errs(["Impressions"],
+                [DAY, ADV,
+                 {"operator": "outer", "outerFilters": [
+                     {"field": "Clicks", "operator": ">", "value": "5"}]}])
+    assert "OuterFilter" in msgs and "selected column list" in msgs
+
+
+def test_field_equality_requires_same_type():
+    msgs = errs(["Impressions"],
+                [DAY, ADV,
+                 {"field": "Device", "operator": "==",
+                  "compareTo": "Campaign ID"}])
+    assert "same data type" in msgs
+
+
+def test_field_equality_same_type_ok():
+    build(["Impressions"],
+          [DAY, ADV, {"field": "Campaign ID", "operator": "==",
+                      "compareTo": "Advertiser ID"}])
+
+
+def test_filter_value_exceeds_declared_length():
+    msgs = errs(["Impressions"],
+                [DAY, ADV, {"field": "Tag", "operator": "=",
+                            "value": "toolongvalue"}])
+    assert "exceeds max length" in msgs
+
+
+def test_filter_value_within_length_ok():
+    build(["Impressions"],
+          [DAY, ADV, {"field": "Tag", "operator": "=", "value": "ok"}])
+
+
+def test_static_mapped_field_rejects_like():
+    msgs = errs(["Impressions"],
+                [DAY, ADV, {"field": "Pricing Type", "operator": "like",
+                            "value": "CP"}])
+    assert "statically mapped" in msgs
+
+
+def test_static_mapped_field_equality_label_ok():
+    build(["Impressions"],
+          [DAY, ADV, {"field": "Pricing Type", "operator": "=",
+                      "value": "CPC"}])
+
+
+def test_numeric_field_rejects_non_numeric_value():
+    msgs = errs(["Impressions"],
+                [DAY, ADV, {"field": "Impressions", "operator": ">",
+                            "value": "abc"}])
+    assert "Unknown filter value" in msgs
+
+
+def test_numeric_field_accepts_numeric_string():
+    build(["Impressions"],
+          [DAY, ADV, {"field": "Impressions", "operator": ">",
+                      "value": "100"}])
