@@ -209,14 +209,18 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              .start())
         q.awaitTermination()
 
+    import datetime as _dt
+    max_ts = (spark.read
+              .parquet(os.path.join(input_dir, "batch1.parquet"))
+              .agg(F.max("ts")).collect()[0][0])
+    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
     with bounded_shuffle(spark):
-        drain()  # batch 1: gap-closed sessions emit; tails stay in state
-        import datetime as _dt
-        max_ts = (spark.read
-                  .parquet(os.path.join(input_dir, "batch1.parquet"))
-                  .agg(F.max("ts")).collect()[0][0])
-        write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
-        drain()  # batch 2: watermark jump fires every event-time timeout
+        # ONE drain: both files land in the first micro-batch (gap-closed
+        # sessions emit inline), then the trailing no-data micro-batch —
+        # scheduled because the watermark jumped past sentinel-1s — fires
+        # every event-time timeout and flushes the open tails. One query
+        # startup instead of two.
+        drain()
 
     return (spark.read.schema(OUT_SCHEMA).parquet(out_dir)
             .filter("user_id >= 0"))

@@ -174,15 +174,19 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(os.path.join(sf_dir, "events.parquet"),
                 os.path.join(input_dir, "batch1.parquet"))
 
+    import datetime as _dt
+    max_ts = (spark.read
+              .parquet(os.path.join(input_dir, "batch1.parquet"))
+              .agg(F.max("ts")).collect()[0][0])
+    write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
     with bounded_shuffle(spark):
-        # drain 1: real backlog (windows older than max(ts)-1h finalized)
-        drain_append(spark, input_dir, out_dir, ckpt)
-        # drain 2: sentinel advances the watermark, flushing tail windows
-        import datetime as _dt
-        max_ts = (spark.read
-                  .parquet(os.path.join(input_dir, "batch1.parquet"))
-                  .agg(F.max("ts")).collect()[0][0])
-        write_sentinel(spark, input_dir, max_ts + _dt.timedelta(hours=3))
+        # ONE drain: the data batch leaves every window in state (the
+        # watermark is still 0 while it runs); the trailing no-data
+        # micro-batch availableNow schedules after the watermark jumps to
+        # sentinel-1h then evicts + emits every finalized window. One
+        # query startup instead of two (state store + sink committer init
+        # dominate the harness drain). Cross-DRAIN watermark advancement
+        # stays pinned by test_streaming_append_sink_drops_late_rows.
         drain_append(spark, input_dir, out_dir, ckpt)
 
     out_schema = ("hour string, event_type string, "
