@@ -66,7 +66,10 @@ class RestServer:
 
 
 def _make_handler(engine: MahaSparkEngine, registry_name: str):
+    from .avatica import AvaticaHandler
+
     registry = engine.registry
+    avatica = AvaticaHandler(engine)  # shared: connections span requests
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -125,6 +128,14 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
 
         def do_POST(self) -> None:
             p = self._parts()
+            # Avatica JSON wire endpoint (reference mounts
+            # AvaticaMahaJsonHandler at /sql-avatica): one POST per
+            # protocol request, connection state held server-side
+            if p and p[-1] in ("avatica", "sql-avatica"):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n).decode() or "{}")
+                self._send(200, avatica.handle(body))
+                return
             if not self._check_registry(p):
                 return
             rest = p[2:]
