@@ -180,6 +180,19 @@ class AvaticaHandler:
         return self._result_set(cid, sid, names, kinds, env["rows"],
                                 sql=sql)
 
+    def _handle_fetch(self, req: dict) -> dict:
+        """Everything fits in firstFrame (row caps bound result size), so
+        any fetch past it is an empty done frame."""
+        return {"response": "fetch",
+                "connectionId": req.get("connectionId", ""),
+                "statementId": req.get("statementId", -1),
+                "frame": {"offset": req.get("offset", 0), "done": True,
+                          "rows": []}}
+
+    def _handle_syncResults(self, req: dict) -> dict:
+        return {"response": "syncResults", "moreResults": False,
+                "missingStatement": False}
+
     # ----------------------------------------------------------- metadata
     def _handle_catalogs(self, req: dict) -> dict:
         return self._result_set(req.get("connectionId", ""), -1,
@@ -216,14 +229,21 @@ class AvaticaHandler:
             fact = registry.fact(name)
             pos = 1
             seen: set[str] = set()
-            for p, kind in ([(p, DIMENSION_COLUMN)
-                             for p in fact.pub_cols]
-                            + [(p, METRIC_COLUMN)
-                               for p in fact.pub_fact_cols]):
+            trips = ([(p, DIMENSION_COLUMN, self._fact_dtype(fact, p))
+                      for p in fact.pub_cols]
+                     + [(p, METRIC_COLUMN, self._fact_dtype(fact, p))
+                        for p in fact.pub_fact_cols])
+            for dname in self._reachable_dims(fact):
+                d = registry.dimension(dname)
+                trips += [(p, DIMENSION_JOIN_COLUMN,
+                           (d.table.columns[p.name].dtype
+                            if p.name in d.table.columns else None))
+                          for p in d.pub_cols]
+            for p, kind, dt in trips:
                 if p.alias in seen:
                     continue
                 seen.add(p.alias)
-                tname = _type_name(self._fact_dtype(fact, p))
+                tname = _type_name(dt)
                 rows.append(["", "maha", name, p.alias,
                              _SQL_TYPES.get(tname, 12), tname, 255, None,
                              38 if tname == "number" else None, 10, 1,

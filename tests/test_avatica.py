@@ -99,3 +99,16 @@ def test_error_response_shape(rest):
 
     out = rpc(rest, {"request": "bogusKind"})
     assert out["response"] == "error" and out["sqlState"] == "0A000"
+
+
+def test_columns_include_dim_join_attributes(rest):
+    out = rpc(rest, {"request": "columns", "connectionId": "c6",
+                     "tableNamePattern": "lineitem_stats"})
+    by_name = {r[3]: r for r in out["firstFrame"]["rows"]}
+    assert by_name["Nation Name"][11] == "Dimension Join Column"
+
+
+def test_fetch_past_first_frame_is_empty_done(rest):
+    out = rpc(rest, {"request": "fetch", "connectionId": "c6",
+                     "statementId": 1, "offset": 100, "fetchMaxRowCount": 10})
+    assert out["frame"] == {"offset": 100, "done": True, "rows": []}
