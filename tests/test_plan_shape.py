@@ -310,3 +310,35 @@ def test_large_dim_is_not_broadcast_hinted(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         os.environ.pop("MAHA_SPARK_CACHE", None)
+
+
+def test_generators_explode_only_cheap_sequences(spark):
+    """GenerateExec re-evaluates its generator child once per OUTPUT row,
+    so exploding a computed gram/signature/bucket array costs O(array
+    build) per emitted element (measured 20x on the repetition op). Pin
+    that every pipeline Generate's child is a literal/cheap sequence —
+    expensive columns must pass THROUGH the Generate instead."""
+    import re
+
+    from maha_spark.ops import contamination, dedup, similarity, text
+
+    sf = "/root/testdata/sf0.001"
+    dfs = {
+        "text_repetition": text.text_repetition(spark, sf),
+        "contamination": contamination.contamination(spark, sf),
+        "minhash_lsh": dedup.dedup_minhash_lsh(spark, sf),
+        "simhash_pairs": dedup.dedup_simhash_pairs(spark, sf),
+        "ngram_jaccard": dedup.dedup_ngram_jaccard(spark, sf),
+        "ann_topk": similarity.sim_ann_topk(spark, sf),
+    }
+    # string/struct-building generator children are the expensive shapes
+    # (the CASE-guarded integer sequence stays O(len) ints per row)
+    costly = re.compile(
+        r"explode\((transform|concat\(|array\(named_struct|aggregate)")
+    for name, df in dfs.items():
+        plan = _optimized(df)
+        m = costly.search(plan)
+        assert m is None, (
+            f"{name}: generator child builds values ({m.group(0)}...) — "
+            f"it will re-evaluate per output row; explode indices and "
+            f"derive values after the Generate")
