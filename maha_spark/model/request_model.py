@@ -537,40 +537,28 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # ------------------------------------------------------------------
     # fact table selection: needed physical columns -> cheapest candidate
     # ------------------------------------------------------------------
-    needed: set[str] = set()
-
-    def add_fact_col_deps(col_name: str, table: FactTable) -> None:
-        col = table.columns.get(col_name)
-        if col is None:
-            needed.add(col_name)
-            return
-        needed.add(col_name)
-        expr = getattr(col, "expr", "")
-        if expr:
-            for ref in _PLACEHOLDER.findall(expr):
-                if ref != col_name and ref in table.columns:
-                    add_fact_col_deps(ref, table)
-        for dep in col.depends_on:
-            add_fact_col_deps(dep, table)
-
-    base = cube.base_table
+    # Coverage is checked on TOP-LEVEL column names only: each candidate
+    # table carries its OWN definition of a logical column (a
+    # pre-aggregated rollup stores `event_count` as a summable partial
+    # where the base counts rows), so expanding the base table's
+    # expression dependencies here would wrongly demand the base's raw
+    # inputs from every rollup. Dependencies expand AGAINST THE SELECTED
+    # table below (fact/Fact.scala newRollUp: rollups re-declare columns,
+    # candidates match on public column coverage).
+    top_needed: set[str] = set()
     for p in projections:
         if p.kind in (FACT_DIM, METRIC) and p.pub_col is not None:
-            add_fact_col_deps(p.pub_col.name, base)
+            top_needed.add(p.pub_col.name)
     for f in fact_filters:
         for leaf in _leaf_filters(f):
             for a in leaf.fields():
                 pub = cube.col_by_alias(a)
                 if pub is not None:
-                    add_fact_col_deps(pub.name, base)
-                elif a in [pr.alias for pr in projections]:
-                    pass
+                    top_needed.add(pub.name)
     for ch in chains.values():
-        needed.add(ch.fact_fk_col)
-    if base.day_column:
-        needed.add(base.day_column)
+        top_needed.add(ch.fact_fk_col)
 
-    candidates = cube.candidate_tables(needed)
+    candidates = cube.candidate_tables(top_needed)
     if day_range is not None:
         # availableOnwardsDate (fact/Fact.scala:1752): a table backfilled
         # from some date cannot serve a window starting before it
@@ -581,7 +569,7 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     if not candidates:
         errors.append(
             f"no fact table in cube {request.cube!r} covers columns "
-            f"{sorted(needed)} for the requested window")
+            f"{sorted(top_needed)} for the requested window")
 
     if request.rows_per_page > request.max_rows_cap:
         errors.append(f"rowsPerPage {request.rows_per_page} exceeds cap "
@@ -606,6 +594,28 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         raise ValidationError(errors)
 
     fact_table = candidates[0]
+
+    # expand expression dependencies against the SELECTED table (scan
+    # column set; each table resolves its own derived exprs)
+    needed: set[str] = set()
+
+    def add_fact_col_deps(col_name: str, table: FactTable) -> None:
+        col = table.columns.get(col_name)
+        needed.add(col_name)
+        if col is None:
+            return
+        expr = getattr(col, "expr", "")
+        if expr:
+            for ref in _PLACEHOLDER.findall(expr):
+                if ref != col_name and ref in table.columns:
+                    add_fact_col_deps(ref, table)
+        for dep in col.depends_on:
+            add_fact_col_deps(dep, table)
+
+    for name in top_needed:
+        add_fact_col_deps(name, fact_table)
+    if fact_table.day_column:
+        needed.add(fact_table.day_column)
 
     # outer group-by needed when a chain projects non-PK dim attrs while the
     # corresponding FK is not part of the final projection (SURVEY §2.4 OGB)
