@@ -127,6 +127,11 @@ def parse_request(payload: bytes | str | dict[str, Any],
         errors.append("rowsPerPage must be an integer")
         mr = -1
 
+    if obj.get("forceDimensionDriven") and obj.get("forceFactDriven"):
+        # ReportingRequest.scala:509
+        errors.append("both cannot be true: forceDimensionDriven, "
+                      "forceFactDriven")
+
     if errors:
         raise ValidationError(errors)
 

@@ -433,3 +433,12 @@ def test_numeric_field_accepts_numeric_string():
     build(["Impressions"],
           [DAY, ADV, {"field": "Impressions", "operator": ">",
                       "value": "100"}])
+
+
+def test_force_dim_and_fact_conflict():
+    with pytest.raises(ValidationError, match="both cannot be true"):
+        parse_request({"cube": "perf",
+                       "selectFields": [{"field": "Impressions"}],
+                       "filterExpressions": [DAY, ADV],
+                       "forceDimensionDriven": True,
+                       "forceFactDriven": True})
