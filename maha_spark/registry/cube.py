@@ -70,6 +70,13 @@ class FactTable:
     #: fact/Fact.scala getCandidatesFor:1752 — rollups backfilled later
     #: than the base fact must not serve historical windows)
     available_onwards: Optional[str] = None
+    #: request-type -> cost multiplier (costMultiplierMap,
+    #: fact/Fact.scala:451,490: e.g. an async-tuned copy advertises a
+    #: lower AsyncRequest multiplier so async reports prefer it)
+    cost_multiplier_map: dict[str, float] = field(default_factory=dict)
+
+    def effective_cost(self, request_type: str) -> float:
+        return self.cost * self.cost_multiplier_map.get(request_type, 1.0)
 
     def __post_init__(self) -> None:
         if self.day_column is None:
@@ -182,12 +189,15 @@ class PublicFact:
     def base_table(self) -> FactTable:
         return self.tables[0]
 
-    def candidate_tables(self, needed_cols: set[str]) -> list[FactTable]:
-        """Fact tables covering the needed physical columns, cheapest first
+    def candidate_tables(self, needed_cols: set[str],
+                         request_type: str = "SyncRequest") -> list[FactTable]:
+        """Fact tables covering the needed physical columns, cheapest
+        first under the request-type cost multiplier
         (PublicFact.getCandidatesFor + findBestFactCandidate,
-        QueryPipeline.scala:487-561)."""
+        QueryPipeline.scala:487-561; costMultiplierMap Fact.scala:451)."""
         out = [t for t in self.tables if t.has_columns(needed_cols)]
-        return sorted(out, key=lambda t: t.cost)
+        return sorted(out, key=lambda t: (t.effective_cost(request_type),
+                                          t.cost))
 
 
 class Registry:

@@ -80,3 +80,33 @@ def test_available_onwards_disqualifies_rollup_for_old_windows():
     assert model("1995-01-01", "2002-12-31").fact_table.cost == 6000
     # window fully inside the rollup's availability -> cheap rollup
     assert model("1998-06-01", "1999-06-01").fact_table.cost == 2000
+
+
+def test_cost_multiplier_prefers_async_tuned_copy():
+    """costMultiplierMap (fact/Fact.scala:451): the same two candidates
+    order differently per request type when a copy advertises an async
+    discount."""
+    from maha_spark.examples.contract import build_contract_registry
+
+    reg = build_contract_registry()
+    cube = reg.fact("tpch")
+    base = next(t for t in cube.tables if t.cost == 6000)
+    rollup = next(t for t in cube.tables if t.cost == 2000)
+    # async reports prefer the base table (e.g. it lives on cheaper
+    # storage tuned for large scans)
+    base.cost_multiplier_map = {"AsyncRequest": 0.1}
+    rollup.cost_multiplier_map = {"AsyncRequest": 2.0}
+
+    from maha_spark.model.request_model import build_request_model
+    from maha_spark.request.request import parse_request
+
+    def model(request_type):
+        return build_request_model(parse_request({
+            "cube": "tpch",
+            "requestType": request_type,
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY]}), reg)
+
+    assert model("SyncRequest").fact_table.cost == 2000   # unchanged
+    assert model("AsyncRequest").fact_table.cost == 6000  # 600 < 4000
