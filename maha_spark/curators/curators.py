@@ -106,6 +106,9 @@ def row_count(engine: "MahaSparkEngine", model: RequestModel) -> dict[str, Any]:
 
 def drilldown(engine: "MahaSparkEngine", model: RequestModel,
               cfg: dict[str, Any]) -> dict[str, Any]:
+    """DrilldownConfig parity (DrilldownConfig.scala:35-56): dimension,
+    mr (capped 1000), enforceFilters (default true — false keeps only
+    the mandatory Day window), cube override, and explicit ordering."""
     req = model.request
     dim = cfg.get("dimension") or cfg.get("dim")
     if not dim:
@@ -113,12 +116,24 @@ def drilldown(engine: "MahaSparkEngine", model: RequestModel,
     mr = min(int(cfg.get("mr", MAX_DRILLDOWN_ROWS)), MAX_DRILLDOWN_ROWS)
     metrics = [p.alias for p in model.projections if p.kind == METRIC]
     fields = [SelectField(field=dim)] + [SelectField(field=m) for m in metrics]
-    sorts = [SortBy(field=metrics[0], order="DESC")] if metrics else []
+    if cfg.get("ordering"):
+        sorts = [SortBy(field=s.get("field", ""),
+                        order=str(s.get("order", "ASC")).upper())
+                 for s in cfg["ordering"]]
+    else:
+        sorts = [SortBy(field=metrics[0], order="DESC")] if metrics else []
+    filters = req.filters
+    if not cfg.get("enforceFilters", True):
+        day_alias = engine.registry.fact(req.cube).day_alias
+        filters = [f for f in filters
+                   if getattr(f, "field", None) == day_alias]
     sub = _clone_request(req, select_fields=fields, sort_by=sorts,
+                         filters=filters,
+                         cube=cfg.get("cube") or req.cube,
                          pagination_start_index=0, rows_per_page=mr,
                          include_row_count=False)
     df = engine.dataframe(sub)
-    return to_json_response(df, cube=req.cube, metric_aliases=set(metrics),
+    return to_json_response(df, cube=sub.cube, metric_aliases=set(metrics),
                             max_rows=mr)
 
 

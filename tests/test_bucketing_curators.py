@@ -196,3 +196,34 @@ def test_engine_bucketed_revision(spark):
                                     {"field": "revenue"}],
                    "filterExpressions": [DAY_ALL]}, user_id="u1")
     assert m.cube.revision == 0
+
+
+def test_drilldown_config_options(contract_engine):
+    """enforceFilters=false drops non-Day filters; explicit ordering
+    overrides the metric-desc default (DrilldownConfig.scala:35-56)."""
+    base = {
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [
+            DAY_ALL,
+            {"field": "return_flag", "operator": "=", "value": "R"}],
+    }
+    enforced = contract_engine.execute({
+        **base,
+        "curators": {"drilldown": {"config": {"dimension": "line_status"}}},
+    })["curators"]["drilldown"]
+    relaxed = contract_engine.execute({
+        **base,
+        "curators": {"drilldown": {"config": {
+            "dimension": "line_status", "enforceFilters": False,
+            "ordering": [{"field": "line_status", "order": "ASC"}]}}},
+    })["curators"]["drilldown"]
+
+    # the R-only filter caps enforced drilldown revenue below the relaxed one
+    idx = [f["fieldName"] for f in relaxed["header"]["fields"]]
+    rev = idx.index("revenue")
+    assert sum(r[rev] for r in relaxed["rows"]) > \
+        sum(r[rev] for r in enforced["rows"])
+    # explicit ordering honored
+    statuses = [r[idx.index("line_status")] for r in relaxed["rows"]]
+    assert statuses == sorted(statuses)
