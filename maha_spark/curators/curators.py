@@ -178,4 +178,12 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
             f"{m} Pct Change",
             F.when(p == 0, F.lit(None)).otherwise(
                 F.round((c - p) / p * 100.0, 2)))
+    # TimeShiftConfig.sortBy (TimeShiftCurator.scala:29): order the
+    # combined frame — " Prev" / " Pct Change" columns are sortable too
+    sort_cfg = cfg.get("sortBy")
+    if isinstance(sort_cfg, dict) and sort_cfg.get("field"):
+        col = F.col(f"`{sort_cfg['field']}`")
+        joined = joined.orderBy(
+            col.desc() if str(sort_cfg.get("order", "ASC")).upper() == "DESC"
+            else col.asc())
     return to_json_response(joined, cube=req.cube, metric_aliases=set(metrics))

@@ -227,3 +227,22 @@ def test_drilldown_config_options(contract_engine):
     # explicit ordering honored
     statuses = [r[idx.index("line_status")] for r in relaxed["rows"]]
     assert statuses == sorted(statuses)
+
+
+def test_timeshift_sortby_config(contract_engine):
+    """TimeShiftConfig.sortBy orders the combined frame, including the
+    derived ' Pct Change' column (TimeShiftCurator.scala:29)."""
+    out = contract_engine.execute({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1998-01-01", "to": "1998-03-31"}],
+        "curators": {"timeshift": {"config": {
+            "sortBy": {"field": "revenue Pct Change", "order": "DESC"}}}},
+    })
+    ts = out["curators"]["timeshift"]
+    idx = [f["fieldName"] for f in ts["header"]["fields"]]
+    pct = [r[idx.index("revenue Pct Change")] for r in ts["rows"]
+           if r[idx.index("revenue Pct Change")] is not None]
+    assert pct == sorted(pct, reverse=True) and len(pct) >= 2
