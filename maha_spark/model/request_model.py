@@ -558,7 +558,8 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     for ch in chains.values():
         top_needed.add(ch.fact_fk_col)
 
-    candidates = cube.candidate_tables(top_needed, request.request_type)
+    candidates = cube.candidate_tables(top_needed, request.request_type,
+                                       schema=request.schema)
     if day_range is not None:
         # availableOnwardsDate (fact/Fact.scala:1752): a table backfilled
         # from some date cannot serve a window starting before it

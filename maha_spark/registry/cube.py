@@ -190,12 +190,16 @@ class PublicFact:
         return self.tables[0]
 
     def candidate_tables(self, needed_cols: set[str],
-                         request_type: str = "SyncRequest") -> list[FactTable]:
-        """Fact tables covering the needed physical columns, cheapest
-        first under the request-type cost multiplier
+                         request_type: str = "SyncRequest",
+                         schema: Optional[str] = None) -> list[FactTable]:
+        """Fact tables covering the needed physical columns AND
+        registered for the request schema (when the table declares any),
+        cheapest first under the request-type cost multiplier
         (PublicFact.getCandidatesFor + findBestFactCandidate,
         QueryPipeline.scala:487-561; costMultiplierMap Fact.scala:451)."""
-        out = [t for t in self.tables if t.has_columns(needed_cols)]
+        out = [t for t in self.tables if t.has_columns(needed_cols)
+               and (schema is None or not t.schemas
+                    or schema in {str(s) for s in t.schemas})]
         return sorted(out, key=lambda t: (t.effective_cost(request_type),
                                           t.cost))
 
@@ -266,7 +270,10 @@ class Registry:
                      "filterable": bool(p.filter_ops),
                      "filterOperations": sorted(p.filter_ops),
                      "required": p.required,
-                     "filteringRequired": p.filtering_required}
+                     "filteringRequired": p.filtering_required,
+                     # isImageColumn (dimension/Dimension.scala:965):
+                     # clients render the value as an image/binary ref
+                     "isImageColumn": p.is_image}
                     for p in f.pub_cols if not p.hidden_from_json
                 ] + [
                     {"field": p.alias, "type": "Fact",

@@ -110,3 +110,27 @@ def test_cost_multiplier_prefers_async_tuned_copy():
 
     assert model("SyncRequest").fact_table.cost == 2000   # unchanged
     assert model("AsyncRequest").fact_table.cost == 6000  # 600 < 4000
+
+
+def test_schema_restricted_table_excluded():
+    """FactTable.schemas (Fact.scala getCandidatesFor): a table declared
+    for specific schemas only serves requests under them."""
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.model.request_model import build_request_model
+    from maha_spark.request.request import parse_request
+
+    reg = build_contract_registry()
+    cube = reg.fact("tpch")
+    rollup = next(t for t in cube.tables if t.cost == 2000)
+    rollup.schemas = {"partner"}
+
+    def model(schema):
+        return build_request_model(parse_request({
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY]}, schema=schema), reg)
+
+    # internal requests cannot use the partner-only rollup
+    assert model("internal").fact_table.cost == 6000
+    assert model("partner").fact_table.cost == 2000
