@@ -44,6 +44,16 @@ class DataType:
     static_mapping: Optional[StaticMapping] = None
     default_value: Any = None  # used for coalesce() on missing fact rows
 
+    def __post_init__(self) -> None:
+        # the base fields come first in the dataclass signature, so a
+        # positional call like DecType(10, 2) would silently bind
+        # static_mapping=10 — make that a loud error
+        if self.static_mapping is not None and \
+                not isinstance(self.static_mapping, StaticMapping):
+            raise TypeError(
+                f"static_mapping must be a StaticMapping, got "
+                f"{self.static_mapping!r} — pass length/scale by keyword")
+
     def spark_type(self) -> T.DataType:  # pragma: no cover - abstract
         raise NotImplementedError
 

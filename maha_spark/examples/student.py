@@ -61,7 +61,7 @@ def build_student_registry() -> Registry:
         "obtained_marks": FactCol("obtained_marks", IntType()),
         # "{obtained_marks}" /- "{total_marks}" (safe divide)
         "performance_factor": DerivedFactCol(
-            "performance_factor", DecType(10, 2),
+            "performance_factor", DecType(length=10, scale=2),
             expr=("CASE WHEN {total_marks} = 0 THEN 0.0 ELSE "
                   "ROUND(CAST({obtained_marks} AS DOUBLE) / "
                   "{total_marks}, 2) END")),
