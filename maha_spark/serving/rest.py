@@ -37,12 +37,18 @@ class RestServer:
     """In-process HTTP server bound to one engine + registry name."""
 
     def __init__(self, engine: MahaSparkEngine,
-                 registry_name: str = "maha", port: int = 0):
+                 registry_name: str = "maha", port: int = 0,
+                 request_log_path: Optional[str] = None):
         self.engine = engine
         self.registry_name = registry_name
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self.port = port
+        if request_log_path and engine.request_logger is None:
+            # the service layer always logs requests in the reference
+            # (MahaRequestLogHelper); opt in with a JSONL path here
+            from ..log.request_log import JsonlRequestLogWriter
+            engine.request_logger = JsonlRequestLogWriter(request_log_path)
 
     # ------------------------------------------------------------------
     def start(self) -> "RestServer":

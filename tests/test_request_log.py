@@ -102,3 +102,33 @@ def test_validate_rejects_blank_request_id():
     sink = CollectingRequestLogWriter()
     with pytest.raises(ValueError):
         sink.log(RequestLogEntry(request_id="", json_request="{}"))
+
+
+def test_rest_server_logs_requests(tmp_path, spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.tpch import build_registry
+    from maha_spark.serving.rest import RestServer
+
+    path = str(tmp_path / "rest-requests.jsonl")
+    eng = engine_for_dir(spark, build_registry(), sf_dir)
+    srv = RestServer(eng, registry_name="maha",
+                     request_log_path=path).start()
+    try:
+        body = _json.dumps(REQ).encode()
+        r = urllib.request.Request(
+            srv.base_url + "/registry/maha/schemas/internal/query",
+            data=body, headers={"Content-Type": "application/json",
+                                "Request-Id": "wire-1",
+                                "User-Id": "alice"}, method="POST")
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            assert resp.status == 200
+    finally:
+        srv.stop()
+        eng.request_logger = None
+    entries = [json.loads(ln) for ln in open(path)]
+    assert entries[0]["request_id"] == "wire-1"
+    assert entries[0]["user_id"] == "alice"
+    assert entries[0]["status"] == 200
