@@ -212,3 +212,81 @@ def test_json_envelope(engine):
     fields = {f["fieldName"]: f["fieldType"] for f in out["header"]["fields"]}
     assert fields == {"Return Flag": "DIM", "Revenue": "FACT"}
     assert len(out["rows"]) == 3
+
+
+def test_mixed_dim_and_metric_sort(engine, duck):
+    """Dim-attribute ASC + metric DESC in one sortBy (the reference's
+    fact-sort/dim-sort split, RequestModel.scala:123-124)."""
+    out = engine.dataframe({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Nation Name"},
+                         {"field": "Return Flag"},
+                         {"field": "Revenue"}],
+        "filterExpressions": [DAY],
+        "sortBy": [{"field": "Nation Name", "order": "ASC"},
+                   {"field": "Revenue", "order": "DESC"}],
+    }).collect()
+    want = duck.execute("""
+        SELECT n_name AS nation,
+               CASE l_returnflag WHEN 'A' THEN 'ACCEPTED'
+                    WHEN 'N' THEN 'NONE' WHEN 'R' THEN 'RETURNED'
+                    ELSE 'UNKNOWN' END AS flag,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY nation ASC, revenue DESC
+    """).fetchall()
+    got = [(r[0], r[1], r[2]) for r in out]
+    assert [g[0] for g in got] == [w[0] for w in want]  # full order
+    rows_match(got, want)
+
+
+def test_having_between_on_metric(engine, duck):
+    """Between filter on an aggregated metric -> HAVING range."""
+    out = engine.dataframe({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Order Key"}, {"field": "Revenue"}],
+        "filterExpressions": [
+            DAY,
+            {"field": "Revenue", "operator": "between",
+             "from": "50000", "to": "60000"}],
+    }).collect()
+    want = duck.execute("""
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY 1
+        HAVING revenue BETWEEN 50000 AND 60000
+    """).fetchall()
+    rows_match([tuple(r) for r in out], want)
+    assert len(out) > 0
+
+
+def test_having_on_derived_safe_divide_metric(engine, duck):
+    """HAVING over the derived safe-divide metric (expression expands to
+    the inner aggregates, OracleOuterGroupByQueryGenerator HAVING path)."""
+    out = engine.dataframe({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"},
+                         {"field": "Average Item Price"}],
+        "filterExpressions": [
+            DAY,
+            {"field": "Average Item Price", "operator": ">",
+             "value": "25000"}],
+    }).collect()
+    want = duck.execute("""
+        SELECT l_returnflag,
+               round(CASE WHEN SUM(l_quantity) = 0 THEN 0.0
+                     ELSE CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE) / SUM(l_quantity) END, 6) AS aip
+        FROM lineitem GROUP BY 1 HAVING aip > 25000
+    """).fetchall()
+    if not want:  # threshold sits above every group at this SF
+        want = duck.execute("""
+            SELECT l_returnflag,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS DOUBLE) / SUM(l_quantity), 6)
+            FROM lineitem GROUP BY 1 LIMIT 0
+        """).fetchall()
+    rows_match([tuple(r) for r in out], want)
