@@ -454,11 +454,21 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             if t_d < f_d:
                 errors.append("Day filter 'from' must be <= 'to'")
             window = (t_d - f_d).days + 1
-            mdw = cube.max_days_window or cube.base_table.max_days_window
+
+            def _per_type(v):
+                # reference getMaxDaysWindow maps (RequestType, Grain) ->
+                # days; a plain int applies to every request type
+                if isinstance(v, dict):
+                    return v.get(request.request_type)
+                return v
+
+            mdw = _per_type(cube.max_days_window
+                            or cube.base_table.max_days_window)
             if mdw is not None and window > mdw:
                 errors.append(f"Max days window exceeded: {window} > {mdw} "
                               f"(MaxDaysWindowExceeded)")
-            mdl = cube.max_days_lookback or cube.base_table.max_days_lookback
+            mdl = _per_type(cube.max_days_lookback
+                            or cube.base_table.max_days_lookback)
             ref_day = today or _dt.date.today()
             if mdl is not None and (ref_day - f_d).days > mdl:
                 errors.append(f"Max days look back exceeded: "

@@ -57,8 +57,10 @@ class FactTable:
     #: (Registry.getFactRowsCostEstimate:381-400)
     cost: int = 1000
     schemas: set[Schema] = field(default_factory=set)
-    max_days_window: Optional[int] = None
-    max_days_lookback: Optional[int] = None
+    #: int, or {requestType: int} (reference getMaxDaysWindow keys the
+    #: caps by request type)
+    max_days_window: Any = None
+    max_days_lookback: Any = None
     #: for rollups: columns NOT present relative to the base fact
     discarded: set[str] = field(default_factory=set)
     #: union view parts; empty = single physical table ``name``
@@ -163,8 +165,9 @@ class PublicFact:
     pub_fact_cols: list[PubCol]  # metric aliases
     #: schema -> required filter alias (fact/Fact.scala:1752)
     schema_required_alias: dict[str, str] = field(default_factory=dict)
-    max_days_window: Optional[int] = None
-    max_days_lookback: Optional[int] = None
+    #: int, or {requestType: int} per-request-type caps
+    max_days_window: Any = None
+    max_days_lookback: Any = None
     #: request-level forced filters over PUBLIC aliases
     forced_filters: list[Filter] = field(default_factory=list)
     revision: int = 0

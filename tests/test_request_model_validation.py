@@ -442,3 +442,24 @@ def test_force_dim_and_fact_conflict():
                        "filterExpressions": [DAY, ADV],
                        "forceDimensionDriven": True,
                        "forceFactDriven": True})
+
+
+def test_per_request_type_window_caps():
+    """Reference getMaxDaysWindow keys the caps by RequestType — a dict
+    cap applies per requestType, async typically wider."""
+    reg = make_registry()
+    reg.fact("perf").max_days_window = {"SyncRequest": 10,
+                                        "AsyncRequest": 62}
+    from maha_spark.model.request_model import build_request_model
+
+    def build_typed(request_type):
+        return build_request_model(parse_request({
+            "cube": "perf",
+            "requestType": request_type,
+            "selectFields": [{"field": "Impressions"}],
+            "filterExpressions": [DAY, ADV]}), reg, today=TODAY)
+
+    # DAY spans 30 days: over the 10-day sync cap, under the async one
+    with pytest.raises(ValidationError, match="window"):
+        build_typed("SyncRequest")
+    build_typed("AsyncRequest")
