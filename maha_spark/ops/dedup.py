@@ -501,18 +501,22 @@ def _min_label_cc(edges: DataFrame, max_iters: int) -> DataFrame:
               .selectExpr("u AS doc_id", "u AS label").localCheckpoint())
     for _ in range(max_iters):
         neigh = (edges.join(labels.selectExpr("doc_id AS v", "label"), "v")
-                 .selectExpr("u AS doc_id", "label"))
+                 .selectExpr("u AS doc_id", "label",
+                             "CAST(NULL AS BIGINT) AS old"))
         jump = (labels.selectExpr("doc_id", "label AS j")
                 .join(labels.selectExpr("doc_id AS j", "label"), "j")
-                .select("doc_id", "label"))
-        new_labels = (labels.unionByName(neigh).unionByName(jump)
-                      .groupBy("doc_id")
-                      .agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "doc_id")
-                   .filter("label < old").limit(1).count())
-        labels = new_labels
+                .selectExpr("doc_id", "label",
+                            "CAST(NULL AS BIGINT) AS old"))
+        # the previous label rides along as ``old`` so convergence reads
+        # off the SAME aggregated (checkpointed) frame — no extra join
+        new_full = (labels.selectExpr("doc_id", "label", "label AS old")
+                    .unionByName(neigh).unionByName(jump)
+                    .groupBy("doc_id")
+                    .agg(F.min("label").alias("label"),
+                         F.min("old").alias("old"))
+                    .localCheckpoint())
+        changed = new_full.filter("label < old").limit(1).count()
+        labels = new_full.select("doc_id", "label")
         if changed == 0:
             break
     return labels
@@ -565,7 +569,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                  .filter("u != v").distinct().localCheckpoint())
 
     if rep_edges.limit(1).count() > 0:
-        roots = _min_label_cc(rep_edges, max_iters)
+        # the representative graph holds only inter-clique bridges —
+        # orders of magnitude smaller than the corpus — so the iterative
+        # loop runs on bounded shuffle partitions (per-round task-launch
+        # overhead would otherwise dominate; a giant rep graph would
+        # raise the cap with the session's setting)
+        from ..streaming.hourly import bounded_shuffle
+        with bounded_shuffle(spark, cap=8):
+            roots = _min_label_cc(rep_edges, max_iters)
         labels = (first.join(roots.selectExpr("doc_id AS label",
                                               "label AS root"),
                              "label", "left_outer")
