@@ -404,10 +404,15 @@ def parse_filter_json(obj: dict[str, Any]) -> Filter:
         return ExpressionFilter(field=fld,
                                 expression=obj.get("expression") or
                                 obj.get("function", ""))
-    if op == "or":
-        return OrFilter(filters=tuple(parse_filter_json(f) for f in obj["filterExpressions"]))
-    if op == "and":
-        return AndFilter(filters=tuple(parse_filter_json(f) for f in obj["filterExpressions"]))
+    if op in ("or", "and"):
+        inner = tuple(parse_filter_json(f)
+                      for f in obj.get("filterExpressions", ()))
+        if not inner:
+            # RequestModelTest "should fail when using or with empty
+            # filters"
+            raise ValueError(f"{op!r} filter requires at least one "
+                             f"inner filterExpression")
+        return (OrFilter if op == "or" else AndFilter)(filters=inner)
     if op == "outer":
         # the reference's JSON key is "outerFilters"
         # (FilterOperation.scala:1998 OuterFilter.applyJSON);

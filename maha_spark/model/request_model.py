@@ -454,6 +454,12 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             if t_d < f_d:
                 errors.append("Day filter 'from' must be <= 'to'")
             window = (t_d - f_d).days + 1
+            # a window starting in the future can never match data
+            # (RequestModelTest "should fail when from date is in
+            # future"; a future 'to' with a past 'from' stays valid)
+            if f_d > (today or _dt.date.today()):
+                errors.append(f"Day filter 'from' {f_d.isoformat()} is in "
+                              f"the future")
 
             def _per_type(v):
                 # reference getMaxDaysWindow maps (RequestType, Grain) ->

@@ -463,3 +463,52 @@ def test_per_request_type_window_caps():
     with pytest.raises(ValidationError, match="window"):
         build_typed("SyncRequest")
     build_typed("AsyncRequest")
+
+
+def test_from_date_in_future_fails():
+    msgs = errs(["Impressions"],
+                [{"field": "Day", "operator": "between",
+                  "from": "2001-06-10", "to": "2001-06-20"}, ADV])
+    assert "future" in msgs
+
+
+def test_to_date_in_future_passes_with_past_from():
+    build(["Impressions"],
+          [{"field": "Day", "operator": "between",
+            "from": "2001-05-25", "to": "2001-06-20"}, ADV])
+
+
+def test_empty_or_combinator_rejected():
+    with pytest.raises(ValidationError, match="at least one"):
+        parse_request({"cube": "perf",
+                       "selectFields": [{"field": "Impressions"}],
+                       "filterExpressions": [
+                           DAY, ADV,
+                           {"operator": "or", "filterExpressions": []}]})
+
+
+def test_filter_and_sort_order_insensitive():
+    """RequestModelTest 'order of filter/sort by should not change
+    request model': the analyzed structure is order-independent."""
+    f1 = {"field": "Campaign ID", "operator": "=", "value": "5"}
+    f2 = {"field": "Impressions", "operator": ">", "value": "10"}
+    s1 = {"field": "Campaign ID", "order": "ASC"}
+    s2 = {"field": "Impressions", "order": "DESC"}
+
+    def sig(filters, sorts):
+        m = build(["Campaign ID", "Impressions"], filters, sortBy=sorts)
+        return (sorted(repr(f) for f in m.fact_filters),
+                [*(s.field for s in m.fact_sorts)],
+                m.fact_table.name)
+
+    a = sig([DAY, ADV, f1, f2], [s1, s2])
+    b = sig([f2, f1, ADV, DAY], [s1, s2])
+    assert a[0] == b[0] and a[2] == b[2]
+    # sort ORDER is user-visible and must be preserved as given
+    m1 = build(["Campaign ID", "Impressions"], [DAY, ADV],
+               sortBy=[s1, s2])
+    m2 = build(["Campaign ID", "Impressions"], [DAY, ADV],
+               sortBy=[s2, s1])
+    all1 = [s.field for s in (*m1.dim_sorts, *m1.fact_sorts)]
+    all2 = [s.field for s in (*m2.dim_sorts, *m2.fact_sorts)]
+    assert set(all1) == set(all2)
