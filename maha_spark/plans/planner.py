@@ -356,11 +356,13 @@ class Planner:
         key_exprs += [F.col(fk).alias(fk) for fk in fk_cols
                       if fk not in [a for a, _ in keys]]
 
-        # semi-join chains reduce the fact BEFORE aggregation
+        # semi-join chains reduce the fact BEFORE aggregation; the key
+        # set broadcasts only under the dims' declared-cardinality
+        # ceiling — a weak filter on a billion-row dim must shuffle
         for ch in model.chains:
             if ch.join_type == "left_semi":
                 dim_keys = self._build_chain_df(ch, keys_only=True)
-                df = df.join(F.broadcast(dim_keys),
+                df = df.join(self._maybe_broadcast(dim_keys, ch.dims),
                              df[ch.fact_fk_col] == dim_keys["__semi_key"],
                              "left_semi")
 
