@@ -123,13 +123,21 @@ class MahaSparkEngine:
             df = self.planner.build(model)
             curator_results = run_curators(self, model) if req.curators \
                 else None
+            debug = None
+            if req.is_debug:
+                # the reference's debug response carries the generated
+                # engine query (QueryPipeline debug output); the Spark
+                # analog is the optimized logical plan
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                debug = {"requestType": req.request_type,
+                         "factTable": model.fact_table.name,
+                         "plan": plan[:8000]}
             return to_json_response(
                 df, cube=req.cube,
                 metric_aliases=set(model.metric_aliases),
                 max_rows=req.rows_per_page,
                 curators=curator_results,
-                debug={"requestType": req.request_type}
-                if req.is_debug else None,
+                debug=debug,
             )
         except Exception as e:
             # validation failures happen before the model exists — log a

@@ -290,3 +290,18 @@ def test_having_on_derived_safe_divide_metric(engine, duck):
             FROM lineitem GROUP BY 1 LIMIT 0
         """).fetchall()
     rows_match([tuple(r) for r in out], want)
+
+
+def test_debug_response_carries_plan(engine):
+    """debug:true returns the optimized plan + selected fact table (the
+    reference returns its generated engine query in debug mode)."""
+    out = engine.execute({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [DAY],
+        "debug": True,
+    })
+    dbg = out["header"]["debug"]
+    assert dbg["factTable"] == "lineitem"
+    assert "Aggregate" in dbg["plan"]
+    assert dbg["requestType"] == "SyncRequest"
