@@ -1,0 +1,37 @@
+"""Partitioning-invariance: operator results must not depend on the
+shuffle partition count (the difference between local[4] and a
+1000-executor cluster). Catches accidental order-dependence (first()
+without sort, float association drift, nondeterministic tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _run(spark, fn, sf_dir, n_parts):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+@pytest.mark.parametrize("opname", [
+    "text_profile", "minhash", "simhash_pairs", "sessionize",
+    "contamination", "curate",
+])
+def test_result_invariant_under_partitioning(spark, sf_dir, opname):
+    from maha_spark.ops import contamination, dedup, pipeline, sessions, text
+
+    fn = {
+        "text_profile": text.text_profile,
+        "minhash": dedup.dedup_minhash_lsh,
+        "simhash_pairs": dedup.dedup_simhash_pairs,
+        "sessionize": sessions.sessionize,
+        "contamination": contamination.contamination,
+        "curate": pipeline.curate_corpus,
+    }[opname]
+    a = _run(spark, fn, sf_dir, 3)
+    b = _run(spark, fn, sf_dir, 17)
+    assert a == b
