@@ -305,3 +305,25 @@ def test_debug_response_carries_plan(engine):
     assert dbg["factTable"] == "lineitem"
     assert "Aggregate" in dbg["plan"]
     assert dbg["requestType"] == "SyncRequest"
+
+
+def test_scan_query_type_returns_row_grain(engine, duck):
+    """queryType=scan skips aggregation: fact-grain rows come back as-is
+    (DruidQueryGenerator Scan query path)."""
+    base = {
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Order Key"},
+                         {"field": "Line Number"}],
+        "filterExpressions": [
+            DAY, {"field": "Order Key", "operator": "in",
+                  "values": ["1", "3", "5"]}],
+    }
+    scan = engine.dataframe({**base, "queryType": "scan"}).collect()
+    want = duck.execute("""
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN (1, 3, 5)
+    """).fetchall()
+    rows_match([tuple(r) for r in scan], want)
+    # the default groupby path dedups to distinct combinations
+    grouped = engine.dataframe(base).collect()
+    assert len(grouped) == len({tuple(r) for r in want})
