@@ -104,6 +104,7 @@ def build_contract_registry() -> Registry:
     def nation_region(prefix: str, role: str) -> None:
         region_t = DimensionTable(
             name="region", primary_key="r_regionkey", level=1, cost=5,
+            cardinality=5,
             columns={
                 "r_regionkey": DimCol("r_regionkey", IntType()),
                 "r_name": DimCol("r_name", StrType()),
@@ -114,6 +115,7 @@ def build_contract_registry() -> Registry:
                       PubCol(f"{prefix}region_name", "r_name")]))
         nation_t = DimensionTable(
             name="nation", primary_key="n_nationkey", level=2, cost=25,
+            cardinality=25,
             parent_keys={"n_regionkey": f"{role}_region"},
             columns={
                 "n_nationkey": DimCol("n_nationkey", IntType()),
@@ -131,6 +133,7 @@ def build_contract_registry() -> Registry:
 
     customer = DimensionTable(
         name="customer", primary_key="c_custkey", level=3, cost=150,
+        cardinality=150_000,
         parent_keys={"c_nationkey": "customer_nation"},
         schema_col_map={"customer": "c_custkey"},
         columns={
@@ -157,6 +160,7 @@ def build_contract_registry() -> Registry:
 
     orders = DimensionTable(
         name="orders", primary_key="o_orderkey", level=4, cost=1500,
+        cardinality=1_500_000,
         parent_keys={"o_custkey": "customer"},
         columns={
             "o_orderkey": DimCol("o_orderkey", IntType()),
@@ -180,6 +184,7 @@ def build_contract_registry() -> Registry:
 
     part = DimensionTable(
         name="part", primary_key="p_partkey", level=4, cost=200,
+        cardinality=200_000,
         columns={
             "p_partkey": DimCol("p_partkey", IntType()),
             "p_name": DimCol("p_name", StrType(), case_insensitive=True),
@@ -212,6 +217,7 @@ def build_contract_registry() -> Registry:
 
     supplier = DimensionTable(
         name="supplier", primary_key="s_suppkey", level=4, cost=10,
+        cardinality=10_000,
         parent_keys={"s_nationkey": "supplier_nation"},
         columns={
             "s_suppkey": DimCol("s_suppkey", IntType()),

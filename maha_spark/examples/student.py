@@ -30,7 +30,7 @@ def build_student_registry() -> Registry:
     reg = Registry()
 
     student = DimensionTable(
-        name="student", primary_key="id", level=1,
+        name="student", primary_key="id", level=1, cardinality=100_000,
         schema_col_map={"student": "id"},
         columns={
             "id": DimCol("id", IntType()),

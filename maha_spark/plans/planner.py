@@ -472,19 +472,24 @@ class Planner:
                 cols.append(F.expr(_decode_sql(t.columns, pub)).alias(s.field))
         return df.select(*cols)
 
-    #: estimated-rows ceiling for hinting a dimension broadcast; a dim
-    #: declaring a larger cardinality joins unhinted, so Catalyst/AQE pick
-    #: the strategy from real sizes (shuffled hash / sort-merge, with
-    #: runtime broadcast conversion if the filtered side turns out small)
+    #: estimated-rows ceiling for hinting a dimension broadcast; only a dim
+    #: DECLARING a cardinality at or under the ceiling gets the hint — an
+    #: undeclared dim joins unhinted, so Catalyst/AQE pick the strategy
+    #: from real sizes (shuffled hash / sort-merge, with runtime broadcast
+    #: conversion if the filtered side turns out small). An explicit hint
+    #: overrides autoBroadcastJoinThreshold and AQE sizing, so hinting an
+    #: unknown-size dim would OOM every executor at cluster scale.
     BROADCAST_DIM_MAX_ROWS = 5_000_000
 
     def _maybe_broadcast(self, ddf: DataFrame, dims) -> DataFrame:
-        """Broadcast-hint a dim frame unless any participating dimension
-        declares a cardinality above the ceiling — a billion-row customer
-        dim must never be shipped to every executor."""
+        """Broadcast-hint a dim frame only when EVERY participating
+        dimension declares a cardinality within the ceiling; unknown
+        (undeclared) cardinality means no hint — never ship a dim of
+        unknown size to every executor (dimCardinalityEnginePreference,
+        ref fact/Fact.scala routes on declared dim cardinality)."""
         for d in dims:
             card = d.table.cardinality
-            if card is not None and card > self.BROADCAST_DIM_MAX_ROWS:
+            if card is None or card > self.BROADCAST_DIM_MAX_ROWS:
                 return ddf
         return F.broadcast(ddf)
 

@@ -109,9 +109,10 @@ class DimensionTable:
     #: (schemaColMap, dimension/Dimension.scala:607)
     schema_col_map: dict[str, str] = field(default_factory=dict)
     cost: int = 100
-    #: estimated row count; None = curated-small (broadcast-hinted).
-    #: Set it for big dims so the planner stops hinting broadcast and the
-    #: join falls back to AQE's choice (dimCardinalityEnginePreference,
+    #: estimated row count; None = UNKNOWN, never broadcast-hinted — the
+    #: join is left unhinted so AQE picks the strategy from observed
+    #: sizes. Declare a small cardinality (<= planner ceiling) to opt the
+    #: dim into a forced broadcast hint (dimCardinalityEnginePreference,
     #: fact/Fact.scala — the reference also routes on dim cardinality)
     cardinality: Optional[int] = None
 

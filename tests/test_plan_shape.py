@@ -278,12 +278,13 @@ def test_dim_driven_pushes_page_keys_into_fact(contract_engine):
 
 
 def test_large_dim_is_not_broadcast_hinted(spark):
-    """A dimension declaring cardinality above the ceiling must join
-    WITHOUT a broadcast hint: with autoBroadcastJoinThreshold disabled the
-    plan falls to a non-broadcast join (AQE would still convert small
-    filtered sides at runtime) — a billion-row dim is never shipped to
-    every executor. The default (curated-small) dim keeps the hint and
-    broadcasts even with the threshold disabled."""
+    """Only a dim DECLARING cardinality within the ceiling gets the
+    broadcast hint. Declared-large AND undeclared (cardinality=None) dims
+    join WITHOUT a hint: with autoBroadcastJoinThreshold disabled the plan
+    falls to a non-broadcast join (AQE would still convert small filtered
+    sides at runtime from observed sizes). An explicit hint overrides AQE
+    sizing, so hinting an unknown-size dim would OOM every executor at
+    cluster scale — unknown must mean unhinted."""
     import os
     from maha_spark.engine import engine_for_dir
     from maha_spark.examples.contract import build_contract_registry
@@ -297,15 +298,24 @@ def test_large_dim_is_not_broadcast_hinted(spark):
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # contract dims declare small cardinalities -> hinted broadcast
         small = engine_for_dir(spark, build_contract_registry(),
                                "/root/testdata/sf0.001")
         assert "BroadcastHashJoin" in _physical(small.dataframe(req))
 
+        # declared-large -> unhinted
         reg = build_contract_registry()
         for dim in reg._dims.values():
             dim.table.cardinality = 10 ** 9
         big = engine_for_dir(spark, reg, "/root/testdata/sf0.001")
-        phys = _physical(big.dataframe(req))
+        assert "BroadcastHashJoin" not in _physical(big.dataframe(req))
+
+        # UNDECLARED (None) -> also unhinted: the scale-safe default
+        reg2 = build_contract_registry()
+        for dim in reg2._dims.values():
+            dim.table.cardinality = None
+        unk = engine_for_dir(spark, reg2, "/root/testdata/sf0.001")
+        phys = _physical(unk.dataframe(req))
         assert "BroadcastHashJoin" not in phys, phys
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
