@@ -35,6 +35,9 @@ JACCARD_T = 0.8
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4
 HAMMING_T = 3  # < SIMHASH_CHUNKS so the chunk join is lossless
+#: bridge graphs at or under this many edges (~32 MB of longs) finish
+#: with a driver-side union-find; larger graphs iterate distributed
+LOCAL_CC_MAX_EDGES = 2_000_000
 
 
 # --------------------------------------------------------------- exact
@@ -484,7 +487,19 @@ def dedup_simhash_pairs_oracle() -> str:
 
 
 # ------------------------------------------------------------- clustering
-def _min_label_cc(edges: DataFrame, max_iters: int) -> DataFrame:
+def _ckpt(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Truncate lineage for iterative algorithms. ``localCheckpoint`` is
+    the right default for a single-JVM harness, but executor-LOCAL
+    checkpoints die with their executor — on a real cluster (dynamic
+    allocation, spot nodes) a lost executor mid-iteration fails the job
+    unrecoverably. Pass ``reliable=True`` (after
+    ``spark.sparkContext.setCheckpointDir(...)`` to a durable FS) to use
+    the fault-tolerant ``checkpoint()`` instead."""
+    return df.checkpoint() if reliable else df.localCheckpoint()
+
+
+def _min_label_cc(edges: DataFrame, max_iters: int,
+                  reliable_checkpoint: bool = False) -> DataFrame:
     """Connected components over a SYMMETRIC localCheckpoint'ed edge
     frame: (doc_id, label=component min) for every incident vertex.
 
@@ -497,8 +512,9 @@ def _min_label_cc(edges: DataFrame, max_iters: int) -> DataFrame:
     count, not a data collect. Deterministic: the fixed point is unique.
     """
     from pyspark.sql import functions as F
-    labels = (edges.select("u").distinct()
-              .selectExpr("u AS doc_id", "u AS label").localCheckpoint())
+    labels = _ckpt(edges.select("u").distinct()
+                   .selectExpr("u AS doc_id", "u AS label"),
+                   reliable_checkpoint)
     for _ in range(max_iters):
         neigh = (edges.join(labels.selectExpr("doc_id AS v", "label"), "v")
                  .selectExpr("u AS doc_id", "label",
@@ -509,12 +525,12 @@ def _min_label_cc(edges: DataFrame, max_iters: int) -> DataFrame:
                             "CAST(NULL AS BIGINT) AS old"))
         # the previous label rides along as ``old`` so convergence reads
         # off the SAME aggregated (checkpointed) frame — no extra join
-        new_full = (labels.selectExpr("doc_id", "label", "label AS old")
-                    .unionByName(neigh).unionByName(jump)
-                    .groupBy("doc_id")
-                    .agg(F.min("label").alias("label"),
-                         F.min("old").alias("old"))
-                    .localCheckpoint())
+        new_full = _ckpt(labels.selectExpr("doc_id", "label", "label AS old")
+                         .unionByName(neigh).unionByName(jump)
+                         .groupBy("doc_id")
+                         .agg(F.min("label").alias("label"),
+                              F.min("old").alias("old")),
+                         reliable_checkpoint)
         changed = new_full.filter("label < old").limit(1).count()
         labels = new_full.select("doc_id", "label")
         if changed == 0:
@@ -523,71 +539,137 @@ def _min_label_cc(edges: DataFrame, max_iters: int) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str,
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25,
+                   reliable_checkpoint: bool = False) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the simhash
-    near-dup pair graph, each document labeled with its component's
-    minimum doc_id (the canonical keeper) plus the component size.
+    near-dup graph, each document labeled with its component's minimum
+    doc_id (the canonical keeper) plus the component size.
 
-    This is the step that turns pair lists into dedup decisions (keep one
-    doc per cluster). Near-dup graphs are CLIQUE-heavy — a k-member
-    duplicate family contributes ~k^2 pairs (measured: 3.1M edges over
-    4.6k incident docs at sf0.1) — so iterating the raw edge list pays
-    the k^2 cost every round. Instead:
+    This is the step that turns near-dup detection into dedup decisions
+    (keep one doc per cluster). Near-dup graphs are CLIQUE-heavy — a
+    k-member duplicate family shares one simhash and contributes ~k^2
+    pairs (measured at sf0.1: 5000 docs -> 2949 DISTINCT simhashes, one
+    339-doc family alone = 115k pairs) — so the doc-level pair list is
+    quadratic in family size. Connectivity, however, depends ONLY on the
+    simhash VALUE (hamming is a function of the two values; equal values
+    are trivially connected at hamming 0), so:
 
-    1. STAR CONTRACTION: one groupBy assigns every incident vertex
-       ``min(self, neighbors)`` — each clique collapses to its minimum in
-       a single pass over the edges.
-    2. The REPRESENTATIVE graph (edges between distinct labels) is tiny
-       — only inter-clique bridges survive; the iterative min-label /
-       pointer-jump loop (``_min_label_cc``) runs there.
-    3. Labels compose (doc -> rep -> root) and singleton documents rejoin
-       as their own cluster — the corpus itself is never iterated.
+    1. VALUE COLLAPSE: groupBy simhash -> (value, rep=min doc_id). The
+       rep of the component-minimum doc's value IS the component minimum
+       (any smaller doc sharing that value would itself be the minimum),
+       so min-labels over reps equal min-labels over docs.
+    2. The pigeonhole chunk join runs between DISTINCT VALUES only —
+       identical-value families generate zero candidate pairs, and the
+       hamming filter runs BEFORE the pair distinct.
+    3. STAR CONTRACTION + the tiny bridge-graph min-label loop
+       (``_min_label_cc``) label the reps; docs rejoin through their
+       simhash value (one broadcast-size join), singleton values keep
+       ``label = rep``. The corpus-size frame is touched exactly twice:
+       once to compute simhash, once to join labels back.
+
+    ``reliable_checkpoint=True`` switches lineage truncation to
+    fault-tolerant ``checkpoint()`` for cluster deployments (see
+    ``_ckpt``).
     """
     from pyspark.sql import functions as F
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # checkpoint the DIRECTED pairs before mirroring: a union of two
-    # selects over a lazy frame evaluates the expensive bucket-join pair
-    # generation twice; checkpointing first makes the mirror a re-read
-    pairs = (dedup_simhash_pairs(spark, sf_dir).select("a_id", "b_id")
-             .localCheckpoint())
-    # the mirrored edge view stays LAZY: both consumers (the contraction
-    # groupBy and the representative-graph joins) re-read the checkpointed
-    # pairs, which is cheaper than materializing the 2x edge list itself
-    edges = (pairs.selectExpr("a_id AS u", "b_id AS v")
-             .unionByName(pairs.selectExpr("b_id AS u", "a_id AS v")))
+    # one pass computes simhash per doc; checkpoint so the value collapse
+    # and the final label join both re-read instead of re-hashing
+    sh = _ckpt(dedup_simhash(spark, sf_dir).select("doc_id", "simhash"),
+               reliable_checkpoint)
+    # lazy: recomputing this tiny groupBy from the checkpointed sh is
+    # cheaper than another eager checkpoint job
+    vals = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
 
-    # star contraction: min over each vertex's neighborhood (+ itself)
-    first = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-             .selectExpr("u AS doc_id", "least(u, mv) AS label")
-             .localCheckpoint())
+    # pigeonhole chunk join between DISTINCT simhash values (lossless for
+    # hamming <= HAMMING_T with SIMHASH_CHUNKS > HAMMING_T differing chunks)
+    chunks = (vals.selectExpr(
+                  "simhash", "rep",
+                  f"explode(sequence(0, {SIMHASH_CHUNKS - 1})) AS c")
+              .selectExpr(
+                  "simhash", "rep",
+                  "named_struct('c', c, 'v', (simhash div "
+                  "shiftleft(CAST(1 AS BIGINT), 8 * c)) % 256) AS ck"))
+    a = chunks.selectExpr("ck", "rep AS u", "simhash AS ush")
+    b = chunks.selectExpr("ck", "rep AS v", "simhash AS vsh")
+    edges_dir = (a.join(b, "ck").filter("u < v")
+                 .filter(f"bit_count(ush ^ vsh) <= {HAMMING_T}")
+                 .select("u", "v").distinct())
+    # the whole value-level graph is orders of magnitude smaller than the
+    # corpus — run its shuffles on bounded partitions (per-stage
+    # task-launch overhead would otherwise dominate)
+    from ..streaming.hourly import bounded_shuffle
+    with bounded_shuffle(spark, cap=8):
+        pairs = _ckpt(edges_dir, reliable_checkpoint)
+        # the mirrored edge view stays LAZY: both consumers re-read the
+        # checkpointed pairs, cheaper than materializing the 2x edge list
+        edges = (pairs.selectExpr("u", "v")
+                 .unionByName(pairs.selectExpr("v AS u", "u AS v")))
 
-    # representative graph: only edges crossing label boundaries survive
-    rep_edges = (edges
-                 .join(first.selectExpr("doc_id AS u", "label AS lu"), "u")
-                 .join(first.selectExpr("doc_id AS v", "label AS lv"), "v")
-                 .selectExpr("lu AS u", "lv AS v")
-                 .filter("u != v").distinct().localCheckpoint())
+        # star contraction: min over each vertex's neighborhood (+ itself)
+        first = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+                 .selectExpr("u AS rep", "least(u, mv) AS label"))
 
-    if rep_edges.limit(1).count() > 0:
-        # the representative graph holds only inter-clique bridges —
-        # orders of magnitude smaller than the corpus — so the iterative
-        # loop runs on bounded shuffle partitions (per-round task-launch
-        # overhead would otherwise dominate; a giant rep graph would
-        # raise the cap with the session's setting)
-        from ..streaming.hourly import bounded_shuffle
-        with bounded_shuffle(spark, cap=8):
-            roots = _min_label_cc(rep_edges, max_iters)
-        labels = (first.join(roots.selectExpr("doc_id AS label",
-                                              "label AS root"),
-                             "label", "left_outer")
-                  .selectExpr("doc_id", "coalesce(root, label) AS label"))
-    else:
-        labels = first
+        # bridge graph: only edges crossing label boundaries survive
+        rep_edges = _ckpt(
+            edges
+            .join(first.selectExpr("rep AS u", "label AS lu"), "u")
+            .join(first.selectExpr("rep AS v", "label AS lv"), "v")
+            .selectExpr("lu AS u", "lv AS v")
+            .filter("u != v").distinct(), reliable_checkpoint)
 
-    # singletons (no near-dup edge) are their own cluster
-    labels = (docs.join(labels, "doc_id", "left_outer")
-              .selectExpr("doc_id",
-                          "coalesce(label, doc_id) AS label"))
+        n_bridge = rep_edges.count()
+        if n_bridge == 0:
+            rep_labels = first.selectExpr("rep", "label")
+        elif n_bridge <= LOCAL_CC_MAX_EDGES:
+            # two-phase CC: the distributed star contraction already
+            # collapsed every clique, so the surviving bridge graph is
+            # inter-clique links only. Under the explicit edge cap
+            # (~32 MB of longs) a driver-side union-find finish replaces
+            # ~O(log d) distributed rounds of join+groupBy+checkpoint
+            # driver latency — a BOUNDED collect, same pattern as the
+            # capped query side of sim_topk. Above the cap the
+            # distributed min-label loop runs instead.
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in rep_edges.collect():
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so the root IS the component minimum
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            roots = spark.createDataFrame(
+                [(k, find(k)) for k in list(parent)],
+                "doc_id long, label long")
+            rep_labels = (first.join(
+                              F.broadcast(roots.selectExpr(
+                                  "doc_id AS label", "label AS root")),
+                              "label", "left_outer")
+                          .selectExpr("rep",
+                                      "coalesce(root, label) AS label"))
+        else:
+            roots = _min_label_cc(rep_edges, max_iters,
+                                  reliable_checkpoint)
+            rep_labels = (first.join(roots.selectExpr("doc_id AS label",
+                                                      "label AS root"),
+                                     "label", "left_outer")
+                          .selectExpr("rep",
+                                      "coalesce(root, label) AS label"))
+
+    # docs rejoin through their simhash value; singleton values (no edge)
+    # keep their own rep as the cluster label
+    labels = (sh.join(vals, "simhash")
+              .join(rep_labels, "rep", "left_outer")
+              .selectExpr("doc_id", "coalesce(label, rep) AS label"))
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
