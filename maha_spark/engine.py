@@ -72,6 +72,7 @@ class MahaSparkEngine:
         """QueryPipelineWithFallback (QueryPipeline.scala:115-151): if the
         primary plan fails to build/execute or returns no rows, re-plan
         against the fallback cube revision."""
+        from .request.request import ValidationError
         try:
             # persist before probing so the emptiness check and the
             # caller's consumption share one execution of the plan
@@ -79,6 +80,12 @@ class MahaSparkEngine:
             if df.limit(1).count() > 0:
                 return df
             df.unpersist()
+        except ValidationError:
+            # a malformed request is a 400, not an execution failure —
+            # re-planning it against another revision would mask the
+            # caller's error (the reference's fallback also fires only on
+            # pipeline failure, not on request validation)
+            raise
         except Exception:
             pass
         return self.dataframe(request, schema=schema, today=today,
@@ -99,12 +106,16 @@ class MahaSparkEngine:
                                       now_ms, RequestLogEntry)
 
         raw = request if isinstance(request, str) else ""
-        req = request if isinstance(request, ReportingRequest) else \
-            parse_request(request, schema=schema)
         request_id = request_id or new_request_id()
         t0 = now_ms()
         entry: Optional[RequestLogEntry] = None
+        req: Optional[ReportingRequest] = None
         try:
+            # parse INSIDE the try so malformed/invalid request JSON still
+            # reaches the ledger (MahaRequestLogHelper.logFailed covers
+            # parse-time failures, not just model-time ones)
+            req = request if isinstance(request, ReportingRequest) else \
+                parse_request(request, schema=schema)
             sel = None
             if revision is None and self.bucket_selector is not None:
                 sel = self.bucket_selector.select(req.cube, user_id=user_id)
@@ -140,17 +151,33 @@ class MahaSparkEngine:
                 debug=debug,
             )
         except Exception as e:
-            # validation failures happen before the model exists — log a
-            # skeleton record so failed requests still hit the ledger
-            # (MahaRequestLogHelper.logFailed semantics)
+            # parse/validation failures happen before the model (or even
+            # the request) exists — log a skeleton record so failed
+            # requests still hit the ledger (MahaRequestLogHelper.logFailed
+            # semantics). When parsing itself failed, peek the raw payload
+            # tolerantly for cube/requestType.
             if entry is None:
+                cube, rtype = "", ""
+                if req is not None:
+                    cube, rtype = req.cube, req.request_type
+                else:
+                    try:
+                        import json as _json
+                        peek = request if isinstance(request, dict) else \
+                            _json.loads(raw or request)
+                        cube = str(peek.get("cube", ""))
+                        rtype = str(peek.get("requestType", ""))
+                    except Exception:
+                        pass
                 entry = RequestLogEntry(
                     request_id=request_id, json_request=raw,
-                    user_id=user_id, cube=req.cube, schema=schema,
-                    request_type=req.request_type,
+                    user_id=user_id, cube=cube, schema=schema,
+                    request_type=rtype,
                     registry_name=self.registry_name,
                     request_start_time=t0)
-            entry.status = 400
+            # client errors (parse/validation) are 400; engine/planner/
+            # execution failures are 500 (reference GeneralError handling)
+            entry.status = 400 if isinstance(e, ValueError) else 500
             entry.error_message = str(e)[:500]
             raise
         finally:

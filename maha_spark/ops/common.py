@@ -35,7 +35,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = ParquetBinding(spark, sf_dir).table(name)
     if name in ("documents", "embeddings"):
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        # file count bounds the scan parallelism; len(inputFiles()) avoids
+        # the DataFrame->Python-RDD conversion a getNumPartitions probe pays
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
     return df
 

@@ -231,9 +231,12 @@ def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     min_c = counts.agg(F.min("n_docs").alias("min_c"))
+    # clamp at 1: a domain >1000x the smallest would otherwise round to
+    # rate 0 (silently dropped entirely, and weight = 1000/0 diverges)
     rates = (counts.crossJoin(F.broadcast(min_c))
              .withColumn("rate_pm",
-                         F.expr("CAST((min_c * 1000) DIV n_docs AS BIGINT)")))
+                         F.expr("GREATEST(CAST((min_c * 1000) DIV n_docs "
+                                "AS BIGINT), CAST(1 AS BIGINT))")))
     kept = (docs.selectExpr("doc_id", "lang",
                             f"{_mix_bucket(True)} AS bucket")
             .join(F.broadcast(rates.select("lang", "rate_pm")), "lang")
@@ -254,7 +257,8 @@ def mix_balance_oracle() -> str:
             SELECT MIN(n_docs) AS min_c FROM c
         ), r AS (
             SELECT lang, n_docs,
-                   CAST((min_c * 1000) // n_docs AS BIGINT) AS rate_pm
+                   GREATEST(CAST((min_c * 1000) // n_docs AS BIGINT),
+                            1::BIGINT) AS rate_pm
             FROM c, m
         ), k AS (
             SELECT d.lang, COUNT(*) AS n_kept

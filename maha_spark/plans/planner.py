@@ -737,7 +737,7 @@ class Planner:
         derived_aliases = {a for a, _ in derived}
         for p in model.projections:
             if p.kind == CONSTANT:
-                cols.append(F.lit(p.value).alias(p.output_name if False else p.alias))
+                cols.append(F.lit(p.value).alias(p.alias))
             elif p.kind in (FACT_DIM, DIM_ATTR):
                 colmeta = table.columns.get(p.pub_col.name) \
                     if p.pub_col is not None else None

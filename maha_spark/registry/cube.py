@@ -259,35 +259,36 @@ class Registry:
                 frontier.append(np)
         raise KeyError(f"no dimension path {from_dim} -> {to_dim}")
 
+    def _cube_domain_entry(self, f: "PublicFact") -> dict[str, Any]:
+        return {
+            "name": f.name,
+            "mainEntityIds": f.schema_required_alias,
+            "maxDaysWindow": f.max_days_window,
+            "maxDaysLookBack": f.max_days_lookback,
+            "fields": [
+                {"field": p.alias, "type": "Dimension",
+                 "filterable": bool(p.filter_ops),
+                 "filterOperations": sorted(p.filter_ops),
+                 "required": p.required,
+                 "filteringRequired": p.filtering_required,
+                 # isImageColumn (dimension/Dimension.scala:965):
+                 # clients render the value as an image/binary ref
+                 "isImageColumn": p.is_image}
+                for p in f.pub_cols if not p.hidden_from_json
+            ] + [
+                {"field": p.alias, "type": "Fact",
+                 "filterable": bool(p.filter_ops),
+                 "filterOperations": sorted(p.filter_ops),
+                 "required": p.required,
+                 "filteringRequired": p.filtering_required}
+                for p in f.pub_fact_cols if not p.hidden_from_json
+            ],
+        }
+
     def domain_json(self) -> dict[str, Any]:
         """Discovery document (Registry domain JSON :685,738)."""
-        cubes = {}
-        for name in self.cubes():
-            f = self.fact(name)
-            cubes[name] = {
-                "name": name,
-                "mainEntityIds": f.schema_required_alias,
-                "maxDaysWindow": f.max_days_window,
-                "maxDaysLookBack": f.max_days_lookback,
-                "fields": [
-                    {"field": p.alias, "type": "Dimension",
-                     "filterable": bool(p.filter_ops),
-                     "filterOperations": sorted(p.filter_ops),
-                     "required": p.required,
-                     "filteringRequired": p.filtering_required,
-                     # isImageColumn (dimension/Dimension.scala:965):
-                     # clients render the value as an image/binary ref
-                     "isImageColumn": p.is_image}
-                    for p in f.pub_cols if not p.hidden_from_json
-                ] + [
-                    {"field": p.alias, "type": "Fact",
-                     "filterable": bool(p.filter_ops),
-                     "filterOperations": sorted(p.filter_ops),
-                     "required": p.required,
-                     "filteringRequired": p.filtering_required}
-                    for p in f.pub_fact_cols if not p.hidden_from_json
-                ],
-            }
+        cubes = {name: self._cube_domain_entry(self.fact(name))
+                 for name in self.cubes()}
         return {"schemas": self._schema_map(), "cubes": cubes,
                 "dimensions": sorted(self._dims)}
 
@@ -307,7 +308,9 @@ class Registry:
         if (name, self._default_rev.get(name) if revision is None
                 else revision) not in self._facts:
             raise KeyError(f"unknown cube {name!r}")
-        return self.domain_json()["cubes"][name]
+        # build from the REQUESTED revision's fact — the domain document
+        # always reflects the default revision
+        return self._cube_domain_entry(self.fact(name, revision))
 
     def flatten_domain_json(self) -> dict[str, Any]:
         """Flat discovery document (Registry.flattenDomainJsonAsString

@@ -162,7 +162,12 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
                     body, schema=schema,
                     request_id=self.headers.get("Request-Id"),
                     user_id=self.headers.get("User-Id", "")))
-            except Exception as e:  # validation/parse -> 400, not 500
+            except ValueError as e:  # validation/parse (client) -> 400
                 self._send(400, {"errorMsg": str(e)})
+            except Exception as e:  # engine/execution failure -> 500
+                # (reference GeneralError handling: runtime errors are
+                # server errors, not client errors — 4xx would skew
+                # client retry behavior and the request-log status)
+                self._send(500, {"errorMsg": str(e)})
 
     return Handler

@@ -95,3 +95,18 @@ def test_fallback_revision(spark):
     assert eng.dataframe(req).count() == 0  # primary (rev 0) is empty
     out = eng.dataframe_with_fallback(req, fallback_revision=1)
     assert {r["k"] for r in out.collect()} == {"a", "b"}
+
+
+def test_fallback_reraises_validation_error(contract_engine):
+    """A malformed request must surface its 400 — silently re-planning it
+    against the fallback revision would mask the caller's error (the
+    reference's fallback fires only on pipeline failure)."""
+    import pytest
+    from maha_spark.request.request import ValidationError
+
+    bad = {"cube": "tpch",
+           "selectFields": [{"field": "no_such_alias"}],
+           "filterExpressions": [{"field": "day", "operator": "between",
+                                  "from": "1995-01-01", "to": "1995-01-31"}]}
+    with pytest.raises(ValidationError):
+        contract_engine.dataframe_with_fallback(bad, fallback_revision=0)

@@ -132,3 +132,33 @@ def test_rest_server_logs_requests(tmp_path, spark, sf_dir):
     assert entries[0]["request_id"] == "wire-1"
     assert entries[0]["user_id"] == "alice"
     assert entries[0]["status"] == 200
+
+
+def test_parse_failure_still_logged_with_payload_peek(logged_engine):
+    """Malformed request JSON fails BEFORE a ReportingRequest exists; the
+    ledger must still get a skeleton entry (logFailed parity), with
+    cube/requestType peeked tolerantly from the raw payload."""
+    eng, sink = logged_engine
+    raw = json.dumps({"cube": "lineitem_stats", "requestType": "SyncRequest",
+                      "selectFields": "not-a-list"})
+    with pytest.raises(Exception):
+        eng.execute(raw, schema="internal", request_id="rid-parse")
+    assert len(sink.entries) == 1
+    e = sink.entries[0]
+    assert e.request_id == "rid-parse"
+    assert e.status == 400
+    assert e.cube == "lineitem_stats"
+
+
+def test_runtime_failure_logged_as_500(logged_engine, monkeypatch):
+    """Engine/planner failures on a VALID request are server errors (500),
+    not client errors — reference GeneralError handling."""
+    eng, sink = logged_engine
+
+    def boom(model):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(eng.planner, "build", boom)
+    with pytest.raises(RuntimeError):
+        eng.execute(json.dumps(REQ), schema="internal", request_id="rid-500")
+    assert sink.entries[-1].status == 500
