@@ -33,6 +33,38 @@ class TableBinding:
 # benchmark loop re-reads hot tables from Spark's in-memory columnar cache
 _DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+#: on-disk bytes ceiling for auto-caching a bound table. Dims and small
+#: tables stay hot; an unbounded fact is NEVER cached by default — at
+#: cluster scale caching a 100 TB scan would evict/thrash the whole
+#: storage pool. Raise/lower via MAHA_SPARK_CACHE_MAX_BYTES; caching
+#: itself stays env-gated on MAHA_SPARK_CACHE.
+CACHE_MAX_BYTES_DEFAULT = 2 << 30
+
+
+def _cache_max_bytes() -> int:
+    return int(os.environ.get("MAHA_SPARK_CACHE_MAX_BYTES",
+                              CACHE_MAX_BYTES_DEFAULT))
+
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory tree (cheap
+    metadata walk; no data read)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path, followlinks=True):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _should_cache(path: str) -> bool:
+    return (os.environ.get("MAHA_SPARK_CACHE", "1") == "1"
+            and _path_bytes(path) <= _cache_max_bytes())
+
 
 class ParquetBinding(TableBinding):
     """Reads ``{base_dir}/{name}.parquet``; falls back to a catalog table."""
@@ -49,7 +81,7 @@ class ParquetBinding(TableBinding):
         # so the planner's day bound becomes a PartitionFilter
         pdir = os.path.join(self.base_dir, name)
         if os.path.isdir(pdir):
-            if os.environ.get("MAHA_SPARK_CACHE", "1") == "1":
+            if _should_cache(pdir):
                 key = (id(self.spark), pdir)
                 if key not in _DF_CACHE:
                     _DF_CACHE[key] = normalize_timestamps(
@@ -58,7 +90,7 @@ class ParquetBinding(TableBinding):
             return normalize_timestamps(self.spark.read.parquet(pdir))
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
-            if os.environ.get("MAHA_SPARK_CACHE", "1") == "1":
+            if _should_cache(path):
                 key = (id(self.spark), path)
                 if key not in _DF_CACHE:
                     _DF_CACHE[key] = self._read_parquet(path).cache()

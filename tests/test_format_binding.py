@@ -76,3 +76,24 @@ def test_cube_query_over_json_binding(spark, tmp_path, engine):
     got = {(r[0], round(r[1], 2)) for r in js_eng.dataframe(req).collect()}
     exp = {(r[0], round(r[1], 2)) for r in engine.dataframe(req).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_cache_policy_size_gated(spark, monkeypatch):
+    """Auto-cache is size-gated: small tables (dims) stay hot, a table
+    over the byte cap is NEVER cached — at cluster scale caching an
+    unbounded fact would evict/thrash the whole storage pool."""
+    from maha_spark.plans import binding as b
+
+    pb = b.ParquetBinding(spark, "/root/testdata/sf0.01")
+    monkeypatch.setenv("MAHA_SPARK_CACHE", "1")
+    # cap below lineitem's size but above nation's
+    lf = b._path_bytes("/root/testdata/sf0.01/lineitem.parquet")
+    nf = b._path_bytes("/root/testdata/sf0.01/nation.parquet")
+    assert nf < lf
+    monkeypatch.setenv("MAHA_SPARK_CACHE_MAX_BYTES", str(nf + 1))
+    fact = pb.table("lineitem")
+    assert not fact.storageLevel.useMemory
+    dim = pb.table("nation")
+    assert dim.storageLevel.useMemory
+    dim.unpersist()
+    b._DF_CACHE.pop((id(spark), "/root/testdata/sf0.01/nation.parquet"), None)
