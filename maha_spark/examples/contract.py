@@ -172,6 +172,11 @@ def build_contract_registry() -> Registry:
             "o_orderpriority": DimCol("o_orderpriority", StrType()),
             "order_day": DerivedDimCol("order_day", DateType(),
                                        expr="CAST({o_orderdate} AS DATE)"),
+            # TO_CHAR macro (Oracle DerivedExpression.scala:830): Oracle
+            # format tokens translate to the Spark pattern alphabet
+            "order_month_c": DerivedDimCol(
+                "order_month_c", StrType(),
+                expr="TO_CHAR({o_orderdate}, 'YYYY-MM')"),
         })
     reg.register_dimension(PublicDimension(
         name="orders", table=orders,
@@ -180,7 +185,8 @@ def build_contract_registry() -> Registry:
                   PubCol("order_total", "o_totalprice"),
                   PubCol("order_date", "order_day"),
                   PubCol("order_ts", "o_orderdate"),
-                  PubCol("order_priority", "o_orderpriority")]))
+                  PubCol("order_priority", "o_orderpriority"),
+                  PubCol("order_month_c", "order_month_c")]))
 
     part = DimensionTable(
         name="part", primary_key="p_partkey", level=4, cost=200,

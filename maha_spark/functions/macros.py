@@ -127,6 +127,52 @@ def _time_format(args: list[str]) -> str:
     return f"date_format({args[0]}, {fmt})"
 
 
+def _col_w_replacements(args: list[str]) -> str:
+    """COL_W_REPLACEMENTS(sql[, hasRollup[, hasNumeric]]): a raw-SQL
+    column whose {placeholders} were already substituted upstream —
+    pass-through here; the trailing reference flags (rollup/numeric
+    rendering hints, DerivedExpression.scala Hive:532 Presto:376
+    Bigquery:1449) have no Spark analog and are ignored."""
+    return args[0]
+
+
+def _time_format_with_timezone(args: list[str]) -> str:
+    """TIME_FORMAT_WITH_TIMEZONE(col, inputFmt, outputFmt[, tz])
+    (DerivedExpression.scala Hive:578, Presto:404): parse ``col`` with
+    inputFmt, interpret as UTC, shift to ``tz``, render with outputFmt —
+    the Hive from_unixtime/from_utc_timestamp chain collapses to Spark
+    builtins."""
+    col, infmt, outfmt = args[0], args[1], args[2]
+    tz = args[3] if len(args) > 3 else "'UTC'"
+    return (f"date_format(from_utc_timestamp(to_timestamp({col}, {infmt}), "
+            f"{tz}), {outfmt})")
+
+
+#: Oracle date-format tokens -> Spark datetime pattern letters, longest
+#: first so e.g. HH24 wins over HH
+_ORACLE_FMT = [("YYYY", "yyyy"), ("YY", "yy"), ("MM", "MM"), ("DD", "dd"),
+               ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"), ("MI", "mm"),
+               ("SS", "ss"), ("MON", "MMM"), ("DY", "EEE")]
+
+
+def _to_char(args: list[str]) -> str:
+    """TO_CHAR(col, 'fmt') (Oracle DerivedExpression.scala:830, Postgres
+    :283): date rendering with Oracle format tokens translated to the
+    Spark pattern alphabet."""
+    fmt = _unquote(args[1])
+    out, i = [], 0
+    while i < len(fmt):
+        for tok, rep in sorted(_ORACLE_FMT, key=lambda t: -len(t[0])):
+            if fmt[i:i + len(tok)].upper() == tok:
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return f"date_format({args[0]}, '{''.join(out)}')"
+
+
 MACROS: dict[str, Callable[[list[str]], str]] = {
     "GET_INTERVAL_DATE": _get_interval_date,
     "DAY_OF_WEEK": _day_of_week,
@@ -136,6 +182,9 @@ MACROS: dict[str, Callable[[list[str]], str]] = {
     "START_OF_THE_WEEK": _start_of_week,
     "START_OF_THE_MONTH": _start_of_month,
     "TIME_FORMAT": _time_format,
+    "COL_W_REPLACEMENTS": _col_w_replacements,
+    "TIME_FORMAT_WITH_TIMEZONE": _time_format_with_timezone,
+    "TO_CHAR": _to_char,
 }
 
 

@@ -153,3 +153,49 @@ def test_udf_usable_in_derived_column_and_filter(spark):
     }))
     rows = df.collect()
     assert all(r.part_name_rev.startswith("a") for r in rows)
+
+
+def test_col_w_replacements_pass_through():
+    from maha_spark.functions.macros import expand_macros
+    sql = expand_macros(
+        "COL_W_REPLACEMENTS(CASE WHEN (`kw_id`) IS NOT NULL "
+        "THEN (`kw`) ELSE (`term`) END)")
+    # the expander parenthesizes every expansion; the body is unchanged
+    assert sql == ("(CASE WHEN (`kw_id`) IS NOT NULL "
+                   "THEN (`kw`) ELSE (`term`) END)")
+
+
+def test_time_format_with_timezone_expansion():
+    from maha_spark.functions.macros import expand_macros
+    sql = expand_macros(
+        "TIME_FORMAT_WITH_TIMEZONE(`ts`, 'yyyy-MM-dd HH:mm:ss', "
+        "'yyyy-MM-dd HH', 'America/Los_Angeles')")
+    assert sql == ("(date_format(from_utc_timestamp(to_timestamp(`ts`, "
+                   "'yyyy-MM-dd HH:mm:ss'), 'America/Los_Angeles'), "
+                   "'yyyy-MM-dd HH'))")
+
+
+def test_to_char_oracle_tokens():
+    from maha_spark.functions.macros import expand_macros
+    assert expand_macros("TO_CHAR(`d`, 'YYYY-MM-DD HH24:MI:SS')") == \
+        "(date_format(`d`, 'yyyy-MM-dd HH:mm:ss'))"
+    assert expand_macros("TO_CHAR(`d`, 'DY DD MON YYYY')") == \
+        "(date_format(`d`, 'EEE dd MMM yyyy'))"
+
+
+def test_to_char_cube_column(spark):
+    """TO_CHAR used in a cube column end-to-end (orders.order_month_c)."""
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    eng = engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    rows = eng.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_month_c"}, {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1995-01-01", "to": "1995-03-31"}],
+        "sortBy": [{"field": "order_month_c", "order": "ASC"}],
+        "rowsPerPage": 3,
+    }).collect()
+    assert rows and all(len(r[0]) == 7 and r[0][4] == "-" for r in rows)
