@@ -100,6 +100,17 @@ class AsyncReportRunner:
                     writer.json(job.output_path)
                 elif fmt == "parquet":
                     writer.parquet(job.output_path)
+                elif fmt == "excel":
+                    # ReportFormatType.ExcelFormat (Request.scala:126):
+                    # a single driver-written .xlsx (row-capped report
+                    # output; rows stream via toLocalIterator)
+                    from ..output.serializers import to_excel_bytes
+                    path = job.output_path
+                    if not path.endswith(".xlsx"):
+                        os.makedirs(path, exist_ok=True)
+                        path = os.path.join(path, "report.xlsx")
+                    with open(path, "wb") as fh:
+                        fh.write(to_excel_bytes(df))
                 else:
                     raise ValueError(f"unsupported output format {fmt!r}")
                 # cached: the count reuses the materialized result instead

@@ -78,3 +78,106 @@ def to_csv_string(df: DataFrame) -> str:
     for row in df.toLocalIterator():
         w.writerow(["" if v is None else _json_value(v) for v in row])
     return buf.getvalue()
+
+
+# ------------------------------------------------------------------ excel
+# ReportFormatType includes Excel (core/.../request/Request.scala:121-127,
+# report writers under core/.../report/). No Excel library ships in this
+# environment, so the workbook is written directly in the OOXML container
+# format with the stdlib: an .xlsx IS a zip of XML parts. Strings are
+# inline (t="inlineStr"), which every reader accepts and avoids the
+# sharedStrings table; numbers are native cells. Rows stream from
+# ``toLocalIterator`` — but Excel is a driver-materialized single file by
+# nature (the sheet XML must be complete before zipping), so this sink is
+# for row-capped report output, not bulk extracts (the reference's Excel
+# writer has the same shape).
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _col_letter(i: int) -> str:
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+def _xlsx_cell(ref: str, v: Any) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, (int, float, Decimal)):
+        if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                     float("-inf"))):
+            return (f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+        return f'<c r="{ref}"><v>{v}</v></c>'
+    s = _xml_escape(str(_json_value(v)))
+    return (f'<c r="{ref}" t="inlineStr"><is>'
+            f'<t xml:space="preserve">{s}</t></is></c>')
+
+
+def to_excel_bytes(df: DataFrame, sheet_name: str = "Report") -> bytes:
+    """Serialize header + rows as a single-sheet .xlsx workbook."""
+    import zipfile
+
+    rows_xml = io.StringIO()
+    hdr = "".join(_xlsx_cell(f"{_col_letter(c)}1", name)
+                  for c, name in enumerate(df.columns))
+    rows_xml.write(f'<row r="1">{hdr}</row>')
+    r = 1
+    for row in df.toLocalIterator():
+        r += 1
+        cells = "".join(_xlsx_cell(f"{_col_letter(c)}{r}", v)
+                        for c, v in enumerate(row))
+        rows_xml.write(f'<row r="{r}">{cells}</row>')
+
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             f"{rows_xml.getvalue()}</sheetData></worksheet>")
+    workbook = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<workbook xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships">'
+                f'<sheets><sheet name="{_xml_escape(sheet_name)}" '
+                'sheetId="1" r:id="rId1"/></sheets></workbook>')
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.'
+               'openxmlformats.org/officeDocument/2006/relationships/'
+               'worksheet" Target="worksheets/sheet1.xml"/>'
+               '</Relationships>')
+    root_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                 '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                 'package/2006/relationships">'
+                 '<Relationship Id="rId1" Type="http://schemas.'
+                 'openxmlformats.org/officeDocument/2006/relationships/'
+                 'officeDocument" Target="xl/workbook.xml"/>'
+                 '</Relationships>')
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>')
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()

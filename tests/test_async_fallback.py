@@ -110,3 +110,54 @@ def test_fallback_reraises_validation_error(contract_engine):
                                   "from": "1995-01-01", "to": "1995-01-31"}]}
     with pytest.raises(ValidationError):
         contract_engine.dataframe_with_fallback(bad, fallback_revision=0)
+
+
+def _read_xlsx_rows(data: bytes) -> list[list]:
+    """Stdlib OOXML reader: unzip, parse sheet1, return typed cell values."""
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        tree = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    out = []
+    for row in tree.iter(f"{ns}row"):
+        vals = []
+        for c in row.iter(f"{ns}c"):
+            if c.get("t") == "inlineStr":
+                vals.append(c.find(f"{ns}is/{ns}t").text)
+            else:
+                v = c.find(f"{ns}v").text
+                vals.append(float(v) if "." in v else int(v))
+        out.append(vals)
+    return out
+
+
+def test_async_excel_report_roundtrip(contract_engine, tmp_path):
+    """ReportFormatType.ExcelFormat parity (Request.scala:121-127): the
+    excel sink writes a valid OOXML workbook whose header + typed rows
+    round-trip through an independent stdlib reader, faithful to the
+    engine's own result (value correctness of the query itself is the
+    driver oracle's job)."""
+    from maha_spark.execution.async_reports import AsyncReportRunner
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+        "sortBy": [{"field": "return_flag", "order": "ASC"}],
+    }
+    expected = [[r[0], float(r[1])]
+                for r in contract_engine.dataframe(req).collect()]
+    runner = AsyncReportRunner(contract_engine, str(tmp_path))
+    job = runner.submit(req, output_format="excel")
+    assert job.status == "COMPLETED", job.error
+    files = glob.glob(os.path.join(job.output_path, "*.xlsx"))
+    assert len(files) == 1
+    with open(files[0], "rb") as f:
+        rows = _read_xlsx_rows(f.read())
+    assert rows[0] == ["return_flag", "revenue"]
+    assert len(rows) == len(expected) + 1
+    for got, want in zip(rows[1:], expected):
+        assert got[0] == want[0]
+        assert abs(got[1] - want[1]) < 1e-9
