@@ -24,7 +24,7 @@ def entry_queries() -> dict[str, Callable]:
     functions remain public API (dedup.dedup_exact etc.).
     """
     from . import (asof, contamination, dedup, multimodal, packing,
-                   sessions, similarity, sketches, text)
+                   pipeline, sessions, similarity, sketches, text)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
@@ -36,13 +36,17 @@ def entry_queries() -> dict[str, Callable]:
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine,
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "op_dedup_clusters": dedup.dedup_clusters,
+        "op_curate": pipeline.curate_corpus,
         "op_sketch_setops": sketches.sketch_setops,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
         "op_embed_quantize": similarity.embed_quantize,
         "op_mm_decode": multimodal.mm_decode_features,
-        "op_sessionize": sessions.sessionize,
+        # op_sessionize (batch) stays public API + pytest; its streaming
+        # twin op_stream_sessions hash-checks the SAME oracle SQL below,
+        # and test_ops_sessions pins batch == streaming bit-identical —
+        # the slot goes to op_curate (the composed-pipeline capstone)
         "op_pack_sequences": packing.pack_sequences,
         "op_sample_stratified": packing.sample_profile,
         "op_token_quantiles": packing.token_quantiles,
@@ -59,10 +63,10 @@ def entry_queries() -> dict[str, Callable]:
 
 def entry_oracles() -> dict[str, str]:
     from . import (asof, contamination, dedup, multimodal, packing,
-                   sessions, similarity, sketches, text)
+                   pipeline, sessions, similarity, sketches, text)
     from ..streaming import hourly
     return {
-        "op_sessionize": sessions.sessionize_oracle(),
+        "op_curate": pipeline.curate_corpus_oracle(),
         # op_stream_sessions: stateful streaming -> rows-only driver check;
         # exact equality to the batch op is pinned in pytest
         "op_stream_sessions": sessions.sessionize_oracle(),
