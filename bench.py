@@ -64,15 +64,30 @@ def guess_sf(path: str) -> float:
     return -1.0
 
 
+#: fact table -> its day column (the dt= partition key of the v2 layout)
+FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
+
+
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
-    """Materialize fact tables x mult (dims symlinked) under the repo;
-    idempotent across rounds via a _READY marker."""
+    """Materialize the scaled tier under the repo; idempotent across
+    rounds via a _READY marker. v2 layout = the 100 TB storage shape:
+
+    * fact tables x mult, written as Hive date-partitioned DIRECTORIES
+      (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
+      becomes a PartitionFilter (directory pruning, not per-file
+      row-group statistics);
+    * the ``events_hourly`` pre-aggregated rollup materialized beside the
+      raw events (in production the streaming job maintains it; content
+      is identical — tests/test_stream_rollup.py pins stream == batch);
+    * dims symlinked.
+    """
     from pyspark.sql import functions as F
 
+    from maha_spark.examples.contract import materialize_events_rollup
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v2")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -83,7 +98,6 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
         sp = os.path.join(src, f"{t}.parquet")
         if not os.path.exists(sp):
             continue
-        dp = os.path.join(dst, f"{t}.parquet")
         if t in FACT_TABLES:
             # _read_parquet normalizes nano timestamps to micros, so the
             # written copy is directly readable by both engines
@@ -92,10 +106,13 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
                       "__m", F.explode(F.array(*[F.lit(i)
                                                  for i in range(mult)])))
                   .drop("__m")
-                  .repartition(CPUS))
-            df.write.mode("overwrite").parquet(dp)
+                  .repartition(CPUS)
+                  .withColumn("dt", F.to_date(F.col(FACT_DAY_COLS[t]))))
+            (df.write.mode("overwrite").partitionBy("dt")
+               .parquet(os.path.join(dst, t)))
         else:
-            os.symlink(sp, dp)
+            os.symlink(sp, os.path.join(dst, f"{t}.parquet"))
+    materialize_events_rollup(spark, dst, dst)
     with open(marker, "w") as f:
         f.write("ok")
     return dst
@@ -107,6 +124,13 @@ def duck_connect(data_dir: str):
     con = duckdb.connect()
     con.execute(f"SET threads TO {CPUS}")
     for t in ALL_TABLES:
+        # v2 layout: date-partitioned directory (hive partitioning)
+        d = os.path.join(data_dir, t)
+        if os.path.isdir(d):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/*/*.parquet', hive_partitioning=1)")
+            continue
         p = os.path.join(data_dir, f"{t}.parquet")
         if not os.path.exists(p):
             continue

@@ -55,7 +55,8 @@ class MahaSparkEngine:
             sel = self.bucket_selector.select(req.cube, user_id=user_id)
             revision = sel.revision
         return build_request_model(req, self.registry, today=today,
-                                   revision=revision)
+                                   revision=revision,
+                                   table_available=self.binding.has_table)
 
     def dataframe(self, request: Union[dict, str, bytes, ReportingRequest],
                   schema: str = "internal",

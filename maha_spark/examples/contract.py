@@ -30,7 +30,7 @@ from ..core.grain import DAILY, HOURLY
 from ..core.filters import EqualityFilter, LessThanFilter
 from ..core.rollup import (
     AverageRollup, CardinalityRollup, CountRollup, FilteredRollup, MaxRollup,
-    MinRollup, NoopRollup, RoundedSumRollup,
+    MinRollup, NoopRollup, RoundedSumRollup, SumRollup,
 )
 from ..core.types import DateType, DecType, IntType, StaticMapping, StrType, TimestampType
 from ..registry.cube import (
@@ -358,7 +358,8 @@ def build_contract_registry() -> Registry:
     }
 
     lineitem = FactTable(name="lineitem", columns=li_cols, grain=DAILY,
-                         day_column="l_shipdate", cost=6000)
+                         day_column="l_shipdate", cost=6000,
+                         partition_columns=["dt"])
     rollup_cols = {k: v for k, v in li_cols.items()
                    if k not in ("l_partkey", "l_suppkey", "l_linenumber")}
     lineitem_rollup = FactTable(
@@ -462,9 +463,47 @@ def build_contract_registry() -> Registry:
                   "ELSE NULL END")),
     }
     events = FactTable(name="events", columns=ev_cols, grain=HOURLY,
-                       day_column="ts", cost=1000)
+                       day_column="ts", cost=1000,
+                       partition_columns=["dt"])
+
+    # Pre-aggregated hourly rollup (FactBuilder.newRollUp / withNewGrain,
+    # fact/Fact.scala:867,1385), continuously maintainable by the
+    # streaming job (streaming/hourly.py — pytest pins stream == batch
+    # content). Stored at EXACTLY (hour, event_type): event_count and the
+    # cents sum are summable partials; user_cnt is the exact per-group
+    # distinct, declared NoopRollup + grain_cols so candidate selection
+    # only serves it to requests grouping at this grain. Physical table
+    # optional: binding availability drops the candidate when not
+    # materialized (the sf fixtures), and serves it at the bench's scaled
+    # tier where one pre-aggregated scan replaces the raw event log.
+    roll_cols = {
+        "ts": DimCol("ts", TimestampType(), is_day_column=True),
+        "event_day": DerivedDimCol("event_day", DateType(),
+                                   expr="CAST({ts} AS DATE)"),
+        "event_hour": DerivedDimCol(
+            "event_hour", StrType(),
+            expr="date_trunc('hour', {ts})",
+            render_expr="date_format({self}, 'yyyy-MM-dd HH:mm:ss')"),
+        "event_type": DimCol("event_type", StrType()),
+        "value_dec": FactCol("value_dec", IntType(), rollup=SumRollup()),
+        "event_count": FactCol("event_count", IntType(),
+                               rollup=SumRollup()),
+        "user_cnt": FactCol("user_cnt", IntType(), rollup=NoopRollup()),
+        "total_value": DerivedFactCol(
+            "total_value", DecType(),
+            expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
+        "value_if_click": PostResultCol(
+            "value_if_click", DecType(),
+            expr=("CASE WHEN {event_type} = 'click' THEN {total_value} "
+                  "ELSE NULL END")),
+    }
+    events_rollup = FactTable(
+        name="events_hourly", columns=roll_cols, grain=HOURLY,
+        day_column="ts", cost=10, partition_columns=["dt"],
+        discarded={"event_id", "user_id", "value"},
+        grain_cols=["event_hour", "event_type"])
     reg.register_fact(PublicFact(
-        name="events_cube", tables=[events],
+        name="events_cube", tables=[events, events_rollup],
         pub_cols=[PubCol("day", "event_day", IN_BETWEEN_EQUALITY),
                   PubCol("hour", "event_hour"),
                   PubCol("event_type", "event_type"),
@@ -1201,3 +1240,29 @@ def run_query(spark, sf_dir: str, name: str):
         df = eng.dataframe(q["request"])
     _PLAN_CACHE[key] = df
     return df
+
+
+def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:
+    """Write the ``events_hourly`` rollup's physical table from the raw
+    events under ``src_dir`` into ``dst_dir`` (one batch job producing
+    exactly the content the streaming maintainer emits —
+    tests/test_stream_rollup.py pins stream == batch). The stored partials
+    use the SAME per-row cents quantization as the base cube columns, so
+    serving from the rollup is bit-identical to aggregating raw rows."""
+    import os
+
+    from ..plans.binding import ParquetBinding
+
+    from pyspark.sql import functions as F
+
+    ev = ParquetBinding(spark, src_dir).table("events")
+    out = os.path.join(dst_dir, "events_hourly.parquet")
+    (ev.selectExpr(
+        "date_trunc('hour', ts) AS ts", "event_type", "user_id",
+        "CAST(value * 100000 + 0.5 AS BIGINT) AS value_dec")
+     .groupBy("ts", "event_type")
+     .agg(F.sum("value_dec").alias("value_dec"),
+          F.count(F.lit(1)).alias("event_count"),
+          F.countDistinct("user_id").alias("user_cnt"))
+     .write.mode("overwrite").parquet(out))
+    return out

@@ -148,7 +148,12 @@ def _parse_date(v: Any) -> Optional[_dt.date]:
 
 def build_request_model(request: ReportingRequest, registry: Registry,
                         today: Optional[_dt.date] = None,
-                        revision: Optional[int] = None) -> RequestModel:
+                        revision: Optional[int] = None,
+                        table_available=None) -> RequestModel:
+    """``table_available``: optional ``(physical name) -> bool`` probe —
+    a declared rollup whose physical table is not materialized in the
+    current binding must not be selected (the reference disqualifies
+    candidates on unavailable engines the same way)."""
     errors: list[str] = []
     try:
         cube = registry.fact(request.cube, revision=revision)
@@ -574,8 +579,21 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     for ch in chains.values():
         top_needed.add(ch.fact_fk_col)
 
+    # grain guard input: the request's grouped top-level columns (a
+    # stored exact-distinct only serves requests grouping AT its grain)
+    grouped_cols = {p.pub_col.name for p in projections
+                    if p.kind == FACT_DIM and p.pub_col is not None}
     candidates = cube.candidate_tables(top_needed, request.request_type,
-                                       schema=request.schema)
+                                       schema=request.schema,
+                                       grouped_cols=grouped_cols)
+    if table_available is not None and len(candidates) > 1:
+        def _avail(t):
+            if t.parts:
+                return all(table_available(p.table) for p in t.parts)
+            return table_available(t.name)
+        avail = [t for t in candidates if _avail(t)]
+        if avail:  # all-missing falls through to the execution error
+            candidates = avail
     if day_range is not None:
         # availableOnwardsDate (fact/Fact.scala:1752): a table backfilled
         # from some date cannot serve a window starting before it

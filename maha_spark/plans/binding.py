@@ -27,6 +27,12 @@ class TableBinding:
             return self._overrides[name]()
         raise KeyError(f"no binding for table {name!r}")
 
+    def has_table(self, name: str) -> bool:
+        """Availability probe for candidate selection: a registered
+        rollup whose physical table is not materialized here must not be
+        selected."""
+        return name in self._overrides
+
 
 # (spark-session id, path) -> cached DataFrame; survives across the
 # short-lived ParquetBinding instances the contract queries create so a
@@ -98,6 +104,18 @@ class ParquetBinding(TableBinding):
             return self._read_parquet(path)
         return self.spark.table(name)
 
+    def has_table(self, name: str) -> bool:
+        if name in self._overrides:
+            return True
+        if os.path.isdir(os.path.join(self.base_dir, name)) or \
+                os.path.exists(os.path.join(self.base_dir,
+                                            f"{name}.parquet")):
+            return True
+        try:
+            return self.spark.catalog.tableExists(name)
+        except Exception:
+            return False
+
     def _read_parquet(self, path: str) -> DataFrame:
         # Canonical timestamp dtype is TIMESTAMP_NTZ (naive wall clock —
         # what DuckDB and the testdata parquet store).  Two non-NTZ shapes
@@ -155,6 +173,10 @@ class FormatBinding(TableBinding):
         self.ext = ext or fmt
         self.options = dict(options or {})
         self.schema = schema
+
+    def has_table(self, name: str) -> bool:
+        return name in self._overrides or os.path.exists(
+            os.path.join(self.base_dir, f"{name}.{self.ext}"))
 
     def table(self, name: str) -> DataFrame:
         if name in self._overrides:

@@ -76,6 +76,15 @@ class FactTable:
     #: fact/Fact.scala:451,490: e.g. an async-tuned copy advertises a
     #: lower AsyncRequest multiplier so async reports prefer it)
     cost_multiplier_map: dict[str, float] = field(default_factory=dict)
+    #: stored-aggregation grain for pre-aggregated rollups: the top-level
+    #: column names that defined the GROUP BY when this table was
+    #: materialized. A NON-reaggregatable stored metric (e.g. an exact
+    #: distinct count kept at this grain, NoopRollup) is only correct when
+    #: the request groups by ALL of these columns — ``serves_grain``
+    #: disqualifies the table otherwise (fact/Fact.scala withNewGrain:
+    #: rollups re-declare columns at a coarser grain for the same reason).
+    #: Empty = row-grain table, no restriction.
+    grain_cols: list[str] = field(default_factory=list)
 
     def effective_cost(self, request_type: str) -> float:
         return self.cost * self.cost_multiplier_map.get(request_type, 1.0)
@@ -89,6 +98,23 @@ class FactTable:
 
     def has_columns(self, names: set[str]) -> bool:
         return names <= set(self.columns)
+
+    def serves_grain(self, needed_cols: set[str],
+                     grouped_cols: Optional[set[str]]) -> bool:
+        """True unless a needed NON-reaggregatable stored metric would be
+        served below/askew of the stored grain: requests needing such a
+        column must group by every ``grain_cols`` member (each output
+        group then maps onto exactly one stored row, so the pass-through
+        value is exact)."""
+        if not self.grain_cols or grouped_cols is None:
+            return True
+        needs_exact = any(
+            isinstance(c := self.columns.get(n), FactCol)
+            and not c.rollup.reaggregatable
+            for n in needed_cols)
+        if not needs_exact:
+            return True
+        return set(self.grain_cols) <= grouped_cols
 
     def fk_columns(self) -> dict[str, str]:
         """physical col name -> public dimension name"""
@@ -195,15 +221,20 @@ class PublicFact:
 
     def candidate_tables(self, needed_cols: set[str],
                          request_type: str = "SyncRequest",
-                         schema: Optional[str] = None) -> list[FactTable]:
+                         schema: Optional[str] = None,
+                         grouped_cols: Optional[set[str]] = None) \
+            -> list[FactTable]:
         """Fact tables covering the needed physical columns AND
         registered for the request schema (when the table declares any),
+        serving the request's grain (``FactTable.serves_grain`` — a
+        pre-aggregated exact-distinct is only valid AT its stored grain),
         cheapest first under the request-type cost multiplier
         (PublicFact.getCandidatesFor + findBestFactCandidate,
         QueryPipeline.scala:487-561; costMultiplierMap Fact.scala:451)."""
         out = [t for t in self.tables if t.has_columns(needed_cols)
                and (schema is None or not t.schemas
-                    or schema in {str(s) for s in t.schemas})]
+                    or schema in {str(s) for s in t.schemas})
+               and t.serves_grain(needed_cols, grouped_cols)]
         return sorted(out, key=lambda t: (t.effective_cost(request_type),
                                           t.cost))
 

@@ -1,0 +1,82 @@
+"""Aggregate-aware serving of the pre-aggregated events_hourly rollup.
+
+The contract cube declares the rollup (stored at (hour, event_type) with
+an exact distinct user count, NoopRollup + grain_cols); these tests pin
+the three selection behaviors plus value-exactness of the rollup path:
+
+1. rollup NOT materialized -> raw events serve everything (availability);
+2. rollup materialized, request AT the stored grain -> rollup serves,
+   values bit-identical to the raw-events plan;
+3. request NEEDING the exact distinct at a COARSER grain -> raw events
+   (the stored distinct must not be re-aggregated); summable-only
+   requests at the coarser grain still take the rollup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from maha_spark.engine import engine_for_dir
+from maha_spark.examples.contract import (
+    build_contract_registry, materialize_events_rollup,
+)
+
+SRC = "/root/testdata/sf0.001"
+EV_DAY = {"field": "day", "operator": "between",
+          "from": "2024-01-01", "to": "2024-12-31"}
+Q17 = {
+    "cube": "events_cube",
+    "selectFields": [{"field": "hour"}, {"field": "event_type"},
+                     {"field": "event_count"}, {"field": "total_value"},
+                     {"field": "user_count"}],
+    "filterExpressions": [EV_DAY],
+}
+
+
+@pytest.fixture(scope="module")
+def rollup_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rollup"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    materialize_events_rollup(spark, SRC, d)
+    return d
+
+
+def test_unmaterialized_rollup_not_selected(spark):
+    eng = engine_for_dir(spark, build_contract_registry(), SRC)
+    assert eng.model(Q17).fact_table.name == "events"
+
+
+def test_rollup_serves_at_stored_grain_exactly(spark, rollup_dir):
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, build_contract_registry(), rollup_dir)
+    assert rolled.model(Q17).fact_table.name == "events_hourly"
+    a = sorted(map(tuple, raw.dataframe(Q17).collect()))
+    b = sorted(map(tuple, rolled.dataframe(Q17).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_exact_distinct_never_reaggregated(spark, rollup_dir):
+    rolled = engine_for_dir(spark, build_contract_registry(), rollup_dir)
+    day_users = {
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "user_count"}],
+        "filterExpressions": [EV_DAY],
+    }
+    # needs the exact distinct at DAY grain -> must fall back to raw
+    assert rolled.model(day_users).fact_table.name == "events"
+    # summable-only at day grain -> the rollup re-aggregates losslessly
+    day_sums = {
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "event_count"},
+                         {"field": "total_value"}],
+        "filterExpressions": [EV_DAY],
+    }
+    assert rolled.model(day_sums).fact_table.name == "events_hourly"
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    a = sorted(map(tuple, raw.dataframe(day_sums).collect()))
+    b = sorted(map(tuple, rolled.dataframe(day_sums).collect()))
+    assert a == b and len(a) > 0
