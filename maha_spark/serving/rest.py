@@ -74,8 +74,11 @@ class RestServer:
 def _make_handler(engine: MahaSparkEngine, registry_name: str):
     from .avatica import AvaticaHandler
 
+    from .avatica_proto import ProtobufAvaticaHandler
+
     registry = engine.registry
     avatica = AvaticaHandler(engine)  # shared: connections span requests
+    avatica_pb = ProtobufAvaticaHandler(avatica)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -136,10 +139,24 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
             p = self._parts()
             # Avatica JSON wire endpoint (reference mounts
             # AvaticaMahaJsonHandler at /sql-avatica): one POST per
-            # protocol request, connection state held server-side
+            # protocol request, connection state held server-side.
+            # Content-Type selects the serialization, matching the
+            # reference's AvaticaMahaJsonHandler / ...ProtobufHandler pair
+            # (stock Avatica JDBC drivers default to protobuf).
             if p and p[-1] in ("avatica", "sql-avatica"):
                 n = int(self.headers.get("Content-Length", "0"))
-                body = json.loads(self.rfile.read(n).decode() or "{}")
+                raw = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if "protobuf" in ctype:
+                    out = avatica_pb.handle_bytes(raw)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-google-protobuf")
+                    self.send_header("Content-Length", str(len(out)))
+                    self.end_headers()
+                    self.wfile.write(out)
+                    return
+                body = json.loads(raw.decode() or "{}")
                 self._send(200, avatica.handle(body))
                 return
             if not self._check_registry(p):

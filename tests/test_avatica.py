@@ -112,3 +112,99 @@ def test_fetch_past_first_frame_is_empty_done(rest):
     out = rpc(rest, {"request": "fetch", "connectionId": "c6",
                      "statementId": 1, "offset": 100, "fetchMaxRowCount": 10})
     assert out["frame"] == {"offset": 100, "done": True, "rows": []}
+
+
+# ---------------------------------------------------------------- protobuf
+def pb_rpc(srv, kind: str, fields: dict) -> tuple[str, dict]:
+    """POST a protobuf WireMessage; return (response class name, fields)."""
+    from maha_spark.serving.avatica_proto import (
+        decode_fields, encode_request, _first,
+    )
+    req = urllib.request.Request(
+        srv.base_url + "/sql-avatica", data=encode_request(kind, fields),
+        headers={"Content-Type": "application/x-google-protobuf"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert "protobuf" in r.headers.get("Content-Type", "")
+        wire = decode_fields(r.read())
+    name = wire[1][0][1].decode()
+    return name.rsplit("$", 1)[-1], decode_fields(_first(wire, 2, b""))
+
+
+def _pb_rows(rs_fields: dict) -> list[list]:
+    """Decode Frame rows out of a ResultSetResponse's fields."""
+    from maha_spark.serving.avatica_proto import decode_fields, _first
+    frame = decode_fields(_first(rs_fields, 5, b""))
+    rows = []
+    for _wt, row_msg in frame.get(3, []):
+        row = []
+        for _wt2, colval in decode_fields(row_msg).get(1, []):
+            tv = decode_fields(_first(decode_fields(colval), 4, b""))
+            rep = _first(tv, 1, 0)
+            if rep == 24:          # NULL
+                row.append(None)
+            elif rep == 21:        # STRING
+                row.append(_first(tv, 3, b"").decode())
+            elif rep == 13:        # LONG (sint64 zigzag)
+                n = _first(tv, 4, 0)
+                row.append((n >> 1) ^ -(n & 1))
+            elif rep == 15:        # DOUBLE (fixed64 bits)
+                import struct
+                row.append(struct.unpack("<d",
+                                         struct.pack("<q",
+                                                     _first(tv, 6, 0)))[0])
+            else:
+                row.append(_first(tv, 3, b""))
+        rows.append(row)
+    return rows
+
+
+def test_protobuf_lifecycle_and_select(rest, engine):
+    """prepareAndExecute over the protobuf wire: open -> statement ->
+    SELECT -> values match the engine's own result -> close."""
+    kind, _ = pb_rpc(rest, "openConnection",
+                     {"connectionId": "pbc1",
+                      "info": {"user": "pb", "schema": "internal"}})
+    assert kind == "OpenConnectionResponse"
+    kind, f = pb_rpc(rest, "createStatement", {"connectionId": "pbc1"})
+    assert kind == "CreateStatementResponse"
+    sid = f[2][0][1]
+    sql = ("SELECT `Nation Name`, `Revenue` FROM lineitem_stats "
+           "WHERE `Day` BETWEEN '1995-01-01' AND '2002-12-31' "
+           "ORDER BY `Revenue` DESC LIMIT 3")
+    kind, f = pb_rpc(rest, "prepareAndExecute",
+                     {"connectionId": "pbc1", "statementId": sid,
+                      "sql": sql, "maxRowCount": 100})
+    assert kind == "ExecuteResponse"
+    from maha_spark.serving.avatica_proto import decode_fields, _first
+    rs = decode_fields(f[1][0][1])
+    rows = _pb_rows(rs)
+    expected = [[r[0], float(r[1])] for r in engine.sql(sql).collect()]
+    assert [[r[0], float(r[1])] for r in rows] == expected
+    # signature carries both column names
+    sig = decode_fields(_first(rs, 4, b""))
+    labels = [_first(decode_fields(c), 9, b"").decode()
+              for _wt, c in sig.get(1, [])]
+    assert labels == ["Nation Name", "Revenue"]
+    kind, _ = pb_rpc(rest, "closeStatement",
+                     {"connectionId": "pbc1", "statementId": sid})
+    assert kind == "CloseStatementResponse"
+    kind, _ = pb_rpc(rest, "closeConnection", {"connectionId": "pbc1"})
+    assert kind == "CloseConnectionResponse"
+
+
+def test_protobuf_error_response(rest):
+    kind, f = pb_rpc(rest, "prepareAndExecute",
+                     {"connectionId": "pbc2", "statementId": 1,
+                      "sql": "SELECT nope FROM nope"})
+    assert kind == "ErrorResponse"
+    from maha_spark.serving.avatica_proto import _first
+    assert _first(f, 6, b"").decode() == "42000"  # sql_state
+
+
+def test_protobuf_catalog_metadata(rest):
+    kind, f = pb_rpc(rest, "tables", {"connectionId": "pbc3"})
+    assert kind == "ResultSetResponse"
+    rows = _pb_rows(f)
+    assert any("lineitem_stats" in row for row in rows)
