@@ -106,8 +106,12 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
                       "__m", F.explode(F.array(*[F.lit(i)
                                                  for i in range(mult)])))
                   .drop("__m")
-                  .repartition(CPUS)
-                  .withColumn("dt", F.to_date(F.col(FACT_DAY_COLS[t]))))
+                  .withColumn("dt", F.to_date(F.col(FACT_DAY_COLS[t])))
+                  # ONE file per dt directory: without this, every write
+                  # task emits a file into every dt dir (~80k tiny files
+                  # for 2500 days x 32 tasks) and the subsequent scan
+                  # bin-packs to thousands of open-cost-dominated splits
+                  .repartition(F.col("dt")))
             (df.write.mode("overwrite").partitionBy("dt")
                .parquet(os.path.join(dst, t)))
         else:
