@@ -143,12 +143,14 @@ def build_contract_registry() -> Registry:
                                   foreign_key="customer_nation"),
             "c_acctbal": DimCol("c_acctbal", DecType()),
             "c_mktsegment": DimCol("c_mktsegment", StrType()),
-            # COMPARE_PERCENTAGE-style banded labeling
-            # (DerivedExpression.scala:813 Oracle, :266 Postgres)
+            # COMPARE_PERCENTAGE banded labeling via the macro
+            # (DerivedExpression.scala:813 Oracle, :266 Postgres):
+            # a < pct/100 * b -> label, else the chained next expression
             "acct_band": DerivedDimCol(
                 "acct_band", StrType(),
-                expr=("CASE WHEN {c_acctbal} < 0 THEN 'NEGATIVE' "
-                      "WHEN {c_acctbal} < 5000 THEN 'LOW' ELSE 'HIGH' END")),
+                expr=("COMPARE_PERCENTAGE({c_acctbal}, 1, 0, 'NEGATIVE', "
+                      "COMPARE_PERCENTAGE({c_acctbal}, 5000, 100, 'LOW', "
+                      "'HIGH'))")),
         })
     reg.register_dimension(PublicDimension(
         name="customer", table=customer,

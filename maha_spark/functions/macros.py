@@ -173,6 +173,40 @@ def _to_char(args: list[str]) -> str:
     return f"date_format({args[0]}, '{''.join(out)}')"
 
 
+def _compare_percentage(args: list[str]) -> str:
+    """COMPARE_PERCENTAGE(a, b, pct, 'label', next)
+    (DerivedExpression.scala Oracle:813, Postgres:266): banded labeling —
+    ``a < pct/100 * b`` yields the label, otherwise the next expression
+    (itself usually another COMPARE_PERCENTAGE, whose generated CASE
+    collapses into one chain exactly like the reference's
+    ``replaceAll(" CASE", "")``)."""
+    a, b, pct, label = args[0], args[1], int(_unquote(args[2])), args[3]
+    nxt = args[4] if len(args) > 4 else "NULL"
+    inner = nxt.strip()
+    if inner.upper().startswith("CASE ") and inner.upper().endswith(" END"):
+        # collapse nested CASE chains into one (reference behavior)
+        inner = inner[4:-4].strip()
+        return (f"CASE WHEN {a} < {pct / 100.0} * {b} THEN {label} "
+                f"{inner} END")
+    return (f"CASE WHEN {a} < {pct / 100.0} * {b} THEN {label} "
+            f"ELSE {nxt} END")
+
+
+def _weighted_video_shown(args: list[str]) -> str:
+    """GET_WEIGHTED_VIDEO_SHOWN(v25, v50, v75, v100)
+    (Oracle DerivedExpression.scala:836)."""
+    v25, v50, v75, v100 = args[:4]
+    return (f"(( 25 * {v25} ) + ( 50 * {v50} ) + ( 75 * {v75}) "
+            f"+ (100 * {v100}))")
+
+
+def _video_shown_sum(args: list[str]) -> str:
+    """GET_VIDEO_SHOWN_SUM(v25, v50, v75, v100)
+    (Oracle DerivedExpression.scala:842)."""
+    v25, v50, v75, v100 = args[:4]
+    return f"({v25} + {v50} + {v75} + {v100})"
+
+
 MACROS: dict[str, Callable[[list[str]], str]] = {
     "GET_INTERVAL_DATE": _get_interval_date,
     "DAY_OF_WEEK": _day_of_week,
@@ -185,6 +219,9 @@ MACROS: dict[str, Callable[[list[str]], str]] = {
     "COL_W_REPLACEMENTS": _col_w_replacements,
     "TIME_FORMAT_WITH_TIMEZONE": _time_format_with_timezone,
     "TO_CHAR": _to_char,
+    "COMPARE_PERCENTAGE": _compare_percentage,
+    "GET_WEIGHTED_VIDEO_SHOWN": _weighted_video_shown,
+    "GET_VIDEO_SHOWN_SUM": _video_shown_sum,
 }
 
 

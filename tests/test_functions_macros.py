@@ -199,3 +199,21 @@ def test_to_char_cube_column(spark):
         "rowsPerPage": 3,
     }).collect()
     assert rows and all(len(r[0]) == 7 and r[0][4] == "-" for r in rows)
+
+
+def test_compare_percentage_banding():
+    from maha_spark.functions.macros import expand_macros
+    sql = expand_macros(
+        "COMPARE_PERCENTAGE(`bal`, 1, 0, 'NEG', "
+        "COMPARE_PERCENTAGE(`bal`, 5000, 100, 'LOW', 'HIGH'))")
+    # chained bands stay a valid CASE chain; bands in the right order
+    assert sql.index("'NEG'") < sql.index("'LOW'") < sql.index("'HIGH'")
+    assert sql.count("CASE WHEN") >= 1 and sql.rstrip(")").endswith("END")
+
+
+def test_video_shown_macros():
+    from maha_spark.functions.macros import expand_macros
+    assert expand_macros("GET_WEIGHTED_VIDEO_SHOWN(a, b, c, d)") == \
+        "((( 25 * a ) + ( 50 * b ) + ( 75 * c) + (100 * d)))"
+    assert expand_macros("GET_VIDEO_SHOWN_SUM(a, b, c, d)") == \
+        "((a + b + c + d))"
