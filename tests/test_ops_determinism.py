@@ -35,3 +35,17 @@ def test_result_invariant_under_partitioning(spark, sf_dir, opname):
     a = _run(spark, fn, sf_dir, 3)
     b = _run(spark, fn, sf_dir, 17)
     assert a == b
+
+
+def test_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """reliable_checkpoint=True swaps executor-local lineage truncation
+    for the fault-tolerant checkpoint() (survives executor loss on a
+    cluster); results must be identical to the default path."""
+    from maha_spark.ops.dedup import dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = sorted(map(tuple, dedup_clusters(
+        spark, sf, reliable_checkpoint=True).collect()))
+    assert base == rel and len(base) > 0

@@ -352,3 +352,48 @@ def test_generators_explode_only_cheap_sequences(spark):
             f"{name}: generator child builds values ({m.group(0)}...) — "
             f"it will re-evaluate per output row; explode indices and "
             f"derive values after the Generate")
+
+
+def test_semi_join_and_chain_unhinted_on_unknown_cardinality(spark):
+    """The broadcast gate's safe default covers ALL three hint sites:
+    the semi-join key set and the snowflake chain joins, not just the
+    main dim join — with every dim's cardinality undeclared and the
+    auto threshold disabled, no BroadcastHashJoin may appear anywhere in
+    either plan (AQE would still convert small sides at runtime)."""
+    import os
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+
+    os.environ["MAHA_SPARK_CACHE"] = "0"
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        reg = build_contract_registry()
+        for dim in reg._dims.values():
+            dim.table.cardinality = None
+        eng = engine_for_dir(spark, reg, "/root/testdata/sf0.001")
+        # semi-join path (filtered, unprojected dim chain)
+        semi = eng.dataframe({
+            "cube": "tpch",
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "mktsegment", "operator": "in",
+                 "values": ["AUTOMOBILE", "MACHINERY"]}],
+        })
+        phys = _physical(semi)
+        assert "LeftSemi" in phys
+        assert "BroadcastHashJoin" not in phys, phys
+        # 4-level snowflake chain joins (customer -> nation -> region)
+        chain = eng.dataframe({
+            "cube": "tpch",
+            "selectFields": [{"field": "region_name"},
+                             {"field": "customer_name"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        })
+        assert "BroadcastHashJoin" not in _physical(chain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        os.environ.pop("MAHA_SPARK_CACHE", None)
