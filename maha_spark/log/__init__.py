@@ -3,6 +3,8 @@ from .request_log import (  # noqa: F401
     JsonlRequestLogWriter,
     MultiRequestLogWriter,
     NoopRequestLogWriter,
+    ProtoRequestLogWriter,
     RequestLogEntry,
     build_log_entry,
+    to_proto_bytes,
 )

@@ -201,3 +201,74 @@ def _validate(entry: RequestLogEntry) -> None:
         raise ValueError("request log entry missing request_id")
     if entry.json_request is None:
         raise ValueError("request log entry missing json_request")
+
+
+# ------------------------------------------------------------- protobuf
+def to_proto_bytes(entry: RequestLogEntry) -> bytes:
+    """Serialize an entry as the reference's ``MahaRequestProto`` record
+    (``request-log/src/proto/MahaRequestLog.proto`` — field numbers match
+    that file; the Kafka writer ships exactly these bytes,
+    KafkaMahaRequestLogWriter.scala:70-95). Engine-enum fields
+    (drivingQueryEngine is a string field, factCost.engine is an enum
+    with no Spark member) carry the single-engine collapse: the string
+    says "spark", the enum is omitted."""
+    from ..core.protowire import f_bool, f_len, f_str, f_varint
+
+    b = f_str(1, entry.request_id)
+    b += f_len(2, entry.json_request.encode("utf-8"))
+    b += f_str(3, entry.user_id)
+    b += f_str(4, entry.cube)
+    b += f_str(5, entry.schema)
+    # requestType enum: SYNC = 0 / ASYNC = 1
+    b += f_varint(7, 1 if entry.request_type == "AsyncRequest" else 0)
+    b += f_str(8, entry.driving_query_engine)
+    b += f_str(9, entry.driving_table)
+    b += f_varint(13, entry.request_start_time)
+    b += f_varint(14, entry.request_end_time)
+    b += f_varint(15, entry.status)
+    b += f_str(16, entry.error_message)
+    b += f_bool(17, entry.has_fact_filters)
+    b += f_bool(19, entry.has_dim_filters)
+    b += f_bool(21, entry.has_fact_sort_by)
+    b += f_bool(22, entry.has_dim_sort_by)
+    b += f_bool(23, entry.is_fact_driven)
+    b += f_bool(24, entry.is_dim_driven)
+    b += f_bool(27, entry.has_dim_and_fact_operations)
+    for s in entry.request_sort_by_cols:  # SortByColumnInfo = 29
+        b += f_len(29, f_str(1, s.get("alias", ""))
+                   + f_varint(2, 1 if s.get("order", "").upper() == "DESC"
+                              else 0))
+    for d in entry.dimensions_candidates:
+        b += f_str(30, d)
+    for fc in entry.fact_cost:  # FactCost = 31 (name=1, cost=3)
+        b += f_len(31, f_str(1, str(fc.get("name", "")))
+                   + f_varint(3, int(fc.get("cost", 0))))
+    b += f_str(37, str(entry.time_grain))
+    b += f_bool(39, entry.is_dry_run)
+    b += f_varint(44, entry.cube_revision)
+    b += f_str(45, entry.registry_name)
+    b += f_str(46, entry.hostname)
+    b += f_str(49, ",".join(entry.curators))
+    b += f_bool(54, entry.is_debug)
+    b += f_bool(55, entry.is_test)
+    return b
+
+
+class ProtoRequestLogWriter:
+    """Length-prefixed MahaRequestProto records in a local file — the
+    same framing a Kafka producer would ship per message (the production
+    slot for KafkaMahaRequestLogWriter / multi-colo fan-out)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._lock = threading.Lock()
+
+    def log(self, entry: RequestLogEntry) -> None:
+        from ..core.protowire import _uvarint
+        _validate(entry)
+        rec = to_proto_bytes(entry)
+        with self._lock, open(self.path, "ab") as f:
+            f.write(_uvarint(len(rec)) + rec)
+
+    def close(self) -> None:
+        pass

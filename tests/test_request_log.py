@@ -162,3 +162,31 @@ def test_runtime_failure_logged_as_500(logged_engine, monkeypatch):
     with pytest.raises(RuntimeError):
         eng.execute(json.dumps(REQ), schema="internal", request_id="rid-500")
     assert sink.entries[-1].status == 500
+
+
+def test_proto_record_roundtrip(tmp_path, logged_engine):
+    """MahaRequestProto wire parity (request-log/src/proto/
+    MahaRequestLog.proto): the proto writer's length-prefixed records
+    decode back to the logged entry's fields at the reference's field
+    numbers."""
+    from maha_spark.core.protowire import _read_uvarint, decode_fields, _first, _s
+    from maha_spark.log import ProtoRequestLogWriter
+
+    eng, sink = logged_engine
+    path = str(tmp_path / "reqlog.pb")
+    eng.request_logger = ProtoRequestLogWriter(path)
+    eng.execute(json.dumps(REQ), schema="internal", request_id="rid-pb")
+
+    data = open(path, "rb").read()
+    ln, i = _read_uvarint(data, 0)
+    f = decode_fields(data[i:i + ln])
+    assert _s(f, 1) == "rid-pb"
+    assert _s(f, 4) == "lineitem_stats"
+    assert _first(f, 7, 0) == 0          # SYNC
+    assert _first(f, 15) == 200          # status
+    assert _s(f, 9) == "lineitem"        # drivingTable
+    sort_cols = [decode_fields(v) for _wt, v in f.get(29, [])]
+    assert [( _s(s, 1), _first(s, 2, 0)) for s in sort_cols] == \
+        [("Revenue", 1)]                 # DESC = 1
+    costs = [decode_fields(v) for _wt, v in f.get(31, [])]
+    assert costs and all(_first(c, 3, 0) > 0 for c in costs)
