@@ -127,6 +127,30 @@ def _time_format(args: list[str]) -> str:
     return f"date_format({args[0]}, {fmt})"
 
 
+#: ISO-8601 period -> Spark date_trunc unit (the Druid granularities the
+#: reference's cubes use; DRUID_TIME_FORMAT_WITH_PERIOD_GRANULARITY)
+_PERIODS = {"PT1H": "hour", "PT1M": "minute", "P1D": "day", "P1W": "week",
+            "P1M": "month", "P3M": "quarter", "P1Y": "year"}
+
+
+def _time_format_with_period(args: list[str]) -> str:
+    """TIME_FORMAT_WITH_PERIOD_GRANULARITY(col, 'fmt', 'P1D'[, tz])
+    (DRUID_TIME_FORMAT_WITH_PERIOD_GRANULARITY, DerivedFunction.scala:311):
+    truncate the time column to the ISO period's granularity, then render
+    — Druid's period-granularity extraction collapses to date_trunc +
+    date_format. A tz argument shifts before truncation (Druid applies
+    the zone to bucket boundaries)."""
+    col, fmt = args[0], args[1]
+    period = _unquote(args[2]).upper()
+    unit = _PERIODS.get(period)
+    if unit is None:
+        raise ValueError(f"TIME_FORMAT_WITH_PERIOD_GRANULARITY: "
+                         f"unsupported period {period!r}")
+    if len(args) > 3:
+        col = f"from_utc_timestamp({col}, {args[3]})"
+    return f"date_format(date_trunc('{unit}', {col}), {fmt})"
+
+
 def _col_w_replacements(args: list[str]) -> str:
     """COL_W_REPLACEMENTS(sql[, hasRollup[, hasNumeric]]): a raw-SQL
     column whose {placeholders} were already substituted upstream —
@@ -220,6 +244,7 @@ MACROS: dict[str, Callable[[list[str]], str]] = {
     "TIME_FORMAT_WITH_TIMEZONE": _time_format_with_timezone,
     "TO_CHAR": _to_char,
     "COMPARE_PERCENTAGE": _compare_percentage,
+    "TIME_FORMAT_WITH_PERIOD_GRANULARITY": _time_format_with_period,
     "GET_WEIGHTED_VIDEO_SHOWN": _weighted_video_shown,
     "GET_VIDEO_SHOWN_SUM": _video_shown_sum,
 }

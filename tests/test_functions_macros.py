@@ -217,3 +217,17 @@ def test_video_shown_macros():
         "((( 25 * a ) + ( 50 * b ) + ( 75 * c) + (100 * d)))"
     assert expand_macros("GET_VIDEO_SHOWN_SUM(a, b, c, d)") == \
         "((a + b + c + d))"
+
+
+def test_time_format_with_period_granularity(spark):
+    from maha_spark.functions.macros import expand_macros
+    sql = expand_macros(
+        "TIME_FORMAT_WITH_PERIOD_GRANULARITY(`ts`, 'yyyy-MM-dd HH', 'PT1H')")
+    assert sql == "(date_format(date_trunc('hour', `ts`), 'yyyy-MM-dd HH'))"
+    # executes: hour-truncated rendering
+    row = spark.sql(
+        "SELECT " + expand_macros(
+            "TIME_FORMAT_WITH_PERIOD_GRANULARITY("
+            "timestamp'2024-03-05 13:47:11', 'yyyy-MM-dd HH:mm', 'PT1H')")
+        + " AS v").collect()[0]
+    assert row.v == "2024-03-05 13:00"
