@@ -49,3 +49,16 @@ def test_clusters_reliable_checkpoint_path(spark, tmp_path):
     rel = sorted(map(tuple, dedup_clusters(
         spark, sf, reliable_checkpoint=True).collect()))
     assert base == rel and len(base) > 0
+
+
+def test_clusters_distributed_cc_path(spark, monkeypatch):
+    """Force the distributed min-label loop (bridge graph 'too big' for
+    the local union-find finish) and pin it identical to the local path —
+    the loop is the 100 TB branch and must not rot behind the fast one."""
+    from maha_spark.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    local = sorted(map(tuple, dedup.dedup_clusters(spark, sf).collect()))
+    monkeypatch.setattr(dedup, "LOCAL_CC_MAX_EDGES", 0)
+    dist = sorted(map(tuple, dedup.dedup_clusters(spark, sf).collect()))
+    assert local == dist and len(local) > 0
