@@ -367,7 +367,8 @@ def build_contract_registry() -> Registry:
     lineitem_rollup = FactTable(
         name="lineitem", columns=rollup_cols, grain=DAILY,
         day_column="l_shipdate", cost=2000,
-        discarded={"l_partkey", "l_suppkey", "l_linenumber"})
+        discarded={"l_partkey", "l_suppkey", "l_linenumber"},
+        partition_columns=["dt"])
 
     pub_metrics = [
         PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),

@@ -66,3 +66,17 @@ def test_partitioned_results_match_flat_layout(part_engine, spark, sf_dir):
     got = sorted(map(tuple, part_engine.dataframe(REQ).collect()))
     want = sorted(map(tuple, flat.dataframe(REQ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_contract_fact_tables_declare_partition_layout():
+    """Candidate selection can pick ANY covering table (q3 planned
+    against the cheaper lineitem rollup, which silently lacked the dt
+    declaration and lost directory pruning at the scaled tier) — every
+    physical-fact candidate of the date-grain cubes must declare the
+    dt layout."""
+    from maha_spark.examples.contract import build_contract_registry
+
+    reg = build_contract_registry()
+    for cube in ("tpch", "events_cube"):
+        for t in reg.fact(cube).tables:
+            assert t.partition_columns == ["dt"], (cube, t.name, t.cost)
