@@ -97,6 +97,9 @@ class RequestModel:
     needed_fact_cols: set[str]
     requires_outer_group_by: bool
     utc_shifted: bool = False
+    #: additionalParameters.Distinct (RequestModel.scala:1089-1096): the
+    #: final projected rows dedupe before pagination
+    request_distinct: bool = False
     #: request timezone (additionalParameters.timeZone): the fact's raw time
     #: column is rendered in this zone before day/grain derivations
     #: (BaseUTCTimeProvider.scala:16-127 semantics, Spark-native)
@@ -681,5 +684,8 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         needed_fact_cols=needed,
         requires_outer_group_by=requires_ogb,
         timezone=request.additional_parameters.get("timeZone"),
+        request_distinct=bool(
+            request.additional_parameters.get("Distinct",
+                request.additional_parameters.get("distinct", False))),
         day_range=day_range,
     )

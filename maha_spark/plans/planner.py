@@ -104,6 +104,14 @@ class Planner:
 
         df = self._apply_outer_filters(model, df)
 
+        if model.request_distinct:
+            # additionalParameters.Distinct (RequestModel.scala:1089-1096):
+            # dedupe the FINAL projection before row count / pagination —
+            # sort fields are validated to be among the selected fields,
+            # so narrowing to the projection aliases is safe here
+            df = df.select(*[_q(p.alias) for p in model.projections]) \
+                   .distinct()
+
         if model.include_row_count and not model.is_dim_driven:
             # COUNT(*) OVER() semantics without funneling the result
             # through one partition: a 1-row count aggregate broadcast back

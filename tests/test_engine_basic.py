@@ -327,3 +327,23 @@ def test_scan_query_type_returns_row_grain(engine, duck):
     # the default groupby path dedups to distinct combinations
     grouped = engine.dataframe(base).collect()
     assert len(grouped) == len({tuple(r) for r in want})
+
+
+def test_distinct_additional_parameter(engine):
+    """additionalParameters.Distinct (reference RequestModel.scala:1092):
+    the final projection dedupes before pagination; a scan request's
+    repeated (flag, status) rows collapse to the distinct combinations."""
+    base = {
+        "cube": "lineitem_stats",
+        "queryType": "scan",
+        "selectFields": [{"field": "Return Flag"},
+                         {"field": "Line Status"}],
+        "filterExpressions": [{"field": "Day", "operator": "between",
+                               "from": "1995-01-01", "to": "2002-12-31"}],
+        "rowsPerPage": 1000,
+    }
+    raw = engine.dataframe(base).count()
+    distinct = engine.dataframe(
+        dict(base, additionalParameters={"Distinct": True})).count()
+    assert distinct < raw
+    assert distinct == engine.dataframe(base).distinct().count()
