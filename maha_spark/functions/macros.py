@@ -151,13 +151,39 @@ def _time_format_with_period(args: list[str]) -> str:
     return f"date_format(date_trunc('{unit}', {col}), {fmt})"
 
 
+#: request-scoped textual replacements for COL_W_REPLACEMENTS columns
+#: (additionalParameters.AdditionalColumnInfo — QueryGenerator.scala:399
+#: overrideRenderedColWithCtx applies them ONLY to COL_W_REPLACEMENTS
+#: expressions). The planner sets this around plan construction
+#: (driver-side, synchronous), so macro expansion sees the request ctx.
+import contextvars as _contextvars
+
+_CTX_REPLACEMENTS: "_contextvars.ContextVar[tuple]" =     _contextvars.ContextVar("maha_col_ctx_replacements", default=())
+
+
+def set_ctx_replacements(pairs):
+    """Install (field, value) replacement pairs for the current plan
+    construction; returns a token for ``reset_ctx_replacements``."""
+    return _CTX_REPLACEMENTS.set(tuple(pairs))
+
+
+def reset_ctx_replacements(token) -> None:
+    _CTX_REPLACEMENTS.reset(token)
+
+
 def _col_w_replacements(args: list[str]) -> str:
     """COL_W_REPLACEMENTS(sql[, hasRollup[, hasNumeric]]): a raw-SQL
-    column whose {placeholders} were already substituted upstream —
-    pass-through here; the trailing reference flags (rollup/numeric
+    column whose {placeholders} were already substituted upstream. The
+    request's AdditionalColumnInfo pairs textually replace their field
+    tokens here — the reference applies the same blunt replaceAll, and
+    only to COL_W_REPLACEMENTS expressions (QueryGenerator.scala:
+    403-411, useCtxt). The trailing reference flags (rollup/numeric
     rendering hints, DerivedExpression.scala Hive:532 Presto:376
     Bigquery:1449) have no Spark analog and are ignored."""
-    return args[0]
+    sql = args[0]
+    for fld, value in _CTX_REPLACEMENTS.get():
+        sql = sql.replace(fld, value)
+    return sql
 
 
 def _time_format_with_timezone(args: list[str]) -> str:

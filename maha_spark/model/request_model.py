@@ -100,6 +100,10 @@ class RequestModel:
     #: additionalParameters.Distinct (RequestModel.scala:1089-1096): the
     #: final projected rows dedupe before pagination
     request_distinct: bool = False
+    #: additionalParameters.AdditionalColumnInfo: (field, value) pairs
+    #: textually substituted into COL_W_REPLACEMENTS columns at plan time
+    #: (QueryGenerator.scala:399 overrideRenderedColWithCtx)
+    additional_col_info: tuple = ()
     #: request timezone (additionalParameters.timeZone): the fact's raw time
     #: column is rendered in this zone before day/grain derivations
     #: (BaseUTCTimeProvider.scala:16-127 semantics, Spark-native)
@@ -687,5 +691,10 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         request_distinct=bool(
             request.additional_parameters.get("Distinct",
                 request.additional_parameters.get("distinct", False))),
+        additional_col_info=tuple(
+            (str(f.get("field", "")), str(f.get("value", "")))
+            for f in request.additional_parameters.get(
+                "AdditionalColumnInfo", []) or []
+            if isinstance(f, dict) and f.get("field")),
         day_range=day_range,
     )

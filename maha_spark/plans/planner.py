@@ -95,6 +95,20 @@ class Planner:
 
     # ------------------------------------------------------------------
     def build(self, model: RequestModel) -> DataFrame:
+        if model.additional_col_info:
+            # request-scoped COL_W_REPLACEMENTS substitutions; plan
+            # construction is driver-side synchronous, so the contextvar
+            # scopes exactly this build
+            from ..functions.macros import (reset_ctx_replacements,
+                                            set_ctx_replacements)
+            token = set_ctx_replacements(model.additional_col_info)
+            try:
+                return self._build_inner(model)
+            finally:
+                reset_ctx_replacements(token)
+        return self._build_inner(model)
+
+    def _build_inner(self, model: RequestModel) -> DataFrame:
         if model.is_dim_only:
             df = self._build_dim_only(model)
         elif model.is_dim_driven:

@@ -231,3 +231,45 @@ def test_time_format_with_period_granularity(spark):
             "timestamp'2024-03-05 13:47:11', 'yyyy-MM-dd HH:mm', 'PT1H')")
         + " AS v").collect()[0]
     assert row.v == "2024-03-05 13:00"
+
+
+def test_additional_column_info_replaces_col_w_replacements(spark):
+    """additionalParameters.AdditionalColumnInfo (QueryGenerator.scala:399
+    overrideRenderedColWithCtx): request-scoped textual replacements apply
+    to COL_W_REPLACEMENTS columns only — same request without the
+    parameter keeps the authored default."""
+    from maha_spark.core.columns import DerivedDimCol, DimCol, FactCol
+    from maha_spark.core.rollup import SumRollup
+    from maha_spark.core.types import DecType, IntType, StrType
+    from maha_spark.engine import MahaSparkEngine
+    from maha_spark.plans.binding import TableBinding
+    from maha_spark.registry.cube import (FactTable, PubCol, PublicFact,
+                                          Registry)
+
+    reg = Registry()
+    reg.register_fact(PublicFact(
+        name="ctx", require_day_filter=False,
+        tables=[FactTable(name="t", columns={
+            "k": DimCol("k", StrType()),
+            "v": FactCol("v", DecType(), rollup=SumRollup()),
+            "label": DerivedDimCol(
+                "label", StrType(),
+                expr="COL_W_REPLACEMENTS('__LABEL__')"),
+        })],
+        pub_cols=[PubCol("k", "k"), PubCol("label", "label")],
+        pub_fact_cols=[PubCol("v", "v")]))
+    binding = TableBinding(spark)
+    data = spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                                 "k string, v double")
+    binding.bind("t", lambda: data)
+    eng = MahaSparkEngine(spark, reg, binding)
+
+    base = {"cube": "ctx",
+            "selectFields": [{"field": "k"}, {"field": "label"},
+                             {"field": "v"}]}
+    rows = {r.k: r.label for r in eng.dataframe(base).collect()}
+    assert rows == {"a": "__LABEL__", "b": "__LABEL__"}
+    rows = {r.k: r.label for r in eng.dataframe(dict(
+        base, additionalParameters={"AdditionalColumnInfo": [
+            {"field": "__LABEL__", "value": "ctx-value"}]})).collect()}
+    assert rows == {"a": "ctx-value", "b": "ctx-value"}
