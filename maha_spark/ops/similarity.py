@@ -563,3 +563,144 @@ def embed_quantize_oracle() -> str:
                round({err} / {Q_DIMS}, 12) AS mse
         FROM q
     """
+
+
+# ------------------------------------------------------------------ PQ
+#: product quantization: m subspaces x k codes (FAISS-style IVFPQ's PQ
+#: half). 64-dim vectors -> 8 sub-vectors of 8 dims, 16 centroids each:
+#: a vector compresses to 8 codes (4 bits each) and search scores via
+#: per-query lookup tables (ADC) — the standard billion-scale layout
+PQ_M = 16
+PQ_K = 64
+PQ_ITERS = 4
+PQ_QUERIES = 50
+PQ_TOPK = 5
+
+
+def _normed(emb: DataFrame) -> DataFrame:
+    """Unit-normalize so inner product == cosine (ADC then ranks by IP)."""
+    n = f"sqrt({dot_fold_sql('embedding', 'embedding')})"
+    return emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> CAST(x AS DOUBLE) / ({n})) AS embedding")
+
+
+def _sub_frame(emb: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, svec): one row per subspace. The explode emits a
+    LITERAL index sequence; the slice computes after the Generate from
+    the passed-through embedding (the cheap-generator rule)."""
+    sub = DIM // m
+    return (emb.selectExpr("vec_id", "embedding",
+                           f"explode(sequence(0, {m - 1})) AS sub")
+            .selectExpr("vec_id", "sub",
+                        f"slice(embedding, sub * {sub} + 1, {sub}) "
+                        "AS svec"))
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                 iters: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace k-means codebooks: (sub, code, centroid array<double>).
+
+    Deterministic (seeds = k vectors with smallest md5(vec_id), identical
+    every run); each Lloyd iteration trains ALL m subspaces in one
+    assignment join + one groupBy mean — never a per-subspace driver
+    loop. Broadcast side is m*k centroid rows; the corpus streams."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sub_dims = DIM // m
+    subs = _sub_frame(_normed(emb), m)
+    seed_ids = (emb.selectExpr(
+                    "vec_id",
+                    "conv(substr(md5(CAST(vec_id AS STRING)), 1, 7), 16, "
+                    "10) AS h")
+                .orderBy("h").limit(k).select("vec_id"))
+    cents = (subs.join(F.broadcast(seed_ids), "vec_id")
+             .selectExpr("sub", "svec AS centroid")
+             .selectExpr("sub", "centroid",
+                         "CAST(row_number() OVER (PARTITION BY sub "
+                         "ORDER BY centroid[0]) - 1 AS INT) AS code"))
+    for _ in range(iters):
+        assigned = (subs.join(F.broadcast(cents), "sub")
+                    .selectExpr("vec_id", "sub", "svec", "code",
+                                f"{_l2_sql('svec', 'centroid')} AS d2"))
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("d2").asc(), F.col("code").asc())
+        best = (assigned.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1"))
+        cents = (best.groupBy("sub", "code")
+                 .agg(*[F.avg(F.expr(f"svec[{c}]")).alias(f"a{c}")
+                        for c in range(sub_dims)])
+                 .selectExpr("sub", "code",
+                             "array(" + ", ".join(f"a{c}"
+                                                  for c in range(sub_dims))
+                             + ") AS centroid"))
+    return cents
+
+
+def pq_encode(emb: DataFrame, cents: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, codes array<int>): nearest sub-centroid per subspace —
+    the m-byte compressed representation. One broadcast join + window
+    argmin + one groupBy; corpus never collected."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    subs = _sub_frame(_normed(emb), m)
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc())
+    return (subs.join(F.broadcast(cents), "sub")
+            .selectExpr("vec_id", "sub", "code",
+                        f"{_l2_sql('svec', 'centroid')} AS d2")
+            .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .groupBy("vec_id")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(sub, code))), s -> s.code) AS codes")))
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str,
+                topk: int = PQ_TOPK, m: int = PQ_M, k: int = PQ_K,
+                iters: int = PQ_ITERS) -> DataFrame:
+    """PQ approximate top-k via ADC (asymmetric distance computation):
+    queries stay exact, the corpus is scored from its codes through a
+    per-query lookup table LUT[q][sub][code] = <q_sub, centroid>.
+
+    Scale shape: LUT is Q * m * k rows (bounded query side, broadcast);
+    the corpus contributes m rows per vector to ONE equi-join on
+    (sub, code) and one (qid, vec_id) groupBy — never all-pairs over raw
+    vectors, and the scored side carries codes only (m ints), not the
+    d-dim arrays. Approximate by construction -> pytest recall gate
+    (tests/test_ops.py::test_pq_topk_quality) instead of a SQL oracle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(pq_codebooks(emb, m=m, k=k,
+                                     iters=iters).localCheckpoint())
+    codes = pq_encode(emb, cents, m=m)
+    queries = _normed(emb.filter(f"vec_id < {PQ_QUERIES}"))
+
+    lut = (F.broadcast(
+        _sub_frame(queries, m).selectExpr("vec_id AS qid", "sub",
+                                          "svec AS qsub")
+        .join(cents, "sub")
+        .selectExpr("qid", "sub", "code",
+                    f"{dot_fold_sql('qsub', 'centroid')} AS part")))
+
+    corpus = (codes.selectExpr(
+        "vec_id", f"posexplode(codes) AS (sub, code)"))
+    scored = (corpus.join(lut, ["sub", "code"])
+              .filter("vec_id != qid")
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("part").alias("approx_sim")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_sim").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {topk}")
+            .selectExpr("qid", "rank", "vec_id AS nid", "approx_sim")
+            .orderBy("qid", "rank"))
