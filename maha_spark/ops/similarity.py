@@ -704,3 +704,56 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str,
             .filter(f"rank <= {topk}")
             .selectExpr("qid", "rank", "vec_id AS nid", "approx_sim")
             .orderBy("qid", "rank"))
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   topk: int = PQ_TOPK, cells: int = IVF_CELLS,
+                   nprobe: int = IVF_NPROBE, m: int = PQ_M,
+                   k: int = PQ_K) -> DataFrame:
+    """IVF + PQ composed (FAISS IVFADC without residual encoding): the
+    coarse quantizer prunes candidates to each query's ``nprobe`` nearest
+    cells, and the surviving candidates score from their m-byte PQ codes
+    through the broadcast ADC lookup table.
+
+    This is the full billion-scale shape: candidate work is
+    corpus/cells * nprobe per query (cell = shuffle key), scored bytes
+    are m per vector instead of d doubles, and the only broadcast sides
+    are the centroid table (cells rows), the codebooks (m*k rows), and
+    the bounded per-query LUT. Approximate by construction -> pytest
+    recall gate (test_ops.py::test_ivfpq_topk_quality).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, k=cells).localCheckpoint()
+    corpus_cells = _ivf_assign(emb, cents, probe=1) \
+        .select("vec_id", "cell")
+    books = F.broadcast(pq_codebooks(emb, m=m, k=k).localCheckpoint())
+    codes = pq_encode(emb, books, m=m)
+
+    queries = emb.filter(f"vec_id < {PQ_QUERIES}")
+    q_cells = _ivf_assign(queries, cents, probe=nprobe) \
+        .selectExpr("vec_id AS qid", "cell")
+    lut = (F.broadcast(
+        _sub_frame(_normed(queries), m)
+        .selectExpr("vec_id AS qid", "sub", "svec AS qsub")
+        .join(books, "sub")
+        .selectExpr("qid", "sub", "code",
+                    f"{dot_fold_sql('qsub', 'centroid')} AS part")))
+
+    # candidates: corpus rows in any of the query's probed cells
+    cand = (corpus_cells.join(F.broadcast(q_cells), "cell")
+            .filter("vec_id != qid").select("qid", "vec_id"))
+    scored = (cand.join(codes, "vec_id")
+              .selectExpr("qid", "vec_id",
+                          "posexplode(codes) AS (sub, code)")
+              .join(lut, ["qid", "sub", "code"])
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("part").alias("approx_sim")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_sim").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {topk}")
+            .selectExpr("qid", "rank", "vec_id AS nid", "approx_sim")
+            .orderBy("qid", "rank"))

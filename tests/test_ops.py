@@ -280,3 +280,25 @@ def test_pq_topk_quality(spark, sf_dir):
     # determinism: identical output on a rebuild (md5 seeds, no RNG)
     again = sim_pq_topk(spark, sf_dir).toPandas()
     assert pq.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_ivfpq_topk_quality(spark, sf_dir):
+    """IVF+PQ composition: candidates pruned to nprobe cells, scored from
+    PQ codes. Recall trails plain PQ (cell pruning can drop true
+    neighbors) but must stay useful and deterministic."""
+    from maha_spark.ops.similarity import (PQ_QUERIES, sim_ivfpq_topk,
+                                           sim_topk)
+
+    ivfpq = sim_ivfpq_topk(spark, sf_dir).toPandas()
+    assert set(ivfpq.columns) == {"qid", "rank", "nid", "approx_sim"}
+    assert (ivfpq["rank"] >= 1).all() and (ivfpq["rank"] <= 5).all()
+    assert not ivfpq.duplicated(["qid", "rank"]).any()
+    assert (ivfpq["qid"] != ivfpq["nid"]).all()
+
+    exact = sim_topk(spark, sf_dir).toPandas()
+    exact = exact[exact.qid < PQ_QUERIES]
+    eset = exact.groupby("qid")["nid"].apply(set)
+    pset = ivfpq.groupby("qid")["nid"].apply(set)
+    recalls = [len(eset[q] & pset[q]) / len(eset[q])
+               for q in pset.index if q in eset]
+    assert recalls and sum(recalls) / len(recalls) >= 0.35
