@@ -177,8 +177,12 @@ class MahaSparkEngine:
                     registry_name=self.registry_name,
                     request_start_time=t0)
             # client errors (parse/validation) are 400; engine/planner/
-            # execution failures are 500 (reference GeneralError handling)
-            entry.status = 400 if isinstance(e, ValueError) else 500
+            # execution failures — including plan-time ValueErrors from
+            # cube-definition bugs — are 500 (GeneralError handling)
+            from .request.request import ValidationError
+            from .request.sql import SqlParseError
+            entry.status = 400 if isinstance(
+                e, (ValidationError, SqlParseError)) else 500
             entry.error_message = str(e)[:500]
             raise
         finally:

@@ -1267,5 +1267,9 @@ def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:
      .agg(F.sum("value_dec").alias("value_dec"),
           F.count(F.lit(1)).alias("event_count"),
           F.countDistinct("user_id").alias("user_cnt"))
+     # the registry declares partition_columns=['dt']: carry the column
+     # so the planner's Day bound applies to it (row filter on the flat
+     # fixture; a Hive-partitioned rewrite would prune directories)
+     .withColumn("dt", F.to_date(F.col("ts")))
      .write.mode("overwrite").parquet(out))
     return out

@@ -55,6 +55,20 @@ def _split_args(argstr: str) -> list[str]:
     return args
 
 
+def _balanced(s: str) -> bool:
+    """True when parens in ``s`` are balanced and never go negative —
+    guards stripping an outer paren pair that actually spans the text."""
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 def _unquote(s: str) -> str:
     s = s.strip()
     if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
@@ -171,6 +185,15 @@ def reset_ctx_replacements(token) -> None:
     _CTX_REPLACEMENTS.reset(token)
 
 
+#: conservative charset for request-supplied replacement VALUES —
+#: identifiers, backticked/quoted names, numbers, dots, spaces. Function
+#:-call syntax (parens) is rejected: replacement values cross a trust
+#: boundary (any REST caller), and the reference's blunt replaceAll
+#: would otherwise let a request splice arbitrary Spark SQL expressions
+#: (e.g. reflect(...)) into the plan.
+_SAFE_REPLACEMENT = re.compile(r"^[A-Za-z0-9_.`'\" -]*$")
+
+
 def _col_w_replacements(args: list[str]) -> str:
     """COL_W_REPLACEMENTS(sql[, hasRollup[, hasNumeric]]): a raw-SQL
     column whose {placeholders} were already substituted upstream. The
@@ -182,6 +205,10 @@ def _col_w_replacements(args: list[str]) -> str:
     Bigquery:1449) have no Spark analog and are ignored."""
     sql = args[0]
     for fld, value in _CTX_REPLACEMENTS.get():
+        if not _SAFE_REPLACEMENT.match(value):
+            raise ValueError(
+                f"AdditionalColumnInfo value for {fld!r} contains "
+                "characters outside the allowed identifier/literal set")
         sql = sql.replace(fld, value)
     return sql
 
@@ -233,13 +260,22 @@ def _compare_percentage(args: list[str]) -> str:
     a, b, pct, label = args[0], args[1], int(_unquote(args[2])), args[3]
     nxt = args[4] if len(args) > 4 else "NULL"
     inner = nxt.strip()
+    # nested chains arrive either as an already-expanded CASE (wrapped in
+    # the expander's parens) or as raw macro text expanded on a later
+    # pass; expand NOW so the chains collapse into one CASE like the
+    # reference's replaceAll(" CASE", "")
+    if _MACRO_NAME.search(inner):
+        inner = expand_macros(inner)
+    while (inner.startswith("(") and inner.endswith(")")
+           and _balanced(inner[1:-1])):
+        inner = inner[1:-1].strip()
     if inner.upper().startswith("CASE ") and inner.upper().endswith(" END"):
         # collapse nested CASE chains into one (reference behavior)
         inner = inner[4:-4].strip()
         return (f"CASE WHEN {a} < {pct / 100.0} * {b} THEN {label} "
                 f"{inner} END")
     return (f"CASE WHEN {a} < {pct / 100.0} * {b} THEN {label} "
-            f"ELSE {nxt} END")
+            f"ELSE {inner if inner else nxt} END")
 
 
 def _weighted_video_shown(args: list[str]) -> str:

@@ -593,6 +593,15 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     candidates = cube.candidate_tables(top_needed, request.request_type,
                                        schema=request.schema,
                                        grouped_cols=grouped_cols)
+    tz = request.additional_parameters.get("timeZone")
+    if request.query_type == "scan" or (tz and tz != "UTC"):
+        # a pre-aggregated table (grain_cols declared) can never serve a
+        # row-grain scan, and its stored UTC-grain partials cannot be
+        # re-bucketed onto shifted local days — both fall back to the
+        # raw-grain candidates
+        raw = [t for t in candidates if not t.grain_cols]
+        if raw:
+            candidates = raw
     if table_available is not None and len(candidates) > 1:
         def _avail(t):
             if t.parts:

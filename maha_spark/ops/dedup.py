@@ -623,8 +623,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
         elif n_bridge <= LOCAL_CC_MAX_EDGES:
             # two-phase CC: the distributed star contraction already
             # collapsed every clique, so the surviving bridge graph is
-            # inter-clique links only. Under the explicit edge cap
-            # (~32 MB of longs) a driver-side union-find finish replaces
+            # inter-clique links only. Under the explicit edge cap the
+            # Arrow-backed toPandas lands two primitive int64 arrays
+            # (~32 MB at the cap — no per-row Row objects) and a
+            # driver-side union-find finish replaces
             # ~O(log d) distributed rounds of join+groupBy+checkpoint
             # driver latency — a BOUNDED collect, same pattern as the
             # capped query side of sim_topk. Above the cap the
@@ -639,7 +641,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                     parent[x], x = r, parent[x]
                 return r
 
-            for u, v in rep_edges.collect():
+            edges_pdf = rep_edges.toPandas()  # 2 int64 cols, Arrow
+            for u, v in zip(edges_pdf["u"].to_numpy(),
+                            edges_pdf["v"].to_numpy()):
+                u, v = int(u), int(v)
                 ru, rv = find(u), find(v)
                 if ru != rv:
                     # union by min so the root IS the component minimum

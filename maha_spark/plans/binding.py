@@ -52,18 +52,27 @@ def _cache_max_bytes() -> int:
                               CACHE_MAX_BYTES_DEFAULT))
 
 
+#: path -> on-disk bytes, memoized — a dt-partitioned fact has thousands
+#: of files and the size gate must not re-walk them per table() call
+_PATH_BYTES_CACHE: dict[str, int] = {}
+
+
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a parquet file or directory tree (cheap
-    metadata walk; no data read)."""
+    metadata walk; no data read). Memoized per path."""
+    if path in _PATH_BYTES_CACHE:
+        return _PATH_BYTES_CACHE[path]
     if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path, followlinks=True):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
+        total = os.path.getsize(path)
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path, followlinks=True):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    _PATH_BYTES_CACHE[path] = total
     return total
 
 
@@ -87,19 +96,21 @@ class ParquetBinding(TableBinding):
         # so the planner's day bound becomes a PartitionFilter
         pdir = os.path.join(self.base_dir, name)
         if os.path.isdir(pdir):
+            key = (id(self.spark), pdir)
+            if key in _DF_CACHE:  # hit: skip the size-gate metadata walk
+                return _DF_CACHE[key]
             if _should_cache(pdir):
-                key = (id(self.spark), pdir)
-                if key not in _DF_CACHE:
-                    _DF_CACHE[key] = normalize_timestamps(
-                        self.spark.read.parquet(pdir)).cache()
+                _DF_CACHE[key] = normalize_timestamps(
+                    self.spark.read.parquet(pdir)).cache()
                 return _DF_CACHE[key]
             return normalize_timestamps(self.spark.read.parquet(pdir))
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
+            key = (id(self.spark), path)
+            if key in _DF_CACHE:
+                return _DF_CACHE[key]
             if _should_cache(path):
-                key = (id(self.spark), path)
-                if key not in _DF_CACHE:
-                    _DF_CACHE[key] = self._read_parquet(path).cache()
+                _DF_CACHE[key] = self._read_parquet(path).cache()
                 return _DF_CACHE[key]
             return self._read_parquet(path)
         return self.spark.table(name)

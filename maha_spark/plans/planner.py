@@ -122,9 +122,13 @@ class Planner:
             # additionalParameters.Distinct (RequestModel.scala:1089-1096):
             # dedupe the FINAL projection before row count / pagination —
             # sort fields are validated to be among the selected fields,
-            # so narrowing to the projection aliases is safe here
-            df = df.select(*[_q(p.alias) for p in model.projections]) \
-                   .distinct()
+            # so narrowing to the projection aliases is safe here. A
+            # dim-driven plan already attached TOTALROWS (constant per
+            # row); it must survive the narrowing.
+            keep = [_q(p.alias) for p in model.projections]
+            if ROW_COUNT_ALIAS in df.columns:
+                keep.append(_q(ROW_COUNT_ALIAS))
+            df = df.select(*keep).distinct()
 
         if model.include_row_count and not model.is_dim_driven:
             # COUNT(*) OVER() semantics without funneling the result

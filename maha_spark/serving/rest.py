@@ -72,6 +72,8 @@ class RestServer:
 
 
 def _make_handler(engine: MahaSparkEngine, registry_name: str):
+    from ..request.request import ValidationError
+    from ..request.sql import SqlParseError
     from .avatica import AvaticaHandler
 
     from .avatica_proto import ProtobufAvaticaHandler
@@ -179,8 +181,8 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
                     body, schema=schema,
                     request_id=self.headers.get("Request-Id"),
                     user_id=self.headers.get("User-Id", "")))
-            except ValueError as e:  # validation/parse (client) -> 400
-                self._send(400, {"errorMsg": str(e)})
+            except (ValidationError, SqlParseError) as e:
+                self._send(400, {"errorMsg": str(e)})  # client error
             except Exception as e:  # engine/execution failure -> 500
                 # (reference GeneralError handling: runtime errors are
                 # server errors, not client errors — 4xx would skew

@@ -347,3 +347,40 @@ def test_distinct_additional_parameter(engine):
         dict(base, additionalParameters={"Distinct": True})).count()
     assert distinct < raw
     assert distinct == engine.dataframe(base).distinct().count()
+
+
+def test_distinct_with_row_count_dim_driven(spark):
+    """Distinct + includeRowCount on a dim-driven plan: the narrowing to
+    projection aliases must keep the already-attached TOTALROWS column."""
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+
+    eng = engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    rows = eng.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_priority"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1995-01-01", "to": "2002-12-31"}],
+        "forceDimensionDriven": True,
+        "includeRowCount": True,
+        "additionalParameters": {"Distinct": True},
+        "rowsPerPage": 10,
+    }).collect()
+    assert rows and rows[0]["TOTALROWS"] > 0
+
+
+def test_additional_column_info_value_injection_rejected(spark):
+    """Replacement values cross a trust boundary: expression syntax
+    (function calls) must be rejected, not spliced into the plan."""
+    import pytest
+    from maha_spark.functions.macros import (reset_ctx_replacements,
+                                             set_ctx_replacements,
+                                             expand_macros)
+    tok = set_ctx_replacements([("__X__",
+                                 "reflect('java.lang.System','getenv')")])
+    try:
+        with pytest.raises(ValueError, match="AdditionalColumnInfo"):
+            expand_macros("COL_W_REPLACEMENTS('__X__')")
+    finally:
+        reset_ctx_replacements(tok)

@@ -80,3 +80,33 @@ def test_exact_distinct_never_reaggregated(spark, rollup_dir):
     a = sorted(map(tuple, raw.dataframe(day_sums).collect()))
     b = sorted(map(tuple, rolled.dataframe(day_sums).collect()))
     assert a == b and len(a) > 0
+
+
+def test_scan_never_served_from_rollup(spark, rollup_dir):
+    """queryType=scan promises fact-grain rows; a pre-aggregated table
+    (grain_cols declared) must never serve it even when cheaper."""
+    rolled = engine_for_dir(spark, build_contract_registry(), rollup_dir)
+    scan = {
+        "cube": "events_cube", "queryType": "scan",
+        "selectFields": [{"field": "hour"}, {"field": "event_type"}],
+        "filterExpressions": [EV_DAY], "rowsPerPage": 100,
+    }
+    assert rolled.model(scan).fact_table.name == "events"
+
+
+def test_timezone_request_never_served_from_rollup(spark, rollup_dir):
+    """A shifted-timezone request re-buckets rows onto local days; stored
+    UTC-hour partials cannot be split at fractional offsets (e.g. +05:30
+    straddles stored hours), so the rollup is disqualified."""
+    rolled = engine_for_dir(spark, build_contract_registry(), rollup_dir)
+    req = {
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "event_count"}],
+        "filterExpressions": [EV_DAY],
+        "additionalParameters": {"timeZone": "Asia/Kolkata"},
+    }
+    assert rolled.model(req).fact_table.name == "events"
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    a = sorted(map(tuple, raw.dataframe(req).collect()))
+    b = sorted(map(tuple, rolled.dataframe(req).collect()))
+    assert a == b and len(a) > 0
