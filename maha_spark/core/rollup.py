@@ -139,6 +139,33 @@ class CardinalityRollup(Rollup):
 
 
 @dataclass(frozen=True)
+class HllSketchRollup(Rollup):
+    """Mergeable datasketches HLL partial (the Druid hyperUnique ROLLUP
+    column: pre-aggregated tables store the sketch BYTES, not a count, so
+    distinct estimates re-aggregate losslessly at ANY coarser grain —
+    union takes the per-register max, identical to building the sketch
+    from the raw values). ``agg`` builds the sketch from raw values;
+    ``reagg`` (outer group-by over partials) unions."""
+
+    lg_k: int = 12
+
+    def agg(self, col: Column) -> Column:
+        return F.hll_sketch_agg(col, self.lg_k)
+
+    def reagg(self, col: Column) -> Column:
+        return F.hll_union_agg(col, True)
+
+
+@dataclass(frozen=True)
+class HllUnionRollup(Rollup):
+    """Re-aggregation side of ``HllSketchRollup``: a table storing sketch
+    partials merges them with union at any requested grain."""
+
+    def agg(self, col: Column) -> Column:
+        return F.hll_union_agg(col, True)
+
+
+@dataclass(frozen=True)
 class RoundedSumRollup(Rollup):
     """RoundingDoubleSumAggregatorFactory (druid-lookups .../RoundingDoubleSumAggregatorFactory.java)."""
 

@@ -116,3 +116,10 @@ class TimestampType(DataType):
 class PassthroughType(DataType):
     def spark_type(self) -> T.DataType:
         return T.StringType()
+
+
+class BinType(DataType):
+    """Opaque binary payload (sketch partials, multimodal blobs)."""
+
+    def spark_type(self) -> T.DataType:
+        return T.BinaryType()

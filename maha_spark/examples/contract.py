@@ -29,10 +29,12 @@ from ..core.filters import IN_BETWEEN_EQUALITY
 from ..core.grain import DAILY, HOURLY
 from ..core.filters import EqualityFilter, LessThanFilter
 from ..core.rollup import (
-    AverageRollup, CardinalityRollup, CountRollup, FilteredRollup, MaxRollup,
+    AverageRollup, CardinalityRollup, CountRollup, FilteredRollup,
+    HllSketchRollup, HllUnionRollup, MaxRollup,
     MinRollup, NoopRollup, RoundedSumRollup, SumRollup,
 )
-from ..core.types import DateType, DecType, IntType, StaticMapping, StrType, TimestampType
+from ..core.types import (BinType, DateType, DecType, IntType,
+                          StaticMapping, StrType, TimestampType)
 from ..registry.cube import (
     DimensionTable, FactTable, PubCol, PublicDimension, PublicFact, Registry,
     ViewPart,
@@ -455,6 +457,14 @@ def build_contract_registry() -> Registry:
         "user_cnt": FactCol("user_cnt", IntType(),
                             rollup=CardinalityRollup(exact=True),
                             expr="{user_id}", depends_on=("user_id",)),
+        # mergeable HLL sketch partial (Druid hyperUnique rollup column):
+        # the approx distinct that DOES re-aggregate at any grain
+        "user_hll": FactCol("user_hll", BinType(),
+                            rollup=HllSketchRollup(),
+                            expr="{user_id}", depends_on=("user_id",)),
+        "user_count_hll": DerivedFactCol(
+            "user_count_hll", IntType(),
+            expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)"),
         "total_value": DerivedFactCol(
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
@@ -492,6 +502,13 @@ def build_contract_registry() -> Registry:
         "event_count": FactCol("event_count", IntType(),
                                rollup=SumRollup()),
         "user_cnt": FactCol("user_cnt", IntType(), rollup=NoopRollup()),
+        # stored sketch partials merge at ANY grain (union == building
+        # from raw values), so the approx distinct has no grain guard
+        "user_hll": FactCol("user_hll", BinType(),
+                            rollup=HllUnionRollup()),
+        "user_count_hll": DerivedFactCol(
+            "user_count_hll", IntType(),
+            expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)"),
         "total_value": DerivedFactCol(
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
@@ -514,6 +531,7 @@ def build_contract_registry() -> Registry:
         pub_fact_cols=[PubCol("total_value", "total_value"),
                        PubCol("event_count", "event_count"),
                        PubCol("user_count", "user_cnt"),
+                       PubCol("user_count_approx", "user_count_hll"),
                        PubCol("value_if_click", "value_if_click")],
         day_alias="day"))
 
@@ -1266,7 +1284,8 @@ def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:
      .groupBy("ts", "event_type")
      .agg(F.sum("value_dec").alias("value_dec"),
           F.count(F.lit(1)).alias("event_count"),
-          F.countDistinct("user_id").alias("user_cnt"))
+          F.countDistinct("user_id").alias("user_cnt"),
+          F.hll_sketch_agg("user_id", 12).alias("user_hll"))
      # the registry declares partition_columns=['dt']: carry the column
      # so the planner's Day bound applies to it (row filter on the flat
      # fixture; a Hive-partitioned rewrite would prune directories)

@@ -110,3 +110,37 @@ def test_timezone_request_never_served_from_rollup(spark, rollup_dir):
     a = sorted(map(tuple, raw.dataframe(req).collect()))
     b = sorted(map(tuple, rolled.dataframe(req).collect()))
     assert a == b and len(a) > 0
+
+
+def test_hll_partial_reaggregates_at_any_grain(spark, tmp_path_factory):
+    """Druid hyperUnique ROLLUP parity: the stored HLL sketch partial
+    merges at any coarser grain with estimates IDENTICAL to building the
+    sketch from raw values (union = per-register max), while staying
+    within the sketch's error vs the exact distinct. The approx metric
+    therefore has no grain guard — the rollup serves day grain."""
+    from maha_spark.examples.contract import materialize_events_rollup
+
+    d = str(tmp_path_factory.mktemp("hllroll"))
+    import os
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    materialize_events_rollup(spark, SRC, d)
+
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, build_contract_registry(), d)
+    req = {
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "user_count_approx"}],
+        "filterExpressions": [EV_DAY],
+    }
+    # approx distinct at DAY grain: the rollup qualifies (reaggregatable
+    # sketch), unlike the exact user_count
+    assert rolled.model(req).fact_table.name == "events_hourly"
+    a = dict(map(tuple, raw.dataframe(req).collect()))
+    b = dict(map(tuple, rolled.dataframe(req).collect()))
+    assert a == b and len(a) > 0
+    exact = dict(map(tuple, raw.dataframe(
+        dict(req, selectFields=[{"field": "day"},
+                                {"field": "user_count"}])).collect()))
+    for day, est in b.items():
+        assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
