@@ -142,10 +142,13 @@ class CardinalityRollup(Rollup):
 class HllSketchRollup(Rollup):
     """Mergeable datasketches HLL partial (the Druid hyperUnique ROLLUP
     column: pre-aggregated tables store the sketch BYTES, not a count, so
-    distinct estimates re-aggregate losslessly at ANY coarser grain —
-    union takes the per-register max, identical to building the sketch
-    from the raw values). ``agg`` builds the sketch from raw values;
-    ``reagg`` (outer group-by over partials) unions."""
+    distinct estimates re-aggregate at ANY coarser grain — union takes
+    the per-register max, so merged register state matches building from
+    raw values; estimates are exact-identical while sketches stay in
+    sparse mode and may differ by a few counts past it, where the direct
+    build can use the HIP estimator the union drops — both stay within
+    the sketch's error bound). ``agg`` builds the sketch from raw
+    values; ``reagg`` (outer group-by over partials) unions."""
 
     lg_k: int = 12
 

@@ -91,7 +91,8 @@ def build_stream_rollup_registry() -> Registry:
     rollup = FactTable(
         name=ROLLUP_TABLE, columns=rollup_cols, grain=HOURLY,
         day_column="ts", cost=100,
-        discarded={"event_id", "user_id", "value", "user_cnt", "props"})
+        discarded={"event_id", "user_id", "value", "user_cnt", "props"},
+        grain_cols=["event_hour", "event_type"])
 
     reg.register_fact(PublicFact(
         name="events_cube",

@@ -185,13 +185,13 @@ def reset_ctx_replacements(token) -> None:
     _CTX_REPLACEMENTS.reset(token)
 
 
-#: conservative charset for request-supplied replacement VALUES —
-#: identifiers, backticked/quoted names, numbers, dots, spaces. Function
-#:-call syntax (parens) is rejected: replacement values cross a trust
-#: boundary (any REST caller), and the reference's blunt replaceAll
-#: would otherwise let a request splice arbitrary Spark SQL expressions
-#: (e.g. reflect(...)) into the plan.
-_SAFE_REPLACEMENT = re.compile(r"^[A-Za-z0-9_.`'\" -]*$")
+#: backstop charset for request-supplied replacement VALUES (primary
+#: validation raises ValidationError in build_request_model): identifier
+#: shapes only — no quotes/backticks (string-literal breakout), no
+#: parens (function calls), no dashes (comment truncation). The
+#: reference's blunt replaceAll would otherwise let a request splice
+#: arbitrary Spark SQL (e.g. reflect(...)) into the plan.
+_SAFE_REPLACEMENT = re.compile(r"^[A-Za-z0-9_. ]*$")
 
 
 def _col_w_replacements(args: list[str]) -> str:

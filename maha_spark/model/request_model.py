@@ -25,6 +25,7 @@ Responsibilities preserved from the reference:
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from dataclasses import dataclass, field as dfield
 from typing import Any, Optional
 
@@ -151,6 +152,22 @@ def _parse_date(v: Any) -> Optional[_dt.date]:
         return _dt.date.fromisoformat(str(v)[:10])
     except ValueError:
         return None
+
+
+#: AdditionalColumnInfo crosses a trust boundary (any REST caller) and
+#: splices textually into COL_W_REPLACEMENTS SQL: fields must be real
+#: tokens (no single-char wildcards that would strip authored syntax)
+#: and values identifier-shaped — no quotes/backticks/parens, so a value
+#: can neither break out of a string literal nor call functions
+_ACI_FIELD = _re.compile(r"^[A-Za-z0-9_.{}$-]{2,64}$")
+_ACI_VALUE = _re.compile(r"^[A-Za-z0-9_. ]{0,64}$")
+
+
+def _parse_bool_param(v) -> bool:
+    """Stringly-typed parameter values ('false', '0') must not enable."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes")
+    return bool(v)
 
 
 def build_request_model(request: ReportingRequest, registry: Registry,
@@ -594,14 +611,22 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                                        schema=request.schema,
                                        grouped_cols=grouped_cols)
     tz = request.additional_parameters.get("timeZone")
-    if request.query_type == "scan" or (tz and tz != "UTC"):
+    _utc_names = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+0", "UTC+0"}
+    if candidates and (request.query_type == "scan"
+                       or (tz and tz not in _utc_names)):
         # a pre-aggregated table (grain_cols declared) can never serve a
         # row-grain scan, and its stored UTC-grain partials cannot be
         # re-bucketed onto shifted local days — both fall back to the
-        # raw-grain candidates
+        # raw-grain candidates; a rollup-ONLY cube cannot serve these
+        # requests at all (silent wrong-grain rows are worse than a 400)
         raw = [t for t in candidates if not t.grain_cols]
         if raw:
             candidates = raw
+        else:
+            errors.append(
+                f"cube {request.cube!r} has only pre-aggregated tables "
+                "covering this request; queryType=scan and shifted-"
+                "timezone requests need a row-grain fact table")
     if table_available is not None and len(candidates) > 1:
         def _avail(t):
             if t.parts:
@@ -640,6 +665,19 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 errors.append(
                     f"schema {request.schema!r} requires a filter on "
                     f"{alias!r} when querying dimension {d.name!r}")
+
+    for f in (request.additional_parameters.get("AdditionalColumnInfo")
+              or []):
+        if not isinstance(f, dict) or not f.get("field"):
+            errors.append("AdditionalColumnInfo entries must be "
+                          "{field, value} objects")
+            continue
+        for part, pat in (("field", _ACI_FIELD), ("value", _ACI_VALUE)):
+            v = str(f.get(part, ""))
+            if not pat.match(v):
+                errors.append(
+                    f"AdditionalColumnInfo {part} {v!r} contains "
+                    "characters outside the allowed identifier set")
 
     if errors:
         raise ValidationError(errors)
@@ -697,7 +735,7 @@ def build_request_model(request: ReportingRequest, registry: Registry,
         needed_fact_cols=needed,
         requires_outer_group_by=requires_ogb,
         timezone=request.additional_parameters.get("timeZone"),
-        request_distinct=bool(
+        request_distinct=_parse_bool_param(
             request.additional_parameters.get("Distinct",
                 request.additional_parameters.get("distinct", False))),
         additional_col_info=tuple(

@@ -567,9 +567,10 @@ def embed_quantize_oracle() -> str:
 
 # ------------------------------------------------------------------ PQ
 #: product quantization: m subspaces x k codes (FAISS-style IVFPQ's PQ
-#: half). 64-dim vectors -> 8 sub-vectors of 8 dims, 16 centroids each:
-#: a vector compresses to 8 codes (4 bits each) and search scores via
-#: per-query lookup tables (ADC) — the standard billion-scale layout
+#: half). 64-dim vectors -> 16 sub-vectors of 4 dims, 64 centroids each:
+#: a vector compresses to 16 codes (6 bits each; 8x smaller than raw)
+#: and search scores via per-query lookup tables (ADC) — the standard
+#: billion-scale layout
 PQ_M = 16
 PQ_K = 64
 PQ_ITERS = 4
@@ -602,6 +603,20 @@ def _l2_sql(a: str, b: str) -> str:
             f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
+def _assign_nearest_sub(subs: DataFrame, cents) -> DataFrame:
+    """(vec_id, sub, svec, code): nearest sub-centroid per (vec_id, sub)
+    via one broadcast join + window argmin — shared by codebook training
+    and encoding so tie-breaking/determinism can never drift apart."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc())
+    return (subs.join(F.broadcast(cents), "sub")
+            .selectExpr("vec_id", "sub", "svec", "code",
+                        f"{_l2_sql('svec', 'centroid')} AS d2")
+            .withColumn("rn", F.row_number().over(w)).filter("rn = 1"))
+
+
 def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                  iters: int = PQ_ITERS) -> DataFrame:
     """Per-subspace k-means codebooks: (sub, code, centroid array<double>).
@@ -626,13 +641,7 @@ def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                          "CAST(row_number() OVER (PARTITION BY sub "
                          "ORDER BY centroid[0]) - 1 AS INT) AS code"))
     for _ in range(iters):
-        assigned = (subs.join(F.broadcast(cents), "sub")
-                    .selectExpr("vec_id", "sub", "svec", "code",
-                                f"{_l2_sql('svec', 'centroid')} AS d2"))
-        w = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("d2").asc(), F.col("code").asc())
-        best = (assigned.withColumn("rn", F.row_number().over(w))
-                .filter("rn = 1"))
+        best = _assign_nearest_sub(subs, cents)
         cents = (best.groupBy("sub", "code")
                  .agg(*[F.avg(F.expr(f"svec[{c}]")).alias(f"a{c}")
                         for c in range(sub_dims)])
@@ -650,13 +659,7 @@ def pq_encode(emb: DataFrame, cents: DataFrame, m: int = PQ_M) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    subs = _sub_frame(_normed(emb), m)
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d2").asc(), F.col("code").asc())
-    return (subs.join(F.broadcast(cents), "sub")
-            .selectExpr("vec_id", "sub", "code",
-                        f"{_l2_sql('svec', 'centroid')} AS d2")
-            .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (_assign_nearest_sub(_sub_frame(_normed(emb), m), cents)
             .groupBy("vec_id")
             .agg(F.expr("transform(array_sort(collect_list("
                         "struct(sub, code))), s -> s.code) AS codes")))

@@ -52,16 +52,22 @@ def _cache_max_bytes() -> int:
                               CACHE_MAX_BYTES_DEFAULT))
 
 
-#: path -> on-disk bytes, memoized — a dt-partitioned fact has thousands
-#: of files and the size gate must not re-walk them per table() call
-_PATH_BYTES_CACHE: dict[str, int] = {}
+#: (path, root mtime) -> on-disk bytes — a dt-partitioned fact has
+#: thousands of files and the size gate must not re-walk them per
+#: table() call; keying on the root mtime invalidates the memo when the
+#: table is rewritten in-process (an overwrite updates the directory)
+_PATH_BYTES_CACHE: dict[tuple[str, float], int] = {}
 
 
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a parquet file or directory tree (cheap
-    metadata walk; no data read). Memoized per path."""
-    if path in _PATH_BYTES_CACHE:
-        return _PATH_BYTES_CACHE[path]
+    metadata walk; no data read). Memoized per (path, mtime)."""
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, -1.0)
+    if key in _PATH_BYTES_CACHE:
+        return _PATH_BYTES_CACHE[key]
     if os.path.isfile(path):
         total = os.path.getsize(path)
     else:
@@ -72,7 +78,7 @@ def _path_bytes(path: str) -> int:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-    _PATH_BYTES_CACHE[path] = total
+    _PATH_BYTES_CACHE[key] = total
     return total
 
 

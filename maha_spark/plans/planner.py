@@ -123,14 +123,17 @@ class Planner:
             # dedupe the FINAL projection before row count / pagination —
             # sort fields are validated to be among the selected fields,
             # so narrowing to the projection aliases is safe here. A
-            # dim-driven plan already attached TOTALROWS (constant per
-            # row); it must survive the narrowing.
-            keep = [_q(p.alias) for p in model.projections]
-            if ROW_COUNT_ALIAS in df.columns:
-                keep.append(_q(ROW_COUNT_ALIAS))
-            df = df.select(*keep).distinct()
+            # dim-driven plan attached its entity-count TOTALROWS; under
+            # Distinct the count of DISTINCT rows is the meaningful total,
+            # so it is recomputed over the deduped frame.
+            df = df.select(*[_q(p.alias) for p in model.projections]) \
+                   .distinct()
+            if model.include_row_count:
+                total = df.agg(F.count(F.lit(1)).alias(ROW_COUNT_ALIAS))
+                df = df.crossJoin(F.broadcast(total))
 
-        if model.include_row_count and not model.is_dim_driven:
+        if model.include_row_count and not model.is_dim_driven \
+                and not model.request_distinct:
             # COUNT(*) OVER() semantics without funneling the result
             # through one partition: a 1-row count aggregate broadcast back
             # onto every row. (Dim-driven requests attach the count of the
@@ -676,7 +679,9 @@ class Planner:
         # TOTALROWS = matching dim entities BEFORE pagination (the page
         # size is not the answer); 1-row aggregate broadcast onto the page
         total = None
-        if model.include_row_count:
+        if model.include_row_count and not model.request_distinct:
+            # under Distinct the meaningful total is the count of DISTINCT
+            # final rows, computed in build() after the dedupe
             total = dimdf.agg(F.count(F.lit(1)).alias(ROW_COUNT_ALIAS))
 
         # pre-join ordering + pagination on the dim side
@@ -688,16 +693,24 @@ class Planner:
         key = f"__dimkey_{driving.fact_fk_col}"
         order.append(F.col(_q(key)).asc())  # deterministic tiebreak
         dimdf = dimdf.orderBy(*order)
-        if model.max_rows and model.max_rows > 0:
+        # Distinct dedupes the FINAL projection before pagination (the
+        # reference renders SELECT DISTINCT inside the pagination wrapper,
+        # OracleQueryGenerator.scala:655-670) — pre-join dim pagination
+        # would short pages / repeat rows across pages, so it defers to
+        # build()'s post-distinct pagination for this case
+        paginate_dim = bool(model.max_rows and model.max_rows > 0
+                            and not model.request_distinct)
+        if paginate_dim:
             if model.start_index > 0:
                 dimdf = dimdf.offset(model.start_index)
             dimdf = dimdf.limit(model.max_rows)
 
         # paginated page => bounded, deterministic key set (total order with
         # the __dimkey tiebreak) — push it into the fact scan as the
-        # reference pushes an InFilter (QueryPipeline.scala:918-946)
+        # reference pushes an InFilter (QueryPipeline.scala:918-946).
+        # Unpaginated (distinct) pages have no bounded key set to push.
         prefilter = None
-        if model.max_rows and model.max_rows > 0:
+        if paginate_dim:
             prefilter = (driving.fact_fk_col,
                          dimdf.select(F.col(_q(key)).alias("__page_key")))
         fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col],
@@ -832,7 +845,9 @@ class Planner:
                 order.append(c.desc() if s.order == "DESC" else c.asc())
         if order:
             df = df.orderBy(*order)
-        if not model.is_dim_driven:  # dim-driven already paginated pre-join
+        # dim-driven plans paginate pre-join — except under Distinct,
+        # where pagination must follow the final dedupe and happens here
+        if not model.is_dim_driven or model.request_distinct:
             if model.start_index > 0:
                 df = df.offset(model.start_index)
             # 0 is a real limit (describe queries: SELECT * ... LIMIT 0

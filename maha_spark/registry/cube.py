@@ -76,14 +76,16 @@ class FactTable:
     #: fact/Fact.scala:451,490: e.g. an async-tuned copy advertises a
     #: lower AsyncRequest multiplier so async reports prefer it)
     cost_multiplier_map: dict[str, float] = field(default_factory=dict)
-    #: stored-aggregation grain for pre-aggregated rollups: the top-level
-    #: column names that defined the GROUP BY when this table was
-    #: materialized. A NON-reaggregatable stored metric (e.g. an exact
-    #: distinct count kept at this grain, NoopRollup) is only correct when
-    #: the request groups by ALL of these columns — ``serves_grain``
-    #: disqualifies the table otherwise (fact/Fact.scala withNewGrain:
-    #: rollups re-declare columns at a coarser grain for the same reason).
-    #: Empty = row-grain table, no restriction.
+    #: stored-aggregation grain: the top-level column names that defined
+    #: the GROUP BY when this table was materialized. DECLARE THIS ON
+    #: EVERY pre-aggregated table — it marks the table as non-row-grain
+    #: (disqualifying it from queryType=scan and from shifted-timezone
+    #: requests whose local-day buckets would split stored UTC-grain
+    #: partials), and a NON-reaggregatable stored metric (e.g. an exact
+    #: distinct kept at this grain, NoopRollup) additionally requires the
+    #: request to group by ALL of these columns (``serves_grain``;
+    #: fact/Fact.scala withNewGrain re-declares columns at a coarser
+    #: grain for the same reason). Empty = row-grain table.
     grain_cols: list[str] = field(default_factory=list)
 
     def effective_cost(self, request_type: str) -> float:

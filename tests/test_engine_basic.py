@@ -350,24 +350,58 @@ def test_distinct_additional_parameter(engine):
 
 
 def test_distinct_with_row_count_dim_driven(spark):
-    """Distinct + includeRowCount on a dim-driven plan: the narrowing to
-    projection aliases must keep the already-attached TOTALROWS column."""
+    """Distinct on a dim-driven plan dedupes BEFORE pagination (the
+    reference renders SELECT DISTINCT inside the pagination wrapper):
+    pages hold distinct rows, never repeat across pages, and TOTALROWS
+    counts the DISTINCT rows."""
     from maha_spark.engine import engine_for_dir
     from maha_spark.examples.contract import build_contract_registry
 
     eng = engine_for_dir(spark, build_contract_registry(),
                          "/root/testdata/sf0.001")
-    rows = eng.dataframe({
+    base = {
         "cube": "tpch",
-        "selectFields": [{"field": "order_priority"}, {"field": "revenue"}],
+        "selectFields": [{"field": "order_priority"}],
         "filterExpressions": [{"field": "day", "operator": "between",
                                "from": "1995-01-01", "to": "2002-12-31"}],
         "forceDimensionDriven": True,
         "includeRowCount": True,
         "additionalParameters": {"Distinct": True},
-        "rowsPerPage": 10,
-    }).collect()
-    assert rows and rows[0]["TOTALROWS"] > 0
+        "sortBy": [{"field": "order_priority", "order": "ASC"}],
+        "rowsPerPage": 3,
+    }
+    page1 = eng.dataframe(base).collect()
+    page2 = eng.dataframe(
+        dict(base, paginationStartIndex=3)).collect()
+    vals1 = [r[0] for r in page1]
+    vals2 = [r[0] for r in page2]
+    # within-page distinct, no repeats across pages, distinct total
+    assert len(set(vals1)) == len(vals1) == 3
+    assert not set(vals1) & set(vals2)
+    assert page1[0]["TOTALROWS"] == 5  # TPC-H order priorities
+
+
+def test_additional_column_info_rejected_at_validation(spark):
+    """Injection-shaped AdditionalColumnInfo values fail request
+    validation (400), never reaching the planner."""
+    import pytest
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.request.request import ValidationError
+
+    eng = engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1995-01-01", "to": "1995-01-31"}],
+        "additionalParameters": {"AdditionalColumnInfo": [
+            {"field": "__X__",
+             "value": "a' OR restricted_col OR 'b"}]},
+    }
+    with pytest.raises(ValidationError, match="AdditionalColumnInfo"):
+        eng.dataframe(req)
 
 
 def test_additional_column_info_value_injection_rejected(spark):

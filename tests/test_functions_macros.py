@@ -271,5 +271,5 @@ def test_additional_column_info_replaces_col_w_replacements(spark):
     assert rows == {"a": "__LABEL__", "b": "__LABEL__"}
     rows = {r.k: r.label for r in eng.dataframe(dict(
         base, additionalParameters={"AdditionalColumnInfo": [
-            {"field": "__LABEL__", "value": "ctx-value"}]})).collect()}
-    assert rows == {"a": "ctx-value", "b": "ctx-value"}
+            {"field": "__LABEL__", "value": "ctx_value"}]})).collect()}
+    assert rows == {"a": "ctx_value", "b": "ctx_value"}

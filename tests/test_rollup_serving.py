@@ -114,10 +114,12 @@ def test_timezone_request_never_served_from_rollup(spark, rollup_dir):
 
 def test_hll_partial_reaggregates_at_any_grain(spark, tmp_path_factory):
     """Druid hyperUnique ROLLUP parity: the stored HLL sketch partial
-    merges at any coarser grain with estimates IDENTICAL to building the
-    sketch from raw values (union = per-register max), while staying
-    within the sketch's error vs the exact distinct. The approx metric
-    therefore has no grain guard — the rollup serves day grain."""
+    merges at any coarser grain with estimates matching the raw-built
+    sketch (union = per-register max; exact-identical in sparse mode,
+    within a few counts past it where the direct build may use HIP),
+    while staying within the sketch's error vs the exact distinct. The
+    approx metric therefore has no grain guard — the rollup serves day
+    grain."""
     from maha_spark.examples.contract import materialize_events_rollup
 
     d = str(tmp_path_factory.mktemp("hllroll"))
@@ -138,7 +140,11 @@ def test_hll_partial_reaggregates_at_any_grain(spark, tmp_path_factory):
     assert rolled.model(req).fact_table.name == "events_hourly"
     a = dict(map(tuple, raw.dataframe(req).collect()))
     b = dict(map(tuple, rolled.dataframe(req).collect()))
-    assert a == b and len(a) > 0
+    assert len(a) == len(b) > 0
+    for day, est in b.items():
+        # identical in sparse mode; tolerate the HIP-vs-composite
+        # estimator gap past it (both within sketch error)
+        assert abs(est - a[day]) <= max(2, 0.02 * a[day])
     exact = dict(map(tuple, raw.dataframe(
         dict(req, selectFields=[{"field": "day"},
                                 {"field": "user_count"}])).collect()))
