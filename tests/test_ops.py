@@ -302,3 +302,22 @@ def test_ivfpq_topk_quality(spark, sf_dir):
     recalls = [len(eset[q] & pset[q]) / len(eset[q])
                for q in pset.index if q in eset]
     assert recalls and sum(recalls) / len(recalls) >= 0.35
+
+
+def test_ivfpq_residual_variant_quality(spark, sf_dir):
+    """The faithful FAISS-IVFADC residual variant: same structure and a
+    (slightly looser) recall gate — kept selectable for corpora where
+    residual quantization wins."""
+    from maha_spark.ops.similarity import (PQ_QUERIES, sim_ivfpq_topk,
+                                           sim_topk)
+
+    res = sim_ivfpq_topk(spark, sf_dir, residual=True).toPandas()
+    assert set(res.columns) == {"qid", "rank", "nid", "approx_sim"}
+    assert not res.duplicated(["qid", "rank"]).any()
+    exact = sim_topk(spark, sf_dir).toPandas()
+    exact = exact[exact.qid < PQ_QUERIES]
+    eset = exact.groupby("qid")["nid"].apply(set)
+    pset = res.groupby("qid")["nid"].apply(set)
+    recalls = [len(eset[q] & pset[q]) / len(eset[q])
+               for q in pset.index if q in eset]
+    assert recalls and sum(recalls) / len(recalls) >= 0.3
