@@ -738,11 +738,9 @@ class Planner:
                                    F.coalesce(F.col(_q(key)), F.col(_q(p.alias))))
 
         df = df.drop(key)
-        out = self._final_projection(model, df, coalesce_defaults=True,
-                                     paginated=True)
+        out = self._final_projection(model, df, coalesce_defaults=True)
         if total is not None:
             out = out.crossJoin(F.broadcast(total))
-            out._maha_paginated = True  # type: ignore[attr-defined]
         return out
 
     def _build_dim_only(self, model: RequestModel) -> DataFrame:
@@ -768,8 +766,7 @@ class Planner:
     # ------------------------------------------------------------------
     def _final_projection(self, model: RequestModel, df: DataFrame,
                           keys_present: bool = False,
-                          coalesce_defaults: bool = False,
-                          paginated: bool = False) -> DataFrame:
+                          coalesce_defaults: bool = False) -> DataFrame:
         table = model.fact_table
         cols: list[Column] = []
         base_needed, direct, derived = self._metric_plan(model)
@@ -820,10 +817,7 @@ class Planner:
                         colmeta.dtype.default_value is not None:
                     c = F.coalesce(c, F.lit(colmeta.dtype.default_value))
                 cols.append(c.alias(p.alias))
-        out = df.select(*cols)
-        if paginated:
-            out._maha_paginated = True  # type: ignore[attr-defined]
-        return out
+        return df.select(*cols)
 
     def _apply_outer_filters(self, model: RequestModel, df: DataFrame) -> DataFrame:
         if not model.outer_filters:
