@@ -26,8 +26,9 @@ from pyspark.sql import SparkSession, functions as F
 
 from ..core.columns import DerivedDimCol, DerivedFactCol, DimCol, FactCol
 from ..core.grain import HOURLY
-from ..core.rollup import CardinalityRollup, CountRollup, SumRollup
-from ..core.types import (DateType, DecType, IntType, StrType,
+from ..core.rollup import (CardinalityRollup, CountRollup,
+                           HllSketchRollup, HllUnionRollup, SumRollup)
+from ..core.types import (BinType, DateType, DecType, IntType, StrType,
                           TimestampType)
 from ..core.filters import IN_BETWEEN_EQUALITY
 from ..registry.cube import FactTable, PubCol, PublicFact, Registry
@@ -80,10 +81,17 @@ def build_stream_rollup_registry() -> Registry:
 
     rollup_cols = {
         **_shared_time_cols(),
-        # stored partials: COUNT re-aggregates as SUM, the cents sum as SUM
+        # stored partials: COUNT re-aggregates as SUM, the cents sum as
+        # SUM, the ingest-computed HLL sketch as union (hyperUnique
+        # rollup parity — approx distinct served at ANY grain)
         "value_dec": FactCol("value_dec", IntType(), rollup=SumRollup()),
         "event_count": FactCol("event_count", IntType(),
                                rollup=SumRollup()),
+        "user_hll": FactCol("user_hll", BinType(),
+                            rollup=HllUnionRollup()),
+        "user_count_hll": DerivedFactCol(
+            "user_count_hll", IntType(),
+            expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)"),
         "total_value": DerivedFactCol(
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
@@ -93,6 +101,12 @@ def build_stream_rollup_registry() -> Registry:
         day_column="ts", cost=100,
         discarded={"event_id", "user_id", "value", "user_cnt", "props"},
         grain_cols=["event_hour", "event_type"])
+    base_cols["user_hll"] = FactCol(
+        "user_hll", BinType(), rollup=HllSketchRollup(),
+        expr="{user_id}", depends_on=("user_id",))
+    base_cols["user_count_hll"] = DerivedFactCol(
+        "user_count_hll", IntType(),
+        expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)")
 
     reg.register_fact(PublicFact(
         name="events_cube",
@@ -102,7 +116,8 @@ def build_stream_rollup_registry() -> Registry:
                   PubCol("event_type", "event_type")],
         pub_fact_cols=[PubCol("event_count", "event_count"),
                        PubCol("total_value", "total_value"),
-                       PubCol("user_count", "user_cnt")],
+                       PubCol("user_count", "user_cnt"),
+                       PubCol("user_count_approx", "user_count_hll")],
         day_alias="day"))
     return reg
 
@@ -119,12 +134,13 @@ def materialize_hourly_rollup(spark: SparkSession, sf_dir: str,
     """
     from ..streaming.hourly import streaming_hourly
 
-    streamed = streaming_hourly(spark, sf_dir)
+    streamed = streaming_hourly(spark, sf_dir, with_sketch=True)
     (streamed.selectExpr(
         f"CAST(to_timestamp(hour, '{_HOUR_FMT}') AS TIMESTAMP_NTZ) AS ts",
         "event_type",
         "event_count",
-        "CAST(round(total_value * 100000) AS BIGINT) AS value_dec")
+        "CAST(round(total_value * 100000) AS BIGINT) AS value_dec",
+        "user_hll")
      .write.mode("overwrite")
      .parquet(os.path.join(base_dir, f"{ROLLUP_TABLE}.parquet")))
     dst = os.path.join(base_dir, "events.parquet")

@@ -34,7 +34,7 @@ EVENT_SCHEMA = StructType([
 
 
 def hourly_stream(spark: SparkSession, events_dir: str,
-                  glob: str | None = None) -> DataFrame:
+                  glob: str | None = None, with_sketch: bool = False) -> DataFrame:
     """readStream -> watermark -> 1h tumbling window aggregation.
 
     ``events_dir`` must be a directory (Spark file-source requirement);
@@ -50,18 +50,24 @@ def hourly_stream(spark: SparkSession, events_dir: str,
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(events_dir)
     ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(8,5)")).alias("value_dec")]
+    outs = [F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
+             .alias("hour"),
+            "event_type", "event_count",
+            F.col("value_dec").cast("double").alias("total_value")]
+    if with_sketch:
+        # mergeable HLL partial computed AT INGEST (Druid computes
+        # hyperUnique sketches the same way) — the streamed rollup can
+        # then serve approx distincts at any grain via hll_union_agg
+        aggs.append(F.hll_sketch_agg("user_id", 12).alias("user_hll"))
+        outs.append("user_hll")
     return (ev
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"),
                      F.col("event_type"))
-            .agg(F.count(F.lit(1)).alias("event_count"),
-                 F.sum(F.col("value").cast("decimal(8,5)"))
-                  .alias("value_dec"))
-            .select(
-                F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
-                 .alias("hour"),
-                "event_type", "event_count",
-                F.col("value_dec").cast("double").alias("total_value")))
+            .agg(*aggs)
+            .select(*outs))
 
 
 def run_available_now(spark: SparkSession, sf_dir: str,
@@ -111,7 +117,8 @@ class bounded_shuffle:
 
 # ---------------------------------------------------------------- scale path
 def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
-                 ckpt_dir: str, glob: str | None = None) -> None:
+                 ckpt_dir: str, glob: str | None = None,
+                 with_sketch: bool = False) -> None:
     """One availableNow drain of the backlog into a parquet APPEND sink.
 
     This is the production shape: finalized windows (watermark passed the
@@ -120,7 +127,8 @@ def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
     driver-side state, any number of restarts — the checkpoint carries
     source offsets + window state + sink commit log.
     """
-    agg = hourly_stream(spark, events_dir, glob=glob)
+    agg = hourly_stream(spark, events_dir, glob=glob,
+                        with_sketch=with_sketch)
     q = (agg.writeStream
          .format("parquet")
          .outputMode("append")
@@ -157,7 +165,8 @@ def write_sentinel(spark: SparkSession, input_dir: str,
     sent.coalesce(1).write.mode("append").parquet(input_dir)
 
 
-def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_hourly(spark: SparkSession, sf_dir: str,
+                     with_sketch: bool = False) -> DataFrame:
     """Correctness entry for the APPEND-mode file-sink path: stage the
     events backlog, drain it, flush the tail windows with a sentinel
     batch, and read back the parquet output. Exercises multi-batch
@@ -187,10 +196,13 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # query startup instead of two (state store + sink committer init
         # dominate the harness drain). Cross-DRAIN watermark advancement
         # stays pinned by test_streaming_append_sink_drops_late_rows.
-        drain_append(spark, input_dir, out_dir, ckpt)
+        drain_append(spark, input_dir, out_dir, ckpt,
+                     with_sketch=with_sketch)
 
     out_schema = ("hour string, event_type string, "
                   "event_count long, total_value double")
+    if with_sketch:
+        out_schema += ", user_hll binary"
     return spark.read.schema(out_schema).parquet(out_dir)
 
 

@@ -80,3 +80,35 @@ def test_rollup_day_filter_prunes_to_rollup_scan(rollup_env):
                                "from": "1998-01-01", "to": "1998-01-31"}]})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "events_hourly" in plan
+
+
+def test_streamed_sketch_serves_approx_distinct_any_grain(spark, tmp_path):
+    """The streaming job computes the HLL partial AT INGEST (Druid
+    hyperUnique ingestion parity); the streamed rollup then serves
+    user_count_approx at a COARSER grain (day) with estimates matching
+    the raw-table sketch build, within sketch error of exact."""
+    from maha_spark.engine import MahaSparkEngine
+    from maha_spark.examples.stream_rollup import (
+        build_stream_rollup_registry, materialize_hourly_rollup)
+    from maha_spark.plans.binding import ParquetBinding
+
+    base = materialize_hourly_rollup(spark, "/root/testdata/sf0.001",
+                                     str(tmp_path))
+    eng = MahaSparkEngine(spark, build_stream_rollup_registry(),
+                          ParquetBinding(spark, base))
+    req = {
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "user_count_approx"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "2024-01-01", "to": "2024-12-31"}],
+    }
+    assert eng.model(req).fact_table.name == "events_hourly"
+    approx = dict(map(tuple, eng.dataframe(req).collect()))
+    exact = dict(map(tuple, eng.dataframe(dict(
+        req, selectFields=[{"field": "day"},
+                           {"field": "user_count"}])).collect()))
+    # exact user_count has a non-reagg rollup only on the base table, so
+    # it came from raw events; the approx came from streamed partials
+    assert len(approx) == len(exact) > 0
+    for day, est in approx.items():
+        assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
