@@ -138,6 +138,13 @@ class CardinalityRollup(Rollup):
                          "planner must aggregate at final grain directly")
 
 
+#: default HLL precision shared by every sketch producer (registry
+#: rollups, batch materializers, streaming ingest) — hll_union_agg
+#: silently downgrades to the SMALLEST lgK it merges, so producers must
+#: agree or accuracy quietly degrades
+HLL_LG_K = 12
+
+
 @dataclass(frozen=True)
 class HllSketchRollup(Rollup):
     """Mergeable datasketches HLL partial (the Druid hyperUnique ROLLUP
@@ -150,7 +157,7 @@ class HllSketchRollup(Rollup):
     the sketch's error bound). ``agg`` builds the sketch from raw
     values; ``reagg`` (outer group-by over partials) unions."""
 
-    lg_k: int = 12
+    lg_k: int = HLL_LG_K
 
     def agg(self, col: Column) -> Column:
         return F.hll_sketch_agg(col, self.lg_k)

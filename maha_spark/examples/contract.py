@@ -30,7 +30,7 @@ from ..core.grain import DAILY, HOURLY
 from ..core.filters import EqualityFilter, LessThanFilter
 from ..core.rollup import (
     AverageRollup, CardinalityRollup, CountRollup, FilteredRollup,
-    HllSketchRollup, HllUnionRollup, MaxRollup,
+    HLL_LG_K, HllSketchRollup, HllUnionRollup, MaxRollup,
     MinRollup, NoopRollup, RoundedSumRollup, SumRollup,
 )
 from ..core.types import (BinType, DateType, DecType, IntType,
@@ -1285,7 +1285,7 @@ def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:
      .agg(F.sum("value_dec").alias("value_dec"),
           F.count(F.lit(1)).alias("event_count"),
           F.countDistinct("user_id").alias("user_cnt"),
-          F.hll_sketch_agg("user_id", 12).alias("user_hll"))
+          F.hll_sketch_agg("user_id", HLL_LG_K).alias("user_hll"))
      # the registry declares partition_columns=['dt']: carry the column
      # so the planner's Day bound applies to it (row filter on the flat
      # fixture; a Hive-partitioned rewrite would prune directories)

@@ -76,6 +76,12 @@ def build_stream_rollup_registry() -> Registry:
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
     }
+    base_cols["user_hll"] = FactCol(
+        "user_hll", BinType(), rollup=HllSketchRollup(),
+        expr="{user_id}", depends_on=("user_id",))
+    base_cols["user_count_hll"] = DerivedFactCol(
+        "user_count_hll", IntType(),
+        expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)")
     base = FactTable(name="events", columns=base_cols, grain=HOURLY,
                      day_column="ts", cost=1000)
 
@@ -101,12 +107,6 @@ def build_stream_rollup_registry() -> Registry:
         day_column="ts", cost=100,
         discarded={"event_id", "user_id", "value", "user_cnt", "props"},
         grain_cols=["event_hour", "event_type"])
-    base_cols["user_hll"] = FactCol(
-        "user_hll", BinType(), rollup=HllSketchRollup(),
-        expr="{user_id}", depends_on=("user_id",))
-    base_cols["user_count_hll"] = DerivedFactCol(
-        "user_count_hll", IntType(),
-        expr="CAST(hll_sketch_estimate({user_hll}) AS BIGINT)")
 
     reg.register_fact(PublicFact(
         name="events_cube",

@@ -209,7 +209,12 @@ def _col_w_replacements(args: list[str]) -> str:
             raise ValueError(
                 f"AdditionalColumnInfo value for {fld!r} contains "
                 "characters outside the allowed identifier/literal set")
-        sql = sql.replace(fld, value)
+        # word-boundary replace: a short field token must never strip
+        # substrings out of authored SQL words (field 'de' would
+        # otherwise turn decode() into code())
+        sql = re.sub(
+            rf"(?<![A-Za-z0-9_]){re.escape(fld)}(?![A-Za-z0-9_])",
+            value.replace("\\", "\\\\"), sql)
     return sql
 
 

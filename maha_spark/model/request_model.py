@@ -666,8 +666,12 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                     f"schema {request.schema!r} requires a filter on "
                     f"{alias!r} when querying dimension {d.name!r}")
 
-    for f in (request.additional_parameters.get("AdditionalColumnInfo")
-              or []):
+    aci = request.additional_parameters.get("AdditionalColumnInfo") or []
+    if not isinstance(aci, list):
+        errors.append("AdditionalColumnInfo must be a list of "
+                      "{field, value} objects")
+        aci = []
+    for f in aci:
         if not isinstance(f, dict) or not f.get("field"):
             errors.append("AdditionalColumnInfo entries must be "
                           "{field, value} objects")
@@ -740,8 +744,10 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 request.additional_parameters.get("distinct", False))),
         additional_col_info=tuple(
             (str(f.get("field", "")), str(f.get("value", "")))
-            for f in request.additional_parameters.get(
-                "AdditionalColumnInfo", []) or []
+            for f in (request.additional_parameters.get(
+                "AdditionalColumnInfo") or []
+                if isinstance(request.additional_parameters.get(
+                    "AdditionalColumnInfo"), list) else [])
             if isinstance(f, dict) and f.get("field")),
         day_range=day_range,
     )

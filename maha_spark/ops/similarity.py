@@ -661,17 +661,23 @@ def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                             _md5_seed_ids(emb, k), k, iters, DIM // m)
 
 
+def _encode_from_subs(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>) from a prepared (vec_id, sub, svec)
+    frame — the ONE place codes ordering/tie-breaking is defined, shared
+    by raw-vector and residual encoders."""
+    from pyspark.sql import functions as F
+
+    return (_assign_nearest_sub(subs, cents)
+            .groupBy("vec_id")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(sub, code))), s -> s.code) AS codes")))
+
+
 def pq_encode(emb: DataFrame, cents: DataFrame, m: int = PQ_M) -> DataFrame:
     """(vec_id, codes array<int>): nearest sub-centroid per subspace —
     the m-byte compressed representation. One broadcast join + window
     argmin + one groupBy; corpus never collected."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    return (_assign_nearest_sub(_sub_frame(_normed(emb), m), cents)
-            .groupBy("vec_id")
-            .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(sub, code))), s -> s.code) AS codes")))
+    return _encode_from_subs(_sub_frame(_normed(emb), m), cents)
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str,
@@ -792,10 +798,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
     books = F.broadcast(_train_codebooks(
         res_subs, _md5_seed_ids(emb, k), k, PQ_ITERS,
         DIM // m).localCheckpoint())
-    codes = (_assign_nearest_sub(res_subs, books)
-             .groupBy("vec_id")
-             .agg(F.expr("transform(array_sort(collect_list("
-                         "struct(sub, code))), s -> s.code) AS codes"))
+    codes = (_encode_from_subs(res_subs, books)
              .join(assigned.select("vec_id", "cell"), "vec_id"))
 
     queries = emb.filter(f"vec_id < {PQ_QUERIES}")

@@ -34,10 +34,40 @@ class TableBinding:
         return name in self._overrides
 
 
-# (spark-session id, path) -> cached DataFrame; survives across the
-# short-lived ParquetBinding instances the contract queries create so a
-# benchmark loop re-reads hot tables from Spark's in-memory columnar cache
-_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+# (spark-session id, path) -> (root mtime, cached DataFrame); survives
+# across the short-lived ParquetBinding instances the contract queries
+# create so a benchmark loop re-reads hot tables from Spark's in-memory
+# columnar cache. The mtime detects an in-process rewrite of the table:
+# the stale cached DataFrame is unpersisted and rebuilt.
+_DF_CACHE: dict[tuple[int, str], tuple[float, DataFrame]] = {}
+
+
+def _mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
+def _df_cache_get(spark, path: str):
+    key = (id(spark), path)
+    hit = _DF_CACHE.get(key)
+    if hit is None:
+        return None
+    mt, df = hit
+    if mt != _mtime(path):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        del _DF_CACHE[key]
+        return None
+    return df
+
+
+def _df_cache_put(spark, path: str, df: DataFrame) -> DataFrame:
+    _DF_CACHE[(id(spark), path)] = (_mtime(path), df)
+    return df
 
 #: on-disk bytes ceiling for auto-caching a bound table. Dims and small
 #: tables stay hot; an unbounded fact is NEVER cached by default — at
@@ -102,22 +132,21 @@ class ParquetBinding(TableBinding):
         # so the planner's day bound becomes a PartitionFilter
         pdir = os.path.join(self.base_dir, name)
         if os.path.isdir(pdir):
-            key = (id(self.spark), pdir)
-            if key in _DF_CACHE:  # hit: skip the size-gate metadata walk
-                return _DF_CACHE[key]
+            hit = _df_cache_get(self.spark, pdir)
+            if hit is not None:  # hit: skip the size-gate metadata walk
+                return hit
             if _should_cache(pdir):
-                _DF_CACHE[key] = normalize_timestamps(
-                    self.spark.read.parquet(pdir)).cache()
-                return _DF_CACHE[key]
+                return _df_cache_put(self.spark, pdir, normalize_timestamps(
+                    self.spark.read.parquet(pdir)).cache())
             return normalize_timestamps(self.spark.read.parquet(pdir))
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
-            key = (id(self.spark), path)
-            if key in _DF_CACHE:
-                return _DF_CACHE[key]
+            hit = _df_cache_get(self.spark, path)
+            if hit is not None:
+                return hit
             if _should_cache(path):
-                _DF_CACHE[key] = self._read_parquet(path).cache()
-                return _DF_CACHE[key]
+                return _df_cache_put(self.spark, path,
+                                     self._read_parquet(path).cache())
             return self._read_parquet(path)
         return self.spark.table(name)
 

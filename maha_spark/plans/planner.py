@@ -692,7 +692,6 @@ class Planner:
                              else F.col(_q(s.field)).asc())
         key = f"__dimkey_{driving.fact_fk_col}"
         order.append(F.col(_q(key)).asc())  # deterministic tiebreak
-        dimdf = dimdf.orderBy(*order)
         # Distinct dedupes the FINAL projection before pagination (the
         # reference renders SELECT DISTINCT inside the pagination wrapper,
         # OracleQueryGenerator.scala:655-670) — pre-join dim pagination
@@ -701,6 +700,9 @@ class Planner:
         paginate_dim = bool(model.max_rows and model.max_rows > 0
                             and not model.request_distinct)
         if paginate_dim:
+            # the global dim sort exists to cut a deterministic page —
+            # skipped when pagination defers to the post-distinct step
+            dimdf = dimdf.orderBy(*order)
             if model.start_index > 0:
                 dimdf = dimdf.offset(model.start_index)
             dimdf = dimdf.limit(model.max_rows)
@@ -832,16 +834,28 @@ class Planner:
 
     def _apply_order_and_page(self, model: RequestModel, df: DataFrame) -> DataFrame:
         order: list[Column] = []
+        sorted_fields: set[str] = set()
         for s in model.request.sort_by:
             name = s.field
             if name in df.columns:
                 c = F.col(_q(name))
                 order.append(c.desc() if s.order == "DESC" else c.asc())
-        if order:
-            df = df.orderBy(*order)
+                sorted_fields.add(name)
         # dim-driven plans paginate pre-join — except under Distinct,
         # where pagination must follow the final dedupe and happens here
-        if not model.is_dim_driven or model.request_distinct:
+        paginating = not model.is_dim_driven or model.request_distinct
+        if paginating and (model.start_index > 0 or model.max_rows >= 0):
+            # offset/limit across separate page requests needs a TOTAL
+            # order — user sorts alone may tie, and each page is its own
+            # Spark job, so without a tiebreak rows can repeat or vanish
+            # across pages. The remaining projection columns break ties
+            # (distinct rows differ in at least one of them).
+            order += [F.col(_q(p.alias)).asc() for p in model.projections
+                      if p.alias not in sorted_fields
+                      and p.alias in df.columns]
+        if order:
+            df = df.orderBy(*order)
+        if paginating:
             if model.start_index > 0:
                 df = df.offset(model.start_index)
             # 0 is a real limit (describe queries: SELECT * ... LIMIT 0

@@ -27,6 +27,14 @@ MAX_ROWS_SYNC = 5000         # DruidQueryGenerator.scala:164
 MAX_ROWS_ASYNC = 100000      # DruidQueryGenerator.scala:166
 
 
+def _to_bool(v) -> bool:
+    """Stringly-typed flags through proxies/query builders: 'false'/'0'
+    must not enable."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes")
+    return bool(v)
+
+
 class ValidationError(ValueError):
     def __init__(self, errors: list[str]):
         super().__init__("; ".join(errors))
@@ -145,11 +153,12 @@ def parse_request(payload: bytes | str | dict[str, Any],
         schema=obj.get("schema", schema),
         request_type=obj.get("requestType", request_type),
         query_type=obj.get("queryType", "groupby"),
-        include_row_count=bool(obj.get("includeRowCount", False)),
-        force_dimension_driven=bool(obj.get("forceDimensionDriven", False)),
-        force_fact_driven=bool(obj.get("forceFactDriven", False)),
-        is_distinct=bool(obj.get("distinct", False)),
-        is_debug=bool(obj.get("debug", False)),
+        include_row_count=_to_bool(obj.get("includeRowCount", False)),
+        force_dimension_driven=_to_bool(obj.get("forceDimensionDriven",
+                                                False)),
+        force_fact_driven=_to_bool(obj.get("forceFactDriven", False)),
+        is_distinct=_to_bool(obj.get("distinct", False)),
+        is_debug=_to_bool(obj.get("debug", False)),
         test_name=obj.get("testName"),
         curators=obj.get("curators", {}) or {},
         additional_parameters=obj.get("additionalParameters", {}) or {},

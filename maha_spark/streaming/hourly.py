@@ -60,7 +60,9 @@ def hourly_stream(spark: SparkSession, events_dir: str,
         # mergeable HLL partial computed AT INGEST (Druid computes
         # hyperUnique sketches the same way) — the streamed rollup can
         # then serve approx distincts at any grain via hll_union_agg
-        aggs.append(F.hll_sketch_agg("user_id", 12).alias("user_hll"))
+        from ..core.rollup import HLL_LG_K
+        aggs.append(F.hll_sketch_agg("user_id", HLL_LG_K)
+                     .alias("user_hll"))
         outs.append("user_hll")
     return (ev
             .withWatermark("ts", "1 hour")

@@ -329,10 +329,11 @@ def test_scan_query_type_returns_row_grain(engine, duck):
     assert len(grouped) == len({tuple(r) for r in want})
 
 
-def test_distinct_additional_parameter(engine):
+def test_distinct_additional_parameter(engine, duck):
     """additionalParameters.Distinct (reference RequestModel.scala:1092):
-    the final projection dedupes before pagination; a scan request's
-    repeated (flag, status) rows collapse to the distinct combinations."""
+    the final projection dedupes BEFORE pagination, so a scan request's
+    repeated (flag, status) rows collapse to ALL distinct combinations —
+    not to the distincts of one arbitrary page."""
     base = {
         "cube": "lineitem_stats",
         "queryType": "scan",
@@ -346,7 +347,10 @@ def test_distinct_additional_parameter(engine):
     distinct = engine.dataframe(
         dict(base, additionalParameters={"Distinct": True})).count()
     assert distinct < raw
-    assert distinct == engine.dataframe(base).distinct().count()
+    expected = duck.execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus"
+        " FROM lineitem)").fetchone()[0]
+    assert distinct == expected
 
 
 def test_distinct_with_row_count_dim_driven(spark):

@@ -273,3 +273,20 @@ def test_additional_column_info_replaces_col_w_replacements(spark):
         base, additionalParameters={"AdditionalColumnInfo": [
             {"field": "__LABEL__", "value": "ctx_value"}]})).collect()}
     assert rows == {"a": "ctx_value", "b": "ctx_value"}
+
+
+def test_aci_replacement_respects_word_boundaries():
+    """A short field token must never strip substrings out of authored
+    SQL words (field 'de' vs decode())."""
+    from maha_spark.functions.macros import (expand_macros,
+                                             reset_ctx_replacements,
+                                             set_ctx_replacements)
+    tok = set_ctx_replacements([("de", "xx")])
+    try:
+        out = expand_macros("COL_W_REPLACEMENTS(decode(`de`, de, 1))")
+        assert "decode" in out          # word interior untouched
+        assert "`xx`" in out            # backticked name replaced (the
+        #                                 column-reference-swap use case)
+        assert ", xx," in out           # standalone token replaced
+    finally:
+        reset_ctx_replacements(tok)

@@ -30,7 +30,7 @@ def contract_engine(spark):
     # earlier test modules must be unpersisted too.
     os.environ["MAHA_SPARK_CACHE"] = "0"
     from maha_spark.plans.binding import _DF_CACHE
-    for df in _DF_CACHE.values():
+    for _mt, df in _DF_CACHE.values():
         df.unpersist(blocking=True)
     _DF_CACHE.clear()
     from maha_spark.engine import engine_for_dir

@@ -512,3 +512,40 @@ def test_filter_and_sort_order_insensitive():
     all1 = [s.field for s in (*m1.dim_sorts, *m1.fact_sorts)]
     all2 = [s.field for s in (*m2.dim_sorts, *m2.fact_sorts)]
     assert set(all1) == set(all2)
+
+
+def test_additional_column_info_non_list_is_400():
+    """A non-list AdditionalColumnInfo raises ValidationError (400), not
+    TypeError (500)."""
+    import pytest
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.model.request_model import build_request_model
+    from maha_spark.request.request import ValidationError, parse_request
+
+    req = parse_request({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1995-01-01", "to": "1995-01-31"}],
+        "additionalParameters": {"AdditionalColumnInfo": 1},
+    })
+    with pytest.raises(ValidationError, match="AdditionalColumnInfo"):
+        build_request_model(req, build_contract_registry())
+
+
+def test_stringly_false_booleans_do_not_enable():
+    """'false'/'0' through proxies must not flip request booleans."""
+    from maha_spark.request.request import parse_request
+
+    req = parse_request({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}],
+        "distinct": "false",
+        "includeRowCount": "0",
+        "forceDimensionDriven": "False",
+        "debug": "true",
+    })
+    assert not req.is_distinct
+    assert not req.include_row_count
+    assert not req.force_dimension_driven
+    assert req.is_debug
