@@ -844,12 +844,17 @@ class Planner:
         # dim-driven plans paginate pre-join — except under Distinct,
         # where pagination must follow the final dedupe and happens here
         paginating = not model.is_dim_driven or model.request_distinct
-        if paginating and (model.start_index > 0 or model.max_rows >= 0):
+        if paginating and (order or model.request_distinct) \
+                and (model.start_index > 0 or model.max_rows >= 0):
             # offset/limit across separate page requests needs a TOTAL
             # order — user sorts alone may tie, and each page is its own
             # Spark job, so without a tiebreak rows can repeat or vanish
             # across pages. The remaining projection columns break ties
-            # (distinct rows differ in at least one of them).
+            # (distinct rows differ in at least one of them). An
+            # UNSORTED non-distinct limit stays an unordered CollectLimit
+            # (reference ROWNUM-without-ORDER-BY semantics): forcing a
+            # total order there would sort the whole scan at 100 TB for
+            # pages nobody asked to be stable.
             order += [F.col(_q(p.alias)).asc() for p in model.projections
                       if p.alias not in sorted_fields
                       and p.alias in df.columns]
