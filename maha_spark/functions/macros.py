@@ -212,9 +212,11 @@ def _col_w_replacements(args: list[str]) -> str:
         # word-boundary replace: a short field token must never strip
         # substrings out of authored SQL words (field 'de' would
         # otherwise turn decode() into code())
+        # the charset above forbids backslashes and group refs, so the
+        # value is safe as a literal re.sub replacement
         sql = re.sub(
             rf"(?<![A-Za-z0-9_]){re.escape(fld)}(?![A-Za-z0-9_])",
-            value.replace("\\", "\\\\"), sql)
+            value, sql)
     return sql
 
 

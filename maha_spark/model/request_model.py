@@ -163,11 +163,8 @@ _ACI_FIELD = _re.compile(r"^[A-Za-z0-9_.{}$-]{2,64}$")
 _ACI_VALUE = _re.compile(r"^[A-Za-z0-9_. ]{0,64}$")
 
 
-def _parse_bool_param(v) -> bool:
-    """Stringly-typed parameter values ('false', '0') must not enable."""
-    if isinstance(v, str):
-        return v.strip().lower() in ("true", "1", "yes")
-    return bool(v)
+# stringly-typed parameter coercion shared with request parsing
+from ..request.request import _to_bool as _parse_bool_param  # noqa: E402
 
 
 def build_request_model(request: ReportingRequest, registry: Registry,
@@ -744,10 +741,6 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 request.additional_parameters.get("distinct", False))),
         additional_col_info=tuple(
             (str(f.get("field", "")), str(f.get("value", "")))
-            for f in (request.additional_parameters.get(
-                "AdditionalColumnInfo") or []
-                if isinstance(request.additional_parameters.get(
-                    "AdditionalColumnInfo"), list) else [])
-            if isinstance(f, dict) and f.get("field")),
+            for f in aci if isinstance(f, dict) and f.get("field")),
         day_range=day_range,
     )

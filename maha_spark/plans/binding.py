@@ -37,8 +37,11 @@ class TableBinding:
 # (spark-session id, path) -> (root mtime, cached DataFrame); survives
 # across the short-lived ParquetBinding instances the contract queries
 # create so a benchmark loop re-reads hot tables from Spark's in-memory
-# columnar cache. The mtime detects an in-process rewrite of the table:
-# the stale cached DataFrame is unpersisted and rebuilt.
+# columnar cache. The root mtime detects a whole-table in-process
+# rewrite (mode=overwrite replaces the root): the stale cached DataFrame
+# is unpersisted and rebuilt. A rewrite scoped INSIDE an existing
+# partition subdirectory may not bump the root mtime — refresh such
+# tables explicitly (clear the entry or overwrite the whole table).
 _DF_CACHE: dict[tuple[int, str], tuple[float, DataFrame]] = {}
 
 

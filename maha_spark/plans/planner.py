@@ -697,22 +697,26 @@ class Planner:
         # OracleQueryGenerator.scala:655-670) — pre-join dim pagination
         # would short pages / repeat rows across pages, so it defers to
         # build()'s post-distinct pagination for this case
-        paginate_dim = bool(model.max_rows and model.max_rows > 0
-                            and not model.request_distinct)
+        # any explicit limit (0 = describe shape) or offset paginates the
+        # dim side here; Distinct defers to post-dedupe pagination
+        paginate_dim = (not model.request_distinct
+                        and (model.max_rows >= 0 or model.start_index > 0))
         if paginate_dim:
             # the global dim sort exists to cut a deterministic page —
             # skipped when pagination defers to the post-distinct step
             dimdf = dimdf.orderBy(*order)
             if model.start_index > 0:
                 dimdf = dimdf.offset(model.start_index)
-            dimdf = dimdf.limit(model.max_rows)
+            if model.max_rows >= 0:
+                dimdf = dimdf.limit(model.max_rows)
 
         # paginated page => bounded, deterministic key set (total order with
         # the __dimkey tiebreak) — push it into the fact scan as the
         # reference pushes an InFilter (QueryPipeline.scala:918-946).
-        # Unpaginated (distinct) pages have no bounded key set to push.
+        # Only an explicit LIMIT bounds the key set; offset-only and
+        # unpaginated (distinct) pages have nothing bounded to push.
         prefilter = None
-        if paginate_dim:
+        if paginate_dim and model.max_rows >= 0:
             prefilter = (driving.fact_fk_col,
                          dimdf.select(F.col(_q(key)).alias("__page_key")))
         fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col],

@@ -135,7 +135,8 @@ def parse_request(payload: bytes | str | dict[str, Any],
         errors.append("rowsPerPage must be an integer")
         mr = -1
 
-    if obj.get("forceDimensionDriven") and obj.get("forceFactDriven"):
+    if _to_bool(obj.get("forceDimensionDriven", False)) and \
+            _to_bool(obj.get("forceFactDriven", False)):
         # ReportingRequest.scala:509
         errors.append("both cannot be true: forceDimensionDriven, "
                       "forceFactDriven")

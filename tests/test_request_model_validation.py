@@ -549,3 +549,37 @@ def test_stringly_false_booleans_do_not_enable():
     assert not req.include_row_count
     assert not req.force_dimension_driven
     assert req.is_debug
+
+
+def test_stringly_false_force_flags_not_mutually_exclusive():
+    """'false' strings for both force flags must not trigger the
+    mutual-exclusion 400 (ReportingRequest.scala:509 checks booleans)."""
+    from maha_spark.request.request import parse_request
+
+    req = parse_request({
+        "cube": "tpch",
+        "selectFields": [{"field": "return_flag"}],
+        "forceDimensionDriven": "false",
+        "forceFactDriven": "0",
+    })
+    assert not req.force_dimension_driven and not req.force_fact_driven
+
+
+def test_dim_driven_limit_zero_describe_shape(spark):
+    """rowsPerPage=0 is a real limit on dim-driven plans too (describe
+    queries serve the schema with zero rows)."""
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+
+    eng = engine_for_dir(spark, build_contract_registry(),
+                         "/root/testdata/sf0.001")
+    df = eng.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_priority"}, {"field": "revenue"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "1995-01-01", "to": "2002-12-31"}],
+        "forceDimensionDriven": True,
+        "rowsPerPage": 0,
+    })
+    assert df.count() == 0
+    assert df.columns == ["order_priority", "revenue"]
