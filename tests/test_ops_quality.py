@@ -99,3 +99,37 @@ def test_asof_join_semantics(spark, monkeypatch, tmp_path):
     assert out[2]["order_key"] == 301 and out[2]["order_price"] == 31.0
     assert out[3]["order_key"] == 301
     assert out[4]["order_key"] is None
+
+
+def test_chunk_documents_matches_oracle(spark, sf_dir, duck):
+    """Fixed-token windows with overlap: exact hash-match against the
+    DuckDB oracle (tokens, starts, fingerprints, text), full coverage of
+    every document, and correct overlap between consecutive chunks."""
+    from maha_spark.ops.chunking import (CHUNK_OVERLAP, CHUNK_TOKENS,
+                                         chunk_documents,
+                                         chunk_documents_oracle)
+
+    got = chunk_documents(spark, sf_dir).toPandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    want = duck.execute(chunk_documents_oracle()).fetchdf() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_fp"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+    # every document chunked
+    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert got["doc_id"].nunique() == n_docs
+
+    # overlap semantics at a window size the fixture docs exceed:
+    # consecutive chunks share exactly `overlap` tokens
+    small = chunk_documents(spark, sf_dir, chunk_tokens=16, overlap=4)         .toPandas().sort_values(["doc_id", "chunk_id"])
+    multi = small[small.duplicated("doc_id", keep=False)]
+    assert len(multi) > 0
+    one = multi[multi.doc_id == multi.doc_id.iloc[0]]
+    a = one[one.chunk_id == 0].chunk_text.iloc[0].split()
+    b = one[one.chunk_id == 1].chunk_text.iloc[0].split()
+    assert a[12:] == b[:4]
+    want_small = duck.execute(
+        chunk_documents_oracle(chunk_tokens=16, overlap=4)).fetchdf()
+    assert len(small) == len(want_small)
