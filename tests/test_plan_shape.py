@@ -330,7 +330,7 @@ def test_generators_explode_only_cheap_sequences(spark):
     expensive columns must pass THROUGH the Generate instead."""
     import re
 
-    from maha_spark.ops import contamination, dedup, similarity, text
+    from maha_spark.ops import chunking, contamination, dedup, similarity, text
 
     sf = "/root/testdata/sf0.001"
     dfs = {
@@ -340,6 +340,7 @@ def test_generators_explode_only_cheap_sequences(spark):
         "simhash_pairs": dedup.dedup_simhash_pairs(spark, sf),
         "ngram_jaccard": dedup.dedup_ngram_jaccard(spark, sf),
         "ann_topk": similarity.sim_ann_topk(spark, sf),
+        "chunking": chunking.chunk_documents(spark, sf),
     }
     # string/struct-building generator children are the expensive shapes
     # (the CASE-guarded integer sequence stays O(len) ints per row)
@@ -352,6 +353,23 @@ def test_generators_explode_only_cheap_sequences(spark):
             f"{name}: generator child builds values ({m.group(0)}...) — "
             f"it will re-evaluate per output row; explode indices and "
             f"derive values after the Generate")
+
+
+def test_chunking_tokenizes_below_the_generate(spark):
+    """chunk_documents: the token array must be MATERIALIZED in a project
+    below the Generate and pass through it — if CollapseProject ever
+    inlines split() into the post-Generate slice (`slice(split(...))`),
+    tokenization re-runs once per emitted chunk: O(tokens x chunks) per
+    doc instead of O(tokens). Also pin that the generator child is the
+    cheap index sequence, not a computed array."""
+    from maha_spark.ops import chunking
+
+    plan = _optimized(chunking.chunk_documents(spark, "/root/testdata/sf0.001"))
+    assert "explode(sequence(0" in plan, plan
+    assert "slice(split(" not in plan, plan
+    # the split-project must sit BELOW the Generate in the tree (top-down
+    # print: larger character offset = deeper)
+    assert plan.index("Generate explode") < plan.index("split("), plan
 
 
 def test_semi_join_and_chain_unhinted_on_unknown_cardinality(spark):
