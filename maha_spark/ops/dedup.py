@@ -487,6 +487,24 @@ def dedup_simhash_pairs_oracle() -> str:
 
 
 # ------------------------------------------------------------- clustering
+# one value-graph shuffle partition per this many distinct simhash values;
+# the pigeonhole self-join fans each value out SIMHASH_CHUNKS times, so a
+# partition holds ~8x this many probe rows — comfortably in-memory
+CC_VALUES_PER_PARTITION = 1_000_000
+
+
+def cc_shuffle_cap(spark: SparkSession, n_values: int) -> int:
+    """Shuffle-partition cap for the distinct-simhash-value graph:
+    ``clamp(n_values / CC_VALUES_PER_PARTITION, 8, defaultParallelism)``.
+    The floor keeps the harness-scale graph (thousands of values) off
+    200-task stages whose launch overhead dominates; the data-derived
+    middle keeps 100 TB corpora (billions of values) from funneling into
+    8 partitions; the parallelism ceiling stops over-splitting past the
+    cluster's cores."""
+    derived = n_values // CC_VALUES_PER_PARTITION
+    return max(8, min(derived, spark.sparkContext.defaultParallelism))
+
+
 def _ckpt(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Truncate lineage for iterative algorithms. ``localCheckpoint`` is
     the right default for a single-JVM harness, but executor-LOCAL
@@ -576,9 +594,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     # and the final label join both re-read instead of re-hashing
     sh = _ckpt(dedup_simhash(spark, sf_dir).select("doc_id", "simhash"),
                reliable_checkpoint)
-    # lazy: recomputing this tiny groupBy from the checkpointed sh is
-    # cheaper than another eager checkpoint job
-    vals = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    # eager checkpoint: the chunk explode AND the final label join both
+    # re-read it, and the (cheap, post-materialization) count below sizes
+    # the value-graph shuffles from the data instead of a constant
+    vals = _ckpt(sh.groupBy("simhash").agg(F.min("doc_id").alias("rep")),
+                 reliable_checkpoint)
+    n_vals = vals.count()
 
     # pigeonhole chunk join between DISTINCT simhash values (lossless for
     # hamming <= HAMMING_T with SIMHASH_CHUNKS > HAMMING_T differing chunks)
@@ -596,9 +617,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                  .select("u", "v").distinct())
     # the whole value-level graph is orders of magnitude smaller than the
     # corpus — run its shuffles on bounded partitions (per-stage
-    # task-launch overhead would otherwise dominate)
+    # task-launch overhead would otherwise dominate), with the cap
+    # derived from the measured distinct-value count, not a constant
     from ..streaming.hourly import bounded_shuffle
-    with bounded_shuffle(spark, cap=8):
+    with bounded_shuffle(spark, cap=cc_shuffle_cap(spark, n_vals)):
         pairs = _ckpt(edges_dir, reliable_checkpoint)
         # the mirrored edge view stays LAZY: both consumers re-read the
         # checkpointed pairs, cheaper than materializing the 2x edge list

@@ -407,17 +407,12 @@ class Planner:
             return df
 
         aggs: list[Column] = []
-        seen: set[str] = set()
         for alias, col in direct:
             aggs.append(self._agg_expr(col, table).alias(alias))
-            seen.add(alias)
         for name, col in base_needed.items():
-            internal = f"__base_{name}"
-            if internal in seen or name in [a for a, _ in direct]:
-                # also keep an internal copy for derived exprs
-                pass
-            aggs.append(self._agg_expr(col, table).alias(internal))
-            seen.add(internal)
+            # derived exprs always read the __base_-prefixed internal copy,
+            # even when the same metric is also directly projected
+            aggs.append(self._agg_expr(col, table).alias(f"__base_{name}"))
         # average decomposition partials for possible OGB re-agg
         if model.requires_outer_group_by:
             for alias, col in direct:

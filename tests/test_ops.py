@@ -65,6 +65,19 @@ def test_dedup_clusters_structure(spark, sf_dir):
         assert sizes[c] == n
 
 
+def test_cc_shuffle_cap_derivation(spark):
+    """The value-graph shuffle cap scales with the distinct-value count:
+    floor 8 at harness scale, one partition per CC_VALUES_PER_PARTITION
+    values in the middle, capped at defaultParallelism."""
+    from maha_spark.ops.dedup import CC_VALUES_PER_PARTITION, cc_shuffle_cap
+    dp = spark.sparkContext.defaultParallelism
+    assert cc_shuffle_cap(spark, 0) == 8
+    assert cc_shuffle_cap(spark, 3_000) == 8  # sf0.1-scale graph
+    mid = 20 * CC_VALUES_PER_PARTITION
+    assert cc_shuffle_cap(spark, mid) == max(8, min(20, dp))
+    assert cc_shuffle_cap(spark, 10**12) == max(8, dp)  # 100 TB corpus
+
+
 def test_pii_detection_and_redaction(spark):
     """The PII expressions must fire on real PII and redact it; the
     synthetic corpus has none, so this covers the non-zero path."""
