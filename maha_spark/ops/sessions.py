@@ -152,23 +152,48 @@ def streaming_sessions_df(spark: SparkSession, events_dir: str,
                                _fmt_us(last_us), units / 100_000.0))
             state.remove()
         else:
-            rows = []
-            for pdf in pdfs:
-                for r in pdf.itertuples(index=False):
-                    rows.append((int(r.ts.value // 1000), int(r.event_id),
-                                 float(r.value)))
-            rows.sort()
-            for us, _eid, val in rows:
-                if start_us is None:
-                    start_us, last_us, n, units = us, us, 1, _val_units(val)
-                elif us - last_us > _GAP_US:
+            import numpy as np
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                cat = chunks[0] if len(chunks) == 1 else pd.concat(
+                    chunks, ignore_index=True)
+                # vectorized twin of the per-event loop (13 us/row with
+                # itertuples): sort by time, find >gap breaks, aggregate
+                # each segment with reduceat. Order among equal-us events
+                # is immaterial: gap breaks depend only on us, and every
+                # per-session aggregate (count/min/max/sum) is
+                # order-invariant.
+                us = (cat["ts"].to_numpy().astype("datetime64[us]")
+                      .astype(np.int64))
+                order = np.argsort(us, kind="stable")
+                us = us[order]
+                ev_units = (cat["value"].to_numpy()[order]
+                            * 100_000 + 0.5).astype(np.int64)
+                brk = np.empty(len(us), dtype=bool)
+                brk[0] = True
+                np.greater(np.diff(us), _GAP_US, out=brk[1:])
+                starts = np.flatnonzero(brk)
+                counts = np.diff(np.append(starts, len(us)))
+                seg_units = np.add.reduceat(ev_units, starts)
+                seg_start = us[starts]
+                seg_end = us[np.append(starts[1:], len(us)) - 1]
+                if start_us is not None and us[0] - last_us <= _GAP_US:
+                    # the carried open session absorbs segment 0
+                    seg_start[0] = start_us
+                    counts[0] += n
+                    seg_units[0] += units
+                elif start_us is not None:
                     closed.append((user_id, sid, n, _fmt_us(start_us),
                                    _fmt_us(last_us), units / 100_000.0))
                     sid += 1
-                    start_us, last_us, n, units = us, us, 1, _val_units(val)
-                else:
-                    last_us, n = us, n + 1
-                    units += _val_units(val)
+                for i in range(len(starts) - 1):
+                    closed.append((user_id, sid, int(counts[i]),
+                                   _fmt_us(int(seg_start[i])),
+                                   _fmt_us(int(seg_end[i])),
+                                   seg_units[i] / 100_000.0))
+                    sid += 1
+                start_us, last_us = int(seg_start[-1]), int(seg_end[-1])
+                n, units = int(counts[-1]), int(seg_units[-1])
             state.update((sid, start_us, last_us, n, units))
             state.setTimeoutTimestamp((last_us + _GAP_US) // 1000)
 
