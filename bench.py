@@ -39,8 +39,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 # 128x puts ~77M lineitem rows through the scaled tier: data cost
 # dominates Spark's fixed per-stage overhead there (measured aggregate
 # spark/duckdb ratio ~1.6x vs ~4x at 32x), so the headline ratio reflects
-# engine throughput — the number that projects to the cluster case
-MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "128"))
+# engine throughput — the number that projects to the cluster case.
+# Every listed multiplier runs as its own tier (first = headline ratio);
+# the 256x (154M-row) tier regression-tracks the scaling TREND — the
+# ratio must not degrade as data doubles.
+MULTS = [int(m) for m in
+         os.environ.get("SPARK_GRAFT_BENCH_MULT", "128,256").split(",")
+         if int(m) > 1]
+
 
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings")
@@ -213,8 +219,9 @@ def main() -> None:
     # it must not share executor memory with 50 tier-1 cached plans
     # (measured: scaled q17 1.9s after tier 1 vs 0.8s on a fresh session).
     scaled: dict = {}
-    if MULT > 1:
-        sdir = ensure_scaled_dir(spark, SF_DIR, MULT)
+    scaled_tiers: list[dict] = []
+    for mult in MULTS:
+        sdir = ensure_scaled_dir(spark, SF_DIR, mult)
         s_names = [n for n in SCALED_QUERIES if n in queries]
         # full warm pass: materializes both fact-table caches end-to-end
         # and JIT-compiles every query's generated code before any timed
@@ -237,8 +244,8 @@ def main() -> None:
         con.close()
         sp_tot = sum(v for v in s_spark.values() if v > 0)
         du_tot = sum(v for v in s_duck.values() if v > 0)
-        scaled = {
-            "mult": MULT,
+        scaled_tiers.append({
+            "mult": mult,
             "queries": s_spark,
             "duckdb": s_duck,
             "spark_total": round(sp_tot, 4),
@@ -248,8 +255,12 @@ def main() -> None:
                 n: round(s_spark[n] / s_duck[n], 3)
                 for n in s_names
                 if s_spark.get(n, -1) > 0 and s_duck.get(n, -1) > 0},
-        }
+        })
+        # each tier caches its own multiplied facts — drop them before
+        # the next tier (or tier 1) so tiers don't fight for memory
         clear_caches()
+    if scaled_tiers:
+        scaled = scaled_tiers[0]
 
     # ---- tier 1: full suite at the sf dir (Spark) + cube oracles (DuckDB)
     # warm the streaming engine once at the smallest SF: the first
@@ -296,6 +307,7 @@ def main() -> None:
         "duckdb": duck_base,
         "duckdb_total": round(duck_total, 4),
         "scaled": scaled,
+        "scaled_tiers": scaled_tiers,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -310,6 +322,8 @@ def main() -> None:
         "duckdb_total": round(duck_total, 2),
         "scaled_mult": scaled.get("mult", 0),
         "scaled_ratio": scaled.get("ratio", -1.0),
+        # the scaling trend at a glance: [mult, ratio] per tier
+        "scaled_trend": [[t["mult"], t["ratio"]] for t in scaled_tiers],
     }
     out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1700:  # last-resort: drop per-query detail, keep headline

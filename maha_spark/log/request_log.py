@@ -74,6 +74,8 @@ class RequestLogEntry:
     curators: list[str] = field(default_factory=list)
     registry_name: str = "maha"
     hostname: str = field(default_factory=socket.gethostname)
+    job_name: str = ""
+    labels: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
@@ -121,7 +123,14 @@ def build_log_entry(model: Any, *, request_id: str, raw_request: str,
         is_debug=req.is_debug,
         is_test=bool(getattr(req, "test_name", "")),
         curators=sorted(req.curators or ()),
-        registry_name=registry_name,
+        # the operational additionalParameters (Labels / Job-Name /
+        # RegistryName / HostName, Request.scala:135-166) land in the
+        # record like the reference's MahaRequestLogHelper: request-level
+        # values override the service-level defaults
+        registry_name=getattr(req, "registry_name", None) or registry_name,
+        hostname=getattr(req, "host_name", None) or socket.gethostname(),
+        job_name=getattr(req, "job_name", ""),
+        labels=list(getattr(req, "labels", []) or []),
     )
 
 
@@ -245,12 +254,15 @@ def to_proto_bytes(entry: RequestLogEntry) -> bytes:
                    + f_varint(3, int(fc.get("cost", 0))))
     b += f_str(37, str(entry.time_grain))
     b += f_bool(39, entry.is_dry_run)
+    b += f_str(41, entry.job_name)
     b += f_varint(44, entry.cube_revision)
     b += f_str(45, entry.registry_name)
     b += f_str(46, entry.hostname)
     b += f_str(49, ",".join(entry.curators))
     b += f_bool(54, entry.is_debug)
     b += f_bool(55, entry.is_test)
+    for lbl in entry.labels:  # repeated string labels = 57
+        b += f_str(57, lbl)
     return b
 
 

@@ -35,10 +35,25 @@ DECODE_SCHEMA = StructType([
 ])
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+def _probe_codec():
+    """Import-probe for an optional real image codec (Pillow). The sandbox
+    ships none, so decode falls back to the deterministic stub; an
+    environment WITH Pillow gets real decoding through the identical
+    mapInPandas schema/batch shape with zero code changes."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
+HAS_CODEC = _probe_codec() is not None
+
+
+def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     """STUB — deterministic stand-in for an image decoder.
 
-    Production would do ``PIL.Image.open(io.BytesIO(payload))``; here the
+    Production would decode real pixels (see ``_pil_decode``); here the
     'decoded' dimensions derive from the payload digest so the pipeline is
     testable without codecs.
     """
@@ -48,23 +63,55 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, "fake/rgb8"
 
 
-def decode_binary_features(binary_df: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int | None, int | None, str]:
+    """Real decode via Pillow (only reachable when the probe found it).
+    Undecodable payloads yield NULL dimensions, never an exception — one
+    corrupt object in a 100 TB corpus must not fail the stage."""
+    import io
+    Image = _probe_codec()
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return (int(img.width), int(img.height),
+                    f"image/{(img.format or 'unknown').lower()}")
+    except Exception:
+        return None, None, "undecodable"
+
+
+def decode_binary_features(binary_df: DataFrame,
+                           codec: str = "auto") -> DataFrame:
     """(id, payload binary) -> typed features via Arrow-batched pandas.
+
+    ``codec``: ``"auto"`` uses Pillow when importable else the stub;
+    ``"stub"`` forces the deterministic fake (the oracle-checked path);
+    ``"pil"`` requires Pillow.
 
     Scale notes: mapInPandas streams Arrow batches — no driver collect, no
     per-row Python calls; partitioning of the input is preserved, so at
     100 TB this runs one Python worker per core over ~10k-row batches.
     """
+    if codec not in ("auto", "stub", "pil"):
+        raise ValueError(f"unknown codec mode {codec!r}")
+    if codec == "pil" and not HAS_CODEC:
+        raise ImportError("codec='pil' requires Pillow")
+    use_real = codec == "pil" or (codec == "auto" and HAS_CODEC)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # re-probe on the WORKER (module globals don't ship with the
+        # function under cloudpickle from a library install)
+        decode_one = _pil_decode if use_real else _fake_decode
+        # real decode can yield NULL dims (undecodable payloads) -> the
+        # nullable Int32 extension dtype; the stub never does
+        dim_dtype = "Int32" if use_real else "int32"
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [decode_one(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
                 "content_md5": [hashlib.md5(p).hexdigest()
                                 for p in pdf["payload"]],
-                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
-                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "width": pd.Series([d[0] for d in decoded], dtype=dim_dtype),
+                "height": pd.Series([d[1] for d in decoded],
+                                    dtype=dim_dtype),
                 "format": [d[2] for d in decoded],
             })
 
@@ -73,11 +120,14 @@ def decode_binary_features(binary_df: DataFrame) -> DataFrame:
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat each document's utf-8 bytes as an opaque binary payload and
-    run the decode pipeline over it."""
+    run the decode pipeline over it. Pinned to the STUB codec: the
+    payloads are text (not decodable images) and the DuckDB oracle is the
+    stub's md5 arithmetic — this entry stays deterministic even in an
+    environment where the Pillow probe succeeds."""
     docs = load_table(spark, sf_dir, "documents")
     binary = docs.selectExpr("doc_id",
                              "CAST(encode(text, 'utf-8') AS BINARY) AS payload")
-    return decode_binary_features(binary)
+    return decode_binary_features(binary, codec="stub")
 
 
 RESIZE_BOX = 256

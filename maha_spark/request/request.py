@@ -82,6 +82,40 @@ class ReportingRequest:
     def max_rows_cap(self) -> int:
         return MAX_ROWS_ASYNC if self.request_type == "AsyncRequest" else MAX_ROWS_SYNC
 
+    def get_parameter(self, name: str, default: Any = None) -> Any:
+        """Case-insensitive ``additionalParameters`` lookup — the
+        reference deserializes parameter names with
+        ``withNameInsensitiveOption`` (core request/Request.scala:188),
+        so ``"Job-Name"``, ``"job-name"`` and ``"JOB-NAME"`` are the same
+        key."""
+        want = name.lower()
+        for k, v in self.additional_parameters.items():
+            if str(k).lower() == want:
+                return v
+        return default
+
+    # typed accessors for the operational parameters that ride
+    # additionalParameters (Request.scala:135-166 ParameterValue family);
+    # consumed by the request-log record like MahaRequestLogHelper does
+    @property
+    def labels(self) -> list[str]:
+        v = self.get_parameter("Labels", [])
+        return [str(x) for x in v] if isinstance(v, (list, tuple)) else []
+
+    @property
+    def job_name(self) -> str:
+        return str(self.get_parameter("Job-Name", "") or "")
+
+    @property
+    def registry_name(self) -> Optional[str]:
+        v = self.get_parameter("RegistryName")
+        return str(v) if v else None
+
+    @property
+    def host_name(self) -> Optional[str]:
+        v = self.get_parameter("HostName")
+        return str(v) if v else None
+
 
 def parse_request(payload: bytes | str | dict[str, Any],
                   schema: str = "internal",

@@ -183,6 +183,51 @@ def test_binary_decode_batching(spark):
     assert 1 <= a["width"] <= 1024 and 1 <= a["height"] <= 1024
 
 
+def test_binary_decode_codec_paths(spark):
+    """The optional-codec probe: both codec paths share one output schema
+    (the swap-in contract for a Pillow-equipped environment). The stub
+    path always runs; the real path runs only where the probe finds
+    Pillow (not in this sandbox) and must decode a real PNG's dimensions
+    and NULL out undecodable payloads instead of failing the stage."""
+    import pandas as pd
+    import pytest as _pytest
+    from maha_spark.ops import multimodal as mm
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"alpha", b"beta"]})
+    df = spark.createDataFrame(pdf)
+    expected_cols = [f.name for f in mm.DECODE_SCHEMA.fields]
+
+    # "auto" resolves to the stub here and must equal the stub exactly
+    auto = mm.decode_binary_features(df, codec="auto")
+    stub = mm.decode_binary_features(df, codec="stub")
+    assert [f.name for f in auto.schema.fields] == expected_cols
+    assert auto.schema == stub.schema
+    if not mm.HAS_CODEC:
+        ap = auto.toPandas().sort_values("doc_id").reset_index(drop=True)
+        sp = stub.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert ap.equals(sp)
+        with _pytest.raises(ImportError):
+            mm.decode_binary_features(df, codec="pil")
+    else:
+        # real path: a 1x1 PNG decodes, garbage yields NULL dims
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (7, 3)).save(buf, format="PNG")
+        real = mm.decode_binary_features(
+            spark.createDataFrame(pd.DataFrame({
+                "doc_id": [1, 2],
+                "payload": [buf.getvalue(), b"not-an-image"]})),
+            codec="pil").toPandas().sort_values("doc_id")
+        assert [int(real.iloc[0]["width"]),
+                int(real.iloc[0]["height"])] == [7, 3]
+        assert real.iloc[0]["format"] == "image/png"
+        assert pd.isna(real.iloc[1]["width"])
+        assert real.iloc[1]["format"] == "undecodable"
+    with _pytest.raises(ValueError):
+        mm.decode_binary_features(df, codec="jpegxl")
+
+
 def _events_pdf(event_ids, ts_nanos, user_ids, event_types, values):
     """Build an events frame with naive us-precision timestamps (the
     testdata parquet layout: TIMESTAMP_NTZ)."""

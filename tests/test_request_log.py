@@ -190,3 +190,50 @@ def test_proto_record_roundtrip(tmp_path, logged_engine):
         [("Revenue", 1)]                 # DESC = 1
     costs = [decode_fields(v) for _wt, v in f.get(31, [])]
     assert costs and all(_first(c, 3, 0) > 0 for c in costs)
+
+
+def test_operational_parameters_threaded_into_log(logged_engine):
+    """Labels / Job-Name / RegistryName / HostName ride
+    additionalParameters (Request.scala:135-166, case-insensitive names)
+    and must land in the log record, overriding the service-level
+    registry/host defaults — MahaRequestLogHelper parity."""
+    eng, sink = logged_engine
+    req = dict(REQ)
+    req["additionalParameters"] = {
+        "Labels": ["nightly", "tier1"],
+        "job-name": "revenue-report",          # case-insensitive key
+        "RegistryName": "er-override",
+        "HostName": "gw-7.example.internal",
+    }
+    eng.execute(json.dumps(req), schema="internal", request_id="rid-par")
+    e = sink.entries[-1]
+    assert e.labels == ["nightly", "tier1"]
+    assert e.job_name == "revenue-report"
+    assert e.registry_name == "er-override"   # beats engine default "er"
+    assert e.hostname == "gw-7.example.internal"
+
+    # absent params: service defaults stand
+    eng.execute(json.dumps(REQ), schema="internal", request_id="rid-def")
+    d = sink.entries[-1]
+    assert d.labels == [] and d.job_name == ""
+    assert d.registry_name == "er" and d.hostname
+
+
+def test_proto_carries_job_name_and_labels(tmp_path, logged_engine):
+    """jobName=41 and repeated labels=57 at the reference's proto field
+    numbers (MahaRequestLog.proto:76,97)."""
+    from maha_spark.core.protowire import _read_uvarint, decode_fields, _s
+    from maha_spark.log import ProtoRequestLogWriter
+
+    eng, sink = logged_engine
+    path = str(tmp_path / "reqlog_jl.pb")
+    eng.request_logger = ProtoRequestLogWriter(path)
+    req = dict(REQ)
+    req["additionalParameters"] = {"Labels": ["a", "b"], "Job-Name": "jn"}
+    eng.execute(json.dumps(req), schema="internal", request_id="rid-jl")
+
+    data = open(path, "rb").read()
+    ln, i = _read_uvarint(data, 0)
+    f = decode_fields(data[i:i + ln])
+    assert _s(f, 41) == "jn"
+    assert [v.decode() for _wt, v in f.get(57, [])] == ["a", "b"]
