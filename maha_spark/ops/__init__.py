@@ -65,6 +65,44 @@ def entry_queries() -> dict[str, Callable]:
     }
 
 
+def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
+    """Public pipeline operators NOT in the 50-entry driver contract:
+    name -> (callable, the pytest that pins it). Every rotation in or out
+    of ``entry_queries`` must move the operator between these two
+    registries — ``tools/gen_contract_map.py`` regenerates the README
+    table from both, and ``tests/test_contract_map.py`` fails if either
+    the table or this split goes stale (an operator in neither registry
+    is orphaned; in both is double-booked)."""
+    from . import dedup, multimodal, packing, sessions, similarity, sketches
+    return {
+        "embed_quantize": (similarity.embed_quantize,
+                           "test_ops_packing.py (exact oracle; "
+                           "rotated out r5)"),
+        "sessionize": (sessions.sessionize,
+                       "test_ops_sessions.py (stream twin == batch)"),
+        "approx_set_counts": (sketches.approx_set_counts,
+                              "test_ops.py::test_hll_within_rsd"),
+        "sim_ann_topk": (similarity.sim_ann_topk,
+                         "test_ops.py::test_ann_topk_quality"),
+        "sim_ivf_topk": (similarity.sim_ivf_topk,
+                         "test_ops.py::test_ivf_topk_quality"),
+        "sim_pq_topk": (similarity.sim_pq_topk,
+                        "test_ops.py::test_pq_topk_quality"),
+        "sim_ivfpq_topk": (similarity.sim_ivfpq_topk,
+                           "test_ops.py::test_ivfpq_topk_quality"),
+        "mm_resize": (multimodal.mm_resize,
+                      "test_ops_packing.py (exact oracle)"),
+        "mm_frame_sample": (multimodal.mm_frame_sample,
+                            "test_ops_packing.py (exact oracle)"),
+        "mix_balance": (packing.mix_balance,
+                        "test_ops_packing.py (exact oracle)"),
+        "approx_quantiles": (packing.approx_quantiles,
+                             "test_ops_packing.py (vs exact quantiles)"),
+        "dedup_stream_exact": (dedup.streaming_dedup,
+                               "test_ops.py::test_streaming_dedup_across_batches"),
+    }
+
+
 def entry_oracles() -> dict[str, str]:
     from . import (asof, chunking, contamination, dedup, multimodal,
                    packing, pipeline, sessions, similarity, sketches, text)

@@ -11,7 +11,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from maha_spark.ops import multimodal, packing  # noqa: E402
+from maha_spark.ops import multimodal, packing, similarity  # noqa: E402
 
 
 def _match(sdf, osql, duck):
@@ -96,10 +96,14 @@ def test_approx_quantiles_match_exact_shape_and_bounds(spark, sf_dir):
             assert abs(getattr(a, col) - getattr(e, col)) <= 2.0, (lang, col)
 
 
-# ---------------------------------------- off-contract multimodal oracles
+# ------------------------------------------- off-contract exact oracles
+# operators rotated out of the 50-entry driver contract keep their exact
+# DuckDB oracle pinned here (embed_quantize rotated out round 5)
 @pytest.mark.parametrize("fn,osql", [
     (multimodal.mm_resize, multimodal.mm_resize_oracle()),
     (multimodal.mm_frame_sample, multimodal.mm_frame_sample_oracle()),
+    (similarity.embed_quantize, similarity.embed_quantize_oracle()),
+    (packing.mix_balance, packing.mix_balance_oracle()),
 ])
 def test_mm_offcontract_oracle(fn, osql, spark, duck, sf_dir):
     _match(fn(spark, sf_dir), osql, duck)
