@@ -43,9 +43,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 # Every listed multiplier runs as its own tier (first = headline ratio);
 # the 256x (154M-row) tier regression-tracks the scaling TREND — the
 # ratio must not degrade as data doubles.
-MULTS = [int(m) for m in
-         os.environ.get("SPARK_GRAFT_BENCH_MULT", "128,256").split(",")
-         if int(m) > 1]
+MULTS = [m for m in
+         (int(s) for s in
+          os.environ.get("SPARK_GRAFT_BENCH_MULT", "128,256").split(",")
+          if s.strip())
+         if m > 1]
 
 
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

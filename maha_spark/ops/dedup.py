@@ -495,8 +495,10 @@ CC_VALUES_PER_PARTITION = 1_000_000
 
 def cc_shuffle_cap(spark: SparkSession, n_values: int) -> int:
     """Shuffle-partition cap for the distinct-simhash-value graph:
-    ``clamp(n_values / CC_VALUES_PER_PARTITION, 8, defaultParallelism)``.
-    The floor keeps the harness-scale graph (thousands of values) off
+    ``max(8, min(n_values / CC_VALUES_PER_PARTITION, defaultParallelism))``
+    — note the FLOOR WINS over the ceiling on <8-core sessions (8 small
+    tasks queue harmlessly; under-splitting a big graph does not). The
+    floor keeps the harness-scale graph (thousands of values) off
     200-task stages whose launch overhead dominates; the data-derived
     middle keeps 100 TB corpora (billions of values) from funneling into
     8 partitions; the parallelism ceiling stops over-splitting past the

@@ -63,18 +63,21 @@ def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     return width, height, "fake/rgb8"
 
 
-def _pil_decode(payload: bytes) -> tuple[int | None, int | None, str]:
-    """Real decode via Pillow (only reachable when the probe found it).
-    Undecodable payloads yield NULL dimensions, never an exception — one
-    corrupt object in a 100 TB corpus must not fail the stage."""
+def _make_pil_decode(Image):
+    """Bind a decode-one over an already-resolved Pillow Image module (the
+    probe runs once per task, not once per payload). Undecodable payloads
+    yield NULL dimensions, never an exception — one corrupt object in a
+    100 TB corpus must not fail the stage."""
     import io
-    Image = _probe_codec()
-    try:
-        with Image.open(io.BytesIO(payload)) as img:
-            return (int(img.width), int(img.height),
-                    f"image/{(img.format or 'unknown').lower()}")
-    except Exception:
-        return None, None, "undecodable"
+
+    def decode_one(payload: bytes) -> tuple[int | None, int | None, str]:
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                return (int(img.width), int(img.height),
+                        f"image/{(img.format or 'unknown').lower()}")
+        except Exception:
+            return None, None, "undecodable"
+    return decode_one
 
 
 def decode_binary_features(binary_df: DataFrame,
@@ -93,12 +96,18 @@ def decode_binary_features(binary_df: DataFrame,
         raise ValueError(f"unknown codec mode {codec!r}")
     if codec == "pil" and not HAS_CODEC:
         raise ImportError("codec='pil' requires Pillow")
-    use_real = codec == "pil" or (codec == "auto" and HAS_CODEC)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # re-probe on the WORKER (module globals don't ship with the
-        # function under cloudpickle from a library install)
-        decode_one = _pil_decode if use_real else _fake_decode
+        # the probe runs HERE, on the worker, once per task: driver and
+        # executors can have different installs, and a driver-side
+        # decision would make a worker without Pillow mark every payload
+        # 'undecodable' instead of falling back to the stub (auto) or
+        # failing loudly (pil)
+        Image = _probe_codec() if codec in ("auto", "pil") else None
+        if codec == "pil" and Image is None:
+            raise ImportError("codec='pil': Pillow missing on the worker")
+        use_real = Image is not None
+        decode_one = _make_pil_decode(Image) if use_real else _fake_decode
         # real decode can yield NULL dims (undecodable payloads) -> the
         # nullable Int32 extension dtype; the stub never does
         dim_dtype = "Int32" if use_real else "int32"

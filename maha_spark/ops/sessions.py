@@ -99,10 +99,17 @@ def _fmt_us(us: int) -> str:
         us // 1_000_000, tz=_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
 
-def _val_units(v: float) -> int:
-    """DOUBLE value -> integer hundred-thousandths with HALF_UP rounding —
-    the exact arithmetic of CAST(value AS DECIMAL(8,5)) summation."""
-    return int(v * 100_000 + 0.5)
+# DOUBLE value -> integer hundred-thousandths with HALF_UP rounding
+# (x * _UNITS_SCALE + 0.5, truncated toward zero) — the exact arithmetic
+# of CAST(value AS DECIMAL(8,5)) summation. _units_np is the ONLY
+# implementation; the stream==batch bit-parity pinned by
+# tests/test_ops_sessions.py rides on this one rounding rule.
+_UNITS_SCALE = 100_000
+
+
+def _units_np(values):
+    import numpy as np
+    return (values * _UNITS_SCALE + 0.5).astype(np.int64)
 
 
 def streaming_sessions_df(spark: SparkSession, events_dir: str,
@@ -149,7 +156,7 @@ def streaming_sessions_df(spark: SparkSession, events_dir: str,
             # session any more -> emit and clear
             if start_us is not None:
                 closed.append((user_id, sid, n, _fmt_us(start_us),
-                               _fmt_us(last_us), units / 100_000.0))
+                               _fmt_us(last_us), units / _UNITS_SCALE))
             state.remove()
         else:
             import numpy as np
@@ -167,8 +174,7 @@ def streaming_sessions_df(spark: SparkSession, events_dir: str,
                       .astype(np.int64))
                 order = np.argsort(us, kind="stable")
                 us = us[order]
-                ev_units = (cat["value"].to_numpy()[order]
-                            * 100_000 + 0.5).astype(np.int64)
+                ev_units = _units_np(cat["value"].to_numpy()[order])
                 brk = np.empty(len(us), dtype=bool)
                 brk[0] = True
                 np.greater(np.diff(us), _GAP_US, out=brk[1:])
@@ -184,13 +190,13 @@ def streaming_sessions_df(spark: SparkSession, events_dir: str,
                     seg_units[0] += units
                 elif start_us is not None:
                     closed.append((user_id, sid, n, _fmt_us(start_us),
-                                   _fmt_us(last_us), units / 100_000.0))
+                                   _fmt_us(last_us), units / _UNITS_SCALE))
                     sid += 1
                 for i in range(len(starts) - 1):
                     closed.append((user_id, sid, int(counts[i]),
                                    _fmt_us(int(seg_start[i])),
                                    _fmt_us(int(seg_end[i])),
-                                   seg_units[i] / 100_000.0))
+                                   seg_units[i] / _UNITS_SCALE))
                     sid += 1
                 start_us, last_us = int(seg_start[-1]), int(seg_end[-1])
                 n, units = int(counts[-1]), int(seg_units[-1])

@@ -100,7 +100,11 @@ class ReportingRequest:
     @property
     def labels(self) -> list[str]:
         v = self.get_parameter("Labels", [])
-        return [str(x) for x in v] if isinstance(v, (list, tuple)) else []
+        if isinstance(v, (list, tuple)):
+            return [str(x) for x in v]
+        # a scalar label (easy client mistake — the sibling params are all
+        # scalars) is logged as a one-element list, not silently dropped
+        return [str(v)] if v else []
 
     @property
     def job_name(self) -> str:

@@ -164,7 +164,9 @@ def test_ivf_topk_quality(spark, sf_dir):
 
 
 def test_binary_decode_batching(spark):
-    """mapInPandas decode: schema, Arrow round-trip, determinism."""
+    """mapInPandas decode: schema, Arrow round-trip, determinism.
+    codec='stub' pinned explicitly — these payloads are not images, and
+    the assertions must hold in a Pillow-equipped environment too."""
     import pandas as pd
     from maha_spark.ops.multimodal import decode_binary_features
     pdf = pd.DataFrame({
@@ -172,7 +174,8 @@ def test_binary_decode_batching(spark):
         "payload": [b"alpha", b"beta", b"alpha"],
     })
     df = spark.createDataFrame(pdf)
-    out = decode_binary_features(df).toPandas().sort_values("doc_id")
+    out = (decode_binary_features(df, codec="stub")
+           .toPandas().sort_values("doc_id"))
     assert list(out.columns) == ["doc_id", "n_bytes", "content_md5",
                                  "width", "height", "format"]
     assert out["n_bytes"].tolist() == [5, 4, 5]
