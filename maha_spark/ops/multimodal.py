@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
+The container has no image/audio codecs, so the decode step defaults to a
 clearly-marked deterministic fake (dimensions derived from the payload's
 md5) — but the Spark-side plumbing is real and tested: binary column
 construction, explicit output schema, Arrow batch transfer, and a
-partition-preserving mapInPandas pipeline.  Swap ``_fake_decode`` for a
-PIL/ffmpeg call in production; everything else stands.
+partition-preserving mapInPandas pipeline. ``decode_binary_features``
+probes for Pillow ON THE WORKER and decodes real pixels when present
+(``codec="auto"``/``"pil"``) behind the identical schema; everything
+else stands unchanged.
 
 The driver-facing query (``mm_decode_features``) has a DuckDB oracle
 because the fake decode is pure md5 arithmetic expressible in SQL.
@@ -20,7 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from .common import load_table
@@ -53,7 +55,7 @@ HAS_CODEC = _probe_codec() is not None
 def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     """STUB — deterministic stand-in for an image decoder.
 
-    Production would decode real pixels (see ``_pil_decode``); here the
+    Production would decode real pixels (see ``_make_pil_decode``); here the
     'decoded' dimensions derive from the payload digest so the pipeline is
     testable without codecs.
     """
