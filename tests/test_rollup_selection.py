@@ -27,10 +27,15 @@ def _model(select, filters=None):
 
 
 def test_cheap_rollup_chosen_when_columns_covered():
-    # return_flag + revenue need no discarded column -> the cost-2000
-    # rollup (without l_partkey/l_suppkey/l_linenumber) must be picked
+    # return_flag + revenue: fully summable -> the cost-50 pre-aggregated
+    # daily rollup wins over both row-grain tables
     m = _model(["return_flag", "revenue"])
-    assert m.fact_table.cost == 2000
+    assert m.fact_table.cost == 50
+    # the exact order distinct at a coarser-than-stored grain disqualifies
+    # the daily rollup (serves_grain) -> next-cheapest: the cost-2000
+    # narrow copy (without l_partkey/l_suppkey/l_linenumber)
+    m2 = _model(["return_flag", "order_count"])
+    assert m2.fact_table.cost == 2000
 
 
 def test_base_table_forced_by_discarded_projection():
@@ -63,7 +68,7 @@ def test_available_onwards_disqualifies_rollup_for_old_windows():
     fact = reg.fact("tpch")
     fact = copy.deepcopy(fact)
     for t in fact.tables:
-        if t.cost == 2000:
+        if t.cost in (2000, 50):  # both rollup tiers backfilled from 1998
             t.available_onwards = "1998-01-01"
     reg.register_fact(fact)
 
@@ -76,10 +81,10 @@ def test_available_onwards_disqualifies_rollup_for_old_windows():
                 {"field": "day", "operator": "between",
                  "from": day_from, "to": day_to}]}), reg)
 
-    # window starts before the rollup's data exists -> base table
+    # window starts before the rollups' data exists -> base table
     assert model("1995-01-01", "2002-12-31").fact_table.cost == 6000
-    # window fully inside the rollup's availability -> cheap rollup
-    assert model("1998-06-01", "1999-06-01").fact_table.cost == 2000
+    # window fully inside the rollups' availability -> cheapest rollup
+    assert model("1998-06-01", "1999-06-01").fact_table.cost == 50
 
 
 def test_cost_multiplier_prefers_async_tuned_copy():
@@ -92,10 +97,12 @@ def test_cost_multiplier_prefers_async_tuned_copy():
     cube = reg.fact("tpch")
     base = next(t for t in cube.tables if t.cost == 6000)
     rollup = next(t for t in cube.tables if t.cost == 2000)
+    daily = next(t for t in cube.tables if t.cost == 50)
     # async reports prefer the base table (e.g. it lives on cheaper
     # storage tuned for large scans)
     base.cost_multiplier_map = {"AsyncRequest": 0.1}
     rollup.cost_multiplier_map = {"AsyncRequest": 2.0}
+    daily.cost_multiplier_map = {"AsyncRequest": 1000.0}
 
     from maha_spark.model.request_model import build_request_model
     from maha_spark.request.request import parse_request
@@ -108,8 +115,8 @@ def test_cost_multiplier_prefers_async_tuned_copy():
                              {"field": "revenue"}],
             "filterExpressions": [DAY]}), reg)
 
-    assert model("SyncRequest").fact_table.cost == 2000   # unchanged
-    assert model("AsyncRequest").fact_table.cost == 6000  # 600 < 4000
+    assert model("SyncRequest").fact_table.cost == 50     # unchanged
+    assert model("AsyncRequest").fact_table.cost == 6000  # 600 < 4000 < 50k
 
 
 def test_schema_restricted_table_excluded():
@@ -121,8 +128,9 @@ def test_schema_restricted_table_excluded():
 
     reg = build_contract_registry()
     cube = reg.fact("tpch")
-    rollup = next(t for t in cube.tables if t.cost == 2000)
-    rollup.schemas = {"partner"}
+    for t in cube.tables:
+        if t.cost in (2000, 50):  # both rollup tiers partner-only
+            t.schemas = {"partner"}
 
     def model(schema):
         return build_request_model(parse_request({
@@ -131,6 +139,6 @@ def test_schema_restricted_table_excluded():
                              {"field": "revenue"}],
             "filterExpressions": [DAY]}, schema=schema), reg)
 
-    # internal requests cannot use the partner-only rollup
+    # internal requests cannot use the partner-only rollups
     assert model("internal").fact_table.cost == 6000
-    assert model("partner").fact_table.cost == 2000
+    assert model("partner").fact_table.cost == 50

@@ -150,3 +150,89 @@ def test_hll_partial_reaggregates_at_any_grain(spark, tmp_path_factory):
                                 {"field": "user_count"}])).collect()))
     for day, est in b.items():
         assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
+
+
+# ---------------------------------------------------- lineitem_daily rollup
+LI_Q1 = {
+    "cube": "tpch",
+    "selectFields": [
+        {"field": "return_flag"}, {"field": "line_status"},
+        {"field": "sum_qty"}, {"field": "revenue"}, {"field": "charge"},
+        {"field": "avg_qty"}, {"field": "avg_price"}, {"field": "avg_disc"},
+        {"field": "line_count"}],
+    "filterExpressions": [{"field": "day", "operator": "between",
+                           "from": "1995-01-01", "to": "2002-12-31"}],
+}
+LI_DAY = LI_Q1["filterExpressions"][0]
+
+
+@pytest.fixture(scope="module")
+def li_rollup_dir(spark, tmp_path_factory):
+    from maha_spark.examples.contract import materialize_lineitem_rollup
+    d = str(tmp_path_factory.mktemp("liroll"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    materialize_lineitem_rollup(spark, SRC, d)
+    return d
+
+
+def test_lineitem_daily_serves_summable_requests_exactly(spark,
+                                                         li_rollup_dir):
+    """TPC-H Q1 through the daily rollup: ~6 stored rows per day replace
+    the raw line items, and every metric (cents sums, derived averages,
+    count) is bit-identical to the raw plan."""
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, build_contract_registry(), li_rollup_dir)
+    assert raw.model(LI_Q1).fact_table.name == "lineitem"
+    assert rolled.model(LI_Q1).fact_table.name == "lineitem_daily"
+    a = sorted(map(tuple, raw.dataframe(LI_Q1).collect()))
+    b = sorted(map(tuple, rolled.dataframe(LI_Q1).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lineitem_daily_grain_guard_and_coverage_fallbacks(spark,
+                                                           li_rollup_dir):
+    """Exact order distinct: AT the stored grain the rollup serves it
+    (each output group = one stored row); at a coarser grain it must not
+    be re-aggregated (an order spans days) -> raw fact. Columns the
+    rollup discarded (part FK, degenerate quantity dim, AverageRollup)
+    also fall back by coverage."""
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, build_contract_registry(), li_rollup_dir)
+    full = {"cube": "tpch", "selectFields": [
+        {"field": "day"}, {"field": "return_flag"},
+        {"field": "line_status"}, {"field": "order_count"}],
+        "filterExpressions": [LI_DAY]}
+    assert rolled.model(full).fact_table.name == "lineitem_daily"
+    a = sorted(map(tuple, raw.dataframe(full).collect()))
+    b = sorted(map(tuple, rolled.dataframe(full).collect()))
+    assert a == b and len(a) > 0
+
+    coarse = {"cube": "tpch", "selectFields": [
+        {"field": "return_flag"}, {"field": "order_count"}],
+        "filterExpressions": [LI_DAY]}
+    assert rolled.model(coarse).fact_table.name == "lineitem"
+
+    for fields in ([{"field": "part_id"}, {"field": "revenue"}],
+                   [{"field": "quantity_int"}, {"field": "revenue"}],
+                   [{"field": "return_flag"},
+                    {"field": "avg_price_rollup"}],
+                   [{"field": "return_flag"},
+                    {"field": "order_count_approx"}]):
+        req = {"cube": "tpch", "selectFields": fields,
+               "filterExpressions": [LI_DAY]}
+        assert rolled.model(req).fact_table.name == "lineitem", fields
+
+
+def test_lineitem_daily_never_serves_scan_or_timezone(spark, li_rollup_dir):
+    rolled = engine_for_dir(spark, build_contract_registry(), li_rollup_dir)
+    scan = {"cube": "tpch", "queryType": "scan",
+            "selectFields": [{"field": "return_flag"},
+                             {"field": "line_status"}],
+            "filterExpressions": [LI_DAY], "rowsPerPage": 50}
+    assert rolled.model(scan).fact_table.name == "lineitem"
+    tz = {"cube": "tpch",
+          "selectFields": [{"field": "day"}, {"field": "revenue"}],
+          "filterExpressions": [LI_DAY],
+          "additionalParameters": {"timeZone": "Asia/Kolkata"}}
+    assert rolled.model(tz).fact_table.name == "lineitem"
