@@ -78,21 +78,25 @@ def guess_sf(path: str) -> float:
     return -1.0
 
 
-#: fact table -> its day column (the dt= partition key of the v2 layout)
+#: fact table -> its day column (the dt= partition key of the scaled layout)
 FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker. v2 layout = the 100 TB storage shape:
+    rounds via a _READY marker — the ``v3`` suffix is the layout VERSION:
+    bump it whenever the produced contents change, else machines with an
+    old marker silently keep the old layout. v3 = the 100 TB storage
+    shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
       (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
       becomes a PartitionFilter (directory pruning, not per-file
       row-group statistics);
-    * the ``events_hourly`` pre-aggregated rollup materialized beside the
-      raw events (in production the streaming job maintains it; content
-      is identical — tests/test_stream_rollup.py pins stream == batch);
+    * BOTH pre-aggregated rollups materialized beside the raw facts:
+      ``events_hourly`` (streaming-maintained in production —
+      tests/test_stream_rollup.py pins stream == batch) and
+      ``lineitem_daily`` (batch-materialized; v3 addition);
     * dims symlinked.
     """
     from pyspark.sql import functions as F
@@ -102,7 +106,7 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v2")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v3")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -144,7 +148,7 @@ def duck_connect(data_dir: str):
     con = duckdb.connect()
     con.execute(f"SET threads TO {CPUS}")
     for t in ALL_TABLES:
-        # v2 layout: date-partitioned directory (hive partitioning)
+        # scaled layout: date-partitioned directory (hive partitioning)
         d = os.path.join(data_dir, t)
         if os.path.isdir(d):
             con.execute(
