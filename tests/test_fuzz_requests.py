@@ -1,0 +1,228 @@
+"""Seeded randomized request fuzz on the tpch cube.
+
+The 50 driver-contract entries are pointwise: each exercises one chosen
+combination of select fields x filters x grain. This module generates a
+deterministic battery of ~40 RANDOM reporting requests (field subsets,
+filter stacks, day windows, join dims) and cross-checks every one
+against independently-built DuckDB SQL over the RAW tables only — the
+combinatorial complement of the contract.
+
+The fixture dir materializes the ``lineitem_daily`` pre-aggregated
+rollup beside the raw facts, so candidate selection competes THREE
+physical tables per request exactly as the scaled bench does. Because
+the oracle always aggregates raw rows, any rollup-serving bug — a
+grain guard that admits a request it shouldn't, a discarded-column
+fallback that doesn't fire, a partial that isn't bit-identical — shows
+up as a value mismatch here, on request shapes nobody hand-picked.
+
+Reference parity: this is the randomized twin of the reference's
+BaseQueryGeneratorTest battery (core/src/test/.../query/...) which
+pins generated SQL per hand-written request; Spark has no SQL string
+to pin, so we pin VALUES against DuckDB instead.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import random
+
+import pytest
+
+from maha_spark.examples.contract import (RETURN_FLAG_SQL, SQL_DISC,
+                                          SQL_DISC_PRICE, SQL_PRICE, SQL_QTY,
+                                          build_contract_registry,
+                                          ensure_udfs,
+                                          materialize_lineitem_rollup)
+
+SEED = 20260814
+N_CASES = 40
+
+# ---------------------------------------------------------------------------
+# field pools: public name -> (select-SQL over raw tables, joins needed)
+# Spellings match the hand-written contract oracles (q1/q3/q8/q12/q20/q28).
+
+DIM_POOL = {
+    "return_flag": ("l_returnflag", ()),
+    "line_status": ("l_linestatus", ()),
+    "return_flag_label": (RETURN_FLAG_SQL, ()),
+    "day": ("CAST(l_shipdate AS DATE)", ()),
+    "month": ("CAST(date_trunc('month', l_shipdate) AS DATE)", ()),
+    "day_of_week": ("dayname(l_shipdate)", ()),
+    # rollup-DISCARDED raw columns: selecting either must force the
+    # base-table candidate
+    "line_number": ("l_linenumber", ()),
+    "quantity_int": ("CAST(l_quantity AS INT)", ()),
+    # join dims: FKs are discarded on both rollups -> base + dim join
+    "brand": ("p_brand", ("part",)),
+    "mktsegment": ("c_mktsegment", ("orders", "customer")),
+}
+
+MET_POOL = {
+    "sum_qty": f"CAST(SUM({SQL_QTY}) AS DOUBLE)",
+    "sum_base_price": f"CAST(SUM({SQL_PRICE}) AS DOUBLE)",
+    "revenue": f"CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)",
+    "line_count": "COUNT(*)",
+    "avg_qty": f"CAST(SUM({SQL_QTY}) AS DOUBLE) / COUNT(*)",
+    "avg_price": f"CAST(SUM({SQL_PRICE}) AS DOUBLE) / COUNT(*)",
+    "avg_disc": f"CAST(SUM({SQL_DISC}) AS DOUBLE) / COUNT(*)",
+    "returned_qty": (f"CAST(SUM(CASE WHEN l_returnflag = 'R' "
+                     f"THEN {SQL_QTY} END) AS DOUBLE)"),
+    "order_count": "COUNT(DISTINCT l_orderkey)",
+    "max_price": "MAX(l_extendedprice)",
+    "min_price": "MIN(l_extendedprice)",
+    "revenue_rounded": (f"CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) "
+                        f"AS DOUBLE)"),
+}
+
+JOIN_SQL = {
+    "part": "JOIN part ON l_partkey = p_partkey",
+    "orders": "JOIN orders ON l_orderkey = o_orderkey",
+    "customer": "JOIN customer ON o_custkey = c_custkey",
+}
+
+_FLAG_LABELS = {"A": "ACCEPTED", "N": "NONE", "R": "RETURNED"}
+
+
+def _filter_pool(rng: random.Random):
+    """Each entry: (request filter dict, sql predicate, joins needed)."""
+    flags = rng.sample(["A", "N", "R"], rng.randint(1, 2))
+    labels = [_FLAG_LABELS[f] for f in flags]
+    status = rng.choice(["O", "F"])
+    qty = rng.randint(5, 40)
+    ln = rng.randint(2, 7)
+    seg = rng.sample(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                      "HOUSEHOLD", "MACHINERY"], 2)
+    in_list = "', '".join(flags)
+    return [
+        ({"field": "return_flag", "operator": "in", "values": flags},
+         f"l_returnflag IN ('{in_list}')", ()),
+        ({"field": "line_status", "operator": "=", "value": status},
+         f"l_linestatus = '{status}'", ()),
+        ({"field": "return_flag", "operator": "<>", "value": "N"},
+         "l_returnflag <> 'N'", ()),
+        # static-mapping reverse expansion: label filter -> raw values
+        ({"field": "return_flag_label", "operator": "in", "values": labels},
+         f"l_returnflag IN ('{in_list}')", ()),
+        # rollup-discarded raw columns in the WHERE: must force base
+        ({"field": "quantity_int", "operator": ">", "value": qty},
+         f"CAST(l_quantity AS INT) > {qty}", ()),
+        ({"field": "line_number", "operator": "<", "value": ln},
+         f"l_linenumber < {ln}", ()),
+        # non-FK dim filter -> inner join even when unselected
+        ({"field": "mktsegment", "operator": "in", "values": seg},
+         f"c_mktsegment IN ('{seg[0]}', '{seg[1]}')",
+         ("orders", "customer")),
+    ]
+
+
+def gen_case(rng: random.Random) -> dict:
+    dims = rng.sample(sorted(DIM_POOL), rng.randint(1, 3))
+    mets = rng.sample(sorted(MET_POOL), rng.randint(1, 4))
+    start = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 2100))
+    end = start + dt.timedelta(days=rng.randint(30, 400))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(l_shipdate AS DATE) BETWEEN DATE '{start}' "
+             f"AND DATE '{end}'"]
+    joins = set()
+    for f in dims:
+        joins.update(DIM_POOL[f][1])
+    for req_f, sql_pred, j in rng.sample(_filter_pool(rng),
+                                         rng.randint(0, 2)):
+        filters.append(req_f)
+        preds.append(sql_pred)
+        joins.update(j)
+    # orders is a prerequisite of customer in the snowflake chain
+    if "customer" in joins:
+        joins.add("orders")
+    join_sql = " ".join(JOIN_SQL[j] for j in ("part", "orders", "customer")
+                        if j in joins)
+    sel = ", ".join([f"{DIM_POOL[f][0]} AS {f}" for f in dims]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    sql = (f"SELECT {sel} FROM lineitem {join_sql} "
+           f"WHERE {' AND '.join(preds)} GROUP BY {group}")
+    request = {"cube": "tpch",
+               "selectFields": [{"field": f} for f in dims + mets],
+               "filterExpressions": filters}
+    return {"fields": dims + mets, "request": request, "sql": sql}
+
+
+_RNG = random.Random(SEED)
+CASES = [gen_case(_RNG) for _ in range(N_CASES)]
+
+#: filled per-case; the capstone test asserts both candidate paths ran
+_SERVED: dict[str, set] = {"tables": set()}
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, sf_dir, tmp_path_factory):
+    """sf tables symlinked + the lineitem_daily rollup materialized, so
+    selection sees all three tpch candidates (the sf dirs themselves
+    never materialize rollups — the driver correctness gate must always
+    exercise the raw path)."""
+    d = tmp_path_factory.mktemp("fuzz_sf")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, str(d / f"{t}.parquet"))
+    materialize_lineitem_rollup(spark, str(d), str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark, fuzz_dir):
+    from maha_spark.engine import engine_for_dir
+    ensure_udfs(spark)
+    return engine_for_dir(spark, build_contract_registry(), fuzz_dir)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6) if math.isfinite(v) else repr(v)
+    if isinstance(v, dt.datetime):
+        return v.date().isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
+def _close(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
+    return _norm(a) == _norm(b)
+
+
+@pytest.mark.parametrize("case", CASES,
+                         ids=[f"case{i:02d}" for i in range(len(CASES))])
+def test_random_request_matches_raw_oracle(case, fuzz_engine, duck):
+    df = fuzz_engine.dataframe(case["request"])
+    _SERVED["tables"].add(fuzz_engine.model(case["request"]).fact_table.name)
+    fields = case["fields"]
+
+    def key(t):  # None-safe total order across mixed column types
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(r[f]) for f in fields)
+                  for r in df.collect()), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert len(got) == len(want), \
+        f"row count {len(got)} != {len(want)}\nsql: {case['sql']}"
+    for g, w in zip(got, want):
+        assert len(g) == len(w) and all(_close(a, b)
+                                        for a, b in zip(g, w)), \
+            f"row mismatch {g} != {w}\nsql: {case['sql']}"
+
+
+def test_fuzz_exercised_both_candidates():
+    """The battery is only a rollup-serving guard if selection actually
+    took the rollup somewhere AND fell back to base somewhere."""
+    assert "lineitem_daily" in _SERVED["tables"], \
+        "no fuzz case was served from the lineitem_daily rollup"
+    assert "lineitem" in _SERVED["tables"], \
+        "no fuzz case fell back to the raw lineitem table"
