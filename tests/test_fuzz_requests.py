@@ -226,3 +226,94 @@ def test_fuzz_exercised_both_candidates():
         "no fuzz case was served from the lineitem_daily rollup"
     assert "lineitem" in _SERVED["tables"], \
         "no fuzz case fell back to the raw lineitem table"
+
+
+# ---------------------------------------------------------------------------
+# battery 2: randomized sort + pagination self-consistency.
+#
+# Oracle-free by design: the engine's page tiebreak (remaining projection
+# columns, planner.py:848-866) is an implementation choice the oracle
+# cannot spell, so instead of comparing pages to SQL we assert the
+# properties the tiebreak EXISTS to provide — walking all pages of a
+# sorted request reconstructs the full result exactly once (no repeated
+# or vanished rows across page boundaries), every page obeys the user
+# sort, and re-running a page is deterministic.
+
+PAG_DIMS = ["return_flag", "line_status", "month", "day_of_week"]
+PAG_METS = ["revenue", "line_count", "sum_qty"]
+
+
+def gen_pag_case(rng: random.Random) -> dict:
+    dims = rng.sample(PAG_DIMS, rng.randint(1, 2))
+    mets = rng.sample(PAG_METS, rng.randint(1, 2))
+    fields = dims + mets
+    start = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 2100))
+    end = start + dt.timedelta(days=rng.randint(60, 120))
+    sort = [{"field": f, "order": rng.choice(["ASC", "DESC"])}
+            for f in rng.sample(fields, rng.randint(1, 2))]
+    return {
+        "fields": fields,
+        "sort": [(s["field"], s["order"]) for s in sort],
+        "page": rng.randint(3, 8),
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": f} for f in fields],
+            "filterExpressions": [
+                {"field": "day", "operator": "between",
+                 "from": start.isoformat(), "to": end.isoformat()}],
+            "sortBy": sort,
+        },
+    }
+
+
+PAG_CASES = [gen_pag_case(_RNG) for _ in range(8)]
+
+
+def _obeys_sort(rows, spec, idx) -> bool:
+    for a, b in zip(rows, rows[1:]):
+        for f, direction in spec:
+            x, y = a[idx[f]], b[idx[f]]
+            if x == y:
+                continue
+            ok = (x < y) if direction == "ASC" else (x > y)
+            if not ok:
+                return False
+            break
+    return True
+
+
+@pytest.mark.parametrize("case", PAG_CASES,
+                         ids=[f"pag{i:02d}" for i in range(len(PAG_CASES))])
+def test_random_pagination_reconstructs_sorted_result(case, fuzz_engine):
+    fields = case["fields"]
+    idx = {f: i for i, f in enumerate(fields)}
+
+    def rows_of(req):
+        return [tuple(_norm(r[f]) for f in fields)
+                for r in fuzz_engine.dataframe(req).collect()]
+
+    full = rows_of(case["request"])
+    assert len(full) > 0
+    page = case["page"]
+    pages, walked = [], 0
+    while walked < len(full):
+        req = dict(case["request"], paginationStartIndex=walked,
+                   rowsPerPage=page)
+        p = rows_of(req)
+        expect = min(page, len(full) - walked)
+        assert len(p) == expect, \
+            (f"page at offset {walked} returned {len(p)} rows, "
+             f"expected {expect} of {len(full)}")
+        assert _obeys_sort(p, case["sort"], idx)
+        pages.append(p)
+        walked += len(p)
+    concat = [r for p in pages for r in p]
+    assert sorted(concat) == sorted(full), \
+        "walking all pages did not reconstruct the full result exactly"
+    assert _obeys_sort(concat, case["sort"], idx), \
+        "page boundaries broke the global sort order"
+    # a page is its own Spark job: re-planning the same page must be
+    # deterministic, else rows repeat/vanish for real paging clients
+    again = rows_of(dict(case["request"], paginationStartIndex=page,
+                         rowsPerPage=page))
+    assert again == (pages[1] if len(pages) > 1 else [])
