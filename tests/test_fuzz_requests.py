@@ -33,6 +33,7 @@ from maha_spark.examples.contract import (RETURN_FLAG_SQL, SQL_DISC,
                                           SQL_DISC_PRICE, SQL_PRICE, SQL_QTY,
                                           build_contract_registry,
                                           ensure_udfs,
+                                          materialize_events_rollup,
                                           materialize_lineitem_rollup)
 
 SEED = 20260814
@@ -169,6 +170,7 @@ def fuzz_dir(spark, sf_dir, tmp_path_factory):
         if os.path.exists(src):
             os.symlink(src, str(d / f"{t}.parquet"))
     materialize_lineitem_rollup(spark, str(d), str(d))
+    materialize_events_rollup(spark, str(d), str(d))
     return str(d)
 
 
@@ -317,3 +319,91 @@ def test_random_pagination_reconstructs_sorted_result(case, fuzz_engine):
     again = rows_of(dict(case["request"], paginationStartIndex=page,
                          rowsPerPage=page))
     assert again == (pages[1] if len(pages) > 1 else [])
+
+
+# ---------------------------------------------------------------------------
+# battery 3: the events cube against its events_hourly rollup.
+#
+# Same shape as battery 1 but over the second cube, whose serving rules
+# are the subtlest in the registry: SUM-partial re-aggregation at
+# coarser grains, the exact-distinct user_cnt stored as NoopRollup and
+# servable ONLY at the full (hour, event_type) grain, and the
+# POST_RESULT_DECODE column. The oracle always aggregates raw events.
+
+EV_DIMS = {
+    "day": "CAST(ts AS DATE)",
+    "hour": "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')",
+    "event_type": "event_type",
+}
+
+EV_METS = {
+    "event_count": "COUNT(*)",
+    "total_value": "CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)",
+    "user_count": "COUNT(DISTINCT user_id)",
+    "value_if_click": ("CASE WHEN event_type = 'click' THEN "
+                       "CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE) "
+                       "ELSE NULL END"),
+}
+
+EV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def gen_ev_case(rng: random.Random) -> dict:
+    dims = rng.sample(sorted(EV_DIMS), rng.randint(1, 2))
+    mets = rng.sample(sorted(EV_METS), rng.randint(1, 3))
+    if "value_if_click" in mets and "event_type" not in dims:
+        # POST_RESULT_DECODE reads the status dim per output row
+        dims.append("event_type")
+    start = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randint(0, 20))
+    end = start + dt.timedelta(days=rng.randint(3, 20))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(ts AS DATE) BETWEEN DATE '{start}' AND DATE '{end}'"]
+    if rng.random() < 0.5:
+        types = rng.sample(EV_TYPES, rng.randint(1, 3))
+        filters.append({"field": "event_type", "operator": "in",
+                        "values": types})
+        quoted = "', '".join(types)
+        preds.append(f"event_type IN ('{quoted}')")
+    sel = ", ".join([f"{EV_DIMS[f]} AS {f}" for f in dims]
+                    + [f"{EV_METS[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    sql = (f"SELECT {sel} FROM events WHERE {' AND '.join(preds)} "
+           f"GROUP BY {group}")
+    return {"fields": dims + mets, "sql": sql,
+            "request": {"cube": "events_cube",
+                        "selectFields": [{"field": f} for f in dims + mets],
+                        "filterExpressions": filters}}
+
+
+EV_CASES = [gen_ev_case(_RNG) for _ in range(15)]
+_EV_SERVED: set = set()
+
+
+@pytest.mark.parametrize("case", EV_CASES,
+                         ids=[f"ev{i:02d}" for i in range(len(EV_CASES))])
+def test_random_events_request_matches_raw_oracle(case, fuzz_engine, duck):
+    df = fuzz_engine.dataframe(case["request"])
+    _EV_SERVED.add(fuzz_engine.model(case["request"]).fact_table.name)
+    fields = case["fields"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(r[f]) for f in fields)
+                  for r in df.collect()), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert len(got) == len(want), \
+        f"row count {len(got)} != {len(want)}\nsql: {case['sql']}"
+    for g, w in zip(got, want):
+        assert len(g) == len(w) and all(_close(a, b)
+                                        for a, b in zip(g, w)), \
+            f"row mismatch {g} != {w}\nsql: {case['sql']}"
+
+
+def test_events_fuzz_exercised_both_candidates():
+    assert "events_hourly" in _EV_SERVED, \
+        "no events fuzz case was served from the events_hourly rollup"
+    assert "events" in _EV_SERVED, \
+        "no events fuzz case fell back to the raw events table"
