@@ -407,3 +407,79 @@ def test_events_fuzz_exercised_both_candidates():
         "no events fuzz case was served from the events_hourly rollup"
     assert "events" in _EV_SERVED, \
         "no events fuzz case fell back to the raw events table"
+
+
+# ---------------------------------------------------------------------------
+# battery 4: randomized timezone local-day shifting.
+#
+# Fixed-offset zones only (no DST), so the raw oracle can spell the
+# local day as UTC + INTERVAL without ICU. Exercises the +-1-day widen
+# + re-filter + local-time grouping path (planner timezone handling,
+# pinned pointwise by q30) across random offsets — including negative
+# ones — and random day windows; because the fixture materializes
+# lineitem_daily (UTC day grain), any serving of a shifted request
+# from the rollup shows up as wrong day boundaries here.
+
+TZ_OFFSETS = {  # zone -> minutes east of UTC; all DST-free
+    "Asia/Kolkata": 330,
+    "Asia/Kathmandu": 345,
+    "Asia/Tokyo": 540,
+    "America/Phoenix": -420,
+    "Etc/GMT+5": -300,
+    "Pacific/Kiritimati": 840,
+}
+
+TZ_DIMS = ["return_flag", "line_status"]
+TZ_METS = ["revenue", "line_count", "sum_qty"]
+
+
+def gen_tz_case(rng: random.Random) -> dict:
+    tz, off = rng.choice(sorted(TZ_OFFSETS.items()))
+    dims = ["day"] + rng.sample(TZ_DIMS, rng.randint(0, 1))
+    mets = rng.sample(TZ_METS, rng.randint(1, 2))
+    start = dt.date(1995, 2, 1) + dt.timedelta(days=rng.randint(0, 2000))
+    end = start + dt.timedelta(days=rng.randint(20, 90))
+    shift = (f"+ INTERVAL {off} MINUTE" if off >= 0
+             else f"- INTERVAL {-off} MINUTE")
+    local_day = f"CAST(l_shipdate {shift} AS DATE)"
+    dim_sql = {"day": local_day, "return_flag": "l_returnflag",
+               "line_status": "l_linestatus"}
+    sel = ", ".join([f"{dim_sql[f]} AS {f}" for f in dims]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    sql = (f"SELECT {sel} FROM lineitem WHERE {local_day} BETWEEN "
+           f"DATE '{start}' AND DATE '{end}' GROUP BY {group}")
+    return {"fields": dims + mets, "sql": sql,
+            "request": {"cube": "tpch",
+                        "selectFields": [{"field": f} for f in dims + mets],
+                        "filterExpressions": [
+                            {"field": "day", "operator": "between",
+                             "from": start.isoformat(),
+                             "to": end.isoformat()}],
+                        "additionalParameters": {"timeZone": tz}}}
+
+
+TZ_CASES = [gen_tz_case(_RNG) for _ in range(10)]
+
+
+@pytest.mark.parametrize("case", TZ_CASES,
+                         ids=[f"tz{i:02d}" for i in range(len(TZ_CASES))])
+def test_random_timezone_request_matches_raw_oracle(case, fuzz_engine,
+                                                    duck):
+    df = fuzz_engine.dataframe(case["request"])
+    assert fuzz_engine.model(case["request"]).fact_table.name != \
+        "lineitem_daily", "shifted request must never serve from a UTC rollup"
+    fields = case["fields"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(r[f]) for f in fields)
+                  for r in df.collect()), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert len(got) == len(want), \
+        f"row count {len(got)} != {len(want)}\nsql: {case['sql']}"
+    for g, w in zip(got, want):
+        assert all(_close(a, b) for a, b in zip(g, w)), \
+            f"row mismatch {g} != {w}\nsql: {case['sql']}"
