@@ -483,3 +483,53 @@ def test_random_timezone_request_matches_raw_oracle(case, fuzz_engine,
     for g, w in zip(got, want):
         assert all(_close(a, b) for a, b in zip(g, w)), \
             f"row mismatch {g} != {w}\nsql: {case['sql']}"
+
+
+# ---------------------------------------------------------------------------
+# battery 5: SQL entry-point equivalence.
+#
+# Every odd battery-1 case is re-rendered as SQL text over the cube's
+# PUBLIC aliases and parsed through the Calcite-parity entry
+# (request/sql.py); the rows must be identical to the JSON-request
+# path. Guards the tokenizer/grammar -> filter-AST mapping across
+# random operator combinations, not just the hand-picked
+# test_sql_entry.py statements.
+
+
+def _req_to_sql_text(req: dict) -> str:
+    fields = ", ".join(f["field"] for f in req["selectFields"])
+    preds = []
+    for f in req["filterExpressions"]:
+        op = f["operator"].lower()
+        if op == "between":
+            preds.append(f"{f['field']} BETWEEN '{f['from']}' "
+                         f"AND '{f['to']}'")
+        elif op == "in":
+            vals = ", ".join(f"'{v}'" for v in f["values"])
+            preds.append(f"{f['field']} IN ({vals})")
+        elif op in ("=", "<>", ">", "<"):
+            v = f["value"]
+            lit = v if isinstance(v, (int, float)) else f"'{v}'"
+            preds.append(f"{f['field']} {op} {lit}")
+        else:  # pragma: no cover - battery 1 emits only the above
+            raise AssertionError(f"unmapped operator {op}")
+    return (f"SELECT {fields} FROM {req['cube']} "
+            f"WHERE {' AND '.join(preds)}")
+
+
+@pytest.mark.parametrize("case", CASES[1::2],
+                         ids=[f"sql{i:02d}" for i in range(1, len(CASES), 2)])
+def test_sql_entry_matches_json_request(case, fuzz_engine):
+    fields = case["fields"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    via_json = sorted((tuple(_norm(r[f]) for f in fields)
+                       for r in fuzz_engine.dataframe(
+                           case["request"]).collect()), key=key)
+    via_sql = sorted((tuple(_norm(r[f]) for f in fields)
+                      for r in fuzz_engine.sql(
+                          _req_to_sql_text(case["request"])).collect()),
+                     key=key)
+    assert via_json == via_sql
