@@ -533,3 +533,36 @@ def test_sql_entry_matches_json_request(case, fuzz_engine):
                           _req_to_sql_text(case["request"])).collect()),
                      key=key)
     assert via_json == via_sql
+
+
+# ---------------------------------------------------------------------------
+# battery 6: TotalMetrics + RowCount curators over randomized requests.
+#
+# The curators re-plan a MODIFIED request (metrics-only / unpaginated),
+# so a pointwise pytest can miss interactions with filter stacks and
+# join dims; here every sampled battery-1 case must produce a rowcount
+# equal to the oracle's group count and grand totals equal to the
+# oracle run without GROUP BY.
+
+
+@pytest.mark.parametrize("case", CASES[::4],
+                         ids=[f"cur{i:02d}" for i in range(0, len(CASES), 4)])
+def test_curator_totals_match_raw_oracle(case, fuzz_engine, duck):
+    req = dict(case["request"],
+               curators={"totalmetrics": {}, "rowcount": {}})
+    out = fuzz_engine.execute(req)
+    n_groups = len(duck.execute(case["sql"]).fetchall())
+    assert out["curators"]["rowcount"]["rows"][0][0] == n_groups
+
+    mets = [f for f in case["fields"] if f in MET_POOL]
+    if not mets:
+        return
+    body = case["sql"].split(" FROM ", 1)[1].rsplit(" GROUP BY ", 1)[0]
+    sel = ", ".join(f"{MET_POOL[m]} AS {m}" for m in mets)
+    want = duck.execute(f"SELECT {sel} FROM {body}").fetchall()[0]
+    tm = out["curators"]["totalmetrics"]
+    names = [f["fieldName"] for f in tm["header"]["fields"]]
+    got = dict(zip(names, tm["rows"][0]))
+    for m, w in zip(mets, want):
+        assert _close(got[m], w), \
+            f"total {m}: {got[m]} != {w}\nsql body: {body}"
