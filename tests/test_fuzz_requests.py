@@ -566,3 +566,103 @@ def test_curator_totals_match_raw_oracle(case, fuzz_engine, duck):
     for m, w in zip(mets, want):
         assert _close(got[m], w), \
             f"total {m}: {got[m]} != {w}\nsql body: {body}"
+
+
+# ---------------------------------------------------------------------------
+# battery 7: TimeShift curator over randomized requests.
+#
+# The previous-period window, the left join on non-time dims, and the
+# pct-change arithmetic are all re-derived here from the raw oracle:
+# cur and prev are two independent DuckDB aggregations and the joined
+# expectation (including NULL Prev for groups absent from the earlier
+# window and NULL pct when prev is 0) is computed in plain Python.
+
+TS_DIMS = ["return_flag", "line_status", "day_of_week", "brand",
+           "mktsegment"]
+TS_METS = ["revenue", "line_count", "sum_qty"]
+
+
+def _half_up(x: float, nd: int = 2) -> float:
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
+
+
+def gen_ts_case(rng: random.Random) -> dict:
+    dims = rng.sample(TS_DIMS, rng.randint(1, 2))
+    mets = rng.sample(TS_METS, rng.randint(1, 2))
+    start = dt.date(1996, 6, 1) + dt.timedelta(days=rng.randint(0, 1500))
+    end = start + dt.timedelta(days=rng.randint(30, 200))
+    # reference CuratorJsonConfig nests options under "config"; a flat
+    # dict is (correctly) ignored by the curator
+    inner = ({} if rng.random() < 0.5
+             else {"daysOffset": rng.randint(30, 120)})
+    cfg = {"config": inner} if inner else {}
+    shift = inner.get("daysOffset") or ((end - start).days + 1)
+    joins = set()
+    for f in dims:
+        joins.update(DIM_POOL[f][1])
+    if "customer" in joins:
+        joins.add("orders")
+    join_sql = " ".join(JOIN_SQL[j] for j in ("part", "orders", "customer")
+                        if j in joins)
+    sel = ", ".join([f"{DIM_POOL[f][0]} AS {f}" for f in dims]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+
+    def window_sql(a, b):
+        return (f"SELECT {sel} FROM lineitem {join_sql} WHERE "
+                f"CAST(l_shipdate AS DATE) BETWEEN DATE '{a}' "
+                f"AND DATE '{b}' GROUP BY {group}")
+
+    return {
+        "dims": dims, "mets": mets,
+        "cur_sql": window_sql(start, end),
+        "prev_sql": window_sql(start - dt.timedelta(days=shift),
+                               end - dt.timedelta(days=shift)),
+        "request": {"cube": "tpch",
+                    "selectFields": [{"field": f} for f in dims + mets],
+                    "filterExpressions": [
+                        {"field": "day", "operator": "between",
+                         "from": start.isoformat(),
+                         "to": end.isoformat()}],
+                    "curators": {"timeshift": cfg}},
+    }
+
+
+TS_CASES = [gen_ts_case(_RNG) for _ in range(8)]
+
+
+@pytest.mark.parametrize("case", TS_CASES,
+                         ids=[f"ts{i:02d}" for i in range(len(TS_CASES))])
+def test_timeshift_fuzz_matches_two_window_oracle(case, fuzz_engine, duck):
+    out = fuzz_engine.execute(case["request"])
+    ts = out["curators"]["timeshift"]
+    names = [f["fieldName"] for f in ts["header"]["fields"]]
+    dims, mets = case["dims"], case["mets"]
+    nd = len(dims)
+    cur = {tuple(map(_norm, r[:nd])): r[nd:]
+           for r in duck.execute(case["cur_sql"]).fetchall()}
+    prev = {tuple(map(_norm, r[:nd])): r[nd:]
+            for r in duck.execute(case["prev_sql"]).fetchall()}
+    assert len(ts["rows"]) == len(cur)
+    for row in ts["rows"]:
+        rec = dict(zip(names, row))
+        key = tuple(_norm(rec[d]) for d in dims)
+        assert key in cur, f"unexpected group {key}"
+        pv = prev.get(key)
+        for i, m in enumerate(mets):
+            assert _close(rec[m], cur[key][i])
+            want_prev = pv[i] if pv is not None else None
+            assert _close(rec[f"{m} Prev"], want_prev), \
+                f"{m} Prev for {key}: {rec[f'{m} Prev']} != {want_prev}"
+            p = float(want_prev or 0.0)
+            c = float(cur[key][i])
+            want_pct = None if p == 0 else _half_up((c - p) / p * 100.0)
+            got_pct = rec[f"{m} Pct Change"]
+            if want_pct is None:
+                assert got_pct is None
+            else:
+                assert got_pct is not None and \
+                    abs(got_pct - want_pct) <= 0.011, \
+                    f"{m} pct for {key}: {got_pct} != {want_pct}"
