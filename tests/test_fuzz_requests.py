@@ -666,3 +666,60 @@ def test_timeshift_fuzz_matches_two_window_oracle(case, fuzz_engine, duck):
                 assert got_pct is not None and \
                     abs(got_pct - want_pct) <= 0.011, \
                     f"{m} pct for {key}: {got_pct} != {want_pct}"
+
+
+# ---------------------------------------------------------------------------
+# battery 8: scan queryType — per-row rendering without aggregation.
+#
+# Random fact-local field subsets + filter stacks at ROW grain: guards
+# the scan projection path (static-mapping decode per row, derived day
+# columns) that the grouped batteries never touch, and re-asserts that
+# scan is never served from a pre-aggregated table.
+
+SCAN_DIMS = ["return_flag", "line_status", "return_flag_label", "day",
+             "line_number", "quantity_int"]
+
+
+def gen_scan_case(rng: random.Random) -> dict:
+    dims = rng.sample(SCAN_DIMS, rng.randint(2, 4))
+    start = dt.date(1995, 1, 15) + dt.timedelta(days=rng.randint(0, 2300))
+    end = start + dt.timedelta(days=rng.randint(20, 60))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(l_shipdate AS DATE) BETWEEN DATE '{start}' "
+             f"AND DATE '{end}'"]
+    for req_f, sql_pred, j in rng.sample(_filter_pool(rng),
+                                         rng.randint(0, 2)):
+        if j:  # keep scan fact-local
+            continue
+        filters.append(req_f)
+        preds.append(sql_pred)
+    sel = ", ".join(f"{DIM_POOL[f][0]} AS {f}" for f in dims)
+    return {"fields": dims,
+            "sql": (f"SELECT {sel} FROM lineitem "
+                    f"WHERE {' AND '.join(preds)}"),
+            "request": {"cube": "tpch", "queryType": "scan",
+                        "selectFields": [{"field": f} for f in dims],
+                        "filterExpressions": filters}}
+
+
+SCAN_CASES = [gen_scan_case(_RNG) for _ in range(8)]
+
+
+@pytest.mark.parametrize("case", SCAN_CASES,
+                         ids=[f"scan{i:02d}" for i in range(len(SCAN_CASES))])
+def test_random_scan_request_matches_raw_oracle(case, fuzz_engine, duck):
+    assert fuzz_engine.model(case["request"]).fact_table.name != \
+        "lineitem_daily", "scan must never serve from a pre-aggregated table"
+    df = fuzz_engine.dataframe(case["request"])
+    fields = case["fields"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(r[f]) for f in fields)
+                  for r in df.collect()), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert got == want, f"scan mismatch ({len(got)} vs {len(want)} rows)" \
+        f"\nsql: {case['sql']}"
