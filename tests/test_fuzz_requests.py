@@ -723,3 +723,130 @@ def test_random_scan_request_matches_raw_oracle(case, fuzz_engine, duck):
                    for row in duck.execute(case["sql"]).fetchall()), key=key)
     assert got == want, f"scan mismatch ({len(got)} vs {len(want)} rows)" \
         f"\nsql: {case['sql']}"
+
+
+# ---------------------------------------------------------------------------
+# battery 9: UnionView facts — random requests over tpch_union.
+#
+# Branch constants, same-table branch folding, and the merge of groups
+# across branches when view_name is NOT selected (metrics double) are
+# all decided by the union-view planner; the oracle spells the view
+# literally as UNION ALL of the raw table with per-branch constants.
+
+UV_DIMS = ["view_name", "return_flag", "line_status", "month"]
+UV_METS = ["revenue", "line_count", "sum_qty"]
+
+
+def gen_uv_case(rng: random.Random) -> dict:
+    dims = rng.sample(UV_DIMS, rng.randint(1, 3))
+    mets = rng.sample(UV_METS, rng.randint(1, 2))
+    start = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 2100))
+    end = start + dt.timedelta(days=rng.randint(30, 200))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(l_shipdate AS DATE) BETWEEN DATE '{start}' "
+             f"AND DATE '{end}'"]
+    if rng.random() < 0.4:
+        branch = rng.choice(["current", "adjustment"])
+        filters.append({"field": "view_name", "operator": "=",
+                        "value": branch})
+        preds.append(f"view_name = '{branch}'")
+    dim_sql = dict({k: v[0] for k, v in DIM_POOL.items()},
+                   view_name="view_name")
+    sel = ", ".join([f"{dim_sql[f]} AS {f}" for f in dims]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    sql = (f"SELECT {sel} FROM ("
+           f"SELECT 'current' AS view_name, * FROM lineitem "
+           f"UNION ALL SELECT 'adjustment' AS view_name, * FROM lineitem"
+           f") WHERE {' AND '.join(preds)} GROUP BY {group}")
+    return {"fields": dims + mets, "sql": sql,
+            "request": {"cube": "tpch_union",
+                        "selectFields": [{"field": f} for f in dims + mets],
+                        "filterExpressions": filters}}
+
+
+UV_CASES = [gen_uv_case(_RNG) for _ in range(8)]
+
+
+@pytest.mark.parametrize("case", UV_CASES,
+                         ids=[f"uv{i:02d}" for i in range(len(UV_CASES))])
+def test_random_union_view_request_matches_oracle(case, fuzz_engine, duck):
+    df = fuzz_engine.dataframe(case["request"])
+    fields = case["fields"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(r[f]) for f in fields)
+                  for r in df.collect()), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert len(got) == len(want), \
+        f"row count {len(got)} != {len(want)}\nsql: {case['sql']}"
+    for g, w in zip(got, want):
+        assert all(_close(a, b) for a, b in zip(g, w)), \
+            f"row mismatch {g} != {w}\nsql: {case['sql']}"
+
+
+# ---------------------------------------------------------------------------
+# battery 10: Drilldown curator — random drill dimension over random
+# base requests; with mr above the group count the drill result is the
+# FULL regrouping by (drill dim), so it must equal the raw oracle
+# grouped by that dimension under the same filters.
+
+DD_DRILL = ["line_status", "return_flag", "brand", "mktsegment"]
+
+
+def gen_dd_case(rng: random.Random) -> dict:
+    base_dim = rng.choice(["return_flag", "line_status", "day_of_week"])
+    mets = rng.sample(["revenue", "line_count", "sum_qty"],
+                      rng.randint(1, 2))
+    drill = rng.choice([d for d in DD_DRILL if d != base_dim])
+    start = dt.date(1995, 3, 1) + dt.timedelta(days=rng.randint(0, 2000))
+    end = start + dt.timedelta(days=rng.randint(30, 200))
+    joins = set(DIM_POOL[drill][1])
+    if "customer" in joins:
+        joins.add("orders")
+    join_sql = " ".join(JOIN_SQL[j] for j in ("part", "orders", "customer")
+                        if j in joins)
+    sel = ", ".join([f"{DIM_POOL[drill][0]} AS {drill}"]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    sql = (f"SELECT {sel} FROM lineitem {join_sql} WHERE "
+           f"CAST(l_shipdate AS DATE) BETWEEN DATE '{start}' "
+           f"AND DATE '{end}' GROUP BY 1")
+    return {"drill": drill, "mets": mets, "sql": sql,
+            "request": {"cube": "tpch",
+                        "selectFields": [{"field": base_dim}]
+                        + [{"field": m} for m in mets],
+                        "filterExpressions": [
+                            {"field": "day", "operator": "between",
+                             "from": start.isoformat(),
+                             "to": end.isoformat()}],
+                        "curators": {"drilldown": {"config": {
+                            "dimension": drill}}}}}
+
+
+DD_CASES = [gen_dd_case(_RNG) for _ in range(6)]
+
+
+@pytest.mark.parametrize("case", DD_CASES,
+                         ids=[f"dd{i:02d}" for i in range(len(DD_CASES))])
+def test_drilldown_fuzz_matches_regrouped_oracle(case, fuzz_engine, duck):
+    out = fuzz_engine.execute(case["request"])
+    dd = out["curators"]["drilldown"]
+    names = [f["fieldName"] for f in dd["header"]["fields"]]
+    fields = [case["drill"]] + case["mets"]
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted((tuple(_norm(dict(zip(names, row))[f]) for f in fields)
+                  for row in dd["rows"]), key=key)
+    want = sorted((tuple(_norm(v) for v in row)
+                   for row in duck.execute(case["sql"]).fetchall()), key=key)
+    assert len(got) == len(want), \
+        f"row count {len(got)} != {len(want)}\nsql: {case['sql']}"
+    for g, w in zip(got, want):
+        assert all(_close(a, b) for a, b in zip(g, w)), \
+            f"row mismatch {g} != {w}\nsql: {case['sql']}"
