@@ -224,6 +224,8 @@ def test_random_request_matches_raw_oracle(case, fuzz_engine, duck):
 def test_fuzz_exercised_both_candidates():
     """The battery is only a rollup-serving guard if selection actually
     took the rollup somewhere AND fell back to base somewhere."""
+    if not _SERVED["tables"]:
+        pytest.skip("battery deselected (-k): nothing recorded")
     assert "lineitem_daily" in _SERVED["tables"], \
         "no fuzz case was served from the lineitem_daily rollup"
     assert "lineitem" in _SERVED["tables"], \
@@ -403,6 +405,8 @@ def test_random_events_request_matches_raw_oracle(case, fuzz_engine, duck):
 
 
 def test_events_fuzz_exercised_both_candidates():
+    if not _EV_SERVED:
+        pytest.skip("battery deselected (-k): nothing recorded")
     assert "events_hourly" in _EV_SERVED, \
         "no events fuzz case was served from the events_hourly rollup"
     assert "events" in _EV_SERVED, \
