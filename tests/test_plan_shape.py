@@ -112,6 +112,30 @@ def test_partial_aggregation_before_exchange(contract_engine):
     assert "partial_sum" in phys  # map-side combine
 
 
+def test_snowflake_chain_single_exchange(contract_engine):
+    """q5 shape (the scaled bench's heaviest raw-scan query): the entire
+    orders->customer->nation->region chain must reach the fact as
+    broadcasts, the fact side must partial-aggregate map-side, and the
+    ONLY hash-partitioning exchange is the final re-aggregation of the
+    already-tiny grouped rows. A second hashpartitioning exchange or any
+    sort-merge/shuffled-hash join here means the 100 TB plan shuffles
+    the raw fact — the regression this test exists to catch (plan
+    audited at the 256x tier: one BroadcastHashJoin over the scan,
+    partial_sum, one Exchange on region_name)."""
+    df = contract_engine.dataframe({
+        "cube": "tpch",
+        "selectFields": [{"field": "region_name"}, {"field": "revenue"},
+                         {"field": "sum_qty"}],
+        "filterExpressions": [DAY_ALL],
+    })
+    phys = _physical(df)
+    assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+    assert "BroadcastHashJoin" in phys
+    assert "partial_sum" in phys
+    # formatted mode details each exchange as "Arguments: hashpartitioning"
+    assert phys.count("Arguments: hashpartitioning") == 1
+
+
 def test_money_metrics_aggregate_as_longs(contract_engine):
     """The cents-long fast path: money sums must aggregate raw BIGINTs in
     codegen, never per-row decimals (no BigDecimal casts / UnscaledValue
