@@ -475,7 +475,15 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     day_range = None
     if day_filter is not None:
         f_d, t_d = _parse_date(day_filter.from_value), _parse_date(day_filter.to_value)
-        if f_d and t_d:
+        if f_d is None or t_d is None:
+            # an unparseable bound must be a 400, not a silently-skipped
+            # window check: downstream it would become a NULL comparison
+            # (empty results) and defeat partition pruning
+            bad = (day_filter.from_value if f_d is None
+                   else day_filter.to_value)
+            errors.append(f"Day filter date invalid: {bad!r} "
+                          f"(expected YYYY-MM-DD)")
+        else:
             day_range = (f_d, t_d)
             if t_d < f_d:
                 errors.append("Day filter 'from' must be <= 'to'")

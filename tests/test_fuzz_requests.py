@@ -807,3 +807,61 @@ def test_drilldown_fuzz_matches_regrouped_oracle(case, fuzz_engine, duck):
     for g, w in zip(got, want):
         assert all(_close(a, b) for a, b in zip(g, w)), \
             f"row mismatch {g} != {w}\nsql: {case['sql']}"
+
+
+# ---------------------------------------------------------------------------
+# battery 11: randomized INVALID requests -> clean ValidationError.
+#
+# Each mutation breaks one valid battery-1 request in one way; the
+# engine must reject it with ValidationError (the 400 surface —
+# engine.py maps it, and the async fallback re-raises rather than
+# swallowing it), never a generic exception or a silent empty result.
+
+from maha_spark.request.request import ValidationError  # noqa: E402
+
+
+def _mutations(rng: random.Random, req: dict) -> list[dict]:
+    """One broken copy of ``req`` per validation rule."""
+    import copy
+
+    def clone():
+        return copy.deepcopy(req)
+
+    out = []
+    m = clone()
+    m["selectFields"].append({"field": "no_such_field"})
+    out.append(m)
+    m = clone()
+    m["filterExpressions"] = [f for f in m["filterExpressions"]
+                              if f.get("field") != "day"]
+    out.append(m)  # missing mandatory Day filter
+    m = clone()
+    m["filterExpressions"].append({"field": "return_flag",
+                                   "operator": "frobnicate", "value": "A"})
+    out.append(m)
+    m = clone()
+    m["rowsPerPage"] = 10_000_000  # over the sync cap
+    out.append(m)
+    m = clone()
+    m["cube"] = "no_such_cube"
+    out.append(m)
+    m = clone()
+    day = next(f for f in m["filterExpressions"] if f.get("field") == "day")
+    day["from"], day["to"] = day["to"], "not-a-date"
+    out.append(m)
+    m = clone()
+    m["selectFields"] = []
+    out.append(m)
+    return [rng.choice(out), *rng.sample(out, 2)]
+
+
+BAD_CASES = []
+for _case in CASES[::8]:
+    BAD_CASES.extend(_mutations(_RNG, _case["request"]))
+
+
+@pytest.mark.parametrize("bad", BAD_CASES,
+                         ids=[f"bad{i:02d}" for i in range(len(BAD_CASES))])
+def test_invalid_request_raises_validation_error(bad, fuzz_engine):
+    with pytest.raises(ValidationError):
+        fuzz_engine.dataframe(bad)
