@@ -51,11 +51,19 @@ def chunk_documents(spark: SparkSession, sf_dir: str,
                 "doc_id", "chunk_id",
                 f"chunk_id * {step} AS start_tok",
                 f"slice(w, chunk_id * {step} + 1, {chunk_tokens}) AS cw")
+            # materialize the joined text ONCE, then derive the
+            # fingerprint from it: two concat_ws(' ', cw) spellings would
+            # re-evaluate the join per row (CollapseProject keeps the
+            # two-Project shape because chunk_text is referenced twice and
+            # concat_ws is not collapse-cheap — pinned in test_plan_shape)
             .selectExpr(
                 "doc_id", "chunk_id", "start_tok",
                 "size(cw) AS n_tok",
-                "md5(concat_ws(' ', cw)) AS chunk_fp",
-                "concat_ws(' ', cw) AS chunk_text"))
+                "concat_ws(' ', cw) AS chunk_text")
+            .selectExpr(
+                "doc_id", "chunk_id", "start_tok", "n_tok",
+                "md5(chunk_text) AS chunk_fp",
+                "chunk_text"))
 
 
 def chunk_documents_oracle(chunk_tokens: int = CHUNK_TOKENS,

@@ -96,8 +96,10 @@ def decode_binary_features(binary_df: DataFrame,
     """
     if codec not in ("auto", "stub", "pil"):
         raise ValueError(f"unknown codec mode {codec!r}")
-    if codec == "pil" and not HAS_CODEC:
-        raise ImportError("codec='pil' requires Pillow")
+    # deliberately NO driver-side Pillow precheck for codec='pil': driver
+    # and executors can have different installs, and a cluster with Pillow
+    # on executors but not the driver should still decode — the worker-side
+    # probe below raises ImportError per task if Pillow is truly missing
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # the probe runs HERE, on the worker, once per task: driver and

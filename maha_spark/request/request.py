@@ -89,9 +89,16 @@ class ReportingRequest:
         so ``"Job-Name"``, ``"job-name"`` and ``"JOB-NAME"`` are the same
         key."""
         want = name.lower()
-        for k, v in self.additional_parameters.items():
-            if str(k).lower() == want:
-                return v
+        # deterministic resolution when a client sends duplicate
+        # case-insensitive keys ("Labels" AND "labels"): an exact-case
+        # match wins, else the lexicographically smallest matching key —
+        # never dict insertion order
+        if name in self.additional_parameters:
+            return self.additional_parameters[name]
+        hits = sorted(str(k) for k in self.additional_parameters
+                      if str(k).lower() == want)
+        if hits:
+            return self.additional_parameters[hits[0]]
         return default
 
     # typed accessors for the operational parameters that ride
@@ -103,8 +110,9 @@ class ReportingRequest:
         if isinstance(v, (list, tuple)):
             return [str(x) for x in v]
         # a scalar label (easy client mistake — the sibling params are all
-        # scalars) is logged as a one-element list, not silently dropped
-        return [str(v)] if v else []
+        # scalars) is logged as a one-element list, not silently dropped —
+        # including falsy scalars (0, '', False); only None means absent
+        return [] if v is None else [str(v)]
 
     @property
     def job_name(self) -> str:

@@ -394,6 +394,10 @@ def test_chunking_tokenizes_below_the_generate(spark):
     # the split-project must sit BELOW the Generate in the tree (top-down
     # print: larger character offset = deeper)
     assert plan.index("Generate explode") < plan.index("split("), plan
+    # the chunk text join runs ONCE: chunk_fp is md5 over the chunk_text
+    # alias, not a second concat_ws — if CollapseProject ever re-inlines
+    # the alias the join cost doubles per chunk row
+    assert plan.count("concat_ws") == 1, plan
 
 
 def test_semi_join_and_chain_unhinted_on_unknown_cardinality(spark):
