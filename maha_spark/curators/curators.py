@@ -154,11 +154,30 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
     prev_filters = [BetweenFilter(field=day_alias, from_value=prev_f.isoformat(),
                                   to_value=prev_t.isoformat())
                     if f is day_f else f for f in req.filters]
-    # previous period grouped WITHOUT the time column so periods join 1:1
+    # Non-time join keys: exclude every time alias, including the cube's
+    # own day alias (which need not be spelled "Day" — tpch uses "day").
+    #
+    # If the request projects the day column, the previous-period rows are
+    # joined on it SHIFTED forward by the window length, so day d compares
+    # against day d-shift. This deliberately diverges from the reference:
+    # TimeShiftCurator.scala:165-166 builds dimensionKeySet from
+    # publicFact.dimCols ∩ selectFields, which includes "Day", and the
+    # primary-key match at :275-282 uses the UNSHIFTED value — so a
+    # Day-projecting request there never matches a previous-window row and
+    # every Prev degrades to 0 (the reference's own timeshift tests,
+    # RequestCoordinatorTest.scala:448-509, never project Day, so that
+    # degenerate edge is untested upstream). Other magic time grains
+    # (Week/Month/Hour) do not shift cleanly by a day count and stay
+    # excluded from the join; with no join key at all the previous period
+    # collapses to a broadcast 1-row grand total.
+    time_aliases = set(MAGIC_TIME_FIELDS) | {day_alias}
     join_keys = [p.alias for p in model.projections
-                 if p.kind != METRIC and p.alias not in MAGIC_TIME_FIELDS]
+                 if p.kind != METRIC and p.alias not in time_aliases]
+    day_projected = any(p.kind != METRIC and p.alias == day_alias
+                        for p in model.projections)
     metrics = [p.alias for p in model.projections if p.kind == METRIC]
     prev_fields = ([SelectField(field=a) for a in join_keys] +
+                   ([SelectField(field=day_alias)] if day_projected else []) +
                    [SelectField(field=m) for m in metrics])
     sub = _clone_request(req, select_fields=prev_fields, filters=prev_filters,
                          sort_by=[], pagination_start_index=0, rows_per_page=-1,
@@ -168,8 +187,16 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
     prev = engine.dataframe(sub)
     for m in metrics:
         prev = prev.withColumnRenamed(m, f"{m} Prev")
-    if join_keys:
-        joined = cur.join(prev, on=join_keys, how="left_outer")
+    join_on = list(join_keys)
+    if day_projected:
+        from pyspark.sql.types import StringType
+        shifted = F.date_add(F.to_date(F.col(f"`{day_alias}`")), shift)
+        if isinstance(prev.schema[day_alias].dataType, StringType):
+            shifted = F.date_format(shifted, "yyyy-MM-dd")
+        prev = prev.withColumn(day_alias, shifted)
+        join_on.append(day_alias)
+    if join_on:
+        joined = cur.join(prev, on=join_on, how="left_outer")
     else:
         joined = cur.crossJoin(prev)
     for m in metrics:

@@ -651,6 +651,102 @@ def test_timeshift_fuzz_matches_two_window_oracle(case, fuzz_engine, duck):
                     f"{m} pct for {key}: {got_pct} != {want_pct}"
 
 
+# battery 7b: TimeShift with the day column PROJECTED (including the
+# day-only edge: no non-time dims at all).
+#
+# Pinned semantics (diverging from the reference, see
+# curators/curators.py timeshift()): previous-window rows join on the
+# day column shifted FORWARD by the window length, so day d compares
+# against day d-shift. The reference's dimensionKeySet includes the
+# unshifted Day (TimeShiftCurator.scala:165-166, :275-282), which can
+# never match a shifted row — its own tests never project Day, so that
+# degenerate edge is untested upstream and we pin the useful behavior.
+
+
+def gen_ts_day_case(rng: random.Random) -> dict:
+    dims = [] if rng.random() < 0.5 else [rng.choice(TS_DIMS)]
+    mets = rng.sample(TS_METS, rng.randint(1, 2))
+    start = dt.date(1996, 6, 1) + dt.timedelta(days=rng.randint(0, 1500))
+    end = start + dt.timedelta(days=rng.randint(10, 40))
+    inner = ({} if rng.random() < 0.5
+             else {"daysOffset": rng.randint(15, 60)})
+    cfg = {"config": inner} if inner else {}
+    shift = inner.get("daysOffset") or ((end - start).days + 1)
+    joins = set()
+    for f in dims:
+        joins.update(DIM_POOL[f][1])
+    if "customer" in joins:
+        joins.add("orders")
+    join_sql = " ".join(JOIN_SQL[j] for j in ("part", "orders", "customer")
+                        if j in joins)
+    keys = dims + ["day"]
+    sel = ", ".join([f"{DIM_POOL[f][0]} AS {f}" for f in keys]
+                    + [f"{MET_POOL[m]} AS {m}" for m in mets])
+    group = ", ".join(str(i + 1) for i in range(len(keys)))
+
+    def window_sql(a, b):
+        return (f"SELECT {sel} FROM lineitem {join_sql} WHERE "
+                f"CAST(l_shipdate AS DATE) BETWEEN DATE '{a}' "
+                f"AND DATE '{b}' GROUP BY {group}")
+
+    return {
+        "dims": dims, "mets": mets, "shift": shift,
+        "cur_sql": window_sql(start, end),
+        "prev_sql": window_sql(start - dt.timedelta(days=shift),
+                               end - dt.timedelta(days=shift)),
+        "request": {"cube": "tpch",
+                    "selectFields": [{"field": f} for f in keys + mets],
+                    "filterExpressions": [
+                        {"field": "day", "operator": "between",
+                         "from": start.isoformat(),
+                         "to": end.isoformat()}],
+                    "curators": {"timeshift": cfg}},
+    }
+
+
+TS_DAY_CASES = [gen_ts_day_case(_RNG) for _ in range(6)]
+
+
+def _day_key(v) -> str:
+    """Normalize a day cell (date / datetime / iso string) to yyyy-mm-dd."""
+    return str(_norm(v))[:10]
+
+
+@pytest.mark.parametrize("case", TS_DAY_CASES,
+                         ids=[f"tsd{i:02d}" for i in range(len(TS_DAY_CASES))])
+def test_timeshift_day_projected_joins_shifted(case, fuzz_engine, duck):
+    out = fuzz_engine.execute(case["request"])
+    ts = out["curators"]["timeshift"]
+    names = [f["fieldName"] for f in ts["header"]["fields"]]
+    dims, mets, shift = case["dims"], case["mets"], case["shift"]
+    nd = len(dims) + 1  # + day
+    cur = {tuple(map(_norm, r[:nd])): r[nd:]
+           for r in duck.execute(case["cur_sql"]).fetchall()}
+    prev = {tuple(map(_norm, r[:nd])): r[nd:]
+            for r in duck.execute(case["prev_sql"]).fetchall()}
+    assert len(ts["rows"]) == len(cur)
+    nonnull_prev = 0
+    for row in ts["rows"]:
+        rec = dict(zip(names, row))
+        day = dt.date.fromisoformat(_day_key(rec["day"]))
+        key = tuple([_norm(rec[d]) for d in dims] + [day.isoformat()])
+        assert key in cur, f"unexpected group {key}"
+        prev_key = tuple(
+            list(key[:-1])
+            + [(day - dt.timedelta(days=shift)).isoformat()])
+        pv = prev.get(prev_key)
+        for i, m in enumerate(mets):
+            assert _close(rec[m], cur[key][i])
+            want_prev = pv[i] if pv is not None else None
+            assert _close(rec[f"{m} Prev"], want_prev), \
+                f"{m} Prev for {key}: {rec[f'{m} Prev']} != {want_prev}"
+        if pv is not None:
+            nonnull_prev += 1
+    # nonvacuity: the window always has shipped lines day-over-day, so
+    # at least one current row must find its shifted previous twin
+    assert nonnull_prev > 0
+
+
 # ---------------------------------------------------------------------------
 # battery 8: scan queryType — per-row rendering without aggregation.
 #
