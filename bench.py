@@ -326,13 +326,30 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
+    print(build_line(timings, total, guess_sf(SF_DIR), CPUS, duck_total,
+                     scaled, scaled_tiers))
+    spark.stop()
+
+
+#: the driver's tail capture truncates stdout lines >~2 KB; everything the
+#: contract line emits must stay under this (BENCH_r02 lesson: a longer
+#: line gets truncated -> "parsed": null). Pinned by tests/test_bench_line.py.
+MAX_LINE = 1700
+
+
+def build_line(timings: dict[str, float], total: float, sf: float,
+               cpus: int, duck_total: float, scaled: dict,
+               scaled_tiers: list[dict]) -> str:
+    """Assemble the ONE-line stdout contract JSON, guaranteed < MAX_LINE
+    chars: if the per-query dict pushes the line over, it is replaced by a
+    pointer to BENCH_DETAIL.json (which always carries the full detail)."""
     line = {
         "metric": "contract_queries_total",
         "value": round(total, 4),
         "unit": "sec",
         "queries": {n: round(v, 2) for n, v in timings.items()},
-        "sf": guess_sf(SF_DIR),
-        "cpus": CPUS,
+        "sf": sf,
+        "cpus": cpus,
         "duckdb_total": round(duck_total, 2),
         "scaled_mult": scaled.get("mult", 0),
         "scaled_ratio": scaled.get("ratio", -1.0),
@@ -340,11 +357,10 @@ def main() -> None:
         "scaled_trend": [[t["mult"], t["ratio"]] for t in scaled_tiers],
     }
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1700:  # last-resort: drop per-query detail, keep headline
+    if len(out) > MAX_LINE:  # last-resort: drop per-query detail
         line["queries"] = {"see": "BENCH_DETAIL.json"}
         out = json.dumps(line, separators=(",", ":"))
-    print(out)
-    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -32,28 +32,48 @@ BENCH_MOD = 10
 SHINGLE_N = 8
 
 
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per word-shingle occurrence, md5-hashed.
+
+    Generated as explode(position indices) with the md5 computed AFTER
+    the Generate — exploding a computed hash array re-evaluates the whole
+    array per output row (see ops/text.py ``gram_rows_spark``)."""
+    n = SHINGLE_N
+    return (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+            .selectExpr(
+                "doc_id", "w",
+                f"explode(CASE WHEN size(w) >= {n} THEN "
+                f"sequence(1, size(w) - {n} + 1) ELSE "
+                f"array() END) AS i")
+            .selectExpr(
+                "doc_id",
+                f"md5(array_join(slice(w, i, {n}), ' ')) AS h"))
+
+
+def contaminated_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the (doc_id) set of contaminated candidates — the shape the
+    curation pipeline consumes (``pipeline.py`` anti-joins it). The full
+    report below counts per-doc shingles and DISTINCTs every candidate
+    (doc_id, h) pair; existence only needs the broadcast semi-join plus
+    one doc_id distinct, so this skips the report's widest shuffle."""
+    from pyspark.sql import functions as F
+
+    sh_rows = _shingle_rows(load_table(spark, sf_dir, "documents"))
+    bench_sh = (sh_rows.filter(F.col("doc_id") % BENCH_MOD == 0)
+                .select("h").distinct())
+    return (sh_rows.filter(F.col("doc_id") % BENCH_MOD != 0)
+            .join(F.broadcast(bench_sh), "h", "left_semi")
+            .select("doc_id").distinct())
+
+
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-candidate-document contamination report: distinct shingles,
     how many also occur anywhere in the benchmark split, the fraction,
-    and the verdict (any hit = contaminated, the conservative filter).
-
-    Shingle rows are generated as explode(position indices) with the md5
-    hash computed AFTER the Generate — exploding a computed hash array
-    re-evaluates the whole array per output row (see ops/text.py
-    ``gram_rows_spark``)."""
+    and the verdict (any hit = contaminated, the conservative filter)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    n = SHINGLE_N
-    sh_rows = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
-               .selectExpr(
-                   "doc_id", "w",
-                   f"explode(CASE WHEN size(w) >= {n} THEN "
-                   f"sequence(1, size(w) - {n} + 1) ELSE "
-                   f"array() END) AS i")
-               .selectExpr(
-                   "doc_id",
-                   f"md5(array_join(slice(w, i, {n}), ' ')) AS h"))
+    sh_rows = _shingle_rows(docs)
 
     bench_sh = (sh_rows.filter(F.col("doc_id") % BENCH_MOD == 0)
                 .select("h").distinct())

@@ -51,10 +51,13 @@ def test_clusters_reliable_checkpoint_path(spark, tmp_path):
     assert base == rel and len(base) > 0
 
 
-def test_clusters_distributed_cc_path(spark, monkeypatch):
+def test_clusters_distributed_cc_path(spark, monkeypatch, tmp_path):
     """Force the distributed min-label loop (bridge graph 'too big' for
     the local union-find finish) and pin it identical to the local path —
-    the loop is the 100 TB branch and must not rot behind the fast one."""
+    the loop is the 100 TB branch and must not rot behind the fast one.
+    Also runs the loop with reliable_checkpoint=True: the reliable test
+    above stays on the local-finish branch, so this is the only coverage
+    of checkpoint() INSIDE the _min_label_cc iteration."""
     from maha_spark.ops import dedup
 
     sf = "/root/testdata/sf0.001"
@@ -62,3 +65,7 @@ def test_clusters_distributed_cc_path(spark, monkeypatch):
     monkeypatch.setattr(dedup, "LOCAL_CC_MAX_EDGES", 0)
     dist = sorted(map(tuple, dedup.dedup_clusters(spark, sf).collect()))
     assert local == dist and len(local) > 0
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = sorted(map(tuple, dedup.dedup_clusters(
+        spark, sf, reliable_checkpoint=True).collect()))
+    assert local == rel
