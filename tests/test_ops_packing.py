@@ -98,11 +98,12 @@ def test_approx_quantiles_match_exact_shape_and_bounds(spark, sf_dir):
 
 # ------------------------------------------- off-contract exact oracles
 # operators rotated out of the 50-entry driver contract keep their exact
-# DuckDB oracle pinned here (embed_quantize rotated out round 5)
+# DuckDB oracle pinned here (token_quantiles rotated out round 6; its
+# slot went back to op_embed_quantize)
 @pytest.mark.parametrize("fn,osql", [
     (multimodal.mm_resize, multimodal.mm_resize_oracle()),
     (multimodal.mm_frame_sample, multimodal.mm_frame_sample_oracle()),
-    (similarity.embed_quantize, similarity.embed_quantize_oracle()),
+    (packing.token_quantiles, packing.token_quantiles_oracle()),
     (packing.mix_balance, packing.mix_balance_oracle()),
 ])
 def test_mm_offcontract_oracle(fn, osql, spark, duck, sf_dir):
