@@ -72,9 +72,10 @@ def _df_cache_put(spark, path: str, df: DataFrame) -> DataFrame:
     _DF_CACHE[(id(spark), path)] = (_mtime(path), df)
     return df
 
-#: on-disk bytes ceiling for auto-caching a bound table. Dims and small
-#: tables stay hot; an unbounded fact is NEVER cached by default — at
-#: cluster scale caching a 100 TB scan would evict/thrash the whole
+#: on-disk bytes ceiling for auto-caching a bound table (one of TWO
+#: gates — see CACHE_MAX_ROWS_DEFAULT for the row-count gate). Dims and
+#: small tables stay hot; an unbounded fact is NEVER cached by default —
+#: at cluster scale caching a 100 TB scan would evict/thrash the whole
 #: storage pool. Raise/lower via MAHA_SPARK_CACHE_MAX_BYTES; caching
 #: itself stays env-gated on MAHA_SPARK_CACHE.
 CACHE_MAX_BYTES_DEFAULT = 2 << 30
@@ -115,9 +116,78 @@ def _path_bytes(path: str) -> int:
     return total
 
 
+#: row-count ceiling for auto-caching. Spark's in-memory columnar cache
+#: scans at ~60-100 Mrows/s locally vs ~300 Mrows/s marginal for the
+#: vectorized parquet reader — the cache only wins while the parquet
+#: scan's FIXED cost (file opens / task setup on a 2500-file dt layout)
+#: dominates, i.e. while the rows a query actually SCANS stay under
+#: ~110M at 32 cores (measured: tools/bench_probes/attrib_r6.json — a
+#: full-table agg at 154M rows runs 2.05 s cached vs 1.20 s off
+#: parquet; at 307M, 4.9 s vs 1.9 s). Requests here always carry a
+#: mandatory Day window, so a query scans a FRACTION of the table: the
+#: measured crossover for the windowed cube-query mix is ~230M table
+#: rows (at 154M the cached run is 1.1 s faster in aggregate, at 307M
+#: 1.1 s slower), and the default sits just under it. Disk bytes alone
+#: CANNOT gate this: repetitive data RLE/dict-encodes ~100x, so 307M
+#: rows hide behind 131 MB on disk. Size to per-executor storage memory
+#: on a real cluster via MAHA_SPARK_CACHE_MAX_ROWS.
+CACHE_MAX_ROWS_DEFAULT = 200_000_000
+
+#: footer-sample size for the row estimate: first/last plus evenly
+#: spaced files bound the metadata reads on a 2500-file layout
+_ROWS_SAMPLE_FILES = 8
+
+#: (path, root mtime) -> estimated total rows
+_EST_ROWS_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _cache_max_rows() -> int:
+    return int(os.environ.get("MAHA_SPARK_CACHE_MAX_ROWS",
+                              CACHE_MAX_ROWS_DEFAULT))
+
+
+def _est_rows(path: str) -> int:
+    """Estimated row count of a parquet file/tree: exact footer
+    ``num_rows`` summed over a bounded sample of files, extrapolated by
+    on-disk bytes (footers only — no data pages are read). Exact for a
+    single file; on a multi-file tree the rows-per-byte of the sample is
+    applied to the total tree size. Unreadable/non-parquet paths
+    estimate 0 (the disk-bytes gate still applies)."""
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, -1.0)
+    if key in _EST_ROWS_CACHE:
+        return _EST_ROWS_CACHE[key]
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path, followlinks=True)
+            for f in fs if f.endswith(".parquet"))
+    full = len(files) <= _ROWS_SAMPLE_FILES
+    if not full:
+        step = (len(files) - 1) / (_ROWS_SAMPLE_FILES - 1)
+        files = [files[round(i * step)] for i in range(_ROWS_SAMPLE_FILES)]
+    rows = sampled_bytes = 0
+    try:
+        import pyarrow.parquet as pq
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+            sampled_bytes += os.path.getsize(f)
+    except Exception:
+        rows = 0  # fall back to the disk-bytes gate alone
+    if rows and not full and sampled_bytes:
+        rows = int(rows / sampled_bytes * _path_bytes(path))
+    _EST_ROWS_CACHE[key] = rows
+    return rows
+
+
 def _should_cache(path: str) -> bool:
     return (os.environ.get("MAHA_SPARK_CACHE", "1") == "1"
-            and _path_bytes(path) <= _cache_max_bytes())
+            and _path_bytes(path) <= _cache_max_bytes()
+            and _est_rows(path) <= _cache_max_rows())
 
 
 class ParquetBinding(TableBinding):
@@ -138,19 +208,24 @@ class ParquetBinding(TableBinding):
             hit = _df_cache_get(self.spark, pdir)
             if hit is not None:  # hit: skip the size-gate metadata walk
                 return hit
+            df = normalize_timestamps(self.spark.read.parquet(pdir))
             if _should_cache(pdir):
-                return _df_cache_put(self.spark, pdir, normalize_timestamps(
-                    self.spark.read.parquet(pdir)).cache())
-            return normalize_timestamps(self.spark.read.parquet(pdir))
+                df = df.cache()
+            # memoize even when NOT persisting: reusing the DataFrame
+            # reuses its resolved FileIndex, so partition discovery over
+            # a 2500-directory dt layout runs once per session, not once
+            # per query (unpersist on an unpersisted df is a no-op, so
+            # the mtime invalidation path needs no cached/uncached split)
+            return _df_cache_put(self.spark, pdir, df)
         path = os.path.join(self.base_dir, f"{name}.parquet")
         if os.path.exists(path):
             hit = _df_cache_get(self.spark, path)
             if hit is not None:
                 return hit
+            df = self._read_parquet(path)
             if _should_cache(path):
-                return _df_cache_put(self.spark, path,
-                                     self._read_parquet(path).cache())
-            return self._read_parquet(path)
+                df = df.cache()
+            return _df_cache_put(self.spark, path, df)
         return self.spark.table(name)
 
     def has_table(self, name: str) -> bool:
