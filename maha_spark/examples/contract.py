@@ -1320,29 +1320,19 @@ def run_query(spark, sf_dir: str, name: str):
     return df
 
 
-def materialize_lineitem_rollup(spark, src_dir: str, dst_dir: str) -> str:
-    """Write the ``lineitem_daily`` rollup's physical table from the raw
-    lineitem under ``src_dir`` into ``dst_dir``. Stored partials use the
-    SAME per-row cents quantization as the base cube columns (QTY_C et
-    al.), so serving from the rollup is bit-identical to aggregating raw
-    rows; the grain-guarded columns (exact order distinct, upper-cased
-    status label) are stored AT the (day, return flag, line status)
-    grain."""
-    import os
-
+def _lineitem_daily_frame(li):
+    """The ``lineitem_daily`` aggregate at its materialized grain
+    (day, return flag, line status) — shared by the full materializer and
+    the incremental day refresh so both produce bit-identical rows."""
     from pyspark.sql import functions as F
 
-    from ..plans.binding import ParquetBinding
-
-    li = ParquetBinding(spark, src_dir).table("lineitem")
-    out = os.path.join(dst_dir, "lineitem_daily.parquet")
     c = {k: v.format(l_quantity="l_quantity",
                      l_extendedprice="l_extendedprice",
                      l_discount="l_discount", l_tax="l_tax")
          for k, v in (("qty", QTY_C), ("price", PRICE_C),
                       ("disc_price", DISC_PRICE_C), ("charge", CHARGE_C),
                       ("disc", DISC_H))}
-    (li.selectExpr(
+    return (li.selectExpr(
         "date_trunc('day', l_shipdate) AS l_shipdate",
         "l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice",
         f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
@@ -1365,8 +1355,76 @@ def materialize_lineitem_rollup(spark, src_dir: str, dst_dir: str) -> str:
           F.min("l_extendedprice").alias("min_price_raw"),
           F.countDistinct("l_orderkey").alias("order_cnt"),
           F.first(F.expr("upper(l_returnflag)")).alias("status_label_raw"))
-     .withColumn("dt", F.to_date(F.col("l_shipdate")))
-     .write.mode("overwrite").parquet(out))
+     .withColumn("dt", F.to_date(F.col("l_shipdate"))))
+
+
+def materialize_lineitem_rollup(spark, src_dir: str, dst_dir: str,
+                                partitioned: bool = False) -> str:
+    """Write the ``lineitem_daily`` rollup's physical table from the raw
+    lineitem under ``src_dir`` into ``dst_dir``. Stored partials use the
+    SAME per-row cents quantization as the base cube columns (QTY_C et
+    al.), so serving from the rollup is bit-identical to aggregating raw
+    rows; the grain-guarded columns (exact order distinct, upper-cased
+    status label) are stored AT the (day, return flag, line status)
+    grain.
+
+    ``partitioned=True`` writes the Hive day-partitioned directory
+    layout (``lineitem_daily/dt=.../``) instead of a flat file — the
+    shape ``refresh_lineitem_rollup`` maintains incrementally."""
+    import os
+
+    from ..plans.binding import ParquetBinding
+
+    df = _lineitem_daily_frame(ParquetBinding(spark, src_dir)
+                               .table("lineitem"))
+    if partitioned:
+        from pyspark.sql import functions as F
+        out = os.path.join(dst_dir, "lineitem_daily")
+        # one file per dt= directory (see scale.overwrite_day_partitions)
+        (df.repartition(F.col("dt")).write.mode("overwrite")
+           .partitionBy("dt").parquet(out))
+    else:
+        out = os.path.join(dst_dir, "lineitem_daily.parquet")
+        df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def refresh_lineitem_rollup(spark, src_dir: str, dst_dir: str,
+                            from_day: str, to_day: str) -> str:
+    """Incrementally refresh a day range of the PARTITIONED
+    ``lineitem_daily`` rollup from the raw fact: re-aggregate only
+    ``[from_day, to_day]`` (inclusive, 'YYYY-MM-DD') and dynamically
+    overwrite just those ``dt=`` directories — days outside the range are
+    untouched. This is how late-arriving/restated fact data is folded in
+    at 100 TB: the raw scan is partition-pruned to the affected days and
+    the rewrite cost is proportional to the restated window, not the
+    table. The refreshed rows are bit-identical to a full rebuild's
+    (same ``_lineitem_daily_frame``; pinned in
+    tests/test_rollup_incremental.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.binding import ParquetBinding
+    from ..plans.scale import overwrite_day_partitions
+
+    li = ParquetBinding(spark, src_dir).table("lineitem")
+    # bound the raw day column; on a dt-partitioned raw layout the dt
+    # bound is the PartitionFilter (directory pruning), the timestamp
+    # bound handles flat files
+    li = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(from_day)))
+        & (F.col("l_shipdate")
+           < F.to_timestamp(F.date_add(F.to_date(F.lit(to_day)), 1))))
+    if "dt" in li.columns:
+        li = li.filter(F.col("dt").between(F.lit(from_day), F.lit(to_day)))
+    out = os.path.join(dst_dir, "lineitem_daily")
+    overwrite_day_partitions(_lineitem_daily_frame(li), out)
+    # a rewrite scoped inside EXISTING dt= subdirectories does not bump
+    # the table root's mtime; bump it so the binding's mtime-keyed
+    # DataFrame memo (plans/binding.py::_DF_CACHE) rebuilds instead of
+    # serving the pre-refresh snapshot
+    os.utime(out, None)
     return out
 
 

@@ -79,3 +79,36 @@ def partition_fact(spark: SparkSession, src_parquet: str, dst_dir: str,
         spark, os.path.dirname(src_parquet))._read_parquet(src_parquet)
     (df.withColumn(partition_col, F.to_date(F.col(day_col)))
        .write.mode("overwrite").partitionBy(partition_col).parquet(dst_dir))
+
+
+def overwrite_day_partitions(df: DataFrame, dst_dir: str,
+                             partition_col: str = "dt") -> None:
+    """Write ``df`` into a Hive day-partitioned parquet directory,
+    replacing ONLY the ``partition_col`` values present in ``df`` (Spark's
+    dynamic partition-overwrite, scoped to this write via the writer
+    option — no session-level conf mutation).
+
+    This is the incremental-maintenance primitive for materialized
+    rollups: at 100 TB a nightly full rebuild re-aggregates the whole
+    fact, while late-arriving or restated data touches a handful of days
+    — recompute just those days from the (partition-pruned) raw scan and
+    swap their directories atomically-per-partition.
+
+    Caveat (dynamic-overwrite semantics): a partition value with NO rows
+    in ``df`` is left untouched, so a day whose source rows were deleted
+    outright keeps its stale directory — drop the ``dt=`` directory
+    explicitly for full-day deletions. Reference parity:
+    maha's Druid facts get this for free from segment replacement
+    (reindexing a day replaces that segment, `DruidQueryExecutor` serves
+    whatever segments exist); on a parquet warehouse the dynamic
+    overwrite is the equivalent.
+    """
+    # co-locate each day before the write: without this every task emits
+    # a file into every dt= directory it holds rows for (days x tasks
+    # tiny files); hash-repartitioned on the partition column, each day
+    # lands wholly in one task -> one file per directory
+    (df.repartition(F.col(partition_col))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(partition_col)
+       .parquet(dst_dir))
