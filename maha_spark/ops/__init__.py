@@ -74,13 +74,17 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import dedup, multimodal, packing, sessions, similarity, sketches
+    from . import (dedup, incremental, multimodal, packing, sessions,
+                   similarity, sketches)
     return {
         "token_quantiles": (packing.token_quantiles,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 + vs approx_quantiles)"),
         "sessionize": (sessions.sessionize,
                        "test_ops_sessions.py (stream twin == batch)"),
+        "dedup_incremental": (incremental.dedup_incremental,
+                              "test_dedup_incremental.py (== batch "
+                              "kernel restricted to new-side pairs)"),
         "approx_set_counts": (sketches.approx_set_counts,
                               "test_ops.py::test_hll_within_rsd"),
         "sim_ann_topk": (similarity.sim_ann_topk,

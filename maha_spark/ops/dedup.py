@@ -105,46 +105,65 @@ def _minhash_sig_spark(hs: str) -> list[str]:
     ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    base = (docs
+def lsh_shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): each document's distinct word-3-gram shingle set —
+    the exact-verification payload of the MinHash pipeline (shared with
+    the incremental index, ``ops/incremental.py``)."""
+    return (docs
             .selectExpr("doc_id", f"{words_sql()} AS w")
-            # Spark's sequence(1, n) DESCENDS for n < 1 instead of returning
-            # empty (DuckDB's range is empty) — guard short docs first
+            # Spark's sequence(1, n) DESCENDS for n < 1 instead of
+            # returning empty (DuckDB's range is empty) — guard short
+            # docs first
             .filter("size(w) >= 3")
             .selectExpr("doc_id", f"{_shingles_spark('w')} AS sh"))
+
+
+def lsh_band_frame(base: DataFrame) -> DataFrame:
+    """(doc_id, band, key): the flat LSH bucket rows — (band, key) is the
+    candidate-join key and the storable index shape.
+
+    Explodes literal band INDICES; the signature array passes THROUGH the
+    Generate (required child output — evaluated once per input row) and
+    each band key is derived post-explode from its own two slots.
+    Exploding an array of computed band structs re-evaluated the whole
+    24-permutation signature once per emitted band (see ops/text.py
+    gram_rows_spark for the GenerateExec inlining mechanics)."""
     hashed = base.selectExpr(
-        "doc_id", "sh", f"transform(sh, s -> {h28_sql('s')}) AS hs")
+        "doc_id", f"transform(sh, s -> {h28_sql('s')}) AS hs")
     sigs = hashed.selectExpr(
-        "doc_id", "sh",
-        f"array({', '.join(_minhash_sig_spark('hs'))}) AS mhs")
-    # Explode literal band INDICES; the signature array passes THROUGH the
-    # Generate (required child output — evaluated once per input row) and
-    # each band key is derived post-explode from its own two slots.
-    # Exploding an array of computed band structs re-evaluated the whole
-    # 24-permutation signature once per emitted band (see ops/text.py
-    # gram_rows_spark for the GenerateExec inlining mechanics).
+        "doc_id", f"array({', '.join(_minhash_sig_spark('hs'))}) AS mhs")
     slots = ", ".join(f"mhs[band * {ROWS} + {r}]" for r in range(ROWS))
-    buckets = (sigs
-               .selectExpr("doc_id", "sh", "mhs",
-                           f"explode(sequence(0, {BANDS - 1})) AS band")
-               .selectExpr(
-                   "doc_id", "sh",
-                   f"named_struct('band', band, 'key', "
-                   f"md5(concat_ws(',', {slots}))) AS bk"))
-    a = buckets.selectExpr("bk", "doc_id AS a_id")
-    b = buckets.selectExpr("bk", "doc_id AS b_id")
-    # dedupe candidate pairs on ids BEFORE attaching shingle sets: the
-    # banded join multiplies pairs up to 12x and shuffling the (large)
-    # shingle arrays through that would dominate the run
-    cand = a.join(b, "bk").filter("a_id < b_id").select("a_id", "b_id").distinct()
+    return (sigs
+            .selectExpr("doc_id", "mhs",
+                        f"explode(sequence(0, {BANDS - 1})) AS band")
+            .selectExpr("doc_id", "band",
+                        f"md5(concat_ws(',', {slots})) AS key"))
+
+
+def verified_jaccard_pairs(cand: DataFrame, a_sh: DataFrame,
+                           b_sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    shingle sources (doc_id, sh). Candidates must be id-deduped BEFORE
+    this: the banded join multiplies pairs up to 12x and shuffling the
+    (large) shingle arrays through that would dominate the run."""
     cand = (cand
-            .join(base.selectExpr("doc_id AS a_id", "sh AS a_sh"), "a_id")
-            .join(base.selectExpr("doc_id AS b_id", "sh AS b_sh"), "b_id"))
+            .join(a_sh.selectExpr("doc_id AS a_id", "sh AS a_sh"), "a_id")
+            .join(b_sh.selectExpr("doc_id AS b_id", "sh AS b_sh"), "b_id"))
     jac = ("CAST(size(array_intersect(a_sh, b_sh)) AS DOUBLE) / "
            "(size(a_sh) + size(b_sh) - size(array_intersect(a_sh, b_sh)))")
     return (cand.selectExpr("a_id", "b_id", f"round({jac}, 6) AS jaccard")
             .filter(f"jaccard >= {JACCARD_T}"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = lsh_shingle_frame(docs)
+    bands = lsh_band_frame(base)
+    a = bands.selectExpr("band", "key", "doc_id AS a_id")
+    b = bands.selectExpr("band", "key", "doc_id AS b_id")
+    cand = (a.join(b, ["band", "key"]).filter("a_id < b_id")
+            .select("a_id", "b_id").distinct())
+    return verified_jaccard_pairs(cand, base, base)
 
 
 def dedup_minhash_lsh_oracle() -> str:

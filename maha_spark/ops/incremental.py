@@ -1,0 +1,102 @@
+"""Incremental near-duplicate detection: dedup a NEW document batch
+against a persisted corpus index without re-LSHing the corpus.
+
+The batch kernel (``dedup.dedup_minhash_lsh``) recomputes shingles,
+signatures, and bucket rows for every document on every run — fine for a
+one-shot sweep, wrong for the production crawl-ingest loop where a daily
+batch arrives against a corpus that is orders of magnitude larger. The
+incremental flow persists the two reusable artifacts once:
+
+* ``dedup_bands``    — (doc_id, band, key): the LSH bucket rows
+  (12 bands x 2 rows over k=24 minhash permutations, identical
+  construction to the batch kernel via ``dedup.lsh_band_frame``);
+* ``dedup_shingles`` — (doc_id, sh): the raw shingle sets used for exact
+  Jaccard verification. Raw strings, not re-hashed values, so the
+  verified jaccard is bit-identical to the batch kernel's (the 28-bit
+  candidate hashes can birthday-collide within a document; verification
+  must not inherit that).
+
+Each new batch then computes its OWN bands/shingles (cost proportional
+to the batch), joins bands against the index for new-vs-corpus
+candidates plus a self-join for new-vs-new, verifies exactly, and
+appends its rows to the index for the next batch.
+
+Scale: the band join is keyed on (band, key) — at warehouse scale the
+index is written bucketed on that key (``plans/scale.write_bucketed``)
+so the corpus side never reshuffles; the shingle store is only ever
+joined on candidate doc_ids (a candidate-sized shuffle, never a corpus
+scan). Restating an index day (re-crawled documents) is the
+``plans/scale.overwrite_day_partitions`` pattern — append assumes
+doc_ids are new; a re-crawled doc_id must be restated, not re-appended.
+
+Reference parity: the reference has no incremental dedup (its dedup
+surface is the druid-lookups dimension refresh); this is a net-new
+§2.12 training-data operator, verified against the batch kernel in
+tests/test_dedup_incremental.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import lsh_band_frame, lsh_shingle_frame, verified_jaccard_pairs
+
+BANDS_TABLE = "dedup_bands"
+SHINGLES_TABLE = "dedup_shingles"
+
+
+def materialize_dedup_index(spark: SparkSession, docs: DataFrame,
+                            dst_dir: str) -> str:
+    """Build the corpus index under ``dst_dir`` (full rebuild)."""
+    base = lsh_shingle_frame(docs)
+    (lsh_band_frame(base).write.mode("overwrite")
+     .parquet(os.path.join(dst_dir, BANDS_TABLE)))
+    (base.write.mode("overwrite")
+     .parquet(os.path.join(dst_dir, SHINGLES_TABLE)))
+    return dst_dir
+
+
+def update_dedup_index(spark: SparkSession, index_dir: str,
+                       new_docs: DataFrame) -> None:
+    """Fold a new batch's rows into the index (append). The batch's
+    doc_ids must be new to the corpus — restate re-crawled ids via the
+    day-partition overwrite pattern instead of re-appending."""
+    base = lsh_shingle_frame(new_docs)
+    (lsh_band_frame(base).write.mode("append")
+     .parquet(os.path.join(index_dir, BANDS_TABLE)))
+    (base.write.mode("append")
+     .parquet(os.path.join(index_dir, SHINGLES_TABLE)))
+
+
+def dedup_incremental(spark: SparkSession, index_dir: str,
+                      new_docs: DataFrame) -> DataFrame:
+    """Near-dup pairs (a_id, b_id, jaccard >= 0.8) touching the new
+    batch: new-vs-corpus plus new-vs-new, exactly the subset of the
+    batch kernel's answer over (corpus + batch) in which at least one
+    side is new (corpus-internal pairs were already found when the
+    corpus was indexed). Pairs are canonicalized a_id < b_id."""
+    from pyspark.sql import functions as F
+
+    base_new = lsh_shingle_frame(new_docs)
+    bands_new = lsh_band_frame(base_new)
+    idx_bands = spark.read.parquet(os.path.join(index_dir, BANDS_TABLE))
+    idx_sh = spark.read.parquet(os.path.join(index_dir, SHINGLES_TABLE))
+
+    nn = (bands_new.selectExpr("band", "key", "doc_id AS a_id")
+          .join(bands_new.selectExpr("band", "key", "doc_id AS b_id"),
+                ["band", "key"])
+          .filter("a_id < b_id"))
+    nc = (bands_new.selectExpr("band", "key", "doc_id AS n_id")
+          .join(idx_bands.selectExpr("band", "key", "doc_id AS c_id"),
+                ["band", "key"])
+          .filter("n_id <> c_id")
+          .select(F.least("n_id", "c_id").alias("a_id"),
+                  F.greatest("n_id", "c_id").alias("b_id")))
+    cand = (nn.select("a_id", "b_id").unionByName(nc).distinct())
+    # one shingle source covering both sides; a re-crawled id prefers the
+    # batch's (newer) shingles
+    all_sh = base_new.unionByName(
+        idx_sh.join(base_new.select("doc_id"), "doc_id", "left_anti"))
+    return verified_jaccard_pairs(cand, all_sh, all_sh)

@@ -1,0 +1,81 @@
+"""Incremental near-dup detection vs the batch kernel.
+
+The production crawl-ingest loop dedups each arriving batch against a
+persisted corpus index (bands + shingles) instead of re-LSHing the
+corpus. These tests pin, on the sf0.001 documents fixture split into
+corpus (doc_id % 5 != 0) and batch (doc_id % 5 == 0):
+
+1. ``dedup_incremental`` returns EXACTLY the batch kernel's pairs over
+   the full corpus restricted to "at least one side is new" — and that
+   restriction is nonvacuous in both categories (new-vs-corpus and
+   new-vs-new pairs both exist in the fixture: 11 and 3);
+2. corpus-internal pairs are NOT re-reported;
+3. after ``update_dedup_index`` the index equals a full rebuild over
+   (corpus + batch), so the next batch sees an identical corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.ops.dedup import dedup_minhash_lsh  # noqa: E402
+from maha_spark.ops.incremental import (  # noqa: E402
+    BANDS_TABLE, SHINGLES_TABLE, dedup_incremental, materialize_dedup_index,
+    update_dedup_index,
+)
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    return (docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0"))
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, split, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dedup_idx"))
+    materialize_dedup_index(spark, split[0], d)
+    return d
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_matches_batch_kernel_restriction(
+        spark, split, index_dir):
+    corpus, new = split
+    new_ids = {r[0] for r in new.select("doc_id").collect()}
+    full = _pairs(dedup_minhash_lsh(spark, SRC))
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = _pairs(dedup_incremental(spark, index_dir, new))
+    assert got == expected
+    # nonvacuous in BOTH categories
+    cross = {p for p in got if (p[0] in new_ids) != (p[1] in new_ids)}
+    both_new = {p for p in got if p[0] in new_ids and p[1] in new_ids}
+    assert cross and both_new
+    # corpus-internal pairs exist in the full answer and are NOT re-found
+    assert full - expected
+    assert not (got & (full - expected))
+
+
+def test_update_then_reindex_equivalence(spark, split, index_dir,
+                                         tmp_path_factory):
+    corpus, new = split
+    update_dedup_index(spark, index_dir, new)
+    fresh = str(tmp_path_factory.mktemp("dedup_idx_full"))
+    materialize_dedup_index(spark, corpus.unionByName(new), fresh)
+    for t in (BANDS_TABLE, SHINGLES_TABLE):
+        a = spark.read.parquet(os.path.join(index_dir, t))
+        b = spark.read.parquet(os.path.join(fresh, t))
+        # multiset equality via exceptAll both ways (shingle arrays are
+        # order-deterministic: transform over the same word sequence)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        assert a.count() == b.count() > 0
