@@ -85,6 +85,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         "dedup_incremental": (incremental.dedup_incremental,
                               "test_dedup_incremental.py (== batch "
                               "kernel restricted to new-side pairs)"),
+        "ann_index_topk": (incremental.ann_index_topk,
+                           "test_ann_index.py (append == rebuild; "
+                           "recall + determinism gates)"),
         "approx_set_counts": (sketches.approx_set_counts,
                               "test_ops.py::test_hll_within_rsd"),
         "sim_ann_topk": (similarity.sim_ann_topk,
