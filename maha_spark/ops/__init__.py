@@ -23,8 +23,9 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import (asof, chunking, contamination, dedup, multimodal,
-                   packing, pipeline, sessions, similarity, sketches, text)
+    from . import (asof, chunking, contamination, dedup, incremental,
+                   multimodal, packing, pipeline, sessions, similarity,
+                   sketches, text)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
@@ -37,11 +38,15 @@ def entry_queries() -> dict[str, Callable]:
         "op_dedup_embed_cosine": dedup.dedup_embed_cosine,
         "op_dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "op_dedup_clusters": dedup.dedup_clusters,
+        # r6 rotation: op_dedup_incremental (the crawl-ingest incremental
+        # dedup flow, ops/incremental.py) takes op_sim_lsh_buckets' slot;
+        # the bucket histogram keeps its exact oracle off-contract in
+        # tests/test_ops_packing.py
+        "op_dedup_incremental": incremental.dedup_incremental_op,
         "op_curate": pipeline.curate_corpus,
         "op_sketch_setops": sketches.sketch_setops,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
-        "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
         # op_embed_quantize rotated back IN round 6 (out r5); its slot
         # comes from op_token_quantiles, which keeps an exact off-contract
         # oracle in tests/test_ops_packing.py AND is cross-checked against
@@ -82,9 +87,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                             "out r6 + vs approx_quantiles)"),
         "sessionize": (sessions.sessionize,
                        "test_ops_sessions.py (stream twin == batch)"),
-        "dedup_incremental": (incremental.dedup_incremental,
-                              "test_dedup_incremental.py (== batch "
-                              "kernel restricted to new-side pairs)"),
+        "sim_lsh_buckets": (similarity.sim_lsh_buckets,
+                            "test_ops_packing.py (exact oracle; rotated "
+                            "out r6 for op_dedup_incremental)"),
         "ann_index_topk": (incremental.ann_index_topk,
                            "test_ann_index.py (append == rebuild; "
                            "recall + determinism gates)"),
@@ -112,8 +117,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import (asof, chunking, contamination, dedup, multimodal,
-                   packing, pipeline, sessions, similarity, sketches, text)
+    from . import (asof, chunking, contamination, dedup, incremental,
+                   multimodal, packing, pipeline, sessions, similarity,
+                   sketches, text)
     from ..streaming import hourly
     return {
         "op_chunking": chunking.chunk_documents_oracle(),
@@ -133,7 +139,7 @@ def entry_oracles() -> dict[str, str]:
         "op_sketch_setops": sketches.sketch_setops_oracle(),
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
-        "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
+        "op_dedup_incremental": incremental.dedup_incremental_oracle(),
         "op_embed_quantize": similarity.embed_quantize_oracle(),
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
         "op_pack_sequences": packing.pack_sequences_oracle(),

@@ -181,3 +181,41 @@ def ann_index_topk(spark: SparkSession, index_dir: str,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(f"rank <= {top or TOPK}")
             .select("qid", "rank", "nid", "cos_sim"))
+
+
+# ------------------------------------------------- driver-contract entry
+#: the contract wrapper's corpus/batch split (batch = doc_id % MOD == 0,
+#: mirroring the benchmark split convention in ops/contamination.py)
+BATCH_MOD = 5
+
+
+def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: index the corpus split (doc_id %
+    BATCH_MOD != 0) into a scratch directory, then dedup the held-out
+    batch against it. Self-contained per invocation (the index is
+    rebuilt under a per-sf scratch path) so the driver can hash-check
+    the WHOLE incremental flow — build, band join, exact verification —
+    against the all-pairs DuckDB oracle restricted to new-side pairs."""
+    import hashlib
+    import tempfile
+
+    from .common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"maha-dedup-idx-{tag}")
+    materialize_dedup_index(
+        spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
+    return (dedup_incremental(
+                spark, idx, docs.filter(f"doc_id % {BATCH_MOD} = 0"))
+            .orderBy("a_id", "b_id"))
+
+
+def dedup_incremental_oracle() -> str:
+    from .dedup import dedup_minhash_lsh_oracle
+    return f"""
+        WITH pairs AS ({dedup_minhash_lsh_oracle()})
+        SELECT a_id, b_id, jaccard FROM pairs
+        WHERE a_id % {BATCH_MOD} = 0 OR b_id % {BATCH_MOD} = 0
+        ORDER BY a_id, b_id
+    """

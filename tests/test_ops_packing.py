@@ -105,6 +105,7 @@ def test_approx_quantiles_match_exact_shape_and_bounds(spark, sf_dir):
     (multimodal.mm_frame_sample, multimodal.mm_frame_sample_oracle()),
     (packing.token_quantiles, packing.token_quantiles_oracle()),
     (packing.mix_balance, packing.mix_balance_oracle()),
+    (similarity.sim_lsh_buckets, similarity.sim_lsh_buckets_oracle()),
 ])
 def test_mm_offcontract_oracle(fn, osql, spark, duck, sf_dir):
     _match(fn(spark, sf_dir), osql, duck)
