@@ -87,29 +87,32 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker — the ``v3`` suffix is the layout VERSION:
+    rounds via a _READY marker — the ``v4`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
-    old marker silently keep the old layout. v3 = the 100 TB storage
+    old marker silently keep the old layout. v4 = the 100 TB storage
     shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
       (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
       becomes a PartitionFilter (directory pruning, not per-file
       row-group statistics);
-    * BOTH pre-aggregated rollups materialized beside the raw facts:
-      ``events_hourly`` (streaming-maintained in production —
-      tests/test_stream_rollup.py pins stream == batch) and
-      ``lineitem_daily`` (batch-materialized; v3 addition);
+    * ALL THREE pre-aggregated rollups materialized beside the raw
+      facts: ``events_hourly`` (streaming-maintained in production —
+      tests/test_stream_rollup.py pins stream == batch),
+      ``lineitem_daily`` (batch; v3 addition) and
+      ``lineitem_daily_nation`` (the aggregate-join rollup; v4
+      addition);
     * dims symlinked.
     """
     from pyspark.sql import functions as F
 
-    from maha_spark.examples.contract import (materialize_events_rollup,
-                                              materialize_lineitem_rollup)
+    from maha_spark.examples.contract import (
+        materialize_events_rollup, materialize_lineitem_nation_rollup,
+        materialize_lineitem_rollup)
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v3")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v4")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -140,6 +143,9 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
             os.symlink(sp, os.path.join(dst, f"{t}.parquet"))
     materialize_events_rollup(spark, dst, dst)
     materialize_lineitem_rollup(spark, dst, dst)
+    # v4: the aggregate-join rollup (day x customer nation) — q5-shaped
+    # region/nation queries serve from ~62k rows via chain rebasing
+    materialize_lineitem_nation_rollup(spark, dst, dst)
     with open(marker, "w") as f:
         f.write("ok")
     return dst

@@ -429,6 +429,49 @@ def build_contract_registry() -> Registry:
                    "avg_price_roll", "avg_price_rollup"},
         grain_cols=["ship_day", "l_returnflag", "l_linestatus"])
 
+    # AGGREGATE-JOIN rollup at (ship day, customer nation): the
+    # orders -> customer join is paid ONCE at materialization and the
+    # stored `cust_nation_fk` re-enters the customer_nation dim chain
+    # directly (chain REBASING in model/request_model.py), so
+    # nation/region reporting queries never touch the raw fact or the
+    # two skipped dims. ~62k stored rows (2.5k days x 25 nations)
+    # replace the raw line items for q5-shaped requests at any scale.
+    # Summable cents partials only — no Noop/exact-distinct columns, so
+    # any coarser re-aggregation is valid; requests using orders/customer
+    # attributes are unreachable from the rebased chain and fall back to
+    # the raw fact by chain satisfiability.
+    li_nation_cols = {
+        "l_shipdate": DimCol("l_shipdate", TimestampType(),
+                             is_day_column=True),
+        "cust_nation_fk": DimCol("cust_nation_fk", IntType(),
+                                 foreign_key="customer_nation"),
+        **{k: li_cols[k] for k in ("ship_day", "ship_month", "ship_dow")},
+        **{k: FactCol(k, IntType(), rollup=SumRollup()) for k in
+           ("qty_dec", "price_dec", "disc_price_dec", "charge_dec",
+            "disc_dec", "ret_qty_dec")},
+        "rounded_rev_raw": FactCol("rounded_rev_raw", IntType(),
+                                   rollup=RoundedSumRollup(scale=2)),
+        "line_count": FactCol("line_count", IntType(default_value=0),
+                              rollup=SumRollup()),
+        "max_price_raw": FactCol("max_price_raw", DecType(),
+                                 rollup=MaxRollup()),
+        "min_price_raw": FactCol("min_price_raw", DecType(),
+                                 rollup=MinRollup()),
+        **{k: li_cols[k] for k in
+           ("sum_qty", "sum_base_price", "revenue", "charge", "avg_qty",
+            "avg_price", "avg_disc", "returned_qty", "discount_rate",
+            "revenue_rounded")},
+    }
+    lineitem_daily_nation = FactTable(
+        name="lineitem_daily_nation", columns=li_nation_cols, grain=DAILY,
+        day_column="l_shipdate", cost=60, partition_columns=["dt"],
+        discarded={"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                   "l_returnflag", "l_linestatus", "rf_label", "l_qty_int",
+                   "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                   "order_cnt", "order_cnt_approx", "status_label_raw",
+                   "avg_price_roll", "avg_price_rollup"},
+        grain_cols=["ship_day", "cust_nation_fk"])
+
     pub_metrics = [
         PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),
         PubCol("revenue", "revenue"), PubCol("charge", "charge"),
@@ -453,7 +496,8 @@ def build_contract_registry() -> Registry:
         PubCol("day_of_week", "ship_dow"),
     ]
     reg.register_fact(PublicFact(
-        name="tpch", tables=[lineitem, lineitem_rollup, lineitem_daily],
+        name="tpch", tables=[lineitem, lineitem_rollup, lineitem_daily,
+                             lineitem_daily_nation],
         pub_cols=pub_dims, pub_fact_cols=pub_metrics,
         schema_required_alias={"customer": "customer_id"},
         day_alias="day"))
@@ -1425,6 +1469,57 @@ def refresh_lineitem_rollup(spark, src_dir: str, dst_dir: str,
     # DataFrame memo (plans/binding.py::_DF_CACHE) rebuilds instead of
     # serving the pre-refresh snapshot
     os.utime(out, None)
+    return out
+
+
+def materialize_lineitem_nation_rollup(spark, src_dir: str,
+                                       dst_dir: str) -> str:
+    """Write the ``lineitem_daily_nation`` AGGREGATE-JOIN rollup: the
+    orders -> customer join is paid here, once, and the stored
+    ``cust_nation_fk`` re-enters the customer_nation dim chain at query
+    time (chain rebasing). Partials use the same per-row cents
+    quantization as the base cube, so serving is bit-identical to the
+    raw join+aggregate plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.binding import ParquetBinding
+
+    b = ParquetBinding(spark, src_dir)
+    li, orders, cust = b.table("lineitem"), b.table("orders"), \
+        b.table("customer")
+    c = {k: v.format(l_quantity="l_quantity",
+                     l_extendedprice="l_extendedprice",
+                     l_discount="l_discount", l_tax="l_tax")
+         for k, v in (("qty", QTY_C), ("price", PRICE_C),
+                      ("disc_price", DISC_PRICE_C), ("charge", CHARGE_C),
+                      ("disc", DISC_H))}
+    out = os.path.join(dst_dir, "lineitem_daily_nation.parquet")
+    (li.join(orders.select("o_orderkey", "o_custkey"),
+             li["l_orderkey"] == orders["o_orderkey"])
+     .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+           orders["o_custkey"] == cust["c_custkey"])
+     .selectExpr(
+        "date_trunc('day', l_shipdate) AS l_shipdate",
+        "c_nationkey AS cust_nation_fk", "l_returnflag", "l_extendedprice",
+        f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
+        f"{c['disc_price']} AS disc_price_c", f"{c['charge']} AS charge_c",
+        f"{c['disc']} AS disc_c")
+     .groupBy("l_shipdate", "cust_nation_fk")
+     .agg(F.expr("SUM(qty_c)").alias("qty_dec"),
+          F.expr("SUM(price_c)").alias("price_dec"),
+          F.expr("SUM(disc_price_c)").alias("disc_price_dec"),
+          F.expr("SUM(charge_c)").alias("charge_dec"),
+          F.expr("SUM(disc_c)").alias("disc_dec"),
+          F.expr("SUM(CASE WHEN l_returnflag = 'R' THEN qty_c END)")
+           .alias("ret_qty_dec"),
+          F.expr("SUM(disc_price_c)").alias("rounded_rev_raw"),
+          F.count(F.lit(1)).alias("line_count"),
+          F.max("l_extendedprice").alias("max_price_raw"),
+          F.min("l_extendedprice").alias("min_price_raw"))
+     .withColumn("dt", F.to_date(F.col("l_shipdate")))
+     .write.mode("overwrite").parquet(out))
     return out
 
 

@@ -605,9 +605,6 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 pub = cube.col_by_alias(a)
                 if pub is not None:
                     top_needed.add(pub.name)
-    for ch in chains.values():
-        top_needed.add(ch.fact_fk_col)
-
     # grain guard input: the request's grouped top-level columns (a
     # stored exact-distinct only serves requests grouping AT its grain)
     grouped_cols = {p.pub_col.name for p in projections
@@ -615,6 +612,53 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     candidates = cube.candidate_tables(top_needed, request.request_type,
                                        schema=request.schema,
                                        grouped_cols=grouped_cols)
+
+    # ------------------------------------------------------------------
+    # chain satisfiability (join-aware rollups): a candidate serves each
+    # dim chain either through the chain's base-table FK column, or
+    # REBASED — the candidate declares its own FK into a dim PARTWAY
+    # down the chain's path (an aggregate-join rollup stores e.g. the
+    # nation key it joined at build time), valid only when every dim the
+    # request actually uses sits at or beyond that entry point (a
+    # skipped dim's attributes are not reachable from the rebased
+    # chain). Reference analogue: fact/Fact.scala newRollUp re-declares
+    # dim FK columns per rollup and getCandidatesFor matches on them.
+    # ------------------------------------------------------------------
+    chain_rebase: dict[str, dict[str, tuple[str, int]]] = {}
+    if chains:
+        viable = []
+        for t in candidates:
+            plan: dict[str, tuple[str, int]] = {}
+            taken = {fk for fk in chains if fk in t.columns}
+            ok = True
+            for fk_col, ch in chains.items():
+                if fk_col in t.columns:
+                    continue
+                path_names = [d.name for d in ch.dims]
+                used = {dn for dn in dim_usage
+                        if reachable.get(dn, (None, None))[0] == fk_col}
+                best: Optional[tuple[str, int]] = None
+                for col, target_dim in t.fk_columns().items():
+                    if target_dim not in path_names or col in taken:
+                        continue
+                    i = path_names.index(target_dim)
+                    if all(path_names.index(u) >= i
+                           for u in used if u in path_names) \
+                            and (best is None or i > best[1]):
+                        best = (col, i)
+                if best is None:
+                    ok = False
+                    break
+                plan[fk_col] = best
+                taken.add(best[0])
+            if ok:
+                chain_rebase[t.name] = plan
+                viable.append(t)
+        if candidates and not viable:
+            errors.append(
+                f"no fact table in cube {request.cube!r} can join the "
+                f"dimension chains {sorted(chains)} for this request")
+        candidates = viable
     tz = request.additional_parameters.get("timeZone")
     _utc_names = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+0", "UTC+0"}
     if candidates and (request.query_type == "scan"
@@ -693,6 +737,16 @@ def build_request_model(request: ReportingRequest, registry: Registry,
 
     fact_table = candidates[0]
 
+    # apply the selected candidate's chain rebasing: the chain now
+    # starts at the rollup's stored FK and the skipped (unused) dims
+    # drop off the join path
+    for old_fk, (new_fk, start) in chain_rebase.get(fact_table.name,
+                                                    {}).items():
+        ch = chains.pop(old_fk)
+        ch.fact_fk_col = new_fk
+        ch.dims = ch.dims[start:]
+        chains[new_fk] = ch
+
     # expand expression dependencies against the SELECTED table (scan
     # column set; each table resolves its own derived exprs)
     needed: set[str] = set()
@@ -712,6 +766,10 @@ def build_request_model(request: ReportingRequest, registry: Registry,
 
     for name in top_needed:
         add_fact_col_deps(name, fact_table)
+    # chain join keys enter the scan AFTER rebasing — the selected
+    # table's own FK column, not necessarily the base table's
+    for ch in chains.values():
+        add_fact_col_deps(ch.fact_fk_col, fact_table)
     if fact_table.day_column:
         needed.add(fact_table.day_column)
 
