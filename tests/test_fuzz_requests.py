@@ -34,6 +34,7 @@ from maha_spark.examples.contract import (RETURN_FLAG_SQL, SQL_DISC,
                                           build_contract_registry,
                                           ensure_udfs,
                                           materialize_events_rollup,
+                                          materialize_lineitem_nation_rollup,
                                           materialize_lineitem_rollup)
 
 SEED = 20260814
@@ -171,6 +172,11 @@ def fuzz_dir(spark, sf_dir, tmp_path_factory):
             os.symlink(src, str(d / f"{t}.parquet"))
     materialize_lineitem_rollup(spark, str(d), str(d))
     materialize_events_rollup(spark, str(d), str(d))
+    # the aggregate-join rollup competes too (battery 1b exercises its
+    # chain rebasing; it cannot win any battery-1 case — those dims are
+    # either fact-side, where lineitem_daily is cheaper, or on chains
+    # it cannot rebase)
+    materialize_lineitem_nation_rollup(spark, str(d), str(d))
     return str(d)
 
 
@@ -237,6 +243,87 @@ def test_fuzz_exercised_both_candidates():
         "no fuzz case was served from the lineitem_daily rollup"
     assert "lineitem" in _SERVED["tables"], \
         "no fuzz case fell back to the raw lineitem table"
+
+
+# ---------------------------------------------------------------------------
+# battery 1b: join-aware rollup (chain rebasing) vs the raw-join oracle.
+#
+# Requests over {day, month, nation, region} dims with summable metrics
+# must be SERVED from lineitem_daily_nation (the stored cust_nation_fk
+# re-enters the customer_nation chain, skipping orders+customer), and the
+# values must match the raw 4-table-join DuckDB SQL. Cases touching a
+# skipped dim (mktsegment) must fall back to the raw fact and still match.
+
+JA_DIMS = {
+    "day": "CAST(l_shipdate AS DATE)",
+    "month": "CAST(date_trunc('month', l_shipdate) AS DATE)",
+    "nation_name": "n_name",
+    "region_name": "r_name",
+}
+JA_METS = {k: MET_POOL[k] for k in
+           ("sum_qty", "sum_base_price", "revenue", "line_count",
+            "avg_qty", "avg_price", "avg_disc", "returned_qty",
+            "max_price", "min_price", "revenue_rounded")}
+JA_JOINS = (JOIN_SQL["orders"], JOIN_SQL["customer"],
+            "JOIN nation ON c_nationkey = n_nationkey",
+            "JOIN region ON n_regionkey = r_regionkey")
+JA_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def gen_ja_case(rng: random.Random, fallback: bool) -> dict:
+    dims = rng.sample(["day", "month"], rng.randint(0, 1)) +         rng.sample(["nation_name", "region_name"], rng.randint(1, 2))
+    mets = rng.sample(sorted(JA_METS), rng.randint(1, 3))
+    start = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 1800))
+    end = start + dt.timedelta(days=rng.randint(60, 600))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(l_shipdate AS DATE) BETWEEN DATE '{start}' "
+             f"AND DATE '{end}'"]
+    if rng.random() < 0.5:
+        regions = rng.sample(JA_REGIONS, rng.randint(1, 3))
+        filters.append({"field": "region_name", "operator": "in",
+                        "values": regions})
+        rl = "', '".join(regions)
+        preds.append(f"r_name IN ('{rl}')")
+    if fallback:  # a skipped dim's attribute forces the raw fact
+        dims.append("mktsegment")
+    sel_map = dict(JA_DIMS, mktsegment="c_mktsegment")
+    sel = ", ".join([f"{sel_map[f]} AS {f}" for f in dims]
+                    + [f"{JA_METS.get(f, MET_POOL[f])} AS {f}"
+                       for f in mets])
+    sql = (f"SELECT {sel} FROM lineitem {' '.join(JA_JOINS)} "
+           f"WHERE {' AND '.join(preds)} "
+           f"GROUP BY {', '.join(str(i + 1) for i in range(len(dims)))} "
+           f"ORDER BY {', '.join(str(i + 1) for i in range(len(dims)))}")
+    return {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": f} for f in dims + mets],
+            "filterExpressions": filters,
+            "sortBy": [{"field": f, "order": "ASC"} for f in dims],
+            "rowsPerPage": -1,
+        },
+        "fields": dims + mets,
+        "sql": sql,
+        "fallback": fallback,
+    }
+
+
+_ja_rng = random.Random(SEED + 11)
+JA_CASES = ([gen_ja_case(_ja_rng, fallback=False) for _ in range(8)]
+            + [gen_ja_case(_ja_rng, fallback=True) for _ in range(2)])
+
+
+@pytest.mark.parametrize("case", JA_CASES,
+                         ids=[f"ja{i:02d}" for i in range(len(JA_CASES))])
+def test_join_aware_rollup_matches_raw_oracle(case, fuzz_engine, duck):
+    served = fuzz_engine.model(case["request"]).fact_table.name
+    if case["fallback"]:
+        assert served == "lineitem", served
+    else:
+        assert served == "lineitem_daily_nation", served
+    df = fuzz_engine.dataframe(case["request"])
+    _assert_rows_match(df, case["fields"], duck, case["sql"])
 
 
 # ---------------------------------------------------------------------------
