@@ -100,6 +100,27 @@ SQL_CHARGE_ROW = (f"CAST(ROUND({SQL_PRICE} * (1 - {SQL_DISC}) "
                   f"* (1 + {SQL_TAX}), 2) AS DECIMAL(8,2))")
 
 
+def _li_partial_col_defs() -> dict:
+    """Stored-partial column declarations shared by every lineitem
+    rollup table (same physical names as the base's per-row quantized
+    columns; here they are SUMS/MAX/MIN per grain row) — one spelling so
+    the table definitions cannot drift from each other or from
+    ``_li_partial_aggs``."""
+    return {
+        **{k: FactCol(k, IntType(), rollup=SumRollup()) for k in
+           ("qty_dec", "price_dec", "disc_price_dec", "charge_dec",
+            "disc_dec", "ret_qty_dec")},
+        "rounded_rev_raw": FactCol("rounded_rev_raw", IntType(),
+                                   rollup=RoundedSumRollup(scale=2)),
+        "line_count": FactCol("line_count", IntType(default_value=0),
+                              rollup=SumRollup()),
+        "max_price_raw": FactCol("max_price_raw", DecType(),
+                                 rollup=MaxRollup()),
+        "min_price_raw": FactCol("min_price_raw", DecType(),
+                                 rollup=MinRollup()),
+    }
+
+
 def build_contract_registry() -> Registry:
     reg = Registry()
 
@@ -395,19 +416,7 @@ def build_contract_registry() -> Registry:
         # derived dims re-declared over the stored day/flag columns
         **{k: li_cols[k] for k in
            ("rf_label", "ship_day", "ship_month", "ship_dow")},
-        # stored summable partials (same physical names as the base's
-        # per-row quantized columns; here they are SUMS per grain row)
-        **{k: FactCol(k, IntType(), rollup=SumRollup()) for k in
-           ("qty_dec", "price_dec", "disc_price_dec", "charge_dec",
-            "disc_dec", "ret_qty_dec")},
-        "rounded_rev_raw": FactCol("rounded_rev_raw", IntType(),
-                                   rollup=RoundedSumRollup(scale=2)),
-        "line_count": FactCol("line_count", IntType(default_value=0),
-                              rollup=SumRollup()),
-        "max_price_raw": FactCol("max_price_raw", DecType(),
-                                 rollup=MaxRollup()),
-        "min_price_raw": FactCol("min_price_raw", DecType(),
-                                 rollup=MinRollup()),
+        **_li_partial_col_defs(),
         # exact per-grain distinct + functional label: stored AT grain,
         # NoopRollup => serves_grain requires grouping by the full grain
         "order_cnt": FactCol("order_cnt", IntType(), rollup=NoopRollup()),
@@ -446,17 +455,7 @@ def build_contract_registry() -> Registry:
         "cust_nation_fk": DimCol("cust_nation_fk", IntType(),
                                  foreign_key="customer_nation"),
         **{k: li_cols[k] for k in ("ship_day", "ship_month", "ship_dow")},
-        **{k: FactCol(k, IntType(), rollup=SumRollup()) for k in
-           ("qty_dec", "price_dec", "disc_price_dec", "charge_dec",
-            "disc_dec", "ret_qty_dec")},
-        "rounded_rev_raw": FactCol("rounded_rev_raw", IntType(),
-                                   rollup=RoundedSumRollup(scale=2)),
-        "line_count": FactCol("line_count", IntType(default_value=0),
-                              rollup=SumRollup()),
-        "max_price_raw": FactCol("max_price_raw", DecType(),
-                                 rollup=MaxRollup()),
-        "min_price_raw": FactCol("min_price_raw", DecType(),
-                                 rollup=MinRollup()),
+        **_li_partial_col_defs(),
         **{k: li_cols[k] for k in
            ("sum_qty", "sum_base_price", "revenue", "charge", "avg_qty",
             "avg_price", "avg_disc", "returned_qty", "discount_rate",
@@ -1364,39 +1363,56 @@ def run_query(spark, sf_dir: str, name: str):
     return df
 
 
-def _lineitem_daily_frame(li):
-    """The ``lineitem_daily`` aggregate at its materialized grain
-    (day, return flag, line status) — shared by the full materializer and
-    the incremental day refresh so both produce bit-identical rows."""
-    from pyspark.sql import functions as F
-
+def _li_cents_select() -> list[str]:
+    """The quantized per-row inputs every lineitem rollup materializer
+    aggregates — ONE spelling, so all rollups stay bit-identical to the
+    base cube's per-row cents columns."""
     c = {k: v.format(l_quantity="l_quantity",
                      l_extendedprice="l_extendedprice",
                      l_discount="l_discount", l_tax="l_tax")
          for k, v in (("qty", QTY_C), ("price", PRICE_C),
                       ("disc_price", DISC_PRICE_C), ("charge", CHARGE_C),
                       ("disc", DISC_H))}
+    return [f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
+            f"{c['disc_price']} AS disc_price_c",
+            f"{c['charge']} AS charge_c", f"{c['disc']} AS disc_c"]
+
+
+def _li_partial_aggs() -> list:
+    """The summable/max/min stored-partial aggregates shared by every
+    lineitem rollup (grain-specific extras like the daily rollup's exact
+    order distinct are appended by the caller)."""
+    from pyspark.sql import functions as F
+    return [
+        F.expr("SUM(qty_c)").alias("qty_dec"),
+        F.expr("SUM(price_c)").alias("price_dec"),
+        F.expr("SUM(disc_price_c)").alias("disc_price_dec"),
+        F.expr("SUM(charge_c)").alias("charge_dec"),
+        F.expr("SUM(disc_c)").alias("disc_dec"),
+        # the base's FilteredRollup: SUM over non-matching groups is
+        # NULL, and NULL partials vanish in the rollup's re-SUM — the
+        # exact raw-row semantics
+        F.expr("SUM(CASE WHEN l_returnflag = 'R' THEN qty_c END)")
+         .alias("ret_qty_dec"),
+        F.expr("SUM(disc_price_c)").alias("rounded_rev_raw"),
+        F.count(F.lit(1)).alias("line_count"),
+        F.max("l_extendedprice").alias("max_price_raw"),
+        F.min("l_extendedprice").alias("min_price_raw"),
+    ]
+
+
+def _lineitem_daily_frame(li):
+    """The ``lineitem_daily`` aggregate at its materialized grain
+    (day, return flag, line status) — shared by the full materializer and
+    the incremental day refresh so both produce bit-identical rows."""
+    from pyspark.sql import functions as F
+
     return (li.selectExpr(
         "date_trunc('day', l_shipdate) AS l_shipdate",
         "l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice",
-        f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
-        f"{c['disc_price']} AS disc_price_c", f"{c['charge']} AS charge_c",
-        f"{c['disc']} AS disc_c")
+        *_li_cents_select())
      .groupBy("l_shipdate", "l_returnflag", "l_linestatus")
-     .agg(F.expr("SUM(qty_c)").alias("qty_dec"),
-          F.expr("SUM(price_c)").alias("price_dec"),
-          F.expr("SUM(disc_price_c)").alias("disc_price_dec"),
-          F.expr("SUM(charge_c)").alias("charge_dec"),
-          F.expr("SUM(disc_c)").alias("disc_dec"),
-          # the base's FilteredRollup: SUM over non-matching groups is
-          # NULL, and NULL partials vanish in the rollup's re-SUM — the
-          # exact raw-row semantics
-          F.expr("SUM(CASE WHEN l_returnflag = 'R' THEN qty_c END)")
-           .alias("ret_qty_dec"),
-          F.expr("SUM(disc_price_c)").alias("rounded_rev_raw"),
-          F.count(F.lit(1)).alias("line_count"),
-          F.max("l_extendedprice").alias("max_price_raw"),
-          F.min("l_extendedprice").alias("min_price_raw"),
+     .agg(*_li_partial_aggs(),
           F.countDistinct("l_orderkey").alias("order_cnt"),
           F.first(F.expr("upper(l_returnflag)")).alias("status_label_raw"))
      .withColumn("dt", F.to_date(F.col("l_shipdate"))))
@@ -1489,12 +1505,6 @@ def materialize_lineitem_nation_rollup(spark, src_dir: str,
     b = ParquetBinding(spark, src_dir)
     li, orders, cust = b.table("lineitem"), b.table("orders"), \
         b.table("customer")
-    c = {k: v.format(l_quantity="l_quantity",
-                     l_extendedprice="l_extendedprice",
-                     l_discount="l_discount", l_tax="l_tax")
-         for k, v in (("qty", QTY_C), ("price", PRICE_C),
-                      ("disc_price", DISC_PRICE_C), ("charge", CHARGE_C),
-                      ("disc", DISC_H))}
     out = os.path.join(dst_dir, "lineitem_daily_nation.parquet")
     (li.join(orders.select("o_orderkey", "o_custkey"),
              li["l_orderkey"] == orders["o_orderkey"])
@@ -1503,21 +1513,9 @@ def materialize_lineitem_nation_rollup(spark, src_dir: str,
      .selectExpr(
         "date_trunc('day', l_shipdate) AS l_shipdate",
         "c_nationkey AS cust_nation_fk", "l_returnflag", "l_extendedprice",
-        f"{c['qty']} AS qty_c", f"{c['price']} AS price_c",
-        f"{c['disc_price']} AS disc_price_c", f"{c['charge']} AS charge_c",
-        f"{c['disc']} AS disc_c")
+        *_li_cents_select())
      .groupBy("l_shipdate", "cust_nation_fk")
-     .agg(F.expr("SUM(qty_c)").alias("qty_dec"),
-          F.expr("SUM(price_c)").alias("price_dec"),
-          F.expr("SUM(disc_price_c)").alias("disc_price_dec"),
-          F.expr("SUM(charge_c)").alias("charge_dec"),
-          F.expr("SUM(disc_c)").alias("disc_dec"),
-          F.expr("SUM(CASE WHEN l_returnflag = 'R' THEN qty_c END)")
-           .alias("ret_qty_dec"),
-          F.expr("SUM(disc_price_c)").alias("rounded_rev_raw"),
-          F.count(F.lit(1)).alias("line_count"),
-          F.max("l_extendedprice").alias("max_price_raw"),
-          F.min("l_extendedprice").alias("min_price_raw"))
+     .agg(*_li_partial_aggs())
      .withColumn("dt", F.to_date(F.col("l_shipdate")))
      .write.mode("overwrite").parquet(out))
     return out

@@ -624,7 +624,11 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # chain). Reference analogue: fact/Fact.scala newRollUp re-declares
     # dim FK columns per rollup and getCandidatesFor matches on them.
     # ------------------------------------------------------------------
-    chain_rebase: dict[str, dict[str, tuple[str, int]]] = {}
+    # keyed by candidate IDENTITY, not name — the registry deliberately
+    # holds same-named table variants (base lineitem + its coarser
+    # rollup both bind the physical name "lineitem")
+    chain_rebase: dict[int, dict[str, tuple[str, int]]] = {}
+    chain_join_failed = False
     if chains:
         viable = []
         for t in candidates:
@@ -652,9 +656,10 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 plan[fk_col] = best
                 taken.add(best[0])
             if ok:
-                chain_rebase[t.name] = plan
+                chain_rebase[id(t)] = plan
                 viable.append(t)
         if candidates and not viable:
+            chain_join_failed = True
             errors.append(
                 f"no fact table in cube {request.cube!r} can join the "
                 f"dimension chains {sorted(chains)} for this request")
@@ -691,7 +696,10 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             t for t in candidates
             if t.available_onwards is None
             or _parse_date(t.available_onwards) <= day_range[0]]
-    if not candidates:
+    if not candidates and not chain_join_failed:
+        # (suppressed when the chain-satisfiability error already fired:
+        # column coverage DID succeed there, and pointing the 400 at a
+        # nonexistent coverage problem would mislead API consumers)
         errors.append(
             f"no fact table in cube {request.cube!r} covers columns "
             f"{sorted(top_needed)} for the requested window")
@@ -740,7 +748,7 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # apply the selected candidate's chain rebasing: the chain now
     # starts at the rollup's stored FK and the skipped (unused) dims
     # drop off the join path
-    for old_fk, (new_fk, start) in chain_rebase.get(fact_table.name,
+    for old_fk, (new_fk, start) in chain_rebase.get(id(fact_table),
                                                     {}).items():
         ch = chains.pop(old_fk)
         ch.fact_fk_col = new_fk
