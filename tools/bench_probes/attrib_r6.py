@@ -3,7 +3,7 @@
 0.72@512x): decompose each engine's cost into fixed per-file/per-query
 overhead vs row-linear throughput.
 
-Probes, per multiplier tier (expects the .bench-scaled-sf0.1x{M}v3
+Probes, per multiplier tier (expects the .bench-scaled-sf0.1x{M}{ATTRIB_LAYOUT_V}
 layouts to exist — run bench.py first):
 
   1. duck_files    — DuckDB full-scan agg over the 2499-file dt layout.
@@ -31,6 +31,9 @@ sys.path.insert(0, REPO)
 
 MULTS = (128, 256, 512)
 PASSES = 3
+#: scaled-layout version suffix (v3 at probe time; bench.py bumps it on
+#: layout changes — pass the current one to re-run the probe)
+LAYOUT_V = os.environ.get("ATTRIB_LAYOUT_V", "v4")
 
 AGG = ("SELECT l_returnflag, l_linestatus, count(*) AS n, "
        "sum(l_quantity) AS sq, sum(l_extendedprice) AS se "
@@ -59,7 +62,8 @@ def main() -> None:
 
     out = {"cpus": cpus, "tiers": []}
     for mult in MULTS:
-        lay = os.path.join(REPO, f".bench-scaled-sf0.1x{mult}v3")
+        lay = os.path.join(REPO,
+                   f".bench-scaled-sf0.1x{mult}{LAYOUT_V}")
         li = os.path.join(lay, "lineitem")
         if not os.path.isdir(li):
             print(f"# missing layout {lay}, skipping", file=sys.stderr)
