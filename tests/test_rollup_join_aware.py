@@ -149,3 +149,29 @@ def test_cheaper_rollup_wins_chain_free_requests(spark, tmp_path_factory,
     assert eng.model(day_only).fact_table.name == "lineitem_daily"
     assert eng.model(Q5).fact_table.name == "lineitem_daily_nation"
     assert _rows(raw_eng, day_only) == _rows(eng, day_only)
+
+def test_rollup_only_cube_reports_one_accurate_chain_error(spark, nat_dir):
+    """A cube whose only table is the aggregate-join rollup, given a
+    request touching a dim the rollup cannot reach: a clean, ACCURATE
+    ValidationError — reachability is scoped to the base table's FKs, so
+    the unreachable customer attribute reports as field-not-found, and
+    the misleading generic "covers columns" error never appears
+    (coverage was not the problem)."""
+    from maha_spark.request.request import ValidationError
+
+    reg = build_contract_registry()
+    cube = reg.fact("tpch")
+    nat_only = [t for t in cube.tables if t.name == "lineitem_daily_nation"]
+    assert nat_only
+    cube.tables = nat_only
+    eng = engine_for_dir(spark, reg, nat_dir)
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "mktsegment"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL],
+    }
+    with pytest.raises(ValidationError) as ei:
+        eng.model(req)
+    msgs = ei.value.errors
+    assert msgs and any("mktsegment" in m for m in msgs), msgs
+    assert not any("covers columns" in m for m in msgs), msgs
