@@ -443,3 +443,46 @@ def test_semi_join_and_chain_unhinted_on_unknown_cardinality(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         os.environ.pop("MAHA_SPARK_CACHE", None)
+
+
+def test_q5_via_nation_rollup_never_touches_orders_or_customer(
+        spark, tmp_path_factory):
+    """q5 served from the aggregate-join rollup (chain rebasing): the
+    physical plan must scan lineitem_daily_nation — not the raw fact —
+    and must not join orders or customer at all (their join was paid at
+    materialization); nation/region still arrive as broadcasts and the
+    only hash-partitioning exchange is the final tiny re-aggregation.
+    This is the plan the 100 TB case runs: ~62k stored rows replace the
+    fact scan entirely."""
+    import os
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import (
+        build_contract_registry, materialize_lineitem_nation_rollup)
+
+    os.environ["MAHA_SPARK_CACHE"] = "0"
+    try:
+        src = "/root/testdata/sf0.001"
+        d = str(tmp_path_factory.mktemp("natplan"))
+        for t in os.listdir(src):
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+        materialize_lineitem_nation_rollup(spark, src, d)
+        from maha_spark.plans.binding import _DF_CACHE
+        for _mt, cdf in _DF_CACHE.values():
+            cdf.unpersist(blocking=True)
+        _DF_CACHE.clear()
+        eng = engine_for_dir(spark, build_contract_registry(), d)
+        df = eng.dataframe({
+            "cube": "tpch",
+            "selectFields": [{"field": "region_name"}, {"field": "revenue"},
+                             {"field": "sum_qty"}],
+            "filterExpressions": [DAY_ALL],
+        })
+        phys = _physical(df)
+        assert "lineitem_daily_nation" in phys
+        assert "orders" not in phys and "customer" not in phys
+        assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+        assert "BroadcastHashJoin" in phys
+        assert phys.count("Arguments: hashpartitioning") == 1
+    finally:
+        os.environ.pop("MAHA_SPARK_CACHE", None)
