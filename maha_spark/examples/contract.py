@@ -1488,36 +1488,83 @@ def refresh_lineitem_rollup(spark, src_dir: str, dst_dir: str,
     return out
 
 
-def materialize_lineitem_nation_rollup(spark, src_dir: str,
-                                       dst_dir: str) -> str:
+def _lineitem_nation_frame(li, orders, cust):
+    """The ``lineitem_daily_nation`` aggregate at its (day, customer
+    nation) grain — shared by the full materializer and the incremental
+    day refresh so both produce bit-identical rows."""
+    from pyspark.sql import functions as F
+
+    return (li.join(orders.select("o_orderkey", "o_custkey"),
+                    li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .selectExpr(
+                "date_trunc('day', l_shipdate) AS l_shipdate",
+                "c_nationkey AS cust_nation_fk", "l_returnflag",
+                "l_extendedprice", *_li_cents_select())
+            .groupBy("l_shipdate", "cust_nation_fk")
+            .agg(*_li_partial_aggs())
+            .withColumn("dt", F.to_date(F.col("l_shipdate"))))
+
+
+def materialize_lineitem_nation_rollup(spark, src_dir: str, dst_dir: str,
+                                       partitioned: bool = False) -> str:
     """Write the ``lineitem_daily_nation`` AGGREGATE-JOIN rollup: the
     orders -> customer join is paid here, once, and the stored
     ``cust_nation_fk`` re-enters the customer_nation dim chain at query
     time (chain rebasing). Partials use the same per-row cents
     quantization as the base cube, so serving is bit-identical to the
-    raw join+aggregate plan."""
+    raw join+aggregate plan. ``partitioned=True`` writes the Hive
+    dt-partitioned layout that ``refresh_lineitem_nation_rollup``
+    maintains incrementally."""
+    import os
+
+    from ..plans.binding import ParquetBinding
+
+    b = ParquetBinding(spark, src_dir)
+    df = _lineitem_nation_frame(b.table("lineitem"), b.table("orders"),
+                                b.table("customer"))
+    if partitioned:
+        from pyspark.sql import functions as F
+        out = os.path.join(dst_dir, "lineitem_daily_nation")
+        (df.repartition(F.col("dt")).write.mode("overwrite")
+           .partitionBy("dt").parquet(out))
+    else:
+        out = os.path.join(dst_dir, "lineitem_daily_nation.parquet")
+        df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def refresh_lineitem_nation_rollup(spark, src_dir: str, dst_dir: str,
+                                   from_day: str, to_day: str) -> str:
+    """Day-range restatement of the PARTITIONED aggregate-join rollup:
+    only the restated days' line items re-join orders/customer (the
+    lineitem scan is partition-pruned; orders/customer are read in full
+    — the join is keyed, so at cluster scale the dim sides broadcast or
+    shuffle by key, never more than the batch needs) and only those
+    ``dt=`` directories are dynamically overwritten. Bit-identical to a
+    full rebuild (same ``_lineitem_nation_frame``; pinned in
+    tests/test_rollup_incremental.py)."""
     import os
 
     from pyspark.sql import functions as F
 
     from ..plans.binding import ParquetBinding
+    from ..plans.scale import overwrite_day_partitions
 
     b = ParquetBinding(spark, src_dir)
-    li, orders, cust = b.table("lineitem"), b.table("orders"), \
-        b.table("customer")
-    out = os.path.join(dst_dir, "lineitem_daily_nation.parquet")
-    (li.join(orders.select("o_orderkey", "o_custkey"),
-             li["l_orderkey"] == orders["o_orderkey"])
-     .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-           orders["o_custkey"] == cust["c_custkey"])
-     .selectExpr(
-        "date_trunc('day', l_shipdate) AS l_shipdate",
-        "c_nationkey AS cust_nation_fk", "l_returnflag", "l_extendedprice",
-        *_li_cents_select())
-     .groupBy("l_shipdate", "cust_nation_fk")
-     .agg(*_li_partial_aggs())
-     .withColumn("dt", F.to_date(F.col("l_shipdate")))
-     .write.mode("overwrite").parquet(out))
+    li = b.table("lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(from_day)))
+        & (F.col("l_shipdate")
+           < F.to_timestamp(F.date_add(F.to_date(F.lit(to_day)), 1))))
+    if "dt" in li.columns:
+        li = li.filter(F.col("dt").between(F.lit(from_day), F.lit(to_day)))
+    out = os.path.join(dst_dir, "lineitem_daily_nation")
+    overwrite_day_partitions(
+        _lineitem_nation_frame(li, b.table("orders"), b.table("customer")),
+        out)
+    os.utime(out, None)  # bust the binding's mtime-keyed memo (_DF_CACHE)
     return out
 
 

@@ -123,3 +123,43 @@ def test_partitioned_rollup_serves_like_flat(spark, pristine):
     a = sorted(map(tuple, raw.dataframe(LI_Q1).collect()))
     b = sorted(map(tuple, rolled.dataframe(LI_Q1).collect()))
     assert a == b and len(a) > 0
+
+
+def test_nation_rollup_refresh_restores_bit_identically(
+        spark, tmp_path_factory):
+    """The aggregate-join rollup gets the same restatement guarantee:
+    refreshing a damaged day range re-joins orders/customer for only
+    those days and restores the table to a bit-identical copy of a full
+    rebuild, leaving out-of-range partitions physically untouched."""
+    from maha_spark.examples.contract import (
+        materialize_lineitem_nation_rollup, refresh_lineitem_nation_rollup)
+
+    def build(name):
+        d = str(tmp_path_factory.mktemp(name))
+        for t in os.listdir(SRC):
+            os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+        materialize_lineitem_nation_rollup(spark, SRC, d, partitioned=True)
+        return d
+
+    def rows(root):
+        df = spark.read.parquet(os.path.join(root, "lineitem_daily_nation"))
+        keys = ["dt", "cust_nation_fk"]
+        cols = keys + sorted(c for c in df.columns if c not in keys)
+        return sorted(map(tuple, df.select(*cols).collect()),
+                      key=lambda r: r[:2])
+
+    pristine, work = build("nat_full"), build("nat_work")
+    roll = os.path.join(work, "lineitem_daily_nation")
+    days = sorted(e for e in os.listdir(roll) if e.startswith("dt="))
+    d0, d1 = days[15], days[16]
+    shutil.rmtree(os.path.join(roll, d0))
+    shutil.rmtree(os.path.join(roll, d1))
+    shutil.copytree(os.path.join(roll, days[50]), os.path.join(roll, d1))
+    assert rows(work) != rows(pristine)
+
+    untouched = os.path.join(roll, days[5])
+    before = _dir_state(untouched)
+    refresh_lineitem_nation_rollup(spark, SRC, work,
+                                   d0.split("=")[1], d1.split("=")[1])
+    assert rows(work) == rows(pristine)
+    assert _dir_state(untouched) == before
