@@ -1479,25 +1479,28 @@ def refresh_lineitem_rollup(spark, src_dir: str, dst_dir: str,
     if "dt" in li.columns:
         li = li.filter(F.col("dt").between(F.lit(from_day), F.lit(to_day)))
     out = os.path.join(dst_dir, "lineitem_daily")
+    # overwrite_day_partitions bumps the root mtime itself, so the
+    # binding's mtime-keyed memo (_DF_CACHE) rebuilds for every caller
     overwrite_day_partitions(_lineitem_daily_frame(li), out)
-    # a rewrite scoped inside EXISTING dt= subdirectories does not bump
-    # the table root's mtime; bump it so the binding's mtime-keyed
-    # DataFrame memo (plans/binding.py::_DF_CACHE) rebuilds instead of
-    # serving the pre-refresh snapshot
-    os.utime(out, None)
     return out
 
 
 def _lineitem_nation_frame(li, orders, cust):
     """The ``lineitem_daily_nation`` aggregate at its (day, customer
     nation) grain — shared by the full materializer and the incremental
-    day refresh so both produce bit-identical rows."""
+    day refresh so both produce bit-identical rows.
+
+    Joins are LEFT OUTER: an orphan l_orderkey/o_custkey (no matching
+    order/customer) groups under ``cust_nation_fk = NULL``, exactly the
+    row the query-time left_outer chain on the RAW fact would produce —
+    so rollup-served and raw-served totals agree even on data without
+    FK integrity (TPC-H has it; a crawl warehouse may not)."""
     from pyspark.sql import functions as F
 
     return (li.join(orders.select("o_orderkey", "o_custkey"),
-                    li["l_orderkey"] == orders["o_orderkey"])
+                    li["l_orderkey"] == orders["o_orderkey"], "left")
             .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-                  orders["o_custkey"] == cust["c_custkey"])
+                  orders["o_custkey"] == cust["c_custkey"], "left")
             .selectExpr(
                 "date_trunc('day', l_shipdate) AS l_shipdate",
                 "c_nationkey AS cust_nation_fk", "l_returnflag",
@@ -1563,8 +1566,7 @@ def refresh_lineitem_nation_rollup(spark, src_dir: str, dst_dir: str,
     out = os.path.join(dst_dir, "lineitem_daily_nation")
     overwrite_day_partitions(
         _lineitem_nation_frame(li, b.table("orders"), b.table("customer")),
-        out)
-    os.utime(out, None)  # bust the binding's mtime-keyed memo (_DF_CACHE)
+        out)  # bumps the root mtime itself (memo invalidation)
     return out
 
 

@@ -59,10 +59,32 @@ def materialize_dedup_index(spark: SparkSession, docs: DataFrame,
 
 
 def update_dedup_index(spark: SparkSession, index_dir: str,
-                       new_docs: DataFrame) -> None:
+                       new_docs: DataFrame,
+                       assume_new: bool = False) -> None:
     """Fold a new batch's rows into the index (append). The batch's
     doc_ids must be new to the corpus — restate re-crawled ids via the
-    day-partition overwrite pattern instead of re-appending."""
+    day-partition overwrite pattern instead of re-appending (stale + new
+    band rows for one doc would emit contradictory pairs downstream).
+
+    The contract is ENFORCED: a left-semi probe of the batch ids against
+    the stored bands (column-pruned to doc_id — footer-cheap) raises
+    ``ValueError`` on any collision. ``assume_new=True`` skips the probe
+    for the warehouse fast path where ingest already guarantees fresh
+    ids (e.g. ids minted from the crawl partition)."""
+    if not assume_new:
+        dup = (new_docs.select("doc_id").distinct()
+               .join(spark.read.parquet(
+                         os.path.join(index_dir, BANDS_TABLE))
+                     .select("doc_id"),
+                     "doc_id", "left_semi")
+               .limit(5).collect())
+        if dup:
+            ids = sorted(r.doc_id for r in dup)
+            raise ValueError(
+                f"update_dedup_index: doc_ids already indexed: {ids} — "
+                "restate re-crawled ids (overwrite their partitions) "
+                "instead of re-appending, or pass assume_new=True only "
+                "when ingest guarantees fresh ids")
     base = lsh_shingle_frame(new_docs)
     (lsh_band_frame(base).write.mode("append")
      .parquet(os.path.join(index_dir, BANDS_TABLE)))
@@ -172,10 +194,13 @@ def ann_index_topk(spark: SparkSession, index_dir: str,
     cos = (f"({dot_fold_sql('qv', 'nv')} "
            f"/ (sqrt({dot_fold_sql('qv', 'qv')}) * "
            f"sqrt({dot_fold_sql('nv', 'nv')})))")
+    # no dedup needed: each stored vector lives in exactly ONE cell
+    # (probe=1 at assignment), so a (qid, nid) pair arises at most once
+    # even at nprobe>1 — a .distinct() here would be a full extra
+    # shuffle of the candidate set before the per-qid window
     pairs = (probed.join(cells, "cell")
              .filter("qid != nid")
-             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim")
-             .distinct())
+             .selectExpr("qid", "nid", f"round({cos}, 6) AS cos_sim"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -202,8 +227,12 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # per-process scratch: two concurrent driver runs over the same
+    # dataset must not overwrite each other's index mid-read (the
+    # returned plan references these files lazily)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"maha-dedup-idx-{tag}")
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"maha-dedup-idx-{tag}-{os.getpid()}")
     materialize_dedup_index(
         spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
     return (dedup_incremental(

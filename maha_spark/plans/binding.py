@@ -106,7 +106,9 @@ def _path_bytes(path: str) -> int:
         total = os.path.getsize(path)
     else:
         total = 0
-        for root, _dirs, files in os.walk(path, followlinks=True):
+        # followlinks=False: bench layouts symlink FILES (getsize still
+        # resolves those); following directory links risks symlink cycles
+        for root, _dirs, files in os.walk(path):
             for f in files:
                 try:
                     total += os.path.getsize(os.path.join(root, f))
@@ -164,8 +166,16 @@ def _est_rows(path: str) -> int:
     else:
         files = sorted(
             os.path.join(r, f)
-            for r, _d, fs in os.walk(path, followlinks=True)
+            for r, _d, fs in os.walk(path)  # no dir links: cycle-safe
             for f in fs if f.endswith(".parquet"))
+    # extrapolate over parquet bytes only — _SUCCESS/metadata files must
+    # not inflate the denominator's total
+    def _sz(f):
+        try:
+            return os.path.getsize(f)
+        except OSError:
+            return 0
+    total_bytes = sum(_sz(f) for f in files)
     full = len(files) <= _ROWS_SAMPLE_FILES
     if not full:
         step = (len(files) - 1) / (_ROWS_SAMPLE_FILES - 1)
@@ -179,7 +189,7 @@ def _est_rows(path: str) -> int:
     except Exception:
         rows = 0  # fall back to the disk-bytes gate alone
     if rows and not full and sampled_bytes:
-        rows = int(rows / sampled_bytes * _path_bytes(path))
+        rows = int(rows / sampled_bytes * total_bytes)
     _EST_ROWS_CACHE[key] = rows
     return rows
 

@@ -103,6 +103,8 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     whatever segments exist); on a parquet warehouse the dynamic
     overwrite is the equivalent.
     """
+    import os
+
     # co-locate each day before the write: without this every task emits
     # a file into every dt= directory it holds rows for (days x tasks
     # tiny files); hash-repartitioned on the partition column, each day
@@ -112,3 +114,9 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(partition_col)
        .parquet(dst_dir))
+    # a rewrite scoped inside EXISTING dt= subdirectories does not bump
+    # the table root's mtime, but ParquetBinding memoizes DataFrames (and
+    # byte/row gates) keyed on that mtime — bump it here so EVERY caller
+    # gets cache invalidation, not just wrappers that remember to
+    if os.path.isdir(dst_dir):
+        os.utime(dst_dir, None)

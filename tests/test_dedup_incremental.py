@@ -79,3 +79,18 @@ def test_update_then_reindex_equivalence(spark, split, index_dir,
         # order-deterministic: transform over the same word sequence)
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
         assert a.count() == b.count() > 0
+
+
+def test_reappending_an_indexed_id_raises(spark, split, index_dir):
+    """The append contract is enforced, not honor-system: after the
+    previous test folded the batch in, re-appending any of its ids must
+    raise (stale + new band rows for one doc would emit contradictory
+    pairs) and must leave the index untouched."""
+    _corpus, new = split
+    before = spark.read.parquet(
+        os.path.join(index_dir, BANDS_TABLE)).count()
+    with pytest.raises(ValueError, match="already indexed"):
+        update_dedup_index(spark, index_dir, new.limit(3))
+    after = spark.read.parquet(
+        os.path.join(index_dir, BANDS_TABLE)).count()
+    assert after == before
