@@ -87,9 +87,9 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker — the ``v4`` suffix is the layout VERSION:
+    rounds via a _READY marker — the ``v5`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
-    old marker silently keep the old layout. v4 = the 100 TB storage
+    old marker silently keep the old layout. v5 = the 100 TB storage
     shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
@@ -101,7 +101,8 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
       tests/test_stream_rollup.py pins stream == batch),
       ``lineitem_daily`` (batch; v3 addition) and
       ``lineitem_daily_nation`` (the aggregate-join rollup; v4
-      addition);
+      addition; v5 adds the materialized c_mktsegment grain column
+      so q4-shaped segment requests serve from it too);
     * dims symlinked.
     """
     from pyspark.sql import functions as F
@@ -112,7 +113,7 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v4")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v5")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -143,8 +144,9 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
             os.symlink(sp, os.path.join(dst, f"{t}.parquet"))
     materialize_events_rollup(spark, dst, dst)
     materialize_lineitem_rollup(spark, dst, dst)
-    # v4: the aggregate-join rollup (day x customer nation) — q5-shaped
-    # region/nation queries serve from ~62k rows via chain rebasing
+    # v4/v5: the aggregate-join rollup (day x customer nation x segment)
+    # — q5-shaped region/nation queries serve from it via chain
+    # rebasing, q4-shaped segment queries via the materialized column
     materialize_lineitem_nation_rollup(spark, dst, dst)
     with open(marker, "w") as f:
         f.write("ok")

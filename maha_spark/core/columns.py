@@ -86,6 +86,16 @@ class DimCol(BaseCol):
     foreign_key: Optional[str] = None
     #: physical partition column (PartitionColumn) — drives partition pruning
     is_partition: bool = False
+    #: "dim_name.phys_col": this fact column MATERIALIZES that dimension
+    #: attribute (an aggregate-join rollup denormalizes the dim column it
+    #: grouped by at build time, e.g. customer.c_mktsegment stored on
+    #: lineitem_daily_nation). The planner may then serve uses of that
+    #: attribute straight from the fact scan — no dim join — even when
+    #: the dim itself sits BEFORE the rollup's chain entry point.
+    #: Reference analogue: fact/Fact.scala:1385 newRollUp re-declaring
+    #: dim columns per rollup. By convention the fact column keeps the
+    #: dim's physical column name so decode/render metadata lines up.
+    materializes: Optional[str] = None
 
 
 @dataclass(frozen=True)

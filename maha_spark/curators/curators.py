@@ -167,12 +167,26 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
     # every Prev degrades to 0 (the reference's own timeshift tests,
     # RequestCoordinatorTest.scala:448-509, never project Day, so that
     # degenerate edge is untested upstream). Other magic time grains
-    # (Week/Month/Hour) do not shift cleanly by a day count and stay
-    # excluded from the join; with no join key at all the previous period
-    # collapses to a broadcast 1-row grand total.
-    time_aliases = set(MAGIC_TIME_FIELDS) | {day_alias}
+    # (Week/Month/Hour) stay excluded from the join — PINNED semantics
+    # (fuzz battery 7c): a day-count shift does not map month/week
+    # buckets onto earlier buckets (windows need not align to bucket
+    # boundaries and month lengths vary), so any per-bucket pairing
+    # would be arbitrary; instead the previous window contributes its
+    # PER-GROUP TOTAL over the remaining non-time keys (with no
+    # non-time key at all it collapses to a broadcast 1-row grand
+    # total) and each current bucket row compares against that
+    # baseline. The reference would instead join on the unshifted
+    # month string (TimeShiftCurator.scala:266-288 primary-key match
+    # over dimensionKeySet incl. the time alias), which never matches
+    # a previous-window row — the same degenerate no-match edge as
+    # Day, untested upstream.
+    # case-insensitive: cubes alias these lowercase (tpch "month"), and
+    # a case-missed month alias would silently fall into the join keys
+    # and reproduce the reference's degenerate never-matching join
+    time_aliases = {a.lower() for a in MAGIC_TIME_FIELDS} \
+        | {day_alias.lower()}
     join_keys = [p.alias for p in model.projections
-                 if p.kind != METRIC and p.alias not in time_aliases]
+                 if p.kind != METRIC and p.alias.lower() not in time_aliases]
     day_projected = any(p.kind != METRIC and p.alias == day_alias
                         for p in model.projections)
     metrics = [p.alias for p in model.projections if p.kind == METRIC]

@@ -438,22 +438,28 @@ def build_contract_registry() -> Registry:
                    "avg_price_roll", "avg_price_rollup"},
         grain_cols=["ship_day", "l_returnflag", "l_linestatus"])
 
-    # AGGREGATE-JOIN rollup at (ship day, customer nation): the
-    # orders -> customer join is paid ONCE at materialization and the
-    # stored `cust_nation_fk` re-enters the customer_nation dim chain
-    # directly (chain REBASING in model/request_model.py), so
-    # nation/region reporting queries never touch the raw fact or the
-    # two skipped dims. ~62k stored rows (2.5k days x 25 nations)
-    # replace the raw line items for q5-shaped requests at any scale.
+    # AGGREGATE-JOIN rollup at (ship day, customer nation, market
+    # segment): the orders -> customer join is paid ONCE at
+    # materialization and the stored `cust_nation_fk` re-enters the
+    # customer_nation dim chain directly (chain REBASING in
+    # model/request_model.py), so nation/region reporting queries never
+    # touch the raw fact or the two skipped dims. The stored
+    # `c_mktsegment` additionally MATERIALIZES customer.c_mktsegment
+    # (DimCol.materializes): requests filtering or grouping the segment
+    # are served from the stored column with no customer join at all —
+    # the q4 shape. ~187k stored rows (2.5k days x 25 nations x <=5
+    # segments, sparse) replace the raw line items at any scale.
     # Summable cents partials only — no Noop/exact-distinct columns, so
-    # any coarser re-aggregation is valid; requests using orders/customer
-    # attributes are unreachable from the rebased chain and fall back to
-    # the raw fact by chain satisfiability.
+    # any coarser re-aggregation is valid; requests using orders or
+    # OTHER customer attributes are unreachable from the rebased chain
+    # and fall back to the raw fact by chain satisfiability.
     li_nation_cols = {
         "l_shipdate": DimCol("l_shipdate", TimestampType(),
                              is_day_column=True),
         "cust_nation_fk": DimCol("cust_nation_fk", IntType(),
                                  foreign_key="customer_nation"),
+        "c_mktsegment": DimCol("c_mktsegment", StrType(),
+                               materializes="customer.c_mktsegment"),
         **{k: li_cols[k] for k in ("ship_day", "ship_month", "ship_dow")},
         **_li_partial_col_defs(),
         **{k: li_cols[k] for k in
@@ -469,7 +475,7 @@ def build_contract_registry() -> Registry:
                    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                    "order_cnt", "order_cnt_approx", "status_label_raw",
                    "avg_price_roll", "avg_price_rollup"},
-        grain_cols=["ship_day", "cust_nation_fk"])
+        grain_cols=["ship_day", "cust_nation_fk", "c_mktsegment"])
 
     pub_metrics = [
         PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),
@@ -1487,8 +1493,10 @@ def refresh_lineitem_rollup(spark, src_dir: str, dst_dir: str,
 
 def _lineitem_nation_frame(li, orders, cust):
     """The ``lineitem_daily_nation`` aggregate at its (day, customer
-    nation) grain — shared by the full materializer and the incremental
-    day refresh so both produce bit-identical rows.
+    nation, market segment) grain — shared by the full materializer and
+    the incremental day refresh so both produce bit-identical rows.
+    ``c_mktsegment`` is stored denormalized (``DimCol.materializes``)
+    so segment filters/groupings serve without any customer join.
 
     Joins are LEFT OUTER: an orphan l_orderkey/o_custkey (no matching
     order/customer) groups under ``cust_nation_fk = NULL``, exactly the
@@ -1499,13 +1507,14 @@ def _lineitem_nation_frame(li, orders, cust):
 
     return (li.join(orders.select("o_orderkey", "o_custkey"),
                     li["l_orderkey"] == orders["o_orderkey"], "left")
-            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey",
+                                          "c_mktsegment")),
                   orders["o_custkey"] == cust["c_custkey"], "left")
             .selectExpr(
                 "date_trunc('day', l_shipdate) AS l_shipdate",
-                "c_nationkey AS cust_nation_fk", "l_returnflag",
-                "l_extendedprice", *_li_cents_select())
-            .groupBy("l_shipdate", "cust_nation_fk")
+                "c_nationkey AS cust_nation_fk", "c_mktsegment",
+                "l_returnflag", "l_extendedprice", *_li_cents_select())
+            .groupBy("l_shipdate", "cust_nation_fk", "c_mktsegment")
             .agg(*_li_partial_aggs())
             .withColumn("dt", F.to_date(F.col("l_shipdate"))))
 
@@ -1513,9 +1522,10 @@ def _lineitem_nation_frame(li, orders, cust):
 def materialize_lineitem_nation_rollup(spark, src_dir: str, dst_dir: str,
                                        partitioned: bool = False) -> str:
     """Write the ``lineitem_daily_nation`` AGGREGATE-JOIN rollup: the
-    orders -> customer join is paid here, once, and the stored
+    orders -> customer join is paid here, once; the stored
     ``cust_nation_fk`` re-enters the customer_nation dim chain at query
-    time (chain rebasing). Partials use the same per-row cents
+    time (chain rebasing) and the stored ``c_mktsegment`` serves
+    segment filters/groupings directly. Partials use the same per-row cents
     quantization as the base cube, so serving is bit-identical to the
     raw join+aggregate plan. ``partitioned=True`` writes the Hive
     dt-partitioned layout that ``refresh_lineitem_nation_rollup``

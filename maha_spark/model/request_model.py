@@ -112,6 +112,11 @@ class RequestModel:
     #: parsed (from, to) of the mandatory Day between filter — used for the
     #: widened UTC partition-pruning bound when timezone is set
     day_range: Optional[tuple] = None
+    #: public dim-attribute alias -> fact column, for aliases the selected
+    #: table serves from its own MATERIALIZED dim columns (chain-rebase
+    #: coverage); the planner's fact resolver consults this for aliases
+    #: outside the cube's own contract
+    covered_dim_aliases: dict[str, str] = dfield(default_factory=dict)
 
     @property
     def metric_aliases(self) -> list[str]:
@@ -626,14 +631,56 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # ------------------------------------------------------------------
     # keyed by candidate IDENTITY, not name — the registry deliberately
     # holds same-named table variants (base lineitem + its coarser
-    # rollup both bind the physical name "lineitem")
-    chain_rebase: dict[int, dict[str, tuple[str, int]]] = {}
+    # rollup both bind the physical name "lineitem").
+    # Plan entry per chain: (new_fk | None, start_index, covers) where
+    # ``covers`` maps each dim served from the candidate's OWN stored
+    # columns (DimCol.materializes — denormalized attributes) to its
+    # {public alias -> fact column} rewrite; new_fk None = every used
+    # dim is covered, the chain joins nothing at query time.
+    chain_rebase: dict[int, dict[str, tuple[Optional[str], int, dict]]] = {}
     chain_join_failed = False
     if chains:
         viable = []
         for t in candidates:
-            plan: dict[str, tuple[str, int]] = {}
+            plan: dict[str, tuple[Optional[str], int, dict]] = {}
             taken = {fk for fk in chains if fk in t.columns}
+            cov_cols = t.covered_dim_cols()
+
+            def dim_cover(dn: str) -> Optional[dict[str, str]]:
+                """{alias -> fact col} if EVERY use of dim ``dn`` (its
+                projections, filter fields, sorts) reads an attribute the
+                candidate materializes; None otherwise. Disabled for
+                dim-driven requests: there a dim filter must select
+                ENTITIES (zero-fact rows included), which a fact-side
+                rewrite cannot express."""
+                if is_dim_driven or not cov_cols:
+                    return None
+                use = dim_usage.get(dn) or {}
+                aliases = set(use.get("projected") or [])
+                for f in use.get("filters") or []:
+                    for leaf in _leaf_filters(f):
+                        aliases.update(leaf.fields())
+                sort_fields = {s.field for s in use.get("sorts") or []}
+                # a covered sort must ride an output column: require the
+                # sorted alias to also be projected
+                if not sort_fields <= aliases:
+                    return None
+                aliases |= sort_fields
+                if not aliases:
+                    return None
+                try:
+                    am = registry.dimension(dn).alias_map()
+                except KeyError:
+                    return None
+                m: dict[str, str] = {}
+                for a in aliases:
+                    p = am.get(a)
+                    fc = cov_cols.get((dn, p.name)) if p is not None else None
+                    if fc is None:
+                        return None
+                    m[a] = fc
+                return m
+
             ok = True
             for fk_col, ch in chains.items():
                 if fk_col in t.columns:
@@ -641,19 +688,30 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 path_names = [d.name for d in ch.dims]
                 used = {dn for dn in dim_usage
                         if reachable.get(dn, (None, None))[0] == fk_col}
+                coverable = {dn: m for dn in used
+                             if (m := dim_cover(dn)) is not None}
+                if coverable.keys() >= used:
+                    # fully covered: no join at all for this chain
+                    plan[fk_col] = (None, 0, coverable)
+                    continue
                 best: Optional[tuple[str, int]] = None
                 for col, target_dim in t.fk_columns().items():
                     if target_dim not in path_names or col in taken:
                         continue
                     i = path_names.index(target_dim)
-                    if all(path_names.index(u) >= i
+                    if all(path_names.index(u) >= i or u in coverable
                            for u in used if u in path_names) \
                             and (best is None or i > best[1]):
                         best = (col, i)
                 if best is None:
                     ok = False
                     break
-                plan[fk_col] = best
+                # rewrite only the dims the rebased join cannot reach —
+                # dims at/beyond the entry point keep the exact FK join
+                before = {dn: m for dn, m in coverable.items()
+                          if dn in path_names
+                          and path_names.index(dn) < best[1]}
+                plan[fk_col] = (best[0], best[1], before)
                 taken.add(best[0])
             if ok:
                 chain_rebase[id(t)] = plan
@@ -747,12 +805,43 @@ def build_request_model(request: ReportingRequest, registry: Registry,
 
     # apply the selected candidate's chain rebasing: the chain now
     # starts at the rollup's stored FK and the skipped (unused) dims
-    # drop off the join path
-    for old_fk, (new_fk, start) in chain_rebase.get(id(fact_table),
-                                                    {}).items():
+    # drop off the join path; dims COVERED by stored (materialized)
+    # attributes leave the chain entirely — their filters become fact
+    # row filters, their projections become fact dims, both reading the
+    # stored column. Equivalence note: a covered filter applied to the
+    # fact scan drops exactly the rows the inner dim join would have
+    # dropped (the stored value IS the joined dim's value per row, and
+    # orphan FKs store NULL, which no filter matches).
+    covered_dim_aliases: dict[str, str] = {}
+    for old_fk, (new_fk, start, covers) in chain_rebase.get(
+            id(fact_table), {}).items():
         ch = chains.pop(old_fk)
+        for dn, amap in covers.items():
+            covered_dim_aliases.update(amap)
+            ch.projected.pop(dn, None)
+            fact_filters.extend(ch.filters.pop(dn, []))
+            for p in projections:
+                if p.kind == DIM_ATTR and p.dim_name == dn:
+                    p.kind = FACT_DIM
+            moved = [s for s in ch.sorts if s.field in amap]
+            if moved:
+                ch.sorts = [s for s in ch.sorts if s.field not in amap]
+                dim_sorts = [s for s in dim_sorts if s not in moved]
+                fact_sorts.extend(moved)
+        if new_fk is None:
+            continue  # fully covered: the chain joins nothing
         ch.fact_fk_col = new_fk
         ch.dims = ch.dims[start:]
+        if covers:
+            # re-derive the join type: the matrix above saw the covered
+            # dims' filters as chain filters
+            if not ch.has_projection and ch.has_filters \
+                    and not is_dim_driven:
+                ch.join_type = "left_semi"
+            elif ch.has_filters:
+                ch.join_type = "inner"
+            else:
+                ch.join_type = "left_outer"
         chains[new_fk] = ch
 
     # expand expression dependencies against the SELECTED table (scan
@@ -778,6 +867,9 @@ def build_request_model(request: ReportingRequest, registry: Registry,
     # table's own FK column, not necessarily the base table's
     for ch in chains.values():
         add_fact_col_deps(ch.fact_fk_col, fact_table)
+    # covered dim attributes are read straight off the fact scan
+    for fc in covered_dim_aliases.values():
+        add_fact_col_deps(fc, fact_table)
     if fact_table.day_column:
         needed.add(fact_table.day_column)
 
@@ -817,4 +909,5 @@ def build_request_model(request: ReportingRequest, registry: Registry,
             (str(f.get("field", "")), str(f.get("value", "")))
             for f in aci if isinstance(f, dict) and f.get("field")),
         day_range=day_range,
+        covered_dim_aliases=covered_dim_aliases,
     )

@@ -32,6 +32,11 @@ def entry_queries() -> dict[str, Callable]:
         "op_chunking": chunking.chunk_documents,
         "op_contamination": contamination.contamination,
         "op_asof_join": asof.asof_join,
+        # r7 rotation: batch sessionize back IN (exact oracle, pure window
+        # functions); its streaming twin moves to pytest-only — the stream
+        # == batch bit-identity pin in test_ops_sessions.py means the
+        # driver's hash check on the batch op transitively covers both
+        "op_sessionize": sessions.sessionize,
         "op_dedup_signatures": dedup.dedup_signatures,
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -54,10 +59,6 @@ def entry_queries() -> dict[str, Callable]:
         # debt per the contract map.
         "op_embed_quantize": similarity.embed_quantize,
         "op_mm_decode": multimodal.mm_decode_features,
-        # op_sessionize (batch) stays public API + pytest; its streaming
-        # twin op_stream_sessions hash-checks the SAME oracle SQL below,
-        # and test_ops_sessions pins batch == streaming bit-identical —
-        # the slot goes to op_curate (the composed-pipeline capstone)
         "op_pack_sequences": packing.pack_sequences,
         "op_sample_stratified": packing.sample_profile,
         # Entries kept as public API + pytest (not in the 50-entry driver
@@ -67,7 +68,6 @@ def entry_queries() -> dict[str, Callable]:
         # mm_frame_sample share op_mm_decode's mapInPandas plumbing
         # (test_ops.py pins their oracles' semantics).
         "op_stream_hourly": hourly.streaming_hourly,
-        "op_stream_sessions": sessions.streaming_sessions,
     }
 
 
@@ -85,8 +85,10 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         "token_quantiles": (packing.token_quantiles,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 + vs approx_quantiles)"),
-        "sessionize": (sessions.sessionize,
-                       "test_ops_sessions.py (stream twin == batch)"),
+        "streaming_sessions": (sessions.streaming_sessions,
+                               "test_ops_sessions.py (stream == batch "
+                               "bit-identical + late-event drop; rotated "
+                               "out r7 for batch op_sessionize)"),
         "sim_lsh_buckets": (similarity.sim_lsh_buckets,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 for op_dedup_incremental)"),
@@ -124,9 +126,7 @@ def entry_oracles() -> dict[str, str]:
     return {
         "op_chunking": chunking.chunk_documents_oracle(),
         "op_curate": pipeline.curate_corpus_oracle(),
-        # op_stream_sessions: stateful streaming -> rows-only driver check;
-        # exact equality to the batch op is pinned in pytest
-        "op_stream_sessions": sessions.sessionize_oracle(),
+        "op_sessionize": sessions.sessionize_oracle(),
         "op_text_stats": text.text_profile_oracle(),
         "op_contamination": contamination.contamination_oracle(),
         "op_asof_join": asof.asof_join_oracle(),

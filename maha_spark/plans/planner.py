@@ -255,7 +255,12 @@ class Planner:
 
         def resolve(alias: str) -> ResolvedField:
             pub = cube.col_by_alias(alias)
-            name = pub.name if pub is not None else alias
+            if pub is not None:
+                name = pub.name
+            else:
+                # dim-attribute aliases the selected table serves from its
+                # own materialized columns (chain-rebase coverage)
+                name = model.covered_dim_aliases.get(alias, alias)
             col = table.columns.get(name)
             dtype = col.dtype if col is not None else None
             ci = isinstance(col, DimCol) and col.case_insensitive

@@ -123,6 +123,17 @@ class FactTable:
         return {n: c.foreign_key for n, c in self.columns.items()
                 if isinstance(c, DimCol) and c.foreign_key}
 
+    def covered_dim_cols(self) -> dict[tuple[str, str], str]:
+        """(public dim name, dim physical col) -> fact column materializing
+        it (``DimCol.materializes`` — denormalized dim attributes stored on
+        an aggregate-join rollup)."""
+        out: dict[tuple[str, str], str] = {}
+        for n, c in self.columns.items():
+            if isinstance(c, DimCol) and c.materializes:
+                dn, _, dc = c.materializes.partition(".")
+                out[(dn, dc)] = n
+        return out
+
 
 @dataclass
 class DimensionTable:

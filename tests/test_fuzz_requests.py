@@ -251,8 +251,11 @@ def test_fuzz_exercised_both_candidates():
 # Requests over {day, month, nation, region} dims with summable metrics
 # must be SERVED from lineitem_daily_nation (the stored cust_nation_fk
 # re-enters the customer_nation chain, skipping orders+customer), and the
-# values must match the raw 4-table-join DuckDB SQL. Cases touching a
-# skipped dim (mktsegment) must fall back to the raw fact and still match.
+# values must match the raw 4-table-join DuckDB SQL. Requests grouping or
+# filtering customer.mktsegment are ALSO served — the rollup MATERIALIZES
+# that attribute (DimCol.materializes; the q4 shape). Cases touching a
+# skipped dim's non-materialized attributes (orders.order_priority) must
+# fall back to the raw fact and still match.
 
 JA_DIMS = {
     "day": "CAST(l_shipdate AS DATE)",
@@ -270,7 +273,14 @@ JA_JOINS = (JOIN_SQL["orders"], JOIN_SQL["customer"],
 JA_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
-def gen_ja_case(rng: random.Random, fallback: bool) -> dict:
+JA_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+               "HOUSEHOLD"]
+
+
+def gen_ja_case(rng: random.Random, mode: str) -> dict:
+    """mode: 'served' (nation/region only), 'segment' (groups and/or
+    filters the MATERIALIZED customer.mktsegment — still served), or
+    'fallback' (orders.order_priority forces the raw fact)."""
     dims = rng.sample(["day", "month"], rng.randint(0, 1)) +         rng.sample(["nation_name", "region_name"], rng.randint(1, 2))
     mets = rng.sample(sorted(JA_METS), rng.randint(1, 3))
     start = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 1800))
@@ -285,9 +295,20 @@ def gen_ja_case(rng: random.Random, fallback: bool) -> dict:
                         "values": regions})
         rl = "', '".join(regions)
         preds.append(f"r_name IN ('{rl}')")
-    if fallback:  # a skipped dim's attribute forces the raw fact
-        dims.append("mktsegment")
-    sel_map = dict(JA_DIMS, mktsegment="c_mktsegment")
+    if mode == "segment":
+        project_seg = rng.random() < 0.5
+        if project_seg:
+            dims.append("mktsegment")
+        if not project_seg or rng.random() < 0.5:
+            segs = rng.sample(JA_SEGMENTS, rng.randint(1, 2))
+            filters.append({"field": "mktsegment", "operator": "in",
+                            "values": segs})
+            sl = "', '".join(segs)
+            preds.append(f"c_mktsegment IN ('{sl}')")
+    elif mode == "fallback":  # non-materialized skipped-dim attribute
+        dims.append("order_priority")
+    sel_map = dict(JA_DIMS, mktsegment="c_mktsegment",
+                   order_priority="o_orderpriority")
     sel = ", ".join([f"{sel_map[f]} AS {f}" for f in dims]
                     + [f"{JA_METS.get(f, MET_POOL[f])} AS {f}"
                        for f in mets])
@@ -305,13 +326,14 @@ def gen_ja_case(rng: random.Random, fallback: bool) -> dict:
         },
         "fields": dims + mets,
         "sql": sql,
-        "fallback": fallback,
+        "fallback": mode == "fallback",
     }
 
 
 _ja_rng = random.Random(SEED + 11)
-JA_CASES = ([gen_ja_case(_ja_rng, fallback=False) for _ in range(8)]
-            + [gen_ja_case(_ja_rng, fallback=True) for _ in range(2)])
+JA_CASES = ([gen_ja_case(_ja_rng, "served") for _ in range(8)]
+            + [gen_ja_case(_ja_rng, "segment") for _ in range(4)]
+            + [gen_ja_case(_ja_rng, "fallback") for _ in range(2)])
 
 
 @pytest.mark.parametrize("case", JA_CASES,
@@ -831,6 +853,103 @@ def test_timeshift_day_projected_joins_shifted(case, fuzz_engine, duck):
             nonnull_prev += 1
     # nonvacuity: the window always has shipped lines day-over-day, so
     # at least one current row must find its shifted previous twin
+    assert nonnull_prev > 0
+
+
+# battery 7c: TimeShift with a NON-day magic time grain (month)
+# PROJECTED.
+#
+# Pinned semantics (curators/curators.py timeshift()): a day-count
+# shift does not map month buckets onto earlier buckets (windows need
+# not align to month boundaries and month lengths vary), so month stays
+# OUT of the join — the previous window contributes its PER-GROUP total
+# over the remaining non-time dims (grand total when none), and every
+# current month-bucket row compares against that baseline. The
+# reference's primary-key match over the unshifted month string
+# (TimeShiftCurator.scala:266-288) could never match a shifted window.
+
+
+def gen_ts_month_case(rng: random.Random) -> dict:
+    dims = [] if rng.random() < 0.5 else [rng.choice(TS_DIMS)]
+    mets = rng.sample(TS_METS, rng.randint(1, 2))
+    start = dt.date(1996, 6, 1) + dt.timedelta(days=rng.randint(0, 1400))
+    end = start + dt.timedelta(days=rng.randint(70, 200))
+    inner = ({} if rng.random() < 0.5
+             else {"daysOffset": rng.randint(60, 150)})
+    cfg = {"config": inner} if inner else {}
+    shift = inner.get("daysOffset") or ((end - start).days + 1)
+    joins = set()
+    for f in dims:
+        joins.update(DIM_POOL[f][1])
+    if "customer" in joins:
+        joins.add("orders")
+    join_sql = " ".join(JOIN_SQL[j] for j in ("part", "orders", "customer")
+                        if j in joins)
+    sel_dims = [f"{DIM_POOL[f][0]} AS {f}" for f in dims]
+    msel = "CAST(date_trunc('month', l_shipdate) AS DATE) AS month"
+    cur_keys = sel_dims + [msel]
+    sel_mets = [f"{MET_POOL[m]} AS {m}" for m in mets]
+
+    def window_sql(keys, a, b):
+        group = (f" GROUP BY {', '.join(str(i + 1) for i in range(len(keys)))}"
+                 if keys else "")
+        return (f"SELECT {', '.join(keys + sel_mets)} FROM lineitem "
+                f"{join_sql} WHERE CAST(l_shipdate AS DATE) BETWEEN "
+                f"DATE '{a}' AND DATE '{b}'{group}")
+
+    return {
+        "dims": dims, "mets": mets,
+        "cur_sql": window_sql(cur_keys, start, end),
+        # prev aggregates WITHOUT the month key: per-group (or grand) total
+        "prev_sql": window_sql(sel_dims,
+                               start - dt.timedelta(days=shift),
+                               end - dt.timedelta(days=shift)),
+        "request": {"cube": "tpch",
+                    "selectFields": [{"field": f}
+                                     for f in dims + ["month"] + mets],
+                    "filterExpressions": [
+                        {"field": "day", "operator": "between",
+                         "from": start.isoformat(),
+                         "to": end.isoformat()}],
+                    "curators": {"timeshift": cfg}},
+    }
+
+
+TS_MONTH_CASES = [gen_ts_month_case(_RNG) for _ in range(4)]
+
+
+@pytest.mark.parametrize("case", TS_MONTH_CASES,
+                         ids=[f"tsm{i:02d}"
+                              for i in range(len(TS_MONTH_CASES))])
+def test_timeshift_month_projected_compares_per_group_total(
+        case, fuzz_engine, duck):
+    out = fuzz_engine.execute(case["request"])
+    ts = out["curators"]["timeshift"]
+    names = [f["fieldName"] for f in ts["header"]["fields"]]
+    dims, mets = case["dims"], case["mets"]
+    nd = len(dims)
+    cur = {tuple([_norm(r[i]) for i in range(nd)] + [_day_key(r[nd])]):
+           r[nd + 1:]
+           for r in duck.execute(case["cur_sql"]).fetchall()}
+    prev = {tuple(map(_norm, r[:nd])): r[nd:]
+            for r in duck.execute(case["prev_sql"]).fetchall()}
+    assert len(ts["rows"]) == len(cur) > 1  # multiple month buckets
+    nonnull_prev = 0
+    for row in ts["rows"]:
+        rec = dict(zip(names, row))
+        key = tuple([_norm(rec[d]) for d in dims]
+                    + [_day_key(rec["month"])])
+        assert key in cur, f"unexpected group {key}"
+        pv = prev.get(tuple(key[:-1]))
+        for i, m in enumerate(mets):
+            assert _close(rec[m], cur[key][i])
+            want_prev = pv[i] if pv is not None else None
+            assert _close(rec[f"{m} Prev"], want_prev), \
+                f"{m} Prev for {key}: {rec[f'{m} Prev']} != {want_prev}"
+        if pv is not None:
+            nonnull_prev += 1
+    # every month bucket of a group shares ONE per-group baseline, and
+    # a >=70-day window over TPC-H always has previous-window lines
     assert nonnull_prev > 0
 
 

@@ -452,7 +452,7 @@ def test_q5_via_nation_rollup_never_touches_orders_or_customer(
     and must not join orders or customer at all (their join was paid at
     materialization); nation/region still arrive as broadcasts and the
     only hash-partitioning exchange is the final tiny re-aggregation.
-    This is the plan the 100 TB case runs: ~62k stored rows replace the
+    This is the plan the 100 TB case runs: ~187k stored rows replace the
     fact scan entirely."""
     import os
 
@@ -481,6 +481,51 @@ def test_q5_via_nation_rollup_never_touches_orders_or_customer(
         phys = _physical(df)
         assert "lineitem_daily_nation" in phys
         assert "orders" not in phys and "customer" not in phys
+        assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+        assert "BroadcastHashJoin" in phys
+        assert phys.count("Arguments: hashpartitioning") == 1
+    finally:
+        os.environ.pop("MAHA_SPARK_CACHE", None)
+
+
+def test_q4_via_segment_rollup_filter_pushed_no_customer_join(
+        spark, tmp_path_factory):
+    """q4 served from the aggregate-join rollup via a MATERIALIZED dim
+    attribute (customer.c_mktsegment stored on the rollup): the physical
+    plan scans lineitem_daily_nation with the segment filter PUSHED to
+    the parquet scan, never joins orders or customer, broadcasts only
+    nation, and re-aggregates through exactly one exchange."""
+    import os
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import (
+        build_contract_registry, materialize_lineitem_nation_rollup)
+
+    os.environ["MAHA_SPARK_CACHE"] = "0"
+    try:
+        src = "/root/testdata/sf0.001"
+        d = str(tmp_path_factory.mktemp("segplan"))
+        for t in os.listdir(src):
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+        materialize_lineitem_nation_rollup(spark, src, d)
+        from maha_spark.plans.binding import _DF_CACHE
+        for _mt, cdf in _DF_CACHE.values():
+            cdf.unpersist(blocking=True)
+        _DF_CACHE.clear()
+        eng = engine_for_dir(spark, build_contract_registry(), d)
+        df = eng.dataframe({
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"}, {"field": "revenue"},
+                             {"field": "line_count"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "mktsegment", "operator": "=",
+                                   "value": "BUILDING"}],
+        })
+        phys = _physical(df)
+        assert "lineitem_daily_nation" in phys
+        assert "orders" not in phys and "customer" not in phys
+        assert "PushedFilters" in phys and "c_mktsegment" in \
+            phys[phys.index("PushedFilters"):].splitlines()[0]
         assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
         assert "BroadcastHashJoin" in phys
         assert phys.count("Arguments: hashpartitioning") == 1

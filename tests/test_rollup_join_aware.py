@@ -6,9 +6,12 @@ orders and customer joins entirely. Pins:
 
 1. q5 (region revenue through the 4-dim snowflake chain) is served from
    the rollup, bit-identical to the raw join+aggregate plan;
-2. requests touching a SKIPPED dim's attributes (customer mktsegment,
-   orders priority) are unreachable from the rebased chain and fall
-   back to the raw fact;
+2. requests touching a SKIPPED dim's attributes fall back to the raw
+   fact — EXCEPT attributes the rollup MATERIALIZES
+   (``DimCol.materializes``: customer.c_mktsegment is stored on the
+   rollup), which serve from the stored column with no customer join
+   (the q4 shape); customer attrs the rollup does NOT store (acctbal)
+   and orders attrs still fall back;
 3. a request needing a column the rollup discarded (exact order
    distinct) falls back by coverage;
 4. queryType=scan never hits the pre-aggregated table;
@@ -94,13 +97,84 @@ def test_nation_grouping_and_filter_served(raw_eng, nat_eng):
     assert len(_rows(nat_eng, req)) > 0
 
 
-def test_skipped_dim_attributes_fall_back_to_raw(raw_eng, nat_eng):
-    # customer attribute (mkt segment) sits BEFORE the rebase entry point
-    q4ish = {
+def test_materialized_segment_filter_served_from_rollup(raw_eng, nat_eng):
+    """The q4 shape: a filter on customer.mktsegment — BEFORE the rebase
+    entry point, but MATERIALIZED on the rollup — is rewritten onto the
+    stored column; the chain joins only customer_nation."""
+    q4 = {
         "cube": "tpch",
         "selectFields": [{"field": "nation_name"}, {"field": "revenue"},
-                         {"field": "mktsegment"}],
+                         {"field": "line_count"}],
+        "filterExpressions": [DAY_ALL,
+                              {"field": "mktsegment", "operator": "=",
+                               "value": "BUILDING"}],
+    }
+    m = nat_eng.model(q4)
+    assert m.fact_table.name == "lineitem_daily_nation"
+    assert m.covered_dim_aliases == {"mktsegment": "c_mktsegment"}
+    assert [d.name for ch in m.chains for d in ch.dims] == ["customer_nation"]
+    a = _rows(raw_eng, q4)
+    assert a == _rows(nat_eng, q4) and len(a) > 0
+
+
+def test_materialized_segment_grouping_served_from_rollup(raw_eng, nat_eng):
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "mktsegment"}, {"field": "nation_name"},
+                         {"field": "revenue"}],
         "filterExpressions": [DAY_ALL],
+    }
+    m = nat_eng.model(req)
+    assert m.fact_table.name == "lineitem_daily_nation"
+    a = _rows(raw_eng, req)
+    assert a == _rows(nat_eng, req) and len(a) > 0
+
+
+def test_fully_covered_chain_joins_nothing(raw_eng, nat_eng):
+    """Every used dim attribute materialized -> the chain drops off the
+    plan entirely: no dim join at all, just a fact filter."""
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "day"}, {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1996-01-01", "to": "1996-03-31"},
+            {"field": "mktsegment", "operator": "in",
+             "values": ["BUILDING", "AUTOMOBILE"]}],
+    }
+    m = nat_eng.model(req)
+    assert m.fact_table.name == "lineitem_daily_nation"
+    assert m.chains == []
+    a = _rows(raw_eng, req)
+    assert a == _rows(nat_eng, req) and len(a) > 0
+
+
+def test_dim_driven_requests_never_use_coverage(raw_eng, nat_eng):
+    """Dim-driven: the mktsegment filter must select ENTITIES (zero-fact
+    customers included) — a fact-side rewrite cannot express that, so
+    the raw fact serves."""
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "customer_id"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL,
+                              {"field": "customer_id", "operator": "in",
+                               "values": ["1", "2", "3"]},
+                              {"field": "mktsegment", "operator": "<>",
+                               "value": "BUILDING"}],
+        "forceDimensionDriven": True,
+        "rowsPerPage": 10,
+    }
+    assert nat_eng.model(req).fact_table.name == "lineitem"
+
+
+def test_skipped_dim_attributes_fall_back_to_raw(raw_eng, nat_eng):
+    # customer attribute the rollup does NOT materialize (acctbal)
+    q4ish = {
+        "cube": "tpch",
+        "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+        "filterExpressions": [DAY_ALL,
+                              {"field": "acctbal", "operator": ">",
+                               "value": 0}],
     }
     assert nat_eng.model(q4ish).fact_table.name == "lineitem"
     assert _rows(raw_eng, q4ish) == _rows(nat_eng, q4ish)

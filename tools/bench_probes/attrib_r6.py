@@ -33,7 +33,7 @@ MULTS = (128, 256, 512)
 PASSES = 3
 #: scaled-layout version suffix (v3 at probe time; bench.py bumps it on
 #: layout changes — pass the current one to re-run the probe)
-LAYOUT_V = os.environ.get("ATTRIB_LAYOUT_V", "v4")
+LAYOUT_V = os.environ.get("ATTRIB_LAYOUT_V", "v5")
 
 AGG = ("SELECT l_returnflag, l_linestatus, count(*) AS n, "
        "sum(l_quantity) AS sq, sum(l_extendedprice) AS se "
