@@ -650,10 +650,13 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 """{alias -> fact col} if EVERY use of dim ``dn`` (its
                 projections, filter fields, sorts) reads an attribute the
                 candidate materializes; None otherwise. Disabled for
-                dim-driven requests: there a dim filter must select
-                ENTITIES (zero-fact rows included), which a fact-side
-                rewrite cannot express."""
-                if is_dim_driven or not cov_cols:
+                dim-driven requests (a dim filter there must select
+                ENTITIES — zero-fact rows included — which a fact-side
+                rewrite cannot express) and for dim-only SELECT DISTINCT
+                (that path projects chain attributes, not fact dims)."""
+                if is_dim_driven or is_dim_only \
+                        or (request.is_distinct and not metrics) \
+                        or not cov_cols:
                     return None
                 use = dim_usage.get(dn) or {}
                 aliases = set(use.get("projected") or [])

@@ -167,6 +167,22 @@ def test_dim_driven_requests_never_use_coverage(raw_eng, nat_eng):
     assert nat_eng.model(req).fact_table.name == "lineitem"
 
 
+def test_dim_only_distinct_never_uses_coverage(raw_eng, nat_eng):
+    """Dim-only SELECT DISTINCT projects chain attributes, not fact
+    dims — coverage is disabled there (the rewrite would drop the
+    flipped column from the distinct projection)."""
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "mktsegment"},
+                         {"field": "nation_name"}],
+        "filterExpressions": [DAY_ALL],
+    }
+    m = nat_eng.model(req)
+    assert m.is_dim_only and m.covered_dim_aliases == {}
+    a = _rows(raw_eng, req)
+    assert a == _rows(nat_eng, req) and len(a) > 0
+
+
 def test_skipped_dim_attributes_fall_back_to_raw(raw_eng, nat_eng):
     # customer attribute the rollup does NOT materialize (acctbal)
     q4ish = {
