@@ -23,15 +23,19 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import (asof, chunking, contamination, dedup, incremental,
+    from . import (chunking, contamination, dedup, incremental,
                    multimodal, packing, pipeline, sessions, similarity,
-                   sketches, text)
+                   sketches, text, winnow)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
         "op_chunking": chunking.chunk_documents,
         "op_contamination": contamination.contamination,
-        "op_asof_join": asof.asof_join,
+        # r7 rotation: winnowing substring-overlap pairs IN (new op —
+        # MOSS fingerprints, ops/winnow.py); op_asof_join OUT after five
+        # stable rounds — its exact oracle stays pinned off-contract in
+        # test_ops_packing.py
+        "op_winnow_pairs": winnow.winnow_pairs,
         # r7 rotation: batch sessionize back IN (exact oracle, pure window
         # functions); its streaming twin moves to pytest-only — the stream
         # == batch bit-identity pin in test_ops_sessions.py means the
@@ -79,9 +83,12 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (dedup, incremental, multimodal, packing, sessions,
-                   similarity, sketches)
+    from . import (asof, dedup, incremental, multimodal, packing,
+                   sessions, similarity, sketches)
     return {
+        "asof_join": (asof.asof_join,
+                      "test_ops_packing.py (exact oracle; rotated out "
+                      "r7 for op_winnow_pairs)"),
         "token_quantiles": (packing.token_quantiles,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 + vs approx_quantiles)"),
@@ -119,9 +126,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import (asof, chunking, contamination, dedup, incremental,
+    from . import (chunking, contamination, dedup, incremental,
                    multimodal, packing, pipeline, sessions, similarity,
-                   sketches, text)
+                   sketches, text, winnow)
     from ..streaming import hourly
     return {
         "op_chunking": chunking.chunk_documents_oracle(),
@@ -129,7 +136,7 @@ def entry_oracles() -> dict[str, str]:
         "op_sessionize": sessions.sessionize_oracle(),
         "op_text_stats": text.text_profile_oracle(),
         "op_contamination": contamination.contamination_oracle(),
-        "op_asof_join": asof.asof_join_oracle(),
+        "op_winnow_pairs": winnow.winnow_pairs_oracle(),
         "op_dedup_signatures": dedup.dedup_signatures_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),

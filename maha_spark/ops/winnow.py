@@ -1,0 +1,173 @@
+"""Winnowing document fingerprints — substring-overlap near-duplicate
+detection (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD'03 — the MOSS algorithm).
+
+Exact-substring dedup is the training-data gap the signature family
+(minhash / simhash / n-gram Jaccard in ``ops/dedup.py``) does not cover:
+those measure whole-document set similarity, so a long verbatim passage
+pasted into an otherwise-different document scores low on every one of
+them.  Winnowing is position-aware: hash every k-gram, slide a window of
+``w`` consecutive hashes, keep each window's minimum.  The selected set
+has two properties the paper proves:
+
+* **guarantee** — any shared word run of length >= ``w + k - 1`` yields
+  at least one shared fingerprint (detection is lossless above the
+  guarantee threshold, like PPJoin's prefix filter is for Jaccard);
+* **density** — the expected fraction of positions selected is
+  ``2 / (w + 1)``, so the signature is a small, tunable sample.
+
+Pair scoring uses fingerprint *containment* ``|A ∩ B| / min(|A|, |B|)``
+(the asymmetric measure used for contained-passage detection — a short
+document pasted inside a long one still scores 1.0, where Jaccard
+dilutes toward 0).
+
+100 TB path: signature construction is pure per-row whole-stage codegen
+(``transform`` over an index ``sequence`` — no explode of a computed
+array, no shuffle); the only all-to-all operation is the equi-join on
+fingerprint value, a shuffle keyed by 32-bit hashes whose fan-out is the
+fingerprint's document frequency.  Boilerplate fingerprints (license
+headers, navigation chrome) are the one skew risk at web scale — cap
+them with ``max_fp_docs``, the standard MOSS noise guard (adds one
+small groupBy on the fingerprint stream, exactly like the document-
+frequency pass in ``dedup_ngram_jaccard``).
+
+No reference analogue: the reference engine (yahoo/maha) has no corpus
+dedup surface; this op belongs to the training-data-pipeline axis of
+the brief, next to ``ops/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import (duck_h32_sql, duck_words_sql, h32_sql, load_table,
+                     words_sql)
+
+#: k-gram length in words (the noise threshold: matches shorter than k
+#: words are never reported)
+WINNOW_K = 5
+#: winnowing window — guarantee threshold is ``WINNOW_W + WINNOW_K - 1``
+#: (= 8 words) and expected signature density is 2/(W+1) (= 40%)
+WINNOW_W = 4
+#: minimum fingerprint containment for a reported pair
+WINNOW_T = 0.2
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """``(doc_id, sz, fp)`` — one row per selected fingerprint.
+
+    ``sz`` is the document's distinct-fingerprint count (the containment
+    denominator), carried on every row so pair scoring needs no second
+    join back to a per-document table.
+
+    Documents shorter than ``k + w - 1`` words produce no k-gram window
+    and are dropped — they are below the guarantee threshold, where
+    winnowing's detection promise is void by construction.
+
+    Plan shape: hashes and window minima are built with ``transform``
+    over index ``sequence``s inside one projection (per-row codegen,
+    zero shuffle); the explode follows the Generate-safe pattern — the
+    generator iterates a cheap ``sequence(1, size(fps))`` while the
+    computed ``fps`` array passes *through* the Generate as
+    requiredChildOutput (evaluated once per input row), and the element
+    is projected after (``tests/test_plan_shape.py`` pins the repo-wide
+    rule).
+    """
+    kgram = f"concat_ws(' ', slice(w, i, {k}))"
+    return (
+        docs.selectExpr("doc_id", f"{words_sql()} AS w")
+        .filter(f"size(w) >= {k + w - 1}")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, size(w) - {k} + 1), "
+            f"i -> {h32_sql(kgram)}) AS hs")
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
+            f"j -> array_min(slice(hs, j, {w})))) AS fps")
+        .selectExpr("doc_id", "fps", "size(fps) AS sz")
+        .selectExpr("doc_id", "fps", "sz",
+                    "explode(sequence(1, size(fps))) AS j")
+        .selectExpr("doc_id", "sz", "fps[j-1] AS fp")
+    )
+
+
+def winnow_pairs_frame(docs: DataFrame, k: int = WINNOW_K,
+                       w: int = WINNOW_W, threshold: float = WINNOW_T,
+                       max_fp_docs: int | None = None) -> DataFrame:
+    """All document pairs with fingerprint containment >= ``threshold``.
+
+    ``max_fp_docs`` drops fingerprints shared by more than that many
+    documents before the pair join (boilerplate guard — None keeps the
+    exact MOSS set semantics the DuckDB oracle mirrors).
+    """
+    from pyspark.sql import functions as F
+    # consumed twice (both sides of the pair self-join): cache so the
+    # md5 k-gram chain runs once — same precedent as ngram_jaccard's
+    # token frames; at web scale this is the winnowed signature stream
+    # (~2/(w+1) of the k-gram count), MEMORY_AND_DISK spills safely
+    fps = winnow_fingerprints(docs, k, w).cache()
+    if max_fp_docs is not None:
+        hot = (fps.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("fp_df"))
+               .filter(f"fp_df > {int(max_fp_docs)}")
+               .select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.selectExpr("fp", "doc_id AS a_id", "sz AS a_sz")
+    b = fps.selectExpr("fp", "doc_id AS b_id", "sz AS b_sz")
+    return (
+        a.join(b, "fp").filter("a_id < b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.first("a_sz").alias("a_sz"),
+             F.first("b_sz").alias("b_sz"))
+        .selectExpr(
+            "a_id", "b_id", "shared",
+            "round(CAST(shared AS DOUBLE) / least(a_sz, b_sz), 6) "
+            "AS containment")
+        .filter(f"containment >= {threshold}")
+    )
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: winnowed substring-overlap pairs over the
+    ``documents`` table at the module defaults."""
+    return winnow_pairs_frame(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_pairs_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
+                        threshold: float = WINNOW_T) -> str:
+    """Identical computation in DuckDB: 1-based inclusive list slices
+    (``l[i:i+k-1]`` == Spark ``slice(l, i, k)``), exclusive-end
+    ``range`` (``range(1, m + 1)`` == Spark ``sequence(1, m)``), the
+    same md5-derived 32-bit hash, and the same left-to-right double
+    division — results are bit-equal."""
+    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - {k} + 2),
+                                  i -> {duck_h32_sql(kgram)}) AS hs
+            FROM w WHERE len(w) >= {k + w - 1}
+        ),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(hs) - {w} + 2),
+                       j -> list_aggregate(hs[j:j+{w}-1], 'min'))) AS fps
+            FROM g
+        ),
+        e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM f)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               count(*) AS shared,
+               round(CAST(count(*) AS DOUBLE)
+                     / least(any_value(a.sz), any_value(b.sz)), 6)
+                   AS containment
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING containment >= {threshold}
+    """

@@ -11,7 +11,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from maha_spark.ops import multimodal, packing, similarity  # noqa: E402
+from maha_spark.ops import asof, multimodal, packing, similarity  # noqa: E402
 
 
 def _match(sdf, osql, duck):
@@ -106,6 +106,7 @@ def test_approx_quantiles_match_exact_shape_and_bounds(spark, sf_dir):
     (packing.token_quantiles, packing.token_quantiles_oracle()),
     (packing.mix_balance, packing.mix_balance_oracle()),
     (similarity.sim_lsh_buckets, similarity.sim_lsh_buckets_oracle()),
+    (asof.asof_join, asof.asof_join_oracle()),
 ])
 def test_mm_offcontract_oracle(fn, osql, spark, duck, sf_dir):
     _match(fn(spark, sf_dir), osql, duck)

@@ -1,0 +1,101 @@
+"""Winnowing substring-overlap dedup (ops/winnow.py): the SIGMOD'03
+guarantee/density properties on synthetic corpora, the boilerplate cap,
+and exact DuckDB-oracle parity on the test corpus (the op is also in the
+50-entry driver contract as ``op_winnow_pairs``)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.ops import winnow  # noqa: E402
+
+K, W = winnow.WINNOW_K, winnow.WINNOW_W
+GUARANTEE = W + K - 1  # any shared run this long must be detected
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING")
+
+
+def _words(tag, n):
+    return " ".join(f"{tag}{i:03d}" for i in range(n))
+
+
+def test_guarantee_shared_run_is_detected(spark):
+    """Two documents sharing a run of exactly ``w + k - 1`` words (all
+    other words disjoint) must share at least one fingerprint — the
+    paper's lossless-detection guarantee."""
+    run = _words("shared", GUARANTEE)
+    docs = _docs(spark, [f"{_words('aa', 30)} {run} {_words('ab', 30)}",
+                         f"{_words('ba', 25)} {run} {_words('bb', 35)}"])
+    rows = winnow.winnow_pairs_frame(docs, threshold=0.0).collect()
+    assert len(rows) == 1 and rows[0].shared >= 1
+
+
+def test_no_shared_kgram_no_pair(spark):
+    """A shared run shorter than k words can never produce a shared
+    k-gram hash, so no pair is reported at any threshold."""
+    run = _words("shared", K - 1)
+    docs = _docs(spark, [f"{_words('aa', 40)} {run} {_words('ab', 40)}",
+                         f"{_words('ba', 40)} {run} {_words('bb', 40)}"])
+    assert winnow.winnow_pairs_frame(docs, threshold=0.0).count() == 0
+
+
+def test_exact_duplicate_scores_full_containment(spark):
+    text = _words("dup", 60)
+    docs = _docs(spark, [text, text])
+    rows = winnow.winnow_pairs_frame(docs).collect()
+    sz = (winnow.winnow_fingerprints(docs)
+          .filter("doc_id = 0").count())
+    assert len(rows) == 1
+    assert rows[0].containment == 1.0
+    assert rows[0].shared == sz
+
+
+def test_contained_passage_scores_full_containment(spark):
+    """Containment (not Jaccard) is the pair measure: a short document
+    pasted verbatim inside a much longer one still scores 1.0."""
+    short = _words("pasted", 25)
+    long = f"{_words('pre', 80)} {short} {_words('post', 80)}"
+    rows = winnow.winnow_pairs_frame(_docs(spark, [short, long])).collect()
+    assert len(rows) == 1 and rows[0].containment == 1.0
+
+
+def test_short_documents_are_dropped(spark):
+    docs = _docs(spark, [_words("x", GUARANTEE - 1)] * 2)
+    assert winnow.winnow_fingerprints(docs).count() == 0
+
+
+def test_max_fp_docs_drops_boilerplate(spark):
+    """With a boilerplate run shared by every document, the hot-
+    fingerprint cap removes those fingerprints and with them the pairs
+    whose only overlap was the boilerplate."""
+    boiler = _words("boiler", 20)
+    texts = [f"{boiler} {_words(f'u{i}', 40)}" for i in range(6)]
+    uncapped = winnow.winnow_pairs_frame(_docs(spark, texts), threshold=0.0)
+    capped = winnow.winnow_pairs_frame(_docs(spark, texts), threshold=0.0,
+                                       max_fp_docs=3)
+    assert uncapped.count() == 15  # all C(6,2) pairs share the boilerplate
+    assert capped.count() == 0
+
+
+def test_density_bound(spark):
+    """Expected selected fraction is 2/(w+1); on a random-ish corpus the
+    distinct-fingerprint count per doc stays within loose bounds of it."""
+    docs = _docs(spark, [_words(f"d{i}", 200) for i in range(8)])
+    rows = (winnow.winnow_fingerprints(docs)
+            .groupBy("doc_id").count().collect())
+    n_windows = 200 - K + 1 - W + 1
+    expect = 2.0 / (W + 1) * n_windows
+    for r in rows:
+        assert 0.3 * expect <= r["count"] <= 2.5 * expect, r
+
+
+def test_oracle_parity(spark, duck, sf_dir):
+    from tests.test_ops_packing import _match
+    _match(winnow.winnow_pairs(spark, sf_dir),
+           winnow.winnow_pairs_oracle(), duck)

@@ -354,7 +354,8 @@ def test_generators_explode_only_cheap_sequences(spark):
     expensive columns must pass THROUGH the Generate instead."""
     import re
 
-    from maha_spark.ops import chunking, contamination, dedup, similarity, text
+    from maha_spark.ops import (chunking, contamination, dedup, similarity,
+                                text, winnow)
 
     sf = "/root/testdata/sf0.001"
     dfs = {
@@ -365,6 +366,7 @@ def test_generators_explode_only_cheap_sequences(spark):
         "ngram_jaccard": dedup.dedup_ngram_jaccard(spark, sf),
         "ann_topk": similarity.sim_ann_topk(spark, sf),
         "chunking": chunking.chunk_documents(spark, sf),
+        "winnow_pairs": winnow.winnow_pairs(spark, sf),
     }
     # string/struct-building generator children are the expensive shapes
     # (the CASE-guarded integer sequence stays O(len) ints per row)
