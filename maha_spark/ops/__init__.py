@@ -84,11 +84,14 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
     from . import (asof, dedup, incremental, multimodal, packing,
-                   sessions, similarity, sketches)
+                   semdedup, sessions, similarity, sketches)
     return {
         "asof_join": (asof.asof_join,
                       "test_ops_packing.py (exact oracle; rotated out "
                       "r7 for op_winnow_pairs)"),
+        "semdedup": (semdedup.semdedup,
+                     "test_ops_semdedup.py (independent numpy kernel "
+                     "oracle + planted-dup + determinism)"),
         "token_quantiles": (packing.token_quantiles,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 + vs approx_quantiles)"),
