@@ -1,0 +1,170 @@
+"""Rollup advisor (registry/advisor.py): mining the request log for
+rollup grains. The headline pin: fed the q4/q5-shaped workload and
+production-scale cardinalities, the advisor re-derives the SAME rollup
+designs rounds 6-7 hand-built (day x nation fk ~62k rows; + materialized
+mktsegment; day x flag x status ~15k rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.engine import engine_for_dir  # noqa: E402
+from maha_spark.examples.contract import (  # noqa: E402
+    build_contract_registry, materialize_events_rollup)
+from maha_spark.examples.tpch import build_registry  # noqa: E402
+from maha_spark.log.request_log import RequestLogEntry  # noqa: E402
+from maha_spark.registry.advisor import (  # noqa: E402
+    _NdvProbe, recommend_rollups)
+
+SRC = "/root/testdata/sf0.001"
+DAY = [{"field": "Day", "operator": "between",
+        "from": "1995-01-01", "to": "2001-12-31"}]
+
+
+def _req(fields, **kw):
+    return json.dumps({"cube": "lineitem_stats",
+                       "selectFields": [{"field": f} for f in fields],
+                       "filterExpressions": DAY, **kw})
+
+
+def _workload():
+    return ([_req(["Nation Name", "Region Name", "Revenue"])] * 5
+            + [_req(["Nation Name", "Market Segment", "Revenue"])] * 3
+            + [_req(["Return Flag", "Line Status", "Revenue"])]
+            + [json.dumps({"cube": "lineitem_stats", "queryType": "scan",
+                           "selectFields": [{"field": "Revenue"}],
+                           "filterExpressions": DAY,
+                           "rowsPerPage": 10})])
+
+
+def _prod_probe():
+    """What-if cardinalities at ~600M fact rows (100 TB-ish shape)."""
+    return _NdvProbe.fixed(
+        rows={"lineitem": 600_000_000, "orders": 150_000_000,
+              "customer": 15_000_000, "nation": 25, "region": 5},
+        ndvs={("lineitem", "l_shipdate"): 2500,
+              ("lineitem", "l_returnflag"): 3,
+              ("lineitem", "l_linestatus"): 2,
+              ("customer", "c_mktsegment"): 5,
+              ("nation", "n_name"): 25, ("region", "r_name"): 5})
+
+
+@pytest.fixture(scope="module")
+def tpch_engine(spark):
+    return engine_for_dir(spark, build_registry(), SRC)
+
+
+def test_rederives_handbuilt_rollups(tpch_engine):
+    recs = recommend_rollups(tpch_engine, _workload(), top_n=5,
+                             probe=_prod_probe())
+    # the scan request is ineligible by the planner's own serving rules
+    assert recs and all(r.n_eligible == 9 for r in recs)
+    by_est = {r.est_rows: r for r in recs}
+    # day x cust-nation fk == lineitem_daily_nation (real table ~62k rows)
+    nation = by_est[2500 * 25]
+    assert nation.fact_cols == ()
+    assert nation.chains[0].entry_dim == "customer_nation"
+    assert not nation.chains[0].materialized
+    assert nation.n_covered == 5
+    # + materialized mktsegment == the round-7 q4 extension
+    q4 = by_est[2500 * 25 * 5]
+    assert ("customer", "Market Segment", "c_mktsegment") \
+        in q4.chains[0].materialized
+    assert q4.n_covered == 8        # serves the q5 shape too
+    # day x flag x status == lineitem_daily (real table ~15k rows)
+    daily = by_est[2500 * 3 * 2]
+    assert sorted(daily.fact_cols) == ["l_linestatus", "l_returnflag"]
+    assert daily.chains == ()
+    # the consolidated union serves the whole eligible workload and wins
+    union = by_est[2500 * 3 * 2 * 25 * 5]
+    assert union.n_covered == 9
+    assert recs[0] is union
+    assert union.compression < 0.01
+
+
+def test_entry_choice_prefers_materialization_over_wide_key(tpch_engine):
+    """Serving Market Segment via the customer key would cost 15M rows
+    per day-slice; nation-key x segment costs 125. No recommendation may
+    pick the customer entry."""
+    recs = recommend_rollups(tpch_engine, _workload(), top_n=5,
+                             probe=_prod_probe())
+    for r in recs:
+        for ch in r.chains:
+            assert ch.entry_dim != "customer", r.describe()
+
+
+def test_scale_honest_empty_on_tiny_fact(tpch_engine):
+    """At sf0.001 the fact has ~6k rows over ~2500 distinct days — no
+    day-grain rollup compresses, and the advisor must say so rather
+    than recommend a table the size of the fact."""
+    assert recommend_rollups(tpch_engine, _workload()) == []
+
+
+def test_entry_forms_accepted_and_garbage_skipped(tpch_engine):
+    raw = _req(["Nation Name", "Revenue"])
+    entries = [raw,                                  # raw JSON string
+               RequestLogEntry(request_id="1", json_request=raw),
+               RequestLogEntry(request_id="2",
+                               json_request=raw).to_dict(),
+               "{not json",                          # skipped
+               RequestLogEntry(request_id="3", json_request="")]
+    recs = recommend_rollups(tpch_engine, entries, probe=_prod_probe())
+    assert recs and recs[0].n_eligible == 3
+
+
+def test_mixed_cube_log_streams_mined_independently(spark):
+    """One log stream covering two cubes: each cube's workload is mined
+    in its own physical namespace; coverage is per-cube."""
+    eng = engine_for_dir(spark, build_contract_registry(), SRC)
+    ev_day = {"field": "day", "operator": "between",
+              "from": "2024-01-01", "to": "2024-12-31"}
+    ev = json.dumps({"cube": "events_cube",
+                     "selectFields": [{"field": "day"},
+                                      {"field": "event_count"}],
+                     "filterExpressions": [ev_day]})
+    li = json.dumps({"cube": "tpch",
+                     "selectFields": [{"field": "return_flag"},
+                                      {"field": "sum_qty"}],
+                     "filterExpressions": [
+                         {"field": "day", "operator": "between",
+                          "from": "1995-01-01", "to": "2001-12-31"}]})
+    probe = _NdvProbe.fixed(
+        rows={"events": 10_000_000, "lineitem": 600_000_000},
+        ndvs={("events", "ts"): 30, ("lineitem", "l_shipdate"): 2500,
+              ("lineitem", "l_returnflag"): 3})
+    recs = recommend_rollups(eng, [ev, ev, li], top_n=4, probe=probe)
+    cubes = {r.cube for r in recs}
+    assert cubes == {"events_cube", "tpch"}
+    for r in recs:
+        assert r.n_eligible == (2 if r.cube == "events_cube" else 1)
+
+
+def test_already_served_requests_excluded(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adv_rollup"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    materialize_events_rollup(spark, SRC, d)
+    rolled = engine_for_dir(spark, build_contract_registry(), d)
+    ev_day = {"field": "day", "operator": "between",
+              "from": "2024-01-01", "to": "2024-12-31"}
+    served = json.dumps({  # at the stored grain -> events_hourly serves
+        "cube": "events_cube",
+        "selectFields": [{"field": "hour"}, {"field": "event_type"},
+                         {"field": "event_count"}],
+        "filterExpressions": [ev_day]})
+    unserved = json.dumps({  # exact distinct at day grain -> raw only
+        "cube": "events_cube",
+        "selectFields": [{"field": "day"}, {"field": "user_count"}],
+        "filterExpressions": [ev_day]})
+    recs = recommend_rollups(rolled, [served, served, unserved],
+                             max_rows_frac=0.9)
+    assert recs, "the unserved request should yield a recommendation"
+    assert all(r.n_eligible == 1 for r in recs)
+    assert recs[0].fact_cols == ()
+    assert recs[0].est_rows <= 0.9 * recs[0].fact_rows
