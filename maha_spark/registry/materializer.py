@@ -1,0 +1,271 @@
+"""Generic rollup materializer: turn a ``RollupRecommendation`` into a
+physical aggregate table plus the ``FactTable`` declaration that serves
+it — the apply side of the advisor loop (advise → materialize →
+register → the planner serves it through the existing candidate
+selection and chain rebasing).
+
+The hand-built rollups (``examples/contract.py`` lineitem_daily /
+lineitem_daily_nation) are the semantic model; this module generalizes
+their conventions to any cube in the registry:
+
+* group keys: the day column stored day-truncated UNDER ITS OWN NAME
+  (the hand-built convention), the recommendation's physical fact dims,
+  one aggregate-join FK per chain (the entry dim's primary key, chain
+  REBASING re-enters there), and denormalized dim attributes
+  (``DimCol.materializes``) for dims shallower than the entry point;
+* metric partials: every base ``FactCol`` whose rollup re-aggregates
+  losslessly from a stored partial — Sum, Count (stored as a partial
+  count, re-declared SumRollup), Max, Min, RoundedSum, and Filtered
+  (the condition collapses at build; the partial re-declares as the
+  base rollup) — computed with the PLANNER'S OWN aggregation renderer
+  (``Planner._agg_expr``), so build-time partials and query-time
+  aggregation cannot drift;
+* carried declarations: derived dim/fact expressions whose references
+  all resolve to stored columns are re-declared verbatim (they
+  recompute over the partials at query time, exactly like the
+  hand-built tables carry ``revenue`` over ``disc_price_dec``);
+* everything else — Average, Cardinality (exact and approx), Noop, HLL
+  — is EXCLUDED from the table's columns, so requests needing those
+  metrics fail column coverage and correctly fall back to the base
+  fact. (The hand-built tables store such metrics only with explicit
+  grain guards / quantization; automating that is a modeling decision,
+  not a mechanical one.)
+
+Float caveat the hand-built tables avoid by cents-quantizing: double
+partials re-aggregate associatively only up to IEEE rounding, so a
+rollup-served SUM can differ from the raw SUM in the last ulps. Quantize
+metric columns (as the contract cubes do) when bit-identity matters.
+
+Sub-day safety: a derived dim that extracts sub-day fields from the
+day-truncated time column would serve wrong values, so derived dims
+referencing the day column are carried only when their expression has
+no hour/minute/second extraction (conservative textual check).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from ..core.columns import (_PLACEHOLDER, DerivedDimCol, DerivedFactCol,
+                            DimCol, FactCol)
+from ..core.rollup import (CountRollup, FilteredRollup, MaxRollup,
+                           MinRollup, RoundedSumRollup, SumRollup)
+from ..registry.cube import FactTable, PublicFact, Registry
+
+__all__ = ["rollup_table_from_recommendation",
+           "materialize_recommendation", "apply_recommendation"]
+
+#: textual guard: derived expressions over the (day-truncated) time
+#: column must not extract sub-day fields
+_SUB_DAY = re.compile(r"hour|minute|second|'H'|\"H\"", re.IGNORECASE)
+
+
+def _carried_rollup(r) -> Optional[object]:
+    """The rollup a stored partial re-declares with, or None if the
+    metric cannot be carried as a lossless partial."""
+    if isinstance(r, FilteredRollup):
+        return _carried_rollup(r.base)
+    if isinstance(r, CountRollup):
+        return SumRollup()          # partial counts re-aggregate as SUM
+    if isinstance(r, RoundedSumRollup):
+        return RoundedSumRollup(scale=r.scale)
+    if isinstance(r, (MaxRollup, MinRollup, SumRollup)) \
+            and type(r) in (MaxRollup, MinRollup, SumRollup):
+        return type(r)()
+    return None
+
+
+def _expr_refs(col) -> set[str]:
+    refs = set(_PLACEHOLDER.findall(getattr(col, "expr", "") or ""))
+    refs |= set(getattr(col, "depends_on", ()) or ())
+    refs.discard("self")
+    return refs
+
+
+def rollup_table_from_recommendation(registry: Registry, cube: PublicFact,
+                                     rec, name: str) -> FactTable:
+    """The ``FactTable`` declaration serving ``rec``'s grain (append it
+    to ``cube.tables`` BEFORE building the engine/model)."""
+    base = cube.base_table
+    day_col = base.day_column
+    cols: dict = {}
+    # day key: same name, day grain (is_day_column carries over)
+    cols[day_col] = base.columns[day_col]
+    for c in rec.fact_cols:
+        cols[c] = base.columns[c]
+    for enc in rec.chains:
+        if enc.entry_dim is not None:
+            from ..core.types import IntType
+            registry.dimension(enc.entry_dim)   # validate it exists
+            cols[enc.suggested_fk] = DimCol(
+                enc.suggested_fk, IntType(), foreign_key=enc.entry_dim)
+        for dn, _alias, phys in enc.materialized:
+            dim_t = registry.dimension(dn).table
+            cols[phys] = DimCol(phys, dim_t.columns[phys].dtype,
+                                materializes=f"{dn}.{phys}")
+    # metric partials
+    for n, c in base.columns.items():
+        if not isinstance(c, FactCol) or isinstance(c, DerivedFactCol):
+            continue
+        carried = _carried_rollup(c.rollup)
+        if carried is not None:
+            cols[n] = FactCol(n, c.dtype, rollup=carried)
+    # derived declarations whose references all resolve to stored cols
+    for n, c in base.columns.items():
+        if n in cols or not isinstance(c, (DerivedDimCol, DerivedFactCol)):
+            continue
+        refs = _expr_refs(c)
+        if not refs or not refs <= set(cols):
+            continue
+        if day_col in refs and (_SUB_DAY.search(c.expr or "")
+                                or _SUB_DAY.search(
+                                    getattr(c, "render_expr", "") or "")):
+            continue                # sub-day extraction over truncated time
+        cols[n] = c
+    grain = [day_col] + sorted(n for n in cols
+                               if n != day_col
+                               and isinstance(cols[n], DimCol))
+    return FactTable(
+        name=name, columns=cols, grain=base.grain, day_column=day_col,
+        cost=rec.suggested_cost, partition_columns=["dt"],
+        discarded=set(base.columns) - set(cols),
+        grain_cols=grain)
+
+
+def _path_to(registry: Registry, first_dim: str, entry_dim: str) -> list:
+    """Ordered dim names from the chain's first dim to the entry dim,
+    found by DFS over ``parent_keys`` (multi-parent snowflake forks pick
+    the branch that reaches the entry)."""
+    def dfs(dn: str, seen: tuple) -> Optional[list]:
+        if dn == entry_dim:
+            return [dn]
+        for _pcol, pdim in registry.dimension(dn).table.parent_keys.items():
+            if pdim in seen:
+                continue
+            rest = dfs(pdim, seen + (pdim,))
+            if rest is not None:
+                return [dn] + rest
+        return None
+
+    path = dfs(first_dim, (first_dim,))
+    if path is None:
+        raise ValueError(
+            f"no parent-key path from {first_dim} to {entry_dim}")
+    return path
+
+
+def _chain_frame(binding, registry: Registry, base: FactTable, enc):
+    """(join frame keyed by the chain's fact FK) -> the columns this
+    encoding stores: ``__join_key`` (first dim's pk, joins the fact's
+    FK), the entry dim's pk AS ``suggested_fk``, and the materialized
+    attribute columns. Walks the snowflake path with LEFT joins (orphan
+    rows keep NULLs, matching query-time left_outer semantics — the
+    ADVICE-fix convention the hand-built nation rollup follows).
+
+    Column-name collisions across dim tables along one path would break
+    the accumulated select; TPC-H-style per-table prefixes avoid it, and
+    a collision fails loudly at plan time (ambiguous reference)."""
+    from pyspark.sql import functions as F
+    fk_col = enc.fact_fk_col
+    first_dim = base.columns[fk_col].foreign_key
+    entry = enc.entry_dim if enc.entry_dim is not None else None
+    want = {}
+    for dn, _a, phys in enc.materialized:
+        want.setdefault(dn, []).append(phys)
+    # a fully-materialized chain (entry None) still needs the walk up to
+    # the deepest materialized dim
+    if entry is None:
+        deepest = None
+        for dn in want:
+            p = _path_to(registry, first_dim, dn)
+            if deepest is None or len(p) > len(deepest):
+                deepest = p
+        path = deepest or [first_dim]
+    else:
+        path = _path_to(registry, first_dim, entry)
+
+    dim0 = registry.dimension(path[0])
+    acc = binding.table(dim0.table.name)
+    collected = [F.col(dim0.table.primary_key).alias("__join_key")]
+    for dn in path:
+        dim = registry.dimension(dn)
+        for phys in sorted(want.get(dn, [])):
+            collected.append(F.col(phys))
+        if entry is not None and dn == entry:
+            collected.append(F.col(dim.table.primary_key)
+                             .alias(enc.suggested_fk))
+        if dn == path[-1]:
+            return acc.select(*collected), fk_col
+        # advance: join the parent on the path
+        nxt = path[path.index(dn) + 1]
+        pcol = next(pc for pc, pd in dim.table.parent_keys.items()
+                    if pd == nxt)
+        parent = registry.dimension(nxt).table
+        cur = acc.select(*collected, F.col(pcol))
+        acc = cur.join(binding.table(parent.name),
+                       cur[pcol] == F.col(parent.primary_key),
+                       "left").drop(pcol)
+        collected = [F.col(c) for c in cur.columns if c != pcol]
+    raise AssertionError("unreachable")
+
+
+def materialize_recommendation(spark, binding, registry: Registry,
+                               cube: PublicFact, rec, dst_dir: str,
+                               name: str) -> str:
+    """Write the physical aggregate for ``rec`` under ``dst_dir/name``
+    (flat parquet + a ``dt`` date column; pass the result dir to the
+    day-partitioned writer in ``plans/scale.py`` for the incremental-
+    refresh layout). Partials are computed with the planner's own
+    aggregation renderer so build and serve cannot drift."""
+    from pyspark.sql import functions as F
+
+    from ..plans.planner import Planner
+
+    base = cube.base_table
+    table = rollup_table_from_recommendation(registry, cube, rec, name)
+    planner = Planner(spark, binding)
+    df = binding.table(base.name)
+    day_col = base.day_column
+
+    # attach each chain's stored columns via a build-time join
+    for enc in rec.chains:
+        if enc.entry_dim is None and not enc.materialized:
+            continue
+        jf, fk_col = _chain_frame(binding, registry, base, enc)
+        df = df.join(F.broadcast(jf),
+                     df[fk_col] == jf["__join_key"], "left") \
+               .drop("__join_key")
+
+    keys = [F.date_trunc("day", F.col(day_col)).alias(day_col)]
+    keys += [F.col(c) for c in rec.fact_cols]
+    for enc in rec.chains:
+        if enc.entry_dim is not None:
+            keys.append(F.col(enc.suggested_fk))
+        for _dn, _a, phys in enc.materialized:
+            keys.append(F.col(phys))
+    # aggregate with the BASE table's column definitions (expr + original
+    # rollup — COUNT(*) partials, filtered sums, row-level expressions),
+    # stored under the rollup's re-declared name
+    aggs = [planner._agg_expr(base.columns[n], base).alias(n)
+            for n, c in table.columns.items()
+            if isinstance(c, FactCol) and not isinstance(c, DerivedFactCol)]
+    out = (df.groupBy(*keys).agg(*aggs)
+           .withColumn("dt", F.to_date(F.col(day_col))))
+    dst = os.path.join(dst_dir, f"{name}.parquet")
+    out.write.mode("overwrite").parquet(dst)
+    return dst
+
+
+def apply_recommendation(engine, rec, dst_dir: str, name: str) -> FactTable:
+    """Materialize ``rec`` and register its table on the live cube —
+    after this, a fresh model over the same registry serves matching
+    requests from the rollup (binding must resolve ``dst_dir``)."""
+    cube = engine.registry.fact(rec.cube)
+    materialize_recommendation(engine.spark, engine.binding,
+                               engine.registry, cube, rec, dst_dir, name)
+    table = rollup_table_from_recommendation(engine.registry, cube,
+                                             rec, name)
+    cube.tables.append(table)
+    return table

@@ -1,0 +1,146 @@
+"""Advisor loop, apply side (registry/materializer.py): a
+RollupRecommendation materializes into a physical aggregate + FactTable
+registration that the planner then serves through the existing candidate
+selection and chain rebasing — advise -> materialize -> register ->
+serve, pinned equivalent to the raw fact."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.engine import engine_for_dir  # noqa: E402
+from maha_spark.examples.tpch import build_registry  # noqa: E402
+from maha_spark.registry.advisor import _NdvProbe, recommend_rollups  # noqa: E402
+from maha_spark.registry.materializer import (  # noqa: E402
+    apply_recommendation, rollup_table_from_recommendation)
+
+SRC = "/root/testdata/sf0.001"
+DAY = [{"field": "Day", "operator": "between",
+        "from": "1995-01-01", "to": "2001-12-31"}]
+
+
+def _req(fields):
+    return {"cube": "lineitem_stats",
+            "selectFields": [{"field": f} for f in fields],
+            "filterExpressions": DAY}
+
+
+def _approx_eq(a, b):
+    """Row-set equality up to IEEE re-association of double partials
+    (the documented float caveat — hand-built rollups cents-quantize
+    for bit identity; the generic materializer does not)."""
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float) \
+                    and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                continue
+            return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def applied(spark, tmp_path_factory):
+    """Symlinked sf0.001 dir + the advisor's top recommendation
+    materialized and registered; returns (registry, dir, rec, table)."""
+    d = str(tmp_path_factory.mktemp("advised"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    reg = build_registry()
+    eng = engine_for_dir(spark, reg, d)
+    logs = ([json.dumps(_req(["Nation Name", "Region Name", "Revenue"]))] * 5
+            + [json.dumps(_req(["Nation Name", "Market Segment",
+                                "Revenue"]))] * 3)
+    probe = _NdvProbe.fixed(
+        rows={"lineitem": 600_000_000, "orders": 150_000_000,
+              "customer": 15_000_000, "nation": 25, "region": 5},
+        ndvs={("lineitem", "l_shipdate"): 2500,
+              ("customer", "c_mktsegment"): 5,
+              ("nation", "n_name"): 25, ("region", "r_name"): 5})
+    recs = recommend_rollups(eng, logs, top_n=3, probe=probe)
+    rec = recs[0]       # union: nation entry fk + materialized mktsegment
+    table = apply_recommendation(eng, rec, d, "advised_rollup")
+    return reg, d, rec, table
+
+
+def _engines(spark, reg, d):
+    return (engine_for_dir(spark, build_registry(), SRC),   # raw-only
+            engine_for_dir(spark, reg, d))                   # with rollup
+
+
+@pytest.mark.parametrize("fields", [
+    ["Nation Name", "Region Name", "Revenue", "Total Quantity",
+     "Line Count"],
+    ["Nation Name", "Market Segment", "Revenue"],        # materialized attr
+    ["Nation Name", "Max Price", "Min Price", "Returned Quantity"],
+    ["Region Name", "Charge"],                           # deeper chain only
+])
+def test_served_from_advised_rollup_and_matches_raw(spark, applied, fields):
+    reg, d, _rec, _t = applied
+    raw, rolled = _engines(spark, reg, d)
+    q = _req(fields)
+    assert rolled.model(q).fact_table.name == "advised_rollup"
+    a = sorted(map(tuple, raw.dataframe(q).collect()))
+    b = sorted(map(tuple, rolled.dataframe(q).collect()))
+    assert a and _approx_eq(a, b)
+
+
+@pytest.mark.parametrize("fields", [
+    ["Nation Name", "Order Count"],          # exact distinct: excluded
+    ["Nation Name", "Average Price"],        # avg rollup: excluded
+    ["Nation Name", "Order Priority", "Revenue"],  # skipped-dim attr
+    ["Return Flag", "Revenue"],              # fact dim not in the grain
+])
+def test_uncoverable_requests_fall_back_to_raw(spark, applied, fields):
+    reg, d, _rec, _t = applied
+    raw, rolled = _engines(spark, reg, d)
+    q = _req(fields)
+    assert rolled.model(q).fact_table.name == "lineitem"
+    a = sorted(map(tuple, raw.dataframe(q).collect()))
+    b = sorted(map(tuple, rolled.dataframe(q).collect()))
+    assert a and a == b
+
+
+def test_declaration_shape(applied):
+    _reg, _d, rec, t = applied
+    cols = t.columns
+    # grain: day col + fk + materialized attr
+    assert "l_shipdate" in cols and "customer_nation_fk" in cols
+    assert cols["customer_nation_fk"].foreign_key == "customer_nation"
+    assert cols["c_mktsegment"].materializes == "customer.c_mktsegment"
+    # lossless partials carried, re-declared per the hand-built convention
+    assert type(cols["line_count"].rollup).__name__ == "SumRollup"
+    assert type(cols["returned_qty"].rollup).__name__ == "SumRollup"
+    assert type(cols["max_price"].rollup).__name__ == "MaxRollup"
+    # non-reaggregatable metrics excluded -> coverage rejects, raw serves
+    for gone in ("order_count_distinct", "order_count_approx",
+                 "avg_price", "l_discount"):
+        assert gone not in cols and gone in t.discarded
+    # derived dims over stored cols re-declared verbatim
+    for kept in ("ship_day", "ship_month", "ship_week"):
+        assert kept in cols
+    # derived fact exprs whose refs are stored partials carried
+    assert "avg_discount_rate" in cols
+    assert t.grain_cols and t.cost == rec.suggested_cost
+
+
+def test_materialized_rows_at_expected_grain(spark, applied):
+    reg, d, _rec, _t = applied
+    df = spark.read.parquet(os.path.join(d, "advised_rollup.parquet"))
+    n = df.count()
+    keys = df.select("l_shipdate", "customer_nation_fk",
+                     "c_mktsegment").distinct().count()
+    assert n == keys            # one row per grain key
+    raw = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    assert n < raw.count()      # it actually aggregates
+    assert "dt" in df.columns
