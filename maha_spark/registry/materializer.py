@@ -55,7 +55,8 @@ from ..core.rollup import (CountRollup, FilteredRollup, MaxRollup,
 from ..registry.cube import FactTable, PublicFact, Registry
 
 __all__ = ["rollup_table_from_recommendation",
-           "materialize_recommendation", "apply_recommendation"]
+           "materialize_recommendation", "refresh_recommendation",
+           "apply_recommendation"]
 
 #: textual guard: derived expressions over the (day-truncated) time
 #: column must not extract sub-day fields
@@ -211,14 +212,14 @@ def _chain_frame(binding, registry: Registry, base: FactTable, enc):
     raise AssertionError("unreachable")
 
 
-def materialize_recommendation(spark, binding, registry: Registry,
-                               cube: PublicFact, rec, dst_dir: str,
-                               name: str) -> str:
-    """Write the physical aggregate for ``rec`` under ``dst_dir/name``
-    (flat parquet + a ``dt`` date column; pass the result dir to the
-    day-partitioned writer in ``plans/scale.py`` for the incremental-
-    refresh layout). Partials are computed with the planner's own
-    aggregation renderer so build and serve cannot drift."""
+def _recommendation_frame(spark, binding, registry: Registry,
+                          cube: PublicFact, rec, name: str,
+                          fact_df=None):
+    """The rollup's rows at its materialized grain (with the ``dt``
+    date column) — shared by the full materializer and the incremental
+    day-range refresh so both produce bit-identical rows. Partials are
+    computed with the planner's own aggregation renderer
+    (``Planner._agg_expr``) so build and serve cannot drift."""
     from pyspark.sql import functions as F
 
     from ..plans.planner import Planner
@@ -226,7 +227,7 @@ def materialize_recommendation(spark, binding, registry: Registry,
     base = cube.base_table
     table = rollup_table_from_recommendation(registry, cube, rec, name)
     planner = Planner(spark, binding)
-    df = binding.table(base.name)
+    df = fact_df if fact_df is not None else binding.table(base.name)
     day_col = base.day_column
 
     # attach each chain's stored columns via a build-time join
@@ -251,10 +252,62 @@ def materialize_recommendation(spark, binding, registry: Registry,
     aggs = [planner._agg_expr(base.columns[n], base).alias(n)
             for n, c in table.columns.items()
             if isinstance(c, FactCol) and not isinstance(c, DerivedFactCol)]
-    out = (df.groupBy(*keys).agg(*aggs)
-           .withColumn("dt", F.to_date(F.col(day_col))))
-    dst = os.path.join(dst_dir, f"{name}.parquet")
-    out.write.mode("overwrite").parquet(dst)
+    return (df.groupBy(*keys).agg(*aggs)
+            .withColumn("dt", F.to_date(F.col(day_col))))
+
+
+def materialize_recommendation(spark, binding, registry: Registry,
+                               cube: PublicFact, rec, dst_dir: str,
+                               name: str, partitioned: bool = False) -> str:
+    """Write the physical aggregate for ``rec`` under ``dst_dir``.
+
+    ``partitioned=False`` writes flat ``{name}.parquet``;
+    ``partitioned=True`` writes the Hive day-partitioned layout
+    (``{name}/dt=.../``, one file per day) that
+    ``refresh_recommendation`` maintains incrementally."""
+    from pyspark.sql import functions as F
+
+    out = _recommendation_frame(spark, binding, registry, cube, rec, name)
+    if partitioned:
+        dst = os.path.join(dst_dir, name)
+        (out.repartition(F.col("dt")).write.mode("overwrite")
+            .partitionBy("dt").parquet(dst))
+    else:
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        out.write.mode("overwrite").parquet(dst)
+    return dst
+
+
+def refresh_recommendation(spark, binding, registry: Registry,
+                           cube: PublicFact, rec, dst_dir: str, name: str,
+                           from_day: str, to_day: str) -> str:
+    """Incrementally refresh ``[from_day, to_day]`` (inclusive,
+    'YYYY-MM-DD') of the PARTITIONED advised rollup from the raw fact:
+    the raw scan is bounded to the restated window (partition-pruned on
+    a ``dt``-partitioned raw layout) and only those ``dt=`` directories
+    are dynamically overwritten — the maintenance loop for
+    advisor-built tables, same contract as
+    ``examples/contract.py::refresh_lineitem_rollup`` (refreshed rows
+    bit-identical to a full rebuild; untouched days physically
+    untouched)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.scale import overwrite_day_partitions
+
+    base = cube.base_table
+    day_col = base.day_column
+    fact = binding.table(base.name)
+    fact = fact.filter(
+        (F.col(day_col) >= F.to_timestamp(F.lit(from_day)))
+        & (F.col(day_col)
+           < F.to_timestamp(F.date_add(F.to_date(F.lit(to_day)), 1))))
+    if "dt" in fact.columns:
+        fact = fact.filter(F.col("dt").between(F.lit(from_day),
+                                               F.lit(to_day)))
+    frame = _recommendation_frame(spark, binding, registry, cube, rec,
+                                  name, fact_df=fact)
+    dst = os.path.join(dst_dir, name)
+    overwrite_day_partitions(frame, dst)
     return dst
 
 

@@ -134,6 +134,56 @@ def test_declaration_shape(applied):
     assert t.grain_cols and t.cost == rec.suggested_cost
 
 
+def test_partitioned_refresh_bit_identical_and_scoped(spark, applied,
+                                                      tmp_path_factory):
+    """The advised rollup gets the same maintenance contract as the
+    hand-built ones: a day-range refresh restores corrupted partitions
+    bit-identically to the full build, and days outside the range are
+    physically untouched."""
+    import shutil
+
+    from maha_spark.registry.materializer import (
+        materialize_recommendation, refresh_recommendation)
+    reg, d, rec, _t = applied
+    cube = reg.fact("lineitem_stats")
+
+    work = str(tmp_path_factory.mktemp("advised_part"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(work, t))
+    eng = engine_for_dir(spark, reg, work)
+    out = materialize_recommendation(spark, eng.binding, reg, cube, rec,
+                                     work, "advised_part",
+                                     partitioned=True)
+    full = _part_rows(spark, out)
+    days = sorted(f.split("=", 1)[1] for f in os.listdir(out)
+                  if f.startswith("dt="))
+    lo, hi = days[2], days[4]
+    # corrupt the range: drop one day dir, truncate another
+    shutil.rmtree(os.path.join(out, f"dt={days[2]}"))
+    victim = os.path.join(out, f"dt={days[3]}")
+    for f in os.listdir(victim):
+        os.unlink(os.path.join(victim, f))
+    outside = {f: sorted(os.listdir(os.path.join(out, f)))
+               for f in os.listdir(out) if f.startswith("dt=")
+               and not (lo <= f.split("=", 1)[1] <= hi)}
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in outside}
+    refresh_recommendation(spark, eng.binding, reg, cube, rec, work,
+                           "advised_part", lo, hi)
+    assert _part_rows(spark, out) == full
+    for f, listing in outside.items():
+        assert sorted(os.listdir(os.path.join(out, f))) == listing
+        assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+
+
+def _part_rows(spark, path):
+    df = spark.read.parquet(path)
+    keys = ["dt", "customer_nation_fk", "c_mktsegment"]
+    cols = keys + sorted(c for c in df.columns if c not in keys)
+    return sorted(
+        map(tuple, df.select(*cols).collect()),
+        key=lambda r: tuple((v is None, v) for v in r[:3]))
+
+
 def test_materialized_rows_at_expected_grain(spark, applied):
     reg, d, _rec, _t = applied
     df = spark.read.parquet(os.path.join(d, "advised_rollup.parquet"))
