@@ -213,80 +213,135 @@ def _chain_usage(model) -> list:
     return out
 
 
+def _physical_refs(table, name: str, day_col: str, out: set,
+                   _seen: tuple = ()) -> None:
+    """Resolve a grouped/filtered fact column to the PHYSICAL columns a
+    rollup must store: derived dims expand to their references (a rollup
+    storing the refs re-declares the derived expression verbatim —
+    materializer convention), and anything derived purely from the day
+    column is implicitly served by the day grain."""
+    from ..core.columns import _PLACEHOLDER, DerivedDimCol
+    if name == day_col or name in _seen:
+        return
+    col = table.columns.get(name)
+    if isinstance(col, DerivedDimCol):
+        for r in _PLACEHOLDER.findall(col.expr):
+            _physical_refs(table, r, day_col, out, _seen + (name,))
+        return
+    out.add(name)
+
+
 def _signature(model) -> GrainSignature:
     # the public day alias is the rollup's implicit grain key whatever
     # physical/derived column it renders to — never a grain column
-    fact_cols = {p.pub_col.name for p in model.projections
-                 if p.kind == FACT_DIM and p.pub_col is not None
-                 and p.alias != model.cube.day_alias}
+    day_col = model.fact_table.day_column
+    fact_cols: set = set()
+    for p in model.projections:
+        if p.kind == FACT_DIM and p.pub_col is not None \
+                and p.alias != model.cube.day_alias:
+            _physical_refs(model.fact_table, p.pub_col.name, day_col,
+                           fact_cols)
     for f in model.fact_filters:
         for leaf in _leaf_filters(f):
             for a in leaf.fields():
                 pub = model.cube.col_by_alias(a)
                 if pub is not None and a != model.cube.day_alias:
-                    fact_cols.add(pub.name)
-    day_col = model.fact_table.day_column
-    fact_cols.discard(day_col)
+                    _physical_refs(model.fact_table, pub.name, day_col,
+                                   fact_cols)
     return GrainSignature(frozenset(fact_cols), tuple(_chain_usage(model)))
 
 
+def _anc_or_self(registry, dn: str) -> frozenset:
+    """``dn`` plus every dimension reachable UP its ``parent_keys``
+    edges (all branches of a snowflake fork) — the dims a chain entered
+    at ``dn`` can still join to."""
+    out = {dn}
+    frontier = [dn]
+    while frontier:
+        d = frontier.pop()
+        for parent in registry.dimension(d).table.parent_keys.values():
+            if parent not in out:
+                out.add(parent)
+                frontier.append(parent)
+    return frozenset(out)
+
+
 def _encode_chain(registry, probe, fk: str, per_dim: tuple,
-                  path: list) -> tuple:
+                  first_dim: str) -> tuple:
     """Pick the cheapest entry point for one chain: returns
-    (ChainEncoding, row multiplier). Enumerates entry index i over the
-    path (i == len(path): fully materialized); dims shallower than the
-    entry contribute the ndv product of their used attributes, the
-    entry dim contributes its key cardinality (== dim row count)."""
+    (ChainEncoding, row multiplier). Entry candidates are every dim in
+    the chain graph's ancestor closure (forked branches included —
+    ancestor REACHABILITY, not a linear index, decides what an entry
+    can still join: the planner's rebase only works for dims the entry
+    reaches). A used dim the entry cannot reach must have all its used
+    attributes materialized (ndv product); the entry contributes its
+    key cardinality (== dim row count); ``entry=None`` materializes
+    everything (always feasible)."""
     used = dict(per_dim)
-    idx = {dn: i for i, dn in enumerate(path)}
-    best: Optional[tuple] = None
-    for i in range(len(path) + 1):
+
+    def mats_for(unreachable: list) -> Optional[tuple]:
         mult = 1
         mats = []
-        feasible = True
-        for dn, aliases in used.items():
-            if idx[dn] >= i:       # at/beyond entry: served by the join
-                continue
+        for dn in unreachable:
             dim = registry.dimension(dn)
             am = dim.alias_map()
-            for a in sorted(aliases):
+            for a in sorted(used[dn]):
                 p = am.get(a)
                 if p is None:
-                    feasible = False
-                    break
+                    return None
                 mult *= probe.ndv(dim.table.name, p.name)
                 mats.append((dn, a, p.name))
-            if not feasible:
-                break
-        if not feasible:
-            continue
-        if i < len(path):
-            mult *= probe.rows(registry.dimension(path[i]).table.name)
-            enc = ChainEncoding(fk, path[i], tuple(mats))
+        return tuple(mats), mult
+
+    best: Optional[tuple] = None
+    for e in sorted(_anc_or_self(registry, first_dim)) + [None]:
+        if e is not None:
+            reach = _anc_or_self(registry, e)
+            # an entry no used dim sits at/beyond is never on the
+            # request's chain path (the planner cannot rebase there) —
+            # and is anyway equivalent to entry=None
+            if not any(dn in reach for dn in used):
+                continue
+            unreachable = [dn for dn in sorted(used) if dn not in reach]
         else:
-            enc = ChainEncoding(fk, None, tuple(mats))
+            unreachable = sorted(used)
+        got = mats_for(unreachable)
+        if got is None:
+            continue
+        mats, mult = got
+        if e is not None:
+            mult *= probe.rows(registry.dimension(e).table.name)
+        enc = ChainEncoding(fk, e, mats)
         if best is None or mult < best[1]:
             best = (enc, mult)
-    assert best is not None  # i == len(path) is always feasible
+    assert best is not None  # entry=None is always feasible
     return best
 
 
-def _covers(cand_chains: dict, sig: GrainSignature,
-            paths: dict) -> bool:
-    """Candidate chain encodings serve the signature's chain usage?"""
+def _covers(cand_chains: dict, sig: GrainSignature, registry) -> bool:
+    """Candidate chain encodings serve the signature's chain usage —
+    by the planner's own rules: a used dim is served by the entry join
+    only if the entry REACHES it (ancestor closure), otherwise every
+    used attribute must be materialized; and unless the chain is fully
+    materialized, at least one used dim must sit at/beyond the entry
+    (else the request's chain path never contains the entry and the
+    rebase cannot attach)."""
     for fk, per_dim in sig.chain_usage:
         enc = cand_chains.get(fk)
         if enc is None:
             return False
-        path = paths[fk]
-        idx = {dn: i for i, dn in enumerate(path)}
-        entry_i = idx[enc.entry_dim] if enc.entry_dim else len(path)
         mat = {(d, a) for d, a, _c in enc.materialized}
+        reach = (_anc_or_self(registry, enc.entry_dim)
+                 if enc.entry_dim else frozenset())
+        any_joined = False
         for dn, aliases in per_dim:
-            if idx[dn] >= entry_i:
+            if dn in reach:
+                any_joined = True
                 continue
             if not all((dn, a) in mat for a in aliases):
                 return False
+        if enc.entry_dim is not None and not any_joined:
+            return False
     return True
 
 
@@ -364,19 +419,13 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
     if probe is None:
         probe = _NdvProbe(engine.spark, engine.binding)
     probe.want_day(base.name, base.day_column)
-    paths: dict[str, list] = {}
+    first_dims: dict[str, str] = {}   # fact fk col -> chain's first dim
     for sig, model in sigs:
         for c in sig.fact_cols:
             probe.want(base.name, c)
         for ch in model.chains:
-            paths.setdefault(ch.fact_fk_col,
-                             [d.name for d in ch.dims])
-            # extend a shorter recorded path (another request may use a
-            # deeper prefix of the same chain)
-            known = paths[ch.fact_fk_col]
-            for d in ch.dims:
-                if d.name not in known:
-                    known.append(d.name)
+            first_dims.setdefault(
+                ch.fact_fk_col, base.columns[ch.fact_fk_col].foreign_key)
         for fk, per_dim in sig.chain_usage:
             for dn, aliases in per_dim:
                 dim = registry.dimension(dn)
@@ -385,8 +434,8 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
                     p = am.get(a)
                     if p is not None:
                         probe.want(dim.table.name, p.name)
-    for fks in paths.values():
-        for dn in fks:
+    for first in first_dims.values():
+        for dn in _anc_or_self(registry, first):
             # entry-key cardinality == dim row count
             dim = registry.dimension(dn)
             probe.want(dim.table.name, dim.table.primary_key)
@@ -409,7 +458,8 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
         return min(mult, fact_rows)
 
     def encode(sig: GrainSignature) -> dict:
-        return {fk: _encode_chain(registry, probe, fk, per_dim, paths[fk])
+        return {fk: _encode_chain(registry, probe, fk, per_dim,
+                                  first_dims[fk])
                 for fk, per_dim in sig.chain_usage}
 
     # candidates: every admissible signature stands alone (the focused
@@ -461,7 +511,7 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
         covered = sum(w for s, w in weights.items()
                       if s.fact_cols <= fc
                       and _covers({fk: e for fk, (e, _m) in chs.items()},
-                                  s, paths))
+                                  s, registry))
         est = estimate(fc, chs)
         coverage = covered / n_eligible
         cost = max(1, int(base.cost * est / fact_rows))

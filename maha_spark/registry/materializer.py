@@ -59,21 +59,32 @@ __all__ = ["rollup_table_from_recommendation",
            "apply_recommendation"]
 
 #: textual guard: derived expressions over the (day-truncated) time
-#: column must not extract sub-day fields
-_SUB_DAY = re.compile(r"hour|minute|second|'H'|\"H\"", re.IGNORECASE)
+#: column must not extract sub-day fields — the words (any case), or a
+#: quoted format/grain literal containing an hour/minute/second/millis
+#: token. Format tokens are CASE-SENSITIVE by definition (H/h hour,
+#: m minute, s second, S millis — while M is month): catches
+#: date_format 'HH', 'HH:mm' and interval grain 'H' without tripping
+#: on 'M'/'W'. A false positive merely excludes a column — safe.
+_SUB_DAY = re.compile(r"(?i:hour|minute|second)|'[^']*[HhmsS][^']*'")
 
 
-def _carried_rollup(r) -> Optional[object]:
+def _carried_rollup(r, dtype) -> Optional[object]:
     """The rollup a stored partial re-declares with, or None if the
     metric cannot be carried as a lossless partial."""
+    from ..core.types import IntType
     if isinstance(r, FilteredRollup):
-        return _carried_rollup(r.base)
+        return _carried_rollup(r.base, dtype)
     if isinstance(r, CountRollup):
         return SumRollup()          # partial counts re-aggregate as SUM
     if isinstance(r, RoundedSumRollup):
-        return RoundedSumRollup(scale=r.scale)
-    if isinstance(r, (MaxRollup, MinRollup, SumRollup)) \
-            and type(r) in (MaxRollup, MinRollup, SumRollup):
+        # round(sum(round(partials))) == round(sum(raw)) only when the
+        # partials carry no sub-scale residue — integer columns (the
+        # hand-built cents convention); a double partial loses up to a
+        # whole rounding unit per grain group
+        if isinstance(dtype, IntType):
+            return RoundedSumRollup(scale=r.scale)
+        return None
+    if type(r) in (MaxRollup, MinRollup, SumRollup):
         return type(r)()
     return None
 
@@ -98,10 +109,11 @@ def rollup_table_from_recommendation(registry: Registry, cube: PublicFact,
         cols[c] = base.columns[c]
     for enc in rec.chains:
         if enc.entry_dim is not None:
-            from ..core.types import IntType
-            registry.dimension(enc.entry_dim)   # validate it exists
+            entry_t = registry.dimension(enc.entry_dim).table
             cols[enc.suggested_fk] = DimCol(
-                enc.suggested_fk, IntType(), foreign_key=enc.entry_dim)
+                enc.suggested_fk,
+                entry_t.columns[entry_t.primary_key].dtype,
+                foreign_key=enc.entry_dim)
         for dn, _alias, phys in enc.materialized:
             dim_t = registry.dimension(dn).table
             cols[phys] = DimCol(phys, dim_t.columns[phys].dtype,
@@ -110,7 +122,7 @@ def rollup_table_from_recommendation(registry: Registry, cube: PublicFact,
     for n, c in base.columns.items():
         if not isinstance(c, FactCol) or isinstance(c, DerivedFactCol):
             continue
-        carried = _carried_rollup(c.rollup)
+        carried = _carried_rollup(c.rollup, c.dtype)
         if carried is not None:
             cols[n] = FactCol(n, c.dtype, rollup=carried)
     # derived declarations whose references all resolve to stored cols
@@ -136,25 +148,14 @@ def rollup_table_from_recommendation(registry: Registry, cube: PublicFact,
 
 
 def _path_to(registry: Registry, first_dim: str, entry_dim: str) -> list:
-    """Ordered dim names from the chain's first dim to the entry dim,
-    found by DFS over ``parent_keys`` (multi-parent snowflake forks pick
-    the branch that reaches the entry)."""
-    def dfs(dn: str, seen: tuple) -> Optional[list]:
-        if dn == entry_dim:
-            return [dn]
-        for _pcol, pdim in registry.dimension(dn).table.parent_keys.items():
-            if pdim in seen:
-                continue
-            rest = dfs(pdim, seen + (pdim,))
-            if rest is not None:
-                return [dn] + rest
-        return None
-
-    path = dfs(first_dim, (first_dim,))
-    if path is None:
+    """Ordered dim names from the chain's first dim to the entry dim —
+    the registry's canonical BFS (multi-parent snowflake forks pick the
+    branch that reaches the entry)."""
+    try:
+        return registry.find_dimension_path(first_dim, entry_dim)
+    except KeyError as e:
         raise ValueError(
-            f"no parent-key path from {first_dim} to {entry_dim}")
-    return path
+            f"no parent-key path from {first_dim} to {entry_dim}") from e
 
 
 def _chain_frame(binding, registry: Registry, base: FactTable, enc):
@@ -294,6 +295,15 @@ def refresh_recommendation(spark, binding, registry: Registry,
 
     from ..plans.scale import overwrite_day_partitions
 
+    dst = os.path.join(dst_dir, name)
+    if not os.path.isdir(dst):
+        # refusing beats corrupting: the binding gives a directory
+        # precedence over {name}.parquet, so refreshing a flat-layout
+        # table would create a partial dt= directory that silently
+        # SHADOWS the complete flat file for every subsequent query
+        raise FileNotFoundError(
+            f"{dst} is not a partitioned rollup directory — materialize "
+            f"with partitioned=True before incremental refresh")
     base = cube.base_table
     day_col = base.day_column
     fact = binding.table(base.name)
@@ -306,18 +316,21 @@ def refresh_recommendation(spark, binding, registry: Registry,
                                                F.lit(to_day)))
     frame = _recommendation_frame(spark, binding, registry, cube, rec,
                                   name, fact_df=fact)
-    dst = os.path.join(dst_dir, name)
     overwrite_day_partitions(frame, dst)
     return dst
 
 
-def apply_recommendation(engine, rec, dst_dir: str, name: str) -> FactTable:
+def apply_recommendation(engine, rec, dst_dir: str, name: str,
+                         partitioned: bool = False) -> FactTable:
     """Materialize ``rec`` and register its table on the live cube —
     after this, a fresh model over the same registry serves matching
-    requests from the rollup (binding must resolve ``dst_dir``)."""
+    requests from the rollup (binding must resolve ``dst_dir``). Pass
+    ``partitioned=True`` when the table will be maintained with
+    ``refresh_recommendation``."""
     cube = engine.registry.fact(rec.cube)
     materialize_recommendation(engine.spark, engine.binding,
-                               engine.registry, cube, rec, dst_dir, name)
+                               engine.registry, cube, rec, dst_dir, name,
+                               partitioned=partitioned)
     table = rollup_table_from_recommendation(engine.registry, cube,
                                              rec, name)
     cube.tables.append(table)

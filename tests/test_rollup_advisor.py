@@ -118,6 +118,18 @@ def test_entry_forms_accepted_and_garbage_skipped(tpch_engine):
     assert recs and recs[0].n_eligible == 3
 
 
+def test_day_derived_grain_cols_fold_into_day(tpch_engine):
+    """Grouping by Month (a DerivedDimCol over the day column) must not
+    enter the grain signature: any day-grain rollup serves it by
+    re-declaring the derivation, so the signature is day-only and the
+    estimate never hits the non-physical-column fallback."""
+    logs = [_req(["Month", "Nation Name", "Revenue"])] * 2
+    recs = recommend_rollups(tpch_engine, logs, probe=_prod_probe())
+    assert recs
+    assert recs[0].fact_cols == ()
+    assert recs[0].n_covered == 2
+
+
 def test_mixed_cube_log_streams_mined_independently(spark):
     """One log stream covering two cubes: each cube's workload is mined
     in its own physical namespace; coverage is per-cube."""

@@ -84,6 +84,7 @@ def _engines(spark, reg, d):
     ["Nation Name", "Market Segment", "Revenue"],        # materialized attr
     ["Nation Name", "Max Price", "Min Price", "Returned Quantity"],
     ["Region Name", "Charge"],                           # deeper chain only
+    ["Month", "Nation Name", "Revenue"],     # day-derived dim re-declared
 ])
 def test_served_from_advised_rollup_and_matches_raw(spark, applied, fields):
     reg, d, _rec, _t = applied
@@ -194,3 +195,40 @@ def test_materialized_rows_at_expected_grain(spark, applied):
     raw = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     assert n < raw.count()      # it actually aggregates
     assert "dt" in df.columns
+
+
+def test_refresh_refuses_flat_layout(spark, applied):
+    """The binding gives a dt= directory precedence over {name}.parquet:
+    refreshing a flat-layout table would create a partial directory that
+    silently shadows the complete table — the refresh must refuse."""
+    from maha_spark.registry.materializer import refresh_recommendation
+    reg, d, rec, _t = applied
+    cube = reg.fact("lineitem_stats")
+    eng = engine_for_dir(spark, reg, d)
+    with pytest.raises(FileNotFoundError, match="partitioned=True"):
+        refresh_recommendation(spark, eng.binding, reg, cube, rec, d,
+                               "advised_rollup", "1995-01-01",
+                               "1995-01-03")
+
+
+def test_carried_rollup_rounded_sum_integer_only():
+    """round(sum(round(double partials))) can be off by a whole rounding
+    unit, not an ulp — RoundedSum carries only on integer columns (the
+    hand-built cents convention)."""
+    from maha_spark.core.rollup import RoundedSumRollup, SumRollup
+    from maha_spark.core.types import DecType, IntType
+    from maha_spark.registry.materializer import _carried_rollup
+    assert isinstance(_carried_rollup(RoundedSumRollup(scale=2), IntType()),
+                      RoundedSumRollup)
+    assert _carried_rollup(RoundedSumRollup(scale=2), DecType()) is None
+    assert isinstance(_carried_rollup(SumRollup(), DecType()), SumRollup)
+
+
+def test_sub_day_guard_matches_format_tokens():
+    from maha_spark.registry.materializer import _SUB_DAY
+    for bad in ("date_format({ts}, 'HH')", "date_format({ts}, 'HH:mm')",
+                "GET_INTERVAL_DATE({ts}, 'H')", "hour({ts})"):
+        assert _SUB_DAY.search(bad), bad
+    for ok in ("GET_INTERVAL_DATE({ts}, 'M')", "CAST({ts} AS DATE)",
+               "date_format({ts}, 'yyyy')", "DAY_OF_WEEK({ts})"):
+        assert not _SUB_DAY.search(ok), ok
