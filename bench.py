@@ -87,33 +87,34 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker — the ``v5`` suffix is the layout VERSION:
+    rounds via a _READY marker — the ``v6`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
-    old marker silently keep the old layout. v5 = the 100 TB storage
+    old marker silently keep the old layout. v6 = the 100 TB storage
     shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
       (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
       becomes a PartitionFilter (directory pruning, not per-file
       row-group statistics);
-    * ALL THREE pre-aggregated rollups materialized beside the raw
+    * ALL FOUR pre-aggregated rollups materialized beside the raw
       facts: ``events_hourly`` (streaming-maintained in production —
       tests/test_stream_rollup.py pins stream == batch),
-      ``lineitem_daily`` (batch; v3 addition) and
-      ``lineitem_daily_nation`` (the aggregate-join rollup; v4
-      addition; v5 adds the materialized c_mktsegment grain column
-      so q4-shaped segment requests serve from it too);
+      ``lineitem_daily`` (batch; v3 addition), ``lineitem_daily_nation``
+      (the aggregate-join rollup; v4 addition; v5 added the
+      materialized c_mktsegment grain column) and ``lineitem_daily_part``
+      (v6 addition — the q2/q11 TopN/HAVING-by-part shape, the last cube
+      family still at raw-scan parity in the round-7 attribution probe);
     * dims symlinked.
     """
     from pyspark.sql import functions as F
 
     from maha_spark.examples.contract import (
         materialize_events_rollup, materialize_lineitem_nation_rollup,
-        materialize_lineitem_rollup)
+        materialize_lineitem_part_rollup, materialize_lineitem_rollup)
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v5")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v6")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -148,6 +149,9 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     # — q5-shaped region/nation queries serve from it via chain
     # rebasing, q4-shaped segment queries via the materialized column
     materialize_lineitem_nation_rollup(spark, dst, dst)
+    # v6: the (day, part) rollup — q2/q11 drop from a raw-fact scan
+    # (linear in the multiplier) to the ~constant distinct-pair table
+    materialize_lineitem_part_rollup(spark, dst, dst)
     with open(marker, "w") as f:
         f.write("ok")
     return dst

@@ -477,6 +477,38 @@ def build_contract_registry() -> Registry:
                    "avg_price_roll", "avg_price_rollup"},
         grain_cols=["ship_day", "cust_nation_fk", "c_mktsegment"])
 
+    # Pre-aggregated DAILY x PART rollup — the q2/q11 shape (TopN /
+    # HAVING over `GROUP BY l_partkey`), the only cube family still at
+    # raw-scan parity in the round-7 scaled probe (attrib_r7: both
+    # engines data-bound at 177-300 Mrows/s). Stored rows are bounded by
+    # DISTINCT (ship day, part) pairs: on the row-multiplied scaled
+    # tiers that stays ~the base fact's pair count while the raw fact
+    # grows x1024, so the q2/q11 scan drops from 614M rows to ~600k.
+    # Same cents partials as the other rollups (bit-identical serving);
+    # l_partkey keeps its foreign_key so part-chain projections
+    # (part_id == the part pk) join exactly like the raw fact. No
+    # Noop/exact-distinct columns — any coarser re-aggregation is valid.
+    li_part_cols = {
+        "l_shipdate": DimCol("l_shipdate", TimestampType(),
+                             is_day_column=True),
+        "l_partkey": li_cols["l_partkey"],
+        **{k: li_cols[k] for k in ("ship_day", "ship_month", "ship_dow")},
+        **_li_partial_col_defs(),
+        **{k: li_cols[k] for k in
+           ("sum_qty", "sum_base_price", "revenue", "charge", "avg_qty",
+            "avg_price", "avg_disc", "returned_qty", "discount_rate",
+            "revenue_rounded")},
+    }
+    lineitem_daily_part = FactTable(
+        name="lineitem_daily_part", columns=li_part_cols, grain=DAILY,
+        day_column="l_shipdate", cost=400, partition_columns=["dt"],
+        discarded={"l_orderkey", "l_suppkey", "l_linenumber",
+                   "l_returnflag", "l_linestatus", "rf_label", "l_qty_int",
+                   "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                   "order_cnt", "order_cnt_approx", "status_label_raw",
+                   "avg_price_roll", "avg_price_rollup"},
+        grain_cols=["ship_day", "l_partkey"])
+
     pub_metrics = [
         PubCol("sum_qty", "sum_qty"), PubCol("sum_base_price", "sum_base_price"),
         PubCol("revenue", "revenue"), PubCol("charge", "charge"),
@@ -502,7 +534,7 @@ def build_contract_registry() -> Registry:
     ]
     reg.register_fact(PublicFact(
         name="tpch", tables=[lineitem, lineitem_rollup, lineitem_daily,
-                             lineitem_daily_nation],
+                             lineitem_daily_nation, lineitem_daily_part],
         pub_cols=pub_dims, pub_fact_cols=pub_metrics,
         schema_required_alias={"customer": "customer_id"},
         day_alias="day"))
@@ -1517,6 +1549,49 @@ def _lineitem_nation_frame(li, orders, cust):
             .groupBy("l_shipdate", "cust_nation_fk", "c_mktsegment")
             .agg(*_li_partial_aggs())
             .withColumn("dt", F.to_date(F.col("l_shipdate"))))
+
+
+def _lineitem_part_frame(li):
+    """The ``lineitem_daily_part`` aggregate at its materialized grain
+    (day, part key) — the q2/q11 serving shape. Rows are bounded by
+    DISTINCT (day, part) pairs, so on the row-multiplied scaled tiers
+    the table stays ~constant while the raw fact grows with the
+    multiplier."""
+    from pyspark.sql import functions as F
+
+    return (li.selectExpr(
+        "date_trunc('day', l_shipdate) AS l_shipdate",
+        "l_partkey", "l_returnflag", "l_extendedprice",
+        *_li_cents_select())
+     .groupBy("l_shipdate", "l_partkey")
+     .agg(*_li_partial_aggs())
+     .withColumn("dt", F.to_date(F.col("l_shipdate"))))
+
+
+def materialize_lineitem_part_rollup(spark, src_dir: str, dst_dir: str,
+                                     partitioned: bool = False) -> str:
+    """Write the ``lineitem_daily_part`` rollup (day x part key, cents
+    partials — serving is bit-identical to the raw aggregate). The
+    stored ``l_partkey`` keeps the part chain joinable exactly like the
+    raw fact. ``partitioned=True`` writes the Hive dt-partitioned
+    layout (maintain day ranges with ``plans.scale.
+    overwrite_day_partitions`` over ``_lineitem_part_frame`` of a
+    bounded raw scan, as the other two lineitem rollups do)."""
+    import os
+
+    from ..plans.binding import ParquetBinding
+
+    df = _lineitem_part_frame(ParquetBinding(spark, src_dir)
+                              .table("lineitem"))
+    if partitioned:
+        from pyspark.sql import functions as F
+        out = os.path.join(dst_dir, "lineitem_daily_part")
+        (df.repartition(F.col("dt")).write.mode("overwrite")
+           .partitionBy("dt").parquet(out))
+    else:
+        out = os.path.join(dst_dir, "lineitem_daily_part.parquet")
+        df.write.mode("overwrite").parquet(out)
+    return out
 
 
 def materialize_lineitem_nation_rollup(spark, src_dir: str, dst_dir: str,

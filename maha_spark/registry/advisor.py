@@ -348,7 +348,8 @@ def _covers(cand_chains: dict, sig: GrainSignature, registry) -> bool:
 def recommend_rollups(engine, entries: Iterable[Any], *, top_n: int = 3,
                       max_rows_frac: float = 0.5,
                       today=None,
-                      probe: Optional[_NdvProbe] = None
+                      probe: Optional[_NdvProbe] = None,
+                      exact_grain_probe: bool = False
                       ) -> list[RollupRecommendation]:
     """Rank rollup grains by benefit over the logged workload.
 
@@ -360,6 +361,12 @@ def recommend_rollups(engine, entries: Iterable[Any], *, top_n: int = 3,
     daily grain doesn't compress — the estimate is scale-honest).
     ``probe`` injects a pre-seeded ``_NdvProbe`` (tests / offline what-if
     with assumed cardinalities); default probes the bound tables.
+    ``exact_grain_probe=True`` refines independence-rejected candidates
+    whose grain is measurable on the fact with one
+    ``approx_count_distinct(struct(...))`` pass — this is how rollups
+    over high-cardinality keys with heavy row multiplicity (the q2/q11
+    TopN-by-part shape) get admitted; costs one fact scan per distinct
+    rejected grain.
     """
     registry = engine.registry
     sigs: list[tuple[GrainSignature, Any]] = []
@@ -400,16 +407,19 @@ def recommend_rollups(engine, entries: Iterable[Any], *, top_n: int = 3,
         for cube_sigs in by_cube.values():
             out.extend(_recommend_one_cube(
                 engine, cube_sigs, top_n=top_n,
-                max_rows_frac=max_rows_frac, probe=probe))
+                max_rows_frac=max_rows_frac, probe=probe,
+                exact_grain_probe=exact_grain_probe))
         out.sort(key=lambda r: (-r.coverage * (1 - r.compression),
                                 len(r.fact_cols) + len(r.chains)))
         return out[:top_n]
     return _recommend_one_cube(engine, sigs, top_n=top_n,
-                               max_rows_frac=max_rows_frac, probe=probe)
+                               max_rows_frac=max_rows_frac, probe=probe,
+                               exact_grain_probe=exact_grain_probe)
 
 
 def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
-                        probe: Optional[_NdvProbe]
+                        probe: Optional[_NdvProbe],
+                        exact_grain_probe: bool = False
                         ) -> list[RollupRecommendation]:
     registry = engine.registry
     # ---- one NDV pass per referenced table ---------------------------
@@ -449,13 +459,48 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
     for sig, _m in sigs:
         weights[sig] = weights.get(sig, 0) + 1
 
+    _exact_cache: dict = {}
+
     def estimate(fact_cols: frozenset, chains: dict) -> int:
+        """Attribute-independence UPPER bound, capped at the fact —
+        then optionally refined by one exact-ish grain probe.
+
+        The independence bound is blind to two things that make real
+        rollups win: correlated attributes, and ROW MULTIPLICITY (a
+        high-cardinality key like l_partkey estimates days x ndv ~
+        fact_rows even when each (day, key) pair repeats thousands of
+        times — exactly the q2/q11 shape the part rollup serves). When
+        ``exact_grain_probe`` is on and every chain enters at its
+        fact-adjacent dim (so the grain is measurable ON the fact:
+        entry key values == the stored fact FK column), one
+        ``approx_count_distinct(struct(day, cols...))`` pass measures
+        the true pair count — measure, don't guess."""
         mult = days
         for c in fact_cols:
             mult *= probe.ndv(base.name, c)
         for fk, (enc, m) in chains.items():
             mult *= m
-        return min(mult, fact_rows)
+        est = min(mult, fact_rows)
+        if not exact_grain_probe or est <= max_rows_frac * fact_rows:
+            return est          # cheap bound already admits it
+        cols = list(fact_cols)
+        for fk, (enc, _m) in chains.items():
+            if enc.entry_dim is None or enc.materialized:
+                return est      # grain not measurable on the fact alone
+            if enc.entry_dim != first_dims[fk]:
+                return est
+            cols.append(fk)     # entry at the fact-adjacent dim: fk col
+        key = (frozenset(cols),)
+        if key not in _exact_cache:
+            from pyspark.sql import functions as F
+            df = engine.binding.table(base.name)
+            if any(c not in df.columns for c in cols):
+                _exact_cache[key] = est
+            else:
+                _exact_cache[key] = int(df.agg(F.approx_count_distinct(
+                    F.struct(F.to_date(F.col(base.day_column)),
+                             *[F.col(c) for c in cols]))).collect()[0][0])
+        return min(est, _exact_cache[key])
 
     def encode(sig: GrainSignature) -> dict:
         return {fk: _encode_chain(registry, probe, fk, per_dim,

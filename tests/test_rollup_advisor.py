@@ -157,6 +157,31 @@ def test_mixed_cube_log_streams_mined_independently(spark):
         assert r.n_eligible == (2 if r.cube == "events_cube" else 1)
 
 
+def test_exact_grain_probe_admits_multiplied_high_card_grain(
+        spark, tmp_path_factory):
+    """The q2/q11 shape: GROUP BY a high-cardinality fact key over
+    row-multiplied data. The independence bound (days x ndv(key)) hits
+    the fact-rows cap and rejects; the exact struct-ndv probe measures
+    the true (day, key) pair count — which duplication does NOT grow —
+    and admits the rollup. Measure, don't guess."""
+    from pyspark.sql import functions as F
+    d = str(tmp_path_factory.mktemp("mult_fact"))
+    for t in os.listdir(SRC):
+        if t != "lineitem.parquet":
+            os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    (li.withColumn("__m", F.explode(F.array(*[F.lit(i) for i in range(40)])))
+       .drop("__m").write.parquet(os.path.join(d, "lineitem.parquet")))
+    eng = engine_for_dir(spark, build_registry(), d)
+    logs = [_req(["Part ID", "Revenue"])] * 3
+    assert recommend_rollups(eng, logs) == []      # independence rejects
+    recs = recommend_rollups(eng, logs, exact_grain_probe=True)
+    assert recs and recs[0].fact_cols == ("l_partkey",)
+    # true pair count ~ the unduplicated fact, far under the 40x fact
+    assert recs[0].est_rows < 0.1 * recs[0].fact_rows
+    assert recs[0].n_covered == 3
+
+
 def test_already_served_requests_excluded(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("adv_rollup"))
     for t in os.listdir(SRC):

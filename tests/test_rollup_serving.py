@@ -236,3 +236,63 @@ def test_lineitem_daily_never_serves_scan_or_timezone(spark, li_rollup_dir):
           "filterExpressions": [LI_DAY],
           "additionalParameters": {"timeZone": "Asia/Kolkata"}}
     assert rolled.model(tz).fact_table.name == "lineitem"
+
+
+# -------------------------------------------- (day, part) rollup: q2/q11
+Q2 = {
+    "cube": "tpch",
+    "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+    "filterExpressions": [{"field": "day", "operator": "between",
+                           "from": "1995-01-01", "to": "2002-12-31"}],
+    "sortBy": [{"field": "revenue", "order": "DESC"},
+               {"field": "part_id", "order": "ASC"}],
+    "paginationStartIndex": 5, "rowsPerPage": 15,
+}
+Q11 = {
+    "cube": "tpch",
+    "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+    "filterExpressions": [{"field": "day", "operator": "between",
+                           "from": "1995-01-01", "to": "2002-12-31"},
+                          {"field": "revenue", "operator": ">",
+                           "value": 9000}],
+}
+
+
+@pytest.fixture(scope="module")
+def part_rollup_dir(spark, tmp_path_factory):
+    from maha_spark.examples.contract import materialize_lineitem_part_rollup
+    d = str(tmp_path_factory.mktemp("part_rollup"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    materialize_lineitem_part_rollup(spark, SRC, d)
+    return d
+
+
+def test_part_rollup_serves_q2_q11_bit_identically(spark, part_rollup_dir):
+    """The v6 rollup closes the round-7 attribution finding: the q2/q11
+    family (TopN / HAVING over GROUP BY l_partkey) serves from the
+    (day, part) cents partials, bit-identical to the raw aggregate —
+    including the part-chain join that projects the part pk."""
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, build_contract_registry(),
+                            part_rollup_dir)
+    for q in (Q2, Q11):
+        assert rolled.model(q).fact_table.name == "lineitem_daily_part"
+        a = sorted(map(tuple, raw.dataframe(q).collect()))
+        b = sorted(map(tuple, rolled.dataframe(q).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_part_rollup_never_steals_other_grains(spark, part_rollup_dir):
+    """Queries at the flag/status grain keep the cheaper lineitem_daily
+    candidate (when materialized) or the raw fact — the part rollup only
+    wins requests it alone covers."""
+    rolled = engine_for_dir(spark, build_contract_registry(),
+                            part_rollup_dir)
+    q1 = {"cube": "tpch",
+          "selectFields": [{"field": "return_flag"},
+                           {"field": "line_status"}, {"field": "revenue"}],
+          "filterExpressions": [{"field": "day", "operator": "between",
+                                 "from": "1995-01-01",
+                                 "to": "2002-12-31"}]}
+    assert rolled.model(q1).fact_table.name == "lineitem"
