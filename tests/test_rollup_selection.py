@@ -45,10 +45,17 @@ def test_base_table_forced_by_discarded_projection():
 
 
 def test_base_table_forced_by_discarded_fk_join():
-    # joining the part dimension needs the l_partkey FK, which the rollup
-    # discards -> base table
-    m = _model(["brand", "revenue"])
+    # joining the supplier dimension needs the l_suppkey FK, which EVERY
+    # rollup discards -> base table. (The part chain no longer forces
+    # the base: lineitem_daily_part keeps l_partkey precisely so
+    # part-attribute requests serve from its (day, part) partials —
+    # brand is functionally determined by the part key, so grouping the
+    # partials by the joined attribute is lossless.)
+    m = _model(["supplier_name", "revenue"])
     assert m.fact_table.cost == 6000
+    m2 = _model(["brand", "revenue"])
+    assert m2.fact_table.name == "lineitem_daily_part"
+    assert m2.fact_table.cost == 400
 
 
 def test_base_table_forced_by_filter_dependency():

@@ -276,7 +276,14 @@ def test_part_rollup_serves_q2_q11_bit_identically(spark, part_rollup_dir):
     raw = engine_for_dir(spark, build_contract_registry(), SRC)
     rolled = engine_for_dir(spark, build_contract_registry(),
                             part_rollup_dir)
-    for q in (Q2, Q11):
+    brand = {"cube": "tpch",
+             "selectFields": [{"field": "brand"}, {"field": "revenue"}],
+             "filterExpressions": [{"field": "day", "operator": "between",
+                                    "from": "1995-01-01",
+                                    "to": "2002-12-31"}]}
+    for q in (Q2, Q11, brand):   # brand: part ATTRIBUTE grouped via the
+        #                          chain over (day, part) partials —
+        #                          lossless, the key determines the attr
         assert rolled.model(q).fact_table.name == "lineitem_daily_part"
         a = sorted(map(tuple, raw.dataframe(q).collect()))
         b = sorted(map(tuple, rolled.dataframe(q).collect()))
