@@ -84,8 +84,11 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
     from . import (asof, dedup, incremental, multimodal, packing,
-                   semdedup, sessions, similarity, sketches)
+                   semdedup, sessions, similarity, sketches, winnow)
     return {
+        "winnow_matches": (winnow.winnow_matches,
+                           "test_ops_winnow.py (exact positional oracle "
+                           "+ planted-passage span)"),
         "asof_join": (asof.asof_join,
                       "test_ops_packing.py (exact oracle; rotated out "
                       "r7 for op_winnow_pairs)"),

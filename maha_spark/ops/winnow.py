@@ -136,6 +136,82 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs_frame(load_table(spark, sf_dir, "documents"))
 
 
+def winnow_fingerprints_positional(docs: DataFrame, k: int = WINNOW_K,
+                                   w: int = WINNOW_W) -> DataFrame:
+    """``(doc_id, fp, pos)`` — every position (1-based k-gram index)
+    whose window-minimum fingerprint is selected, duplicates kept.
+
+    The positional variant backs match AUDITING (where in each document
+    the shared passage sits — MOSS's highlighting output), so unlike
+    ``winnow_fingerprints`` it does not collapse to the distinct
+    fingerprint set: the selected position is the ARGMIN of each
+    window (earliest position on hash ties — both engines break ties
+    the same way because the scan is left-to-right over identical
+    hashes)."""
+    kgram = f"concat_ws(' ', slice(w, i, {k}))"
+    # argmin by scanning the window slice once: array_position of the
+    # min within the window, offset by the window start
+    sel = (f"transform(sequence(1, size(hs) - {w} + 1), "
+           f"j -> j - 1 + CAST(array_position("
+           f"slice(hs, j, {w}), array_min(slice(hs, j, {w}))) AS INT))")
+    return (
+        docs.selectExpr("doc_id", f"{words_sql()} AS w")
+        .filter(f"size(w) >= {k + w - 1}")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, size(w) - {k} + 1), "
+            f"i -> {h32_sql(kgram)}) AS hs")
+        .selectExpr("doc_id", "hs",
+                    f"array_distinct({sel}) AS sel")
+        .selectExpr("doc_id", "hs", "sel",
+                    "explode(sequence(1, size(sel))) AS j")
+        .selectExpr("doc_id", "hs[sel[j-1]-1] AS fp", "sel[j-1] AS pos")
+    )
+
+
+def winnow_matches(docs: DataFrame, k: int = WINNOW_K,
+                   w: int = WINNOW_W) -> DataFrame:
+    """Shared-fingerprint occurrences with POSITIONS:
+    ``(a_id, b_id, fp, a_pos, b_pos)`` — one row per cross-document
+    co-occurrence of a selected fingerprint, i.e. a shared word run of
+    length >= k starting at ``a_pos``/``b_pos`` (1-based word index) in
+    the respective documents. This is the audit/highlight output that
+    sits under ``winnow_pairs``'s aggregate containment score."""
+    fps = winnow_fingerprints_positional(docs, k, w).cache()
+    a = fps.selectExpr("fp", "doc_id AS a_id", "pos AS a_pos")
+    b = fps.selectExpr("fp", "doc_id AS b_id", "pos AS b_pos")
+    return (a.join(b, "fp").filter("a_id < b_id")
+            .select("a_id", "b_id", "fp", "a_pos", "b_pos"))
+
+
+def winnow_matches_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of ``winnow_matches`` over the ``documents`` view
+    (pinned off-contract in tests/test_ops_winnow.py)."""
+    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
+    sel = (f"list_distinct(list_transform(range(1, len(hs) - {w} + 2), "
+           f"j -> j - 1 + list_position(hs[j:j+{w}-1], "
+           f"list_aggregate(hs[j:j+{w}-1], 'min'))))")
+    return f"""
+        WITH wd AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - {k} + 2),
+                                  i -> {duck_h32_sql(kgram)}) AS hs
+            FROM wd WHERE len(w) >= {k + w - 1}
+        ),
+        s AS (SELECT doc_id, hs, {sel} AS sel FROM g),
+        e AS (
+            SELECT doc_id, hs[p] AS fp, p AS pos
+            FROM (SELECT doc_id, hs, unnest(sel) AS p FROM s)
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fp,
+               a.pos AS a_pos, b.pos AS b_pos
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """
+
+
 def winnow_pairs_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
                         threshold: float = WINNOW_T) -> str:
     """Identical computation in DuckDB: 1-based inclusive list slices

@@ -99,3 +99,36 @@ def test_oracle_parity(spark, duck, sf_dir):
     from tests.test_ops_packing import _match
     _match(winnow.winnow_pairs(spark, sf_dir),
            winnow.winnow_pairs_oracle(), duck)
+
+
+def test_matches_positional_oracle_parity(spark, duck, sf_dir):
+    """winnow_matches (the MOSS highlight output: shared-fingerprint
+    occurrences WITH positions) against its DuckDB twin — pins the
+    argmin tie-break (first occurrence of the window minimum) across
+    engines."""
+    from maha_spark.ops.common import load_table
+    s = sorted(map(tuple,
+                   winnow.winnow_matches(
+                       load_table(spark, sf_dir, "documents")).collect()))
+    d = sorted(map(tuple,
+                   duck.execute(winnow.winnow_matches_oracle()).fetchall()))
+    assert s == d and len(s) > 0
+
+
+def test_matches_locate_planted_passage(spark):
+    """A passage pasted at a KNOWN offset: every reported match position
+    for the pair must sit inside the pasted span on both sides."""
+    run = _words("shared", GUARANTEE + 10)
+    pre_a, pre_b = 30, 7
+    docs = _docs(spark, [
+        f"{_words('aa', pre_a)} {run} {_words('ab', 20)}",
+        f"{_words('ba', pre_b)} {run} {_words('bb', 40)}",
+    ])
+    rows = winnow.winnow_matches(docs).collect()
+    assert rows, "planted passage produced no positional matches"
+    span = GUARANTEE + 10
+    for r in rows:
+        assert pre_a + 1 <= r.a_pos <= pre_a + span, r
+        assert pre_b + 1 <= r.b_pos <= pre_b + span, r
+        # aligned: the same k-gram sits at the same offset inside the run
+        assert r.a_pos - pre_a == r.b_pos - pre_b, r
