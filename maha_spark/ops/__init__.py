@@ -89,6 +89,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         "winnow_matches": (winnow.winnow_matches,
                            "test_ops_winnow.py (exact positional oracle "
                            "+ planted-passage span)"),
+        "winnow_contamination": (winnow.winnow_contamination,
+                                 "test_ops_winnow.py (exact oracle + "
+                                 "planted benchmark passage)"),
         "asof_join": (asof.asof_join,
                       "test_ops_packing.py (exact oracle; rotated out "
                       "r7 for op_winnow_pairs)"),

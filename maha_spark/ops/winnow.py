@@ -184,6 +184,86 @@ def winnow_matches(docs: DataFrame, k: int = WINNOW_K,
             .select("a_id", "b_id", "fp", "a_pos", "b_pos"))
 
 
+#: doc_id % WINNOW_BENCH_MOD == 0 -> benchmark split (same deterministic
+#: carve as ops/contamination.py so the two detectors are comparable)
+WINNOW_BENCH_MOD = 10
+#: candidate flagged when this fraction of its fingerprints hits the
+#: benchmark fingerprint set
+WINNOW_CONTAM_T = 0.2
+
+
+def winnow_contamination(spark: SparkSession, sf_dir: str,
+                         k: int = WINNOW_K, w: int = WINNOW_W,
+                         threshold: float = WINNOW_CONTAM_T) -> DataFrame:
+    """Passage-level benchmark decontamination via winnowed
+    fingerprints: ``(doc_id, sz, hits, containment, contaminated)`` per
+    candidate document (the benchmark split is carved
+    ``doc_id % WINNOW_BENCH_MOD == 0``, mirroring
+    ``ops/contamination.py`` so both detectors see identical inputs).
+
+    Relation to the n-gram-collision detector: that one checks EVERY
+    shingle occurrence against the benchmark set; winnowing checks only
+    the ~``2/(w+1)`` window-minimum sample — 40% of the shingle volume
+    at the defaults — while KEEPING a detection guarantee (any shared
+    run of >= w+k-1 words produces a shared fingerprint). At 100 TB
+    that is the same broadcast-semi-join shape with a provably
+    sufficient fraction of the probe work; the benchmark side is an
+    eval set, bounded by construction, so its distinct-fingerprint set
+    broadcasts exactly like the shingle set does."""
+    from pyspark.sql import functions as F
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"), k, w)
+    is_bench = f"doc_id % {WINNOW_BENCH_MOD} = 0"
+    bench = fps.filter(is_bench).select("fp").distinct()
+    cand = fps.filter(f"NOT ({is_bench})")
+    hits = (cand.join(F.broadcast(bench), "fp", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hits")))
+    per_doc = cand.groupBy("doc_id").agg(F.first("sz").alias("sz"))
+    return (per_doc.join(hits, "doc_id", "left")
+            .selectExpr(
+                "doc_id", "sz", "coalesce(hits, 0) AS hits",
+                "round(CAST(coalesce(hits, 0) AS DOUBLE) / sz, 6) "
+                "AS containment")
+            .selectExpr("doc_id", "sz", "hits", "containment",
+                        f"containment >= {threshold} AS contaminated"))
+
+
+def winnow_contamination_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
+                                threshold: float = WINNOW_CONTAM_T) -> str:
+    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
+    return f"""
+        WITH wd AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - {k} + 2),
+                                  i -> {duck_h32_sql(kgram)}) AS hs
+            FROM wd WHERE len(w) >= {k + w - 1}
+        ),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(hs) - {w} + 2),
+                       j -> list_aggregate(hs[j:j+{w}-1], 'min'))) AS fps
+            FROM g
+        ),
+        e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM f),
+        bench AS (SELECT DISTINCT fp FROM e WHERE doc_id % {WINNOW_BENCH_MOD} = 0),
+        cand AS (SELECT * FROM e WHERE doc_id % {WINNOW_BENCH_MOD} != 0),
+        h AS (
+            SELECT c.doc_id, any_value(c.sz) AS sz,
+                   count(b.fp) AS hits
+            FROM cand c LEFT JOIN bench b ON c.fp = b.fp
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, sz, hits,
+               round(CAST(hits AS DOUBLE) / sz, 6) AS containment,
+               round(CAST(hits AS DOUBLE) / sz, 6) >= {threshold}
+                   AS contaminated
+        FROM h
+    """
+
+
 def winnow_matches_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     """DuckDB twin of ``winnow_matches`` over the ``documents`` view
     (pinned off-contract in tests/test_ops_winnow.py)."""

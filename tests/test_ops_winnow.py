@@ -115,6 +115,32 @@ def test_matches_positional_oracle_parity(spark, duck, sf_dir):
     assert s == d and len(s) > 0
 
 
+def test_contamination_oracle_parity(spark, duck, sf_dir):
+    from tests.test_ops_packing import _match
+    _match(winnow.winnow_contamination(spark, sf_dir),
+           winnow.winnow_contamination_oracle(), duck)
+
+
+def test_contamination_flags_planted_benchmark_passage(spark,
+                                                       tmp_path_factory):
+    """doc 10 is benchmark (id % 10 == 0); candidate 11 embeds a long
+    passage from it and must flag; candidate 12 shares nothing and must
+    not."""
+    import os
+    d = str(tmp_path_factory.mktemp("winnow_bench"))
+    passage = _words("bench", 30)
+    docs = _docs(spark, [])  # schema only
+    rows = [(10, f"{_words('b0', 10)} {passage}"),
+            (11, f"{_words('c1', 8)} {passage} {_words('c1b', 8)}"),
+            (12, _words("c2", 60))]
+    spark.createDataFrame(rows, "doc_id INT, text STRING") \
+         .write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           winnow.winnow_contamination(spark, d).collect()}
+    assert out[11].contaminated and out[11].containment > 0.5
+    assert not out[12].contaminated and out[12].hits == 0
+
+
 def test_matches_locate_planted_passage(spark):
     """A passage pasted at a KNOWN offset: every reported match position
     for the pair must sit inside the pasted span on both sides."""
