@@ -74,14 +74,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     is projected after (``tests/test_plan_shape.py`` pins the repo-wide
     rule).
     """
-    kgram = f"concat_ws(' ', slice(w, i, {k}))"
     return (
-        docs.selectExpr("doc_id", f"{words_sql()} AS w")
-        .filter(f"size(w) >= {k + w - 1}")
-        .selectExpr(
-            "doc_id",
-            f"transform(sequence(1, size(w) - {k} + 1), "
-            f"i -> {h32_sql(kgram)}) AS hs")
+        _hash_frame(docs, k, w)
         .selectExpr(
             "doc_id",
             f"array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
@@ -91,6 +85,35 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
                     "explode(sequence(1, size(fps))) AS j")
         .selectExpr("doc_id", "sz", "fps[j-1] AS fp")
     )
+
+
+def _hash_frame(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """``(doc_id, hs)`` — the per-document k-gram hash array, the shared
+    scaffold under every winnowing variant (ONE spelling of the length
+    filter and hash so the set/positional/oracle twins cannot drift)."""
+    kgram = f"concat_ws(' ', slice(w, i, {k}))"
+    return (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+            .filter(f"size(w) >= {k + w - 1}")
+            .selectExpr(
+                "doc_id",
+                f"transform(sequence(1, size(w) - {k} + 1), "
+                f"i -> {h32_sql(kgram)}) AS hs"))
+
+
+def _oracle_hash_ctes(k: int, w: int) -> str:
+    """The DuckDB twin of ``_hash_frame`` as the shared ``wd``/``g``
+    CTE prefix of every winnowing oracle."""
+    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
+    return f"""
+        wd AS (
+            SELECT doc_id, {duck_words_sql()} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - {k} + 2),
+                                  i -> {duck_h32_sql(kgram)}) AS hs
+            FROM wd WHERE len(w) >= {k + w - 1}
+        )"""
 
 
 def winnow_pairs_frame(docs: DataFrame, k: int = WINNOW_K,
@@ -148,19 +171,13 @@ def winnow_fingerprints_positional(docs: DataFrame, k: int = WINNOW_K,
     window (earliest position on hash ties — both engines break ties
     the same way because the scan is left-to-right over identical
     hashes)."""
-    kgram = f"concat_ws(' ', slice(w, i, {k}))"
     # argmin by scanning the window slice once: array_position of the
     # min within the window, offset by the window start
     sel = (f"transform(sequence(1, size(hs) - {w} + 1), "
            f"j -> j - 1 + CAST(array_position("
            f"slice(hs, j, {w}), array_min(slice(hs, j, {w}))) AS INT))")
     return (
-        docs.selectExpr("doc_id", f"{words_sql()} AS w")
-        .filter(f"size(w) >= {k + w - 1}")
-        .selectExpr(
-            "doc_id",
-            f"transform(sequence(1, size(w) - {k} + 1), "
-            f"i -> {h32_sql(kgram)}) AS hs")
+        _hash_frame(docs, k, w)
         .selectExpr("doc_id", "hs",
                     f"array_distinct({sel}) AS sel")
         .selectExpr("doc_id", "hs", "sel",
@@ -169,24 +186,46 @@ def winnow_fingerprints_positional(docs: DataFrame, k: int = WINNOW_K,
     )
 
 
-def winnow_matches(docs: DataFrame, k: int = WINNOW_K,
-                   w: int = WINNOW_W) -> DataFrame:
+def winnow_matches_frame(docs: DataFrame, k: int = WINNOW_K,
+                         w: int = WINNOW_W,
+                         max_fp_docs: int | None = None) -> DataFrame:
     """Shared-fingerprint occurrences with POSITIONS:
     ``(a_id, b_id, fp, a_pos, b_pos)`` — one row per cross-document
     co-occurrence of a selected fingerprint, i.e. a shared word run of
     length >= k starting at ``a_pos``/``b_pos`` (1-based word index) in
     the respective documents. This is the audit/highlight output that
-    sits under ``winnow_pairs``'s aggregate containment score."""
+    sits under ``winnow_pairs``'s aggregate containment score.
+
+    ``max_fp_docs`` (documents per fingerprint, like
+    ``winnow_pairs_frame``'s guard) matters MORE here: the positional
+    self-join keeps duplicates per position with no downstream groupBy,
+    so a boilerplate fingerprint in N docs at P positions each emits
+    ~(NP)² rows — cap it at web scale."""
+    from pyspark.sql import functions as F
     fps = winnow_fingerprints_positional(docs, k, w).cache()
+    if max_fp_docs is not None:
+        hot = (fps.select("doc_id", "fp").distinct()
+               .groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("fp_df"))
+               .filter(f"fp_df > {int(max_fp_docs)}")
+               .select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
     a = fps.selectExpr("fp", "doc_id AS a_id", "pos AS a_pos")
     b = fps.selectExpr("fp", "doc_id AS b_id", "pos AS b_pos")
     return (a.join(b, "fp").filter("a_id < b_id")
             .select("a_id", "b_id", "fp", "a_pos", "b_pos"))
 
 
-#: doc_id % WINNOW_BENCH_MOD == 0 -> benchmark split (same deterministic
-#: carve as ops/contamination.py so the two detectors are comparable)
-WINNOW_BENCH_MOD = 10
+def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (``(spark, sf_dir)`` signature family): positional
+    matches over the ``documents`` table at the module defaults."""
+    return winnow_matches_frame(load_table(spark, sf_dir, "documents"))
+
+
+# the benchmark split carve is IMPORTED from the n-gram collision
+# detector so the two stay structurally in lockstep (both docstrings
+# promise identical inputs)
+from .contamination import BENCH_MOD as WINNOW_BENCH_MOD  # noqa: E402
 #: candidate flagged when this fraction of its fingerprints hits the
 #: benchmark fingerprint set
 WINNOW_CONTAM_T = 0.2
@@ -211,7 +250,10 @@ def winnow_contamination(spark: SparkSession, sf_dir: str,
     eval set, bounded by construction, so its distinct-fingerprint set
     broadcasts exactly like the shingle set does."""
     from pyspark.sql import functions as F
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"), k, w)
+    # consumed three times (benchmark set, hit counting, per-doc sizes):
+    # cache so the md5 k-gram chain — the dominant cost — runs once
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"),
+                              k, w).cache()
     is_bench = f"doc_id % {WINNOW_BENCH_MOD} = 0"
     bench = fps.filter(is_bench).select("fp").distinct()
     cand = fps.filter(f"NOT ({is_bench})")
@@ -229,17 +271,8 @@ def winnow_contamination(spark: SparkSession, sf_dir: str,
 
 def winnow_contamination_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
                                 threshold: float = WINNOW_CONTAM_T) -> str:
-    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
     return f"""
-        WITH wd AS (
-            SELECT doc_id, {duck_words_sql()} AS w FROM documents
-        ),
-        g AS (
-            SELECT doc_id,
-                   list_transform(range(1, len(w) - {k} + 2),
-                                  i -> {duck_h32_sql(kgram)}) AS hs
-            FROM wd WHERE len(w) >= {k + w - 1}
-        ),
+        WITH {_oracle_hash_ctes(k, w)},
         f AS (
             SELECT doc_id,
                    list_distinct(list_transform(
@@ -267,20 +300,11 @@ def winnow_contamination_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
 def winnow_matches_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     """DuckDB twin of ``winnow_matches`` over the ``documents`` view
     (pinned off-contract in tests/test_ops_winnow.py)."""
-    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
     sel = (f"list_distinct(list_transform(range(1, len(hs) - {w} + 2), "
            f"j -> j - 1 + list_position(hs[j:j+{w}-1], "
            f"list_aggregate(hs[j:j+{w}-1], 'min'))))")
     return f"""
-        WITH wd AS (
-            SELECT doc_id, {duck_words_sql()} AS w FROM documents
-        ),
-        g AS (
-            SELECT doc_id,
-                   list_transform(range(1, len(w) - {k} + 2),
-                                  i -> {duck_h32_sql(kgram)}) AS hs
-            FROM wd WHERE len(w) >= {k + w - 1}
-        ),
+        WITH {_oracle_hash_ctes(k, w)},
         s AS (SELECT doc_id, hs, {sel} AS sel FROM g),
         e AS (
             SELECT doc_id, hs[p] AS fp, p AS pos
@@ -299,17 +323,8 @@ def winnow_pairs_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
     ``range`` (``range(1, m + 1)`` == Spark ``sequence(1, m)``), the
     same md5-derived 32-bit hash, and the same left-to-right double
     division — results are bit-equal."""
-    kgram = f"array_to_string(w[i:i+{k}-1], ' ')"
     return f"""
-        WITH w AS (
-            SELECT doc_id, {duck_words_sql()} AS w FROM documents
-        ),
-        g AS (
-            SELECT doc_id,
-                   list_transform(range(1, len(w) - {k} + 2),
-                                  i -> {duck_h32_sql(kgram)}) AS hs
-            FROM w WHERE len(w) >= {k + w - 1}
-        ),
+        WITH {_oracle_hash_ctes(k, w)},
         f AS (
             SELECT doc_id,
                    list_distinct(list_transform(

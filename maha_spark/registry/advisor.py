@@ -474,14 +474,20 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
         fact-adjacent dim (so the grain is measurable ON the fact:
         entry key values == the stored fact FK column), one
         ``approx_count_distinct(struct(day, cols...))`` pass measures
-        the true pair count — measure, don't guess."""
+        the true pair count — measure, don't guess.
+
+        The refinement is DISABLED under an injected what-if probe:
+        measuring the physical bound table while fact_rows/compression
+        come from assumed cardinalities would mix two different worlds
+        (a ~6k-row test fact scored against an assumed 600M)."""
         mult = days
         for c in fact_cols:
             mult *= probe.ndv(base.name, c)
         for fk, (enc, m) in chains.items():
             mult *= m
         est = min(mult, fact_rows)
-        if not exact_grain_probe or est <= max_rows_frac * fact_rows:
+        if not exact_grain_probe or injected \
+                or est <= max_rows_frac * fact_rows:
             return est          # cheap bound already admits it
         cols = list(fact_cols)
         for fk, (enc, _m) in chains.items():

@@ -106,13 +106,22 @@ def test_matches_positional_oracle_parity(spark, duck, sf_dir):
     occurrences WITH positions) against its DuckDB twin — pins the
     argmin tie-break (first occurrence of the window minimum) across
     engines."""
-    from maha_spark.ops.common import load_table
     s = sorted(map(tuple,
-                   winnow.winnow_matches(
-                       load_table(spark, sf_dir, "documents")).collect()))
+                   winnow.winnow_matches(spark, sf_dir).collect()))
     d = sorted(map(tuple,
                    duck.execute(winnow.winnow_matches_oracle()).fetchall()))
     assert s == d and len(s) > 0
+
+
+def test_matches_boilerplate_cap(spark):
+    """A boilerplate run shared by every document: the positional
+    self-join would emit ~(NP)^2 rows for it; the cap removes those
+    fingerprints and with them every cross-pair."""
+    boiler = _words("boiler", 20)
+    texts = [f"{boiler} {_words(f'u{i}', 40)}" for i in range(6)]
+    docs = _docs(spark, texts)
+    assert winnow.winnow_matches_frame(docs).count() > 0
+    assert winnow.winnow_matches_frame(docs, max_fp_docs=3).count() == 0
 
 
 def test_contamination_oracle_parity(spark, duck, sf_dir):
@@ -129,7 +138,6 @@ def test_contamination_flags_planted_benchmark_passage(spark,
     import os
     d = str(tmp_path_factory.mktemp("winnow_bench"))
     passage = _words("bench", 30)
-    docs = _docs(spark, [])  # schema only
     rows = [(10, f"{_words('b0', 10)} {passage}"),
             (11, f"{_words('c1', 8)} {passage} {_words('c1b', 8)}"),
             (12, _words("c2", 60))]
@@ -150,7 +158,7 @@ def test_matches_locate_planted_passage(spark):
         f"{_words('aa', pre_a)} {run} {_words('ab', 20)}",
         f"{_words('ba', pre_b)} {run} {_words('bb', 40)}",
     ])
-    rows = winnow.winnow_matches(docs).collect()
+    rows = winnow.winnow_matches_frame(docs).collect()
     assert rows, "planted passage produced no positional matches"
     span = GUARANTEE + 10
     for r in rows:

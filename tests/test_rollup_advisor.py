@@ -182,6 +182,20 @@ def test_exact_grain_probe_admits_multiplied_high_card_grain(
     assert recs[0].n_covered == 3
 
 
+def test_exact_probe_disabled_under_injected_whatif(tpch_engine):
+    """An injected what-if probe and the exact grain probe describe two
+    different worlds (assumed cardinalities vs the physical bound
+    table); mixing them would admit a grain measured on ~6k physical
+    rows against an assumed 600M fact. With a what-if probe the
+    refinement must stay off and the independence rejection stand."""
+    logs = [_req(["Part ID", "Revenue"])] * 3
+    probe = _NdvProbe.fixed(rows={"lineitem": 600_000_000},
+                            ndvs={("lineitem", "l_shipdate"): 2500,
+                                  ("lineitem", "l_partkey"): 20_000_000})
+    assert recommend_rollups(tpch_engine, logs, probe=probe,
+                             exact_grain_probe=True) == []
+
+
 def test_already_served_requests_excluded(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("adv_rollup"))
     for t in os.listdir(SRC):
