@@ -662,6 +662,13 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 aliases = set(use.get("projected") or [])
                 for f in use.get("filters") or []:
                     for leaf in _leaf_filters(f):
+                        # isnull is the one operator NULL satisfies: the
+                        # build-time left join stores NULL for orphan FKs,
+                        # so a covered isnull would keep orphan fact rows
+                        # the raw path's inner dim join drops. Fall back
+                        # to the raw join for exactness.
+                        if leaf.operator == "isnull":
+                            return None
                         aliases.update(leaf.fields())
                 sort_fields = {s.field for s in use.get("sorts") or []}
                 # a covered sort must ride an output column: require the
@@ -672,7 +679,8 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 if not aliases:
                     return None
                 try:
-                    am = registry.dimension(dn).alias_map()
+                    dim = registry.dimension(dn)
+                    am = dim.alias_map()
                 except KeyError:
                     return None
                 m: dict[str, str] = {}
@@ -680,6 +688,16 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                     p = am.get(a)
                     fc = cov_cols.get((dn, p.name)) if p is not None else None
                     if fc is None:
+                        return None
+                    # behavioral-flag parity: planner.resolve reads
+                    # case_insensitive off the column it binds, so a
+                    # covered filter must carry the dim column's flag —
+                    # a mismatch (e.g. a materialized copy declared
+                    # without the flag) would change matching semantics
+                    dcol = dim.table.columns.get(p.name)
+                    fcol = t.columns.get(fc)
+                    if getattr(dcol, "case_insensitive", False) \
+                            != getattr(fcol, "case_insensitive", False):
                         return None
                     m[a] = fc
                 return m

@@ -221,7 +221,9 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt under a per-sf scratch path) so the driver can hash-check
     the WHOLE incremental flow — build, band join, exact verification —
     against the all-pairs DuckDB oracle restricted to new-side pairs."""
+    import atexit
     import hashlib
+    import shutil
     import tempfile
 
     from .common import load_table
@@ -229,10 +231,26 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # per-process scratch: two concurrent driver runs over the same
     # dataset must not overwrite each other's index mid-read (the
-    # returned plan references these files lazily)
+    # returned plan references these files lazily — so removal is
+    # deferred to interpreter exit, after every plan over it has run)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(),
                        f"maha-dedup-idx-{tag}-{os.getpid()}")
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    # prune stale per-PID copies left by crashed/killed siblings: a live
+    # PID's dir is never touched, a dead PID's dir is unreferenced
+    for d in os.listdir(tempfile.gettempdir()):
+        if not d.startswith("maha-dedup-idx-"):
+            continue
+        pid = d.rsplit("-", 1)[-1]
+        if pid.isdigit() and int(pid) != os.getpid():
+            try:
+                os.kill(int(pid), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
+                              ignore_errors=True)
+            except PermissionError:
+                pass            # live, other-user process
     materialize_dedup_index(
         spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
     return (dedup_incremental(

@@ -44,6 +44,7 @@ no hour/minute/second extraction (conservative textual check).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 from typing import Optional
@@ -116,8 +117,18 @@ def rollup_table_from_recommendation(registry: Registry, cube: PublicFact,
                 foreign_key=enc.entry_dim)
         for dn, _alias, phys in enc.materialized:
             dim_t = registry.dimension(dn).table
-            cols[phys] = DimCol(phys, dim_t.columns[phys].dtype,
-                                materializes=f"{dn}.{phys}")
+            src = dim_t.columns[phys]
+            # carry the source column's behavioral flags (notably
+            # case_insensitive — planner.resolve reads it off the FACT
+            # column, so dropping it would make a covered filter
+            # case-sensitive while the raw path isn't). Flags that are
+            # positional on the dim table (day/partition/parent-FK)
+            # don't transfer to a denormalized fact copy.
+            cols[phys] = dataclasses.replace(
+                src, materializes=f"{dn}.{phys}", foreign_key=None,
+                is_day_column=False, is_partition=False) \
+                if isinstance(src, DimCol) else DimCol(
+                    phys, src.dtype, materializes=f"{dn}.{phys}")
     # metric partials
     for n, c in base.columns.items():
         if not isinstance(c, FactCol) or isinstance(c, DerivedFactCol):
@@ -162,9 +173,11 @@ def _chain_frame(binding, registry: Registry, base: FactTable, enc):
     """(join frame keyed by the chain's fact FK) -> the columns this
     encoding stores: ``__join_key`` (first dim's pk, joins the fact's
     FK), the entry dim's pk AS ``suggested_fk``, and the materialized
-    attribute columns. Walks the snowflake path with LEFT joins (orphan
-    rows keep NULLs, matching query-time left_outer semantics — the
-    ADVICE-fix convention the hand-built nation rollup follows).
+    attribute columns. Walks the UNION of snowflake branches that carry
+    a target dim (forked snowflakes join every needed branch, not just
+    one path) with LEFT joins (orphan rows keep NULLs, matching
+    query-time left_outer semantics — the ADVICE-fix convention the
+    hand-built nation rollup follows).
 
     Column-name collisions across dim tables along one path would break
     the accumulated select; TPC-H-style per-table prefixes avoid it, and
@@ -176,41 +189,61 @@ def _chain_frame(binding, registry: Registry, base: FactTable, enc):
     want = {}
     for dn, _a, phys in enc.materialized:
         want.setdefault(dn, []).append(phys)
-    # a fully-materialized chain (entry None) still needs the walk up to
-    # the deepest materialized dim
-    if entry is None:
-        deepest = None
-        for dn in want:
-            p = _path_to(registry, first_dim, dn)
-            if deepest is None or len(p) > len(deepest):
-                deepest = p
-        path = deepest or [first_dim]
-    else:
-        path = _path_to(registry, first_dim, entry)
 
-    dim0 = registry.dimension(path[0])
-    acc = binding.table(dim0.table.name)
-    collected = [F.col(dim0.table.primary_key).alias("__join_key")]
-    for dn in path:
+    # union tree over EVERY branch that carries a target (the entry dim
+    # or a materialized dim): on a forked snowflake a single-path walk
+    # would silently drop the other branch's columns — the groupBy would
+    # then fail, or worse, bind a same-named fact column
+    targets = set(want)
+    if entry is not None:
+        targets.add(entry)
+    paths = {tgt: _path_to(registry, first_dim, tgt) for tgt in targets}
+    if not paths:
+        paths = {first_dim: [first_dim]}
+    children: dict[str, list[str]] = {}
+    for p in paths.values():
+        for a, b in zip(p, p[1:]):
+            lst = children.setdefault(a, [])
+            if b not in lst:
+                lst.append(b)
+
+    emitted: set[str] = set()       # diamond guard: emit wants once
+
+    def build(dn: str):
+        """Frame for dim ``dn``'s subtree, keyed by ``__pk_{dn}``."""
         dim = registry.dimension(dn)
-        for phys in sorted(want.get(dn, [])):
-            collected.append(F.col(phys))
-        if entry is not None and dn == entry:
-            collected.append(F.col(dim.table.primary_key)
-                             .alias(enc.suggested_fk))
-        if dn == path[-1]:
-            return acc.select(*collected), fk_col
-        # advance: join the parent on the path
-        nxt = path[path.index(dn) + 1]
-        pcol = next(pc for pc, pd in dim.table.parent_keys.items()
-                    if pd == nxt)
-        parent = registry.dimension(nxt).table
-        cur = acc.select(*collected, F.col(pcol))
-        acc = cur.join(binding.table(parent.name),
-                       cur[pcol] == F.col(parent.primary_key),
-                       "left").drop(pcol)
-        collected = [F.col(c) for c in cur.columns if c != pcol]
-    raise AssertionError("unreachable")
+        t = dim.table
+        cols = [F.col(t.primary_key).alias(f"__pk_{dn}")]
+        if dn not in emitted:
+            emitted.add(dn)
+            if entry is not None and dn == entry:
+                cols.append(F.col(t.primary_key).alias(enc.suggested_fk))
+            for phys in sorted(want.get(dn, [])):
+                cols.append(F.col(phys))
+        branches = []
+        for nxt in children.get(dn, []):
+            pcol = next(pc for pc, pd in t.parent_keys.items()
+                        if pd == nxt)
+            branches.append((pcol, nxt))
+        acc = binding.table(t.name).select(
+            *cols, *[F.col(pc) for pc, _ in branches])
+        for pc, nxt in branches:
+            pframe = build(nxt)
+            acc = acc.join(pframe, acc[pc] == pframe[f"__pk_{nxt}"],
+                           "left").drop(f"__pk_{nxt}", pc)
+        return acc
+
+    out = build(first_dim).withColumnRenamed(f"__pk_{first_dim}",
+                                             "__join_key")
+    wanted_phys = {phys for ps in want.values() for phys in ps}
+    if entry is not None:
+        wanted_phys.add(enc.suggested_fk)
+    missing = wanted_phys - set(out.columns)
+    if missing:
+        raise ValueError(
+            f"chain frame for fk {fk_col!r} is missing physical columns "
+            f"{sorted(missing)} — dim not reachable from {first_dim!r}")
+    return out, fk_col
 
 
 def _recommendation_frame(spark, binding, registry: Registry,

@@ -94,3 +94,27 @@ def test_reappending_an_indexed_id_raises(spark, split, index_dir):
     after = spark.read.parquet(
         os.path.join(index_dir, BANDS_TABLE)).count()
     assert after == before
+
+def test_scratch_index_dir_registered_for_cleanup_and_stale_pruned(spark):
+    """ADVICE r7: the per-PID scratch index is atexit-registered for
+    removal, and stale copies left by dead sibling PIDs are pruned on
+    entry (a live PID's dir is never touched)."""
+    import atexit
+    import os
+    import tempfile
+    from unittest import mock
+
+    from maha_spark.ops.incremental import dedup_incremental_op
+
+    tmp = tempfile.gettempdir()
+    # a stale dir from a PID that cannot exist (kernel pid_max < 2**22)
+    stale = os.path.join(tmp, "maha-dedup-idx-deadbeef-4194999")
+    os.makedirs(stale, exist_ok=True)
+    registered = []
+    with mock.patch.object(atexit, "register",
+                           side_effect=lambda f, *a, **k:
+                           registered.append(a)):
+        dedup_incremental_op(spark, "/root/testdata/sf0.001").count()
+    assert not os.path.isdir(stale)
+    assert registered and str(os.getpid()) in registered[0][0]
+    assert os.path.isdir(registered[0][0])  # deferred: still live now

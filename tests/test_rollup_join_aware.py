@@ -265,3 +265,28 @@ def test_rollup_only_cube_reports_one_accurate_chain_error(spark, nat_dir):
     msgs = ei.value.errors
     assert msgs and any("mktsegment" in m for m in msgs), msgs
     assert not any("covers columns" in m for m in msgs), msgs
+
+
+def test_isnull_filter_on_materialized_attr_falls_back(raw_eng, nat_eng):
+    """ADVICE r7: isnull is the one operator the orphan-FK NULL the
+    build-time left join stores actually SATISFIES — covering it on the
+    rollup would keep orphan fact rows the raw path's inner customer
+    join drops. The cover is refused; the raw fact serves."""
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+        "filterExpressions": [
+            DAY_ALL, {"field": "mktsegment", "operator": "isnull"}],
+    }
+    assert nat_eng.model(req).fact_table.name == "lineitem"
+    assert _rows(raw_eng, req) == _rows(nat_eng, req)
+    # isnotnull stays covered: NULL never satisfies it, so covered and
+    # raw semantics agree (both drop orphan rows)
+    req2 = {
+        "cube": "tpch",
+        "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+        "filterExpressions": [
+            DAY_ALL, {"field": "mktsegment", "operator": "isnotnull"}],
+    }
+    assert nat_eng.model(req2).fact_table.name == "lineitem_daily_nation"
+    assert _rows(raw_eng, req2) == _rows(nat_eng, req2)

@@ -232,3 +232,123 @@ def test_sub_day_guard_matches_format_tokens():
     for ok in ("GET_INTERVAL_DATE({ts}, 'M')", "CAST({ts} AS DATE)",
                "date_format({ts}, 'yyyy')", "DAY_OF_WEEK({ts})"):
         assert not _SUB_DAY.search(ok), ok
+
+
+def test_materialized_column_carries_behavioral_flags(applied):
+    """ADVICE r7: the materialized DimCol must carry the source dim
+    column's behavioral flags (case_insensitive — planner.resolve reads
+    it off the FACT column), while positional dim-table flags
+    (parent FK / day / partition) do not transfer."""
+    import dataclasses as dc
+
+    from maha_spark.registry.advisor import ChainEncoding
+    _reg, _d, rec, _t = applied
+    reg = build_registry()
+    cube = reg.fact("lineitem_stats")
+    enc = ChainEncoding(
+        fact_fk_col="l_orderkey", entry_dim="customer_nation",
+        materialized=(("customer", "Customer Name", "c_name"),
+                      ("customer", "Nation FK", "c_nationkey")))
+    rec2 = dc.replace(rec, chains=(enc,))
+    t2 = rollup_table_from_recommendation(reg, cube, rec2, "flags")
+    c = t2.columns["c_name"]
+    assert c.case_insensitive is True          # tpch c_name declares it
+    assert c.materializes == "customer.c_name"
+    # c_nationkey is a parent FK on the dim table; the denormalized fact
+    # copy must NOT present itself as a chain FK
+    assert t2.columns["c_nationkey"].foreign_key is None
+
+
+def test_flag_mismatched_materialized_col_never_covered(spark, applied):
+    """dim_cover requires behavioral-flag parity between the dim column
+    and the materialized fact column: a mismatch would silently change
+    filter matching semantics, so the request falls back to raw."""
+    import dataclasses as dc
+    reg2 = build_registry()
+    cube = reg2.fact("lineitem_stats")
+    _reg, d, rec, _t = applied
+    t2 = rollup_table_from_recommendation(reg2, cube, rec, "advised_rollup")
+    t2.columns["c_mktsegment"] = dc.replace(
+        t2.columns["c_mktsegment"], case_insensitive=True)  # dim col: False
+    cube.tables.append(t2)
+    eng = engine_for_dir(spark, reg2, d)
+    q = _req(["Nation Name", "Market Segment", "Revenue"])
+    assert eng.model(q).fact_table.name == "lineitem"
+    # the same table still serves requests not touching the segment
+    q2 = _req(["Nation Name", "Revenue"])
+    assert eng.model(q2).fact_table.name == "advised_rollup"
+
+
+def test_chain_frame_unions_forked_snowflake_branches(spark):
+    """ADVICE r7: on a forked snowflake (one dim with two parent
+    branches), materialized attributes on BOTH branches must land in the
+    chain frame — the old single-path walk silently dropped one branch."""
+    from maha_spark.core.columns import DimCol
+    from maha_spark.core.types import IntType, StrType
+    from maha_spark.registry.advisor import ChainEncoding
+    from maha_spark.registry.cube import (DimensionTable, FactTable,
+                                          PubCol, PublicDimension, Registry)
+    from maha_spark.registry.materializer import _chain_frame
+
+    reg = Registry()
+    reg.register_dimension(PublicDimension(
+        name="brand", table=DimensionTable(
+            name="brand", primary_key="b_id", level=1,
+            columns={"b_id": DimCol("b_id", IntType()),
+                     "b_name": DimCol("b_name", StrType())}),
+        pub_cols=[PubCol("Brand Id", "b_id"), PubCol("Brand", "b_name")]))
+    reg.register_dimension(PublicDimension(
+        name="vendor", table=DimensionTable(
+            name="vendor", primary_key="v_id", level=1,
+            columns={"v_id": DimCol("v_id", IntType()),
+                     "v_name": DimCol("v_name", StrType())}),
+        pub_cols=[PubCol("Vendor Id", "v_id"), PubCol("Vendor", "v_name")]))
+    reg.register_dimension(PublicDimension(
+        name="product", table=DimensionTable(
+            name="product", primary_key="p_id", level=2,
+            parent_keys={"b_fk": "brand", "v_fk": "vendor"},
+            columns={"p_id": DimCol("p_id", IntType()),
+                     "b_fk": DimCol("b_fk", IntType(), foreign_key="brand"),
+                     "v_fk": DimCol("v_fk", IntType(),
+                                    foreign_key="vendor")}),
+        pub_cols=[PubCol("Product Id", "p_id")]))
+
+    base = FactTable(
+        name="sales", day_column="",
+        columns={"prod_fk": DimCol("prod_fk", IntType(),
+                                   foreign_key="product")})
+    dfs = {
+        "brand": spark.createDataFrame([(1, "acme"), (2, "zeta")],
+                                       "b_id long, b_name string"),
+        "vendor": spark.createDataFrame([(10, "north"), (11, "south")],
+                                        "v_id long, v_name string"),
+        "product": spark.createDataFrame(
+            [(100, 1, 11), (101, 2, 10), (102, 2, None)],
+            "p_id long, b_fk long, v_fk long"),
+    }
+
+    class B:
+        def table(self, n):
+            return dfs[n]
+
+    # fully-materialized chain: attrs from BOTH branches, no entry FK
+    enc = ChainEncoding(fact_fk_col="prod_fk", entry_dim=None,
+                        materialized=(("brand", "Brand", "b_name"),
+                                      ("vendor", "Vendor", "v_name")))
+    jf, fk = _chain_frame(B(), reg, base, enc)
+    assert fk == "prod_fk"
+    assert {"__join_key", "b_name", "v_name"} <= set(jf.columns)
+    rows = {r["__join_key"]: (r["b_name"], r["v_name"])
+            for r in jf.collect()}
+    # left-join semantics: missing vendor keeps NULL
+    assert rows == {100: ("acme", "south"), 101: ("zeta", "north"),
+                    102: ("zeta", None)}
+
+    # entry on one branch + materialized attr on the OTHER branch
+    enc2 = ChainEncoding(fact_fk_col="prod_fk", entry_dim="brand",
+                         materialized=(("vendor", "Vendor", "v_name"),))
+    jf2, _ = _chain_frame(B(), reg, base, enc2)
+    assert {"__join_key", "brand_fk", "v_name"} <= set(jf2.columns)
+    rows2 = {r["__join_key"]: (r["brand_fk"], r["v_name"])
+             for r in jf2.collect()}
+    assert rows2 == {100: (1, "south"), 101: (2, "north"), 102: (2, None)}
