@@ -236,9 +236,11 @@ def main() -> None:
 
     def clear_caches():
         from maha_spark.examples import contract as _contract
+        from maha_spark.ops import common as _ops_common
         from maha_spark.plans import binding as _binding
         _binding._DF_CACHE.clear()
         _contract._PLAN_CACHE.clear()
+        _ops_common.release_scoped_caches()
         spark.catalog.clearCache()
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))

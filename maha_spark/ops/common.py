@@ -18,6 +18,35 @@ MINHASH_P = 2147483647
 #: rolling-hash modulus
 ROLL_P = 1000000007
 
+#: live op-scoped caches (see scoped_cache) — module-level so a
+#: long-lived session can release them between jobs
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with lifecycle tracking: the cached frame is
+    registered so ``release_scoped_caches`` can drop its storage blocks
+    once the op's plan has been consumed.
+
+    The pipeline ops cache intermediate signature streams consumed by
+    multiple branches of one returned plan; the plan is lazy, so the op
+    itself cannot unpersist (the blocks must outlive the caller's
+    action). In a one-shot contract job the session exit reclaims them;
+    a LONG-LIVED serving session would accumulate MEMORY_AND_DISK blocks
+    instead — call ``release_scoped_caches()`` after consuming each
+    op's result (bench.py does, per entry)."""
+    df = df.cache()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches() -> int:
+    """Unpersist every scoped cache (blocking); returns how many."""
+    n = len(_SCOPED_CACHES)
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist(True)
+    return n
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table via the engine's binding (nanos-timestamp safe,

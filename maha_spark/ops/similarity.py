@@ -421,7 +421,7 @@ def _ivf_assign(emb: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
         F.col("sim").desc(), F.col("cell").asc())
     return (scored.withColumn("crank", F.row_number().over(w))
             .filter(f"crank <= {probe}")
-            .select("vec_id", "embedding", "cell", "crank"))
+            .select("vec_id", "embedding", "cell", "crank", "sim"))
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str,

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .common import (duck_h32_sql, duck_words_sql, h32_sql, load_table,
-                     words_sql)
+                     scoped_cache, words_sql)
 
 #: k-gram length in words (the noise threshold: matches shorter than k
 #: words are never reported)
@@ -51,6 +51,13 @@ WINNOW_K = 5
 WINNOW_W = 4
 #: minimum fingerprint containment for a reported pair
 WINNOW_T = 0.2
+#: default document-frequency cap for the POSITIONAL matches entry: the
+#: positional self-join keeps duplicates per position with no downstream
+#: groupBy, so a boilerplate fingerprint in N docs at P positions each
+#: emits ~(NP)^2 rows — the registry entry runs capped by default (the
+#: set-semantics ``winnow_pairs`` entry stays uncapped for exact-MOSS
+#: oracle parity; its groupBy bounds the blowup at shared-count rows)
+WINNOW_MATCH_MAX_FP_DOCS = 50
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
@@ -129,8 +136,10 @@ def winnow_pairs_frame(docs: DataFrame, k: int = WINNOW_K,
     # consumed twice (both sides of the pair self-join): cache so the
     # md5 k-gram chain runs once — same precedent as ngram_jaccard's
     # token frames; at web scale this is the winnowed signature stream
-    # (~2/(w+1) of the k-gram count), MEMORY_AND_DISK spills safely
-    fps = winnow_fingerprints(docs, k, w).cache()
+    # (~2/(w+1) of the k-gram count), MEMORY_AND_DISK spills safely.
+    # scoped_cache registers it for release_scoped_caches() so a
+    # long-lived session doesn't accumulate blocks across jobs
+    fps = scoped_cache(winnow_fingerprints(docs, k, w))
     if max_fp_docs is not None:
         hot = (fps.groupBy("fp")
                .agg(F.count(F.lit(1)).alias("fp_df"))
@@ -202,7 +211,7 @@ def winnow_matches_frame(docs: DataFrame, k: int = WINNOW_K,
     so a boilerplate fingerprint in N docs at P positions each emits
     ~(NP)² rows — cap it at web scale."""
     from pyspark.sql import functions as F
-    fps = winnow_fingerprints_positional(docs, k, w).cache()
+    fps = scoped_cache(winnow_fingerprints_positional(docs, k, w))
     if max_fp_docs is not None:
         hot = (fps.select("doc_id", "fp").distinct()
                .groupBy("fp")
@@ -218,8 +227,11 @@ def winnow_matches_frame(docs: DataFrame, k: int = WINNOW_K,
 
 def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (``(spark, sf_dir)`` signature family): positional
-    matches over the ``documents`` table at the module defaults."""
-    return winnow_matches_frame(load_table(spark, sf_dir, "documents"))
+    matches over the ``documents`` table at the module defaults — capped
+    at ``WINNOW_MATCH_MAX_FP_DOCS`` docs per fingerprint (the (NP)^2
+    boilerplate guard the frame docstring warns about)."""
+    return winnow_matches_frame(load_table(spark, sf_dir, "documents"),
+                                max_fp_docs=WINNOW_MATCH_MAX_FP_DOCS)
 
 
 # the benchmark split carve is IMPORTED from the n-gram collision
@@ -252,8 +264,8 @@ def winnow_contamination(spark: SparkSession, sf_dir: str,
     from pyspark.sql import functions as F
     # consumed three times (benchmark set, hit counting, per-doc sizes):
     # cache so the md5 k-gram chain — the dominant cost — runs once
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"),
-                              k, w).cache()
+    fps = scoped_cache(winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k, w))
     is_bench = f"doc_id % {WINNOW_BENCH_MOD} = 0"
     bench = fps.filter(is_bench).select("fp").distinct()
     cand = fps.filter(f"NOT ({is_bench})")
@@ -297,12 +309,21 @@ def winnow_contamination_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
     """
 
 
-def winnow_matches_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+def winnow_matches_oracle(
+        k: int = WINNOW_K, w: int = WINNOW_W,
+        max_fp_docs: int | None = WINNOW_MATCH_MAX_FP_DOCS) -> str:
     """DuckDB twin of ``winnow_matches`` over the ``documents`` view
-    (pinned off-contract in tests/test_ops_winnow.py)."""
+    (same default df cap as the registry entry; pass ``None`` for the
+    uncapped frame)."""
     sel = (f"list_distinct(list_transform(range(1, len(hs) - {w} + 2), "
            f"j -> j - 1 + list_position(hs[j:j+{w}-1], "
            f"list_aggregate(hs[j:j+{w}-1], 'min'))))")
+    cap = ""
+    if max_fp_docs is not None:
+        cap = f"""AND a.fp NOT IN (
+                SELECT fp FROM e
+                GROUP BY fp
+                HAVING count(DISTINCT doc_id) > {int(max_fp_docs)})"""
     return f"""
         WITH {_oracle_hash_ctes(k, w)},
         s AS (SELECT doc_id, hs, {sel} AS sel FROM g),
@@ -312,7 +333,7 @@ def winnow_matches_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
         )
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fp,
                a.pos AS a_pos, b.pos AS b_pos
-        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id {cap}
     """
 
 

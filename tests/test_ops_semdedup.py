@@ -92,3 +92,72 @@ def test_determinism(spark, sf_dir):
     a = sorted(map(tuple, semdedup.semdedup(spark, sf_dir).collect()))
     b = sorted(map(tuple, semdedup.semdedup(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_sql_twin_matches_kernel(spark, sf_dir):
+    """The join-spelled twin (semdedup_sql_frame) and the Arrow kernel
+    (semdedup_frame) agree bit-for-bit at 6-dp rounding over the same
+    centroids — both Lloyd-trained and seed-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    for iters in (0, 2):
+        cents = similarity.ivf_centroids(emb, iters=iters).cache()
+        a = sorted(map(tuple,
+                       semdedup.semdedup_frame(emb, cents, EPS).collect()))
+        b = sorted(map(tuple,
+                       semdedup.semdedup_sql_frame(emb, cents,
+                                                   EPS).collect()))
+        cents.unpersist()
+        assert a == b and len(a) > 0, f"iters={iters}"
+
+
+def test_op_matches_duckdb_oracle(spark, duck, sf_dir):
+    """The contract entry (seed centroids + SQL keep rule) against its
+    DuckDB twin — the parity the driver hash-checks."""
+    got = [tuple(r) for r in semdedup.semdedup_op(spark, sf_dir).collect()]
+    exp = [tuple(r) for r in
+           duck.execute(semdedup.semdedup_oracle()).fetchall()]
+    assert got == exp and len(got) > 0
+    assert any(not r[4] for r in got), "oracle corpus drops nothing"
+
+
+def test_hot_cluster_split_bounds_kernel_input(spark):
+    """VERDICT r7 #3: a planted hot cluster (a tight jittered blob that
+    single-cell k-means would put in one cell) is recursively split
+    below max_cell_size, the kernel runs without an oversized gram
+    matrix, and exact duplicates inside the blob are still dropped."""
+    rng = np.random.RandomState(11)
+    blob_center = rng.rand(64)
+    blob = blob_center + 0.05 * rng.rand(300, 64)
+    spread = rng.rand(60, 64) * 5
+    mat = np.vstack([blob, spread])
+    mat[299] = mat[0]  # exact duplicate inside the blob
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    emb = spark.createDataFrame(rows,
+                                "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = similarity.ivf_centroids(emb, k=2).cache()
+    from maha_spark.ops.semdedup import _assign_bounded
+    bounded = _assign_bounded(emb, cents, max_cell_size=80)
+    sizes = [r["count"] for r in bounded.groupBy("cell").count().collect()]
+    assert max(sizes) <= 80 and sum(sizes) == 360
+    out = {r.vec_id: r for r in
+           semdedup.semdedup_frame(emb, cents, eps=0.9999,
+                                   max_cell_size=80).collect()}
+    cents.unpersist()
+    assert len(out) == 360
+    assert out[0].keep and not out[299].keep  # dup dropped, rep kept
+    assert out[299].max_prior_sim == 1.0
+
+
+def test_unsplittable_identical_cell_raises(spark):
+    """> max_cell_size IDENTICAL vectors tie to the same sub-centroid in
+    every round — the guard raises loudly instead of OOMing a worker."""
+    import pytest
+    v = [float(x) for x in np.arange(64) / 64.0]
+    rows = [(i, v) for i in range(40)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = similarity.ivf_centroids(emb, k=2).cache()
+    with pytest.raises(ValueError, match="cannot be split"):
+        semdedup.semdedup_frame(emb, cents, eps=0.9,
+                                max_cell_size=10).collect()
+    cents.unpersist()
