@@ -139,6 +139,19 @@ def drilldown(engine: "MahaSparkEngine", model: RequestModel,
 
 def timeshift(engine: "MahaSparkEngine", model: RequestModel,
               cfg: dict[str, Any]) -> dict[str, Any]:
+    out = timeshift_frame(engine, model, cfg)
+    if isinstance(out, dict):
+        return out          # validation error passthrough
+    joined, metrics = out
+    return to_json_response(joined, cube=model.request.cube,
+                            metric_aliases=set(metrics))
+
+
+def timeshift_frame(engine: "MahaSparkEngine", model: RequestModel,
+                    cfg: dict[str, Any]):
+    """The combined current/previous frame and its metric aliases —
+    split from ``timeshift`` so plan-shape tests can pin the physical
+    join (grand-total broadcast BNLJ) before JSON serialization."""
     req = model.request
     day_alias = model.cube.day_alias
     day_f = next((f for f in req.filters
@@ -212,7 +225,11 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
     if join_on:
         joined = cur.join(prev, on=join_on, how="left_outer")
     else:
-        joined = cur.crossJoin(prev)
+        # no group keys and no day projected: prev is a 1-row grand
+        # total — broadcast it so the plan is a deterministic
+        # BroadcastNestedLoopJoin (same as the TOTALROWS/metric-total
+        # sites, planner.py) instead of relying on AQE to notice
+        joined = cur.crossJoin(F.broadcast(prev))
     for m in metrics:
         c, p = F.col(f"`{m}`"), F.coalesce(F.col(f"`{m} Prev`"), F.lit(0.0))
         joined = joined.withColumn(
@@ -227,4 +244,4 @@ def timeshift(engine: "MahaSparkEngine", model: RequestModel,
         joined = joined.orderBy(
             col.desc() if str(sort_cfg.get("order", "ASC")).upper() == "DESC"
             else col.asc())
-    return to_json_response(joined, cube=req.cube, metric_aliases=set(metrics))
+    return joined, metrics

@@ -946,21 +946,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1, 2
         """,
     },
-    # -- §2.4 dim-only SELECT DISTINCT
-    "q14_distinct_dims": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "order_status"},
-                             {"field": "order_priority"}],
-            "filterExpressions": [DAY_ALL],
-            "distinct": True,
-        },
-        "sql": f"""
-            SELECT DISTINCT {ORDER_STATUS_SQL} AS order_status,
-                   o_orderpriority AS order_priority
-            FROM orders
-        """,
-    },
     # -- §2.2 outer filter on final projected aliases
     "q15_outer_filter": {
         "request": {
@@ -1154,24 +1139,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.8 post-result function: metric exposed only when the status
-    #    dim matches (POST_RESULT_DECODE)
-    "q31_post_result_decode": {
-        "request": {
-            "cube": "events_cube",
-            "selectFields": [{"field": "event_type"},
-                             {"field": "event_count"},
-                             {"field": "value_if_click"}],
-            "filterExpressions": [EV_DAY],
-        },
-        "sql": """
-            SELECT event_type, COUNT(*) AS event_count,
-                   CASE WHEN event_type = 'click'
-                        THEN CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)
-                        ELSE NULL END AS value_if_click
-            FROM events GROUP BY 1
-        """,
-    },
     # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
     #    join forces join-then-agg (or sum/count OGB decomposition) so the
     #    result is the TRUE average over joined rows, never avg-of-avgs.
@@ -1354,6 +1321,48 @@ QUERIES: dict[str, dict] = {
     },
 }
 
+#: cube queries rotated OFF the 50-entry driver contract (r8: their
+#: slots went to op_semdedup / op_winnow_matches — the r7 flagships the
+#: driver had never hash-checked). Same structure as QUERIES; pinned
+#: against the same DuckDB oracles every round by
+#: tests/test_offcontract_queries.py, so rotation loses no coverage.
+OFFCONTRACT_QUERIES: dict[str, dict] = {
+    # -- §2.4 dim-only SELECT DISTINCT (rotated out r8 after six stable
+    #    rounds on contract)
+    "q14_distinct_dims": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_status"},
+                             {"field": "order_priority"}],
+            "filterExpressions": [DAY_ALL],
+            "distinct": True,
+        },
+        "sql": f"""
+            SELECT DISTINCT {ORDER_STATUS_SQL} AS order_status,
+                   o_orderpriority AS order_priority
+            FROM orders
+        """,
+    },
+    # -- §2.8 post-result function: metric exposed only when the status
+    #    dim matches (POST_RESULT_DECODE; rotated out r8)
+    "q31_post_result_decode": {
+        "request": {
+            "cube": "events_cube",
+            "selectFields": [{"field": "event_type"},
+                             {"field": "event_count"},
+                             {"field": "value_if_click"}],
+            "filterExpressions": [EV_DAY],
+        },
+        "sql": """
+            SELECT event_type, COUNT(*) AS event_count,
+                   CASE WHEN event_type = 'click'
+                        THEN CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)
+                        ELSE NULL END AS value_if_click
+            FROM events GROUP BY 1
+        """,
+    },
+}
+
 
 def ensure_udfs(spark) -> None:
     """Register the contract's UDFs once per session (the reference's
@@ -1383,7 +1392,7 @@ def run_query(spark, sf_dir: str, name: str):
     if os.environ.get("MAHA_SPARK_PLAN_CACHE", "1") == "1" \
             and key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
-    q = QUERIES[name]
+    q = QUERIES.get(name) or OFFCONTRACT_QUERIES[name]
     ensure_udfs(spark)
     eng = engine_for_dir(spark, build_contract_registry(), sf_dir)
     if "requests" in q:

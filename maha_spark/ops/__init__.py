@@ -24,8 +24,8 @@ def entry_queries() -> dict[str, Callable]:
     functions remain public API (dedup.dedup_exact etc.).
     """
     from . import (chunking, contamination, dedup, incremental,
-                   multimodal, packing, pipeline, sessions, similarity,
-                   sketches, text, winnow)
+                   multimodal, packing, pipeline, semdedup, sessions,
+                   similarity, sketches, text, winnow)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
@@ -36,6 +36,15 @@ def entry_queries() -> dict[str, Callable]:
         # stable rounds — its exact oracle stays pinned off-contract in
         # test_ops_packing.py
         "op_winnow_pairs": winnow.winnow_pairs,
+        # r8 rotation: the r7 flagships IN (the driver had never
+        # hash-checked them) — positional winnow matches (df-capped
+        # boilerplate guard) and SemDeDup via the seed-centroid SQL twin
+        # (bit-parity oracle; the Lloyd/kernel variant stays
+        # pytest-pinned). q14_distinct_dims and q31_post_result_decode
+        # OUT after six stable rounds — pinned every round against the
+        # SAME DuckDB oracles in tests/test_offcontract_queries.py.
+        "op_winnow_matches": winnow.winnow_matches,
+        "op_semdedup": semdedup.semdedup_op,
         # r7 rotation: batch sessionize back IN (exact oracle, pure window
         # functions); its streaming twin moves to pytest-only — the stream
         # == batch bit-identity pin in test_ops_sessions.py means the
@@ -86,18 +95,19 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     from . import (asof, dedup, incremental, multimodal, packing,
                    semdedup, sessions, similarity, sketches, winnow)
     return {
-        "winnow_matches": (winnow.winnow_matches,
-                           "test_ops_winnow.py (exact positional oracle "
-                           "+ planted-passage span)"),
         "winnow_contamination": (winnow.winnow_contamination,
                                  "test_ops_winnow.py (exact oracle + "
                                  "planted benchmark passage)"),
         "asof_join": (asof.asof_join,
                       "test_ops_packing.py (exact oracle; rotated out "
                       "r7 for op_winnow_pairs)"),
-        "semdedup": (semdedup.semdedup,
-                     "test_ops_semdedup.py (independent numpy kernel "
-                     "oracle + planted-dup + determinism)"),
+        # the Lloyd-iterated kernel variant of SemDeDup; the contract
+        # slot (op_semdedup) runs the seed-centroid SQL twin, pinned
+        # equal to this kernel in test_ops_semdedup.py
+        "semdedup_lloyd": (semdedup.semdedup,
+                           "test_ops_semdedup.py (independent numpy "
+                           "kernel oracle + hot-cluster split + "
+                           "sql-twin equivalence)"),
         "token_quantiles": (packing.token_quantiles,
                             "test_ops_packing.py (exact oracle; rotated "
                             "out r6 + vs approx_quantiles)"),
@@ -136,8 +146,8 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
 
 def entry_oracles() -> dict[str, str]:
     from . import (chunking, contamination, dedup, incremental,
-                   multimodal, packing, pipeline, sessions, similarity,
-                   sketches, text, winnow)
+                   multimodal, packing, pipeline, semdedup, sessions,
+                   similarity, sketches, text, winnow)
     from ..streaming import hourly
     return {
         "op_chunking": chunking.chunk_documents_oracle(),
@@ -146,6 +156,8 @@ def entry_oracles() -> dict[str, str]:
         "op_text_stats": text.text_profile_oracle(),
         "op_contamination": contamination.contamination_oracle(),
         "op_winnow_pairs": winnow.winnow_pairs_oracle(),
+        "op_winnow_matches": winnow.winnow_matches_oracle(),
+        "op_semdedup": semdedup.semdedup_oracle(),
         "op_dedup_signatures": dedup.dedup_signatures_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),

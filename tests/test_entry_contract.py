@@ -25,8 +25,10 @@ def normalize(rows, ndigits=9):
         vals = []
         for v in r:
             if isinstance(v, float):
-                # exact-match expected; round only to absorb repr noise
-                vals.append(round(v, ndigits))
+                # exact-match expected; round only to absorb repr noise.
+                # NULL metrics arrive as NaN via pandas on both sides —
+                # fold to None so equal rows compare equal (nan != nan)
+                vals.append(None if v != v else round(v, ndigits))
             elif isinstance(v, datetime.datetime):
                 # DuckDB DATE arrives as midnight Timestamp via pandas;
                 # fold back to a date so it matches Spark's DateType

@@ -533,3 +533,27 @@ def test_q4_via_segment_rollup_filter_pushed_no_customer_join(
         assert phys.count("Arguments: hashpartitioning") == 1
     finally:
         os.environ.pop("MAHA_SPARK_CACHE", None)
+
+
+def test_timeshift_grand_total_is_broadcast_bnlj(contract_engine):
+    """VERDICT r7 #5: with no group keys and no day projected, the
+    timeshift previous window is a 1-row grand total — the crossJoin
+    must be an explicit broadcast (BroadcastNestedLoopJoin, no shuffle
+    of the current side against it), matching the other three
+    grand-total sites in the planner."""
+    from maha_spark.curators.curators import timeshift_frame
+    req = {
+        "cube": "tpch",
+        "selectFields": [{"field": "revenue"}, {"field": "sum_qty"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1996-01-01", "to": "1996-03-31"}],
+    }
+    model = contract_engine.model(req)
+    joined, metrics = timeshift_frame(contract_engine, model, {})
+    phys = _physical(joined)
+    assert "BroadcastNestedLoopJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert set(metrics) == {"revenue", "sum_qty"}
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["revenue Prev"] is not None
