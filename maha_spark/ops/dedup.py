@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .common import (
     MINHASH_P, duck_h28_sql, duck_h32_sql, duck_words_sql, h28_sql, h32_sql,
-    load_table, words_sql,
+    load_table, scoped_cache, words_sql,
 )
 
 # minhash parameters: k = BANDS * ROWS signatures
@@ -227,10 +227,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built AFTER the position explode (w passes through the Generate);
     # the distinct() reproduces the array_distinct semantics of the
     # per-doc bigram set.
-    toks = (wdf.selectExpr("doc_id", "w",
-                           "explode(sequence(1, size(w) - 1)) AS i")
-            .selectExpr("doc_id", "concat_ws(' ', w[i-1], w[i]) AS tok")
-            .distinct().cache())
+    toks = scoped_cache(
+        wdf.selectExpr("doc_id", "w",
+                       "explode(sequence(1, size(w) - 1)) AS i")
+        .selectExpr("doc_id", "concat_ws(' ', w[i-1], w[i]) AS tok")
+        .distinct())
     # Global total order WITHOUT any global rank: prefix filtering only
     # needs a consistent total order on tokens, and the (ascending df,
     # token) SORT KEY is itself that order — sort each document's tokens
@@ -239,13 +240,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles total (df groupBy + per-doc collect), which is the minimum
     # and survives a web-scale vocabulary unchanged.
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sorted_sets = (toks.join(dfreq, "tok")
-                   .groupBy("doc_id")
-                   .agg(F.array_sort(
-                       F.collect_list(F.struct("df", "tok"))).alias("st"))
-                   .selectExpr("doc_id",
-                               "transform(st, s -> s.tok) AS toks")
-                   .cache())
+    sorted_sets = scoped_cache(
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .selectExpr("doc_id",
+                    "transform(st, s -> s.tok) AS toks"))
     prefix = sorted_sets.selectExpr(
         "doc_id", "size(toks) AS n",
         f"slice(toks, 1, size(toks) - CAST(ceil({NGRAM_JACCARD_T} * "

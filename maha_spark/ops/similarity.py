@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .common import dot64_sql, dot_fold_sql, load_table
+from .common import dot64_sql, dot_fold_sql, load_table, scoped_cache
 
 TOPK = 5
 # all-pairs threshold tuned to the fixtures: the synthetic embeddings are
@@ -439,7 +439,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(emb, k).cache()
+    cents = scoped_cache(ivf_centroids(emb, k))
     # corpus side: each vector lives in its single nearest cell
     corpus = (_ivf_assign(emb, cents, probe=1)
               .selectExpr("cell", "vec_id AS nid", "embedding AS nv"))
