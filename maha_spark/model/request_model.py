@@ -662,12 +662,14 @@ def build_request_model(request: ReportingRequest, registry: Registry,
                 aliases = set(use.get("projected") or [])
                 for f in use.get("filters") or []:
                     for leaf in _leaf_filters(f):
-                        # isnull is the one operator NULL satisfies: the
-                        # build-time left join stores NULL for orphan FKs,
-                        # so a covered isnull would keep orphan fact rows
-                        # the raw path's inner dim join drops. Fall back
-                        # to the raw join for exactness.
-                        if leaf.operator == "isnull":
+                        # NULL-satisfying operators break cover exactness:
+                        # the build-time left join stores NULL for orphan
+                        # FKs, so a covered isnull (or an arbitrary
+                        # expression, which may contain IS NULL /
+                        # coalesce) could keep orphan fact rows the raw
+                        # path's inner dim join drops. Fall back to the
+                        # raw join for those.
+                        if leaf.operator in ("isnull", "expression"):
                             return None
                         aliases.update(leaf.fields())
                 sort_fields = {s.field for s in use.get("sorts") or []}

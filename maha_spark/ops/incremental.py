@@ -238,19 +238,32 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"maha-dedup-idx-{tag}-{os.getpid()}")
     atexit.register(shutil.rmtree, idx, ignore_errors=True)
     # prune stale per-PID copies left by crashed/killed siblings: a live
-    # PID's dir is never touched, a dead PID's dir is unreferenced
+    # PID's dir is never touched, a dead (or impossible) PID's dir is
+    # unreferenced; an age floor catches PID-recycled leftovers, and
+    # /tmp being world-writable means a garbage suffix must never crash
+    # this contract entry (OverflowError from pid > pid_t included)
+    import time
     for d in os.listdir(tempfile.gettempdir()):
         if not d.startswith("maha-dedup-idx-"):
             continue
+        path = os.path.join(tempfile.gettempdir(), d)
         pid = d.rsplit("-", 1)[-1]
-        if pid.isdigit() and int(pid) != os.getpid():
-            try:
-                os.kill(int(pid), 0)
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
-                              ignore_errors=True)
-            except PermissionError:
-                pass            # live, other-user process
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        stale = False
+        try:
+            os.kill(int(pid), 0)
+        except (ProcessLookupError, OverflowError, ValueError):
+            stale = True        # no such process / not a possible pid
+        except PermissionError:
+            pass                # live, other-user process
+        try:
+            if not stale and os.path.getmtime(path) < time.time() - 7 * 86400:
+                stale = True    # recycled PID holding a week-old index
+        except OSError:
+            pass
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
     materialize_dedup_index(
         spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
     return (dedup_incremental(

@@ -203,9 +203,12 @@ def semdedup_sql_frame(emb: DataFrame, cents: DataFrame,
 
     from .similarity import _cos_sql
 
-    scored = (_ivf_assign(emb, cents, probe=1)
-              .selectExpr("vec_id", "embedding", "cell",
-                          "round(sim, 6) AS cent_sim"))
+    # consumed three times (both self-join sides + the final left join):
+    # cache so the assignment crossJoin + per-vec window runs once
+    scored = scoped_cache(
+        _ivf_assign(emb, cents, probe=1)
+        .selectExpr("vec_id", "embedding", "cell",
+                    "round(sim, 6) AS cent_sim"))
     a = scored.selectExpr("cell", "vec_id AS a_id", "embedding AS a_emb",
                           "cent_sim AS a_cs")
     b = scored.selectExpr("cell", "vec_id AS b_id", "embedding AS b_emb",
@@ -263,7 +266,8 @@ def semdedup_oracle(k: int = IVF_CELLS,
                        AS centroid
             FROM embeddings
             ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
-                                          1, 7))::BIGINT AS VARCHAR)
+                                          1, 7))::BIGINT AS VARCHAR),
+                     vec_id
             LIMIT {k}
         ),
         cents AS (

@@ -383,7 +383,11 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_CELLS,
                 "vec_id", "embedding",
                 "conv(substr(md5(CAST(vec_id AS STRING)), 1, 7), 16, 10) "
                 "AS h")
-             .orderBy("h").limit(k)
+             # vec_id tie-break: 28-bit prefixes can collide (birthday
+             # ~n²/2^29); without it the k-th seed at a collision
+             # boundary is arbitrary — and the semdedup driver oracle
+             # reproduces this exact ordering in DuckDB
+             .orderBy("h", "vec_id").limit(k)
              .selectExpr("embedding AS centroid")
              .selectExpr("CAST(row_number() OVER (ORDER BY centroid[0]) - 1 "
                          "AS INT) AS cell",

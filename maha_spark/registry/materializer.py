@@ -197,7 +197,11 @@ def _chain_frame(binding, registry: Registry, base: FactTable, enc):
     targets = set(want)
     if entry is not None:
         targets.add(entry)
-    paths = {tgt: _path_to(registry, first_dim, tgt) for tgt in targets}
+    # sorted: branch selection and want-emission order must be
+    # process-independent (PYTHONHASHSEED) — refresh_recommendation
+    # promises bit-identity with the original build across processes
+    paths = {tgt: _path_to(registry, first_dim, tgt)
+             for tgt in sorted(targets)}
     if not paths:
         paths = {first_dim: [first_dim]}
     children: dict[str, list[str]] = {}

@@ -61,15 +61,21 @@ def main() -> None:
     du = bench.time_duckdb(oracles, s_names, con, passes=PASSES)
     con.close()
 
+    # aggregate over queries BOTH engines timed successfully — a failed/
+    # zero timing on either side drops the query from both sums, never
+    # inflating or crashing the ratio
+    ok = [n for n in s_names if sp.get(n, 0) > 0 and du.get(n, 0) > 0]
     out = {
         "mult": MULT, "rows": rows, "cpus": cpus, "passes": PASSES,
         "spark_s": sp, "duck_dt_s": du,
         "ratio_per_query": {
-            n: (round(sp[n] / du[n], 3) if du.get(n, 0) > 0 else None)
+            n: (round(sp[n] / du[n], 3) if n in ok else None)
             for n in s_names},
-        "ratio_aggregate": round(
-            sum(sp.values()) / sum(v for v in du.values() if v > 0), 3),
-        "mrows_s": {n: round(rows / sp[n] / 1e6, 1) for n in s_names},
+        "ratio_aggregate": (round(sum(sp[n] for n in ok)
+                                  / sum(du[n] for n in ok), 3)
+                            if ok else None),
+        "excluded": [n for n in s_names if n not in ok],
+        "mrows_s": {n: round(rows / sp[n] / 1e6, 1) for n in ok},
     }
     dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v6.json")
     with open(dst, "w") as f:
