@@ -87,10 +87,11 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker — the ``v6`` suffix is the layout VERSION:
+    rounds via a _READY marker — the ``v7`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
-    old marker silently keep the old layout. v6 = the 100 TB storage
-    shape:
+    old marker silently keep the old layout. v7 = v6 plus the
+    ``value_hist`` histogram partial on ``events_hourly`` (r8 —
+    pre-aggregated quantile serving). The 100 TB storage shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
       (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
@@ -114,7 +115,7 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     from maha_spark.plans.binding import ParquetBinding
 
     dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v6")
+        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v7")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst

@@ -175,6 +175,103 @@ class HllUnionRollup(Rollup):
         return F.hll_union_agg(col, True)
 
 
+#: fixed-bin histogram defaults shared by every producer (registry
+#: columns, batch materializer, streaming ingest) — partials merge
+#: bin-by-bin, which is only valid when every producer agrees on
+#: (bins, lo, hi), exactly like HLL_LG_K above
+HIST_BINS = 50
+HIST_LO = 0.0
+HIST_HI = 500.0
+
+
+@dataclass(frozen=True)
+class HistogramRollup(Rollup):
+    """Mergeable fixed-bin histogram partial — the Druid
+    ``approxHistogram`` rollup-column shape re-expressed Spark-first:
+    pre-aggregated tables store ``array<bigint>`` bin counts, so
+    QUANTILE metrics (p50/p95 latency/value) re-aggregate at ANY coarser
+    grain bit-identically to computing them from raw rows (integer
+    counts merge losslessly; the quantile extraction
+    ``hist_quantile_sql`` is a deterministic function of the merged
+    array).
+
+    ``agg`` builds the histogram with ``bins`` parallel conditional SUM
+    aggregates inside one array — each is map-side partially aggregated
+    (no collect_list, no per-group state beyond ``bins`` longs), so the
+    build scales like any other sum partial at 100 TB. ``reagg`` merges
+    stored partials bin-by-bin. Values outside [lo, hi) clamp to the
+    edge bins (Druid's approxHistogram does the same with its
+    lowerLimit/upperLimit).
+
+    Beyond-reference operator (maha exposes no histogram aggregator);
+    modeled on the HllSketchRollup pattern above.
+    """
+
+    bins: int = HIST_BINS
+    lo: float = HIST_LO
+    hi: float = HIST_HI
+
+    def _bin(self, col: Column) -> Column:
+        w = (self.hi - self.lo) / self.bins
+        b = F.floor((col - F.lit(self.lo)) / F.lit(w)).cast("int")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(self.bins - 1))
+
+    def agg(self, col: Column) -> Column:
+        b = self._bin(col)
+        return F.array(*[
+            F.sum(F.when(col.isNotNull() & (b == i), F.lit(1))
+                  .otherwise(F.lit(0)).cast("bigint"))
+            for i in range(self.bins)])
+
+    def reagg(self, col: Column) -> Column:
+        return F.array(*[F.sum(col.getItem(i)) for i in range(self.bins)])
+
+
+@dataclass(frozen=True)
+class HistogramMergeRollup(Rollup):
+    """Re-aggregation side of ``HistogramRollup``: a table storing
+    histogram partials merges them bin-by-bin at any requested grain."""
+
+    bins: int = HIST_BINS
+
+    def agg(self, col: Column) -> Column:
+        return F.array(*[F.sum(col.getItem(i)) for i in range(self.bins)])
+
+
+def hist_quantile_sql(ref: str, p: float, bins: int = HIST_BINS,
+                      lo: float = HIST_LO, hi: float = HIST_HI) -> str:
+    """Quantile-``p`` extraction over a histogram partial as a pure SQL
+    expression (for a ``DerivedFactCol`` whose ``{ref}`` placeholder
+    resolves to the aggregated histogram array).
+
+    Count-rank semantics: target = ceil(p * total); the reported value
+    is the linear interpolation inside the bin where the cumulative
+    count crosses the target — ``lo + w * (bin + (target - before) /
+    in_bin)`` — every term an exact integer until the final double
+    arithmetic, so a DuckDB twin (window cumulative over unnested bins)
+    reproduces it bit-for-bit. NULL when the histogram is empty.
+    """
+    w = (hi - lo) / bins
+    tot = f"aggregate({ref}, CAST(0 AS BIGINT), (a, c) -> a + c)"
+    target = f"CAST(ceil({p!r} * {tot}) AS BIGINT)"
+    pairs = (f"zip_with({ref}, sequence(0, {bins - 1}), "
+             f"(c, b) -> named_struct('c', c, 'b', b))")
+    zero = "CAST(0 AS BIGINT)"
+    init = (f"named_struct('cum', {zero}, 'bin', -1, "
+            f"'before', {zero}, 'inbin', {zero})")
+    step = (f"(acc, e) -> IF(acc.bin >= 0, acc, "
+            f"IF(acc.cum + e.c >= {target}, "
+            f"named_struct('cum', acc.cum + e.c, 'bin', e.b, "
+            f"'before', acc.cum, 'inbin', e.c), "
+            f"named_struct('cum', acc.cum + e.c, 'bin', -1, "
+            f"'before', {zero}, 'inbin', {zero})))")
+    fold = f"aggregate({pairs}, {init}, {step})"
+    return (f"(CASE WHEN {tot} = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            f"{lo!r} + {w!r} * ({fold}.bin + "
+            f"CAST({target} - {fold}.before AS DOUBLE) / "
+            f"CAST({fold}.inbin AS DOUBLE)) END)")
+
+
 @dataclass(frozen=True)
 class RoundedSumRollup(Rollup):
     """RoundingDoubleSumAggregatorFactory (druid-lookups .../RoundingDoubleSumAggregatorFactory.java)."""

@@ -30,11 +30,13 @@ from ..core.grain import DAILY, HOURLY
 from ..core.filters import EqualityFilter, LessThanFilter
 from ..core.rollup import (
     AverageRollup, CardinalityRollup, CountRollup, FilteredRollup,
-    HLL_LG_K, HllSketchRollup, HllUnionRollup, MaxRollup,
-    MinRollup, NoopRollup, RoundedSumRollup, SumRollup,
+    HLL_LG_K, HistogramMergeRollup, HistogramRollup, HllSketchRollup,
+    HllUnionRollup, MaxRollup, MinRollup, NoopRollup, RoundedSumRollup,
+    SumRollup, hist_quantile_sql,
 )
 from ..core.types import (BinType, DateType, DecType, IntType,
-                          StaticMapping, StrType, TimestampType)
+                          PassthroughType, StaticMapping, StrType,
+                          TimestampType)
 from ..registry.cube import (
     DimensionTable, FactTable, PubCol, PublicDimension, PublicFact, Registry,
     ViewPart,
@@ -606,6 +608,18 @@ def build_contract_registry() -> Registry:
         "total_value": DerivedFactCol(
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
+        # mergeable fixed-bin histogram partial (Druid approxHistogram
+        # rollup column): quantile metrics served from ANY coarser
+        # pre-aggregation bit-identically to raw (core/rollup.py)
+        "value_hist": FactCol("value_hist", PassthroughType(),
+                              rollup=HistogramRollup(),
+                              expr="{value}", depends_on=("value",)),
+        "value_p95": DerivedFactCol(
+            "value_p95", DecType(),
+            expr=hist_quantile_sql("{value_hist}", 0.95)),
+        "value_p50": DerivedFactCol(
+            "value_p50", DecType(),
+            expr=hist_quantile_sql("{value_hist}", 0.50)),
         # POST_RESULT_DECODE (PostResultFunction.scala:42): expose the
         # metric only for rows whose status dim matches
         "value_if_click": PostResultCol(
@@ -650,6 +664,16 @@ def build_contract_registry() -> Registry:
         "total_value": DerivedFactCol(
             "total_value", DecType(),
             expr="(CAST({value_dec} AS DOUBLE) / 100000.0)"),
+        # stored histogram partials merge bin-by-bin at any grain, so
+        # the quantile metrics have no grain guard (like user_hll)
+        "value_hist": FactCol("value_hist", PassthroughType(),
+                              rollup=HistogramMergeRollup()),
+        "value_p95": DerivedFactCol(
+            "value_p95", DecType(),
+            expr=hist_quantile_sql("{value_hist}", 0.95)),
+        "value_p50": DerivedFactCol(
+            "value_p50", DecType(),
+            expr=hist_quantile_sql("{value_hist}", 0.50)),
         "value_if_click": PostResultCol(
             "value_if_click", DecType(),
             expr=("CASE WHEN {event_type} = 'click' THEN {total_value} "
@@ -670,6 +694,8 @@ def build_contract_registry() -> Registry:
                        PubCol("event_count", "event_count"),
                        PubCol("user_count", "user_cnt"),
                        PubCol("user_count_approx", "user_count_hll"),
+                       PubCol("value_p95", "value_p95"),
+                       PubCol("value_p50", "value_p50"),
                        PubCol("value_if_click", "value_if_click")],
         day_alias="day"))
 
@@ -1680,13 +1706,16 @@ def materialize_events_rollup(spark, src_dir: str, dst_dir: str) -> str:
     ev = ParquetBinding(spark, src_dir).table("events")
     out = os.path.join(dst_dir, "events_hourly.parquet")
     (ev.selectExpr(
-        "date_trunc('hour', ts) AS ts", "event_type", "user_id",
+        "date_trunc('hour', ts) AS ts", "event_type", "user_id", "value",
         "CAST(value * 100000 + 0.5 AS BIGINT) AS value_dec")
      .groupBy("ts", "event_type")
      .agg(F.sum("value_dec").alias("value_dec"),
           F.count(F.lit(1)).alias("event_count"),
           F.countDistinct("user_id").alias("user_cnt"),
-          F.hll_sketch_agg("user_id", HLL_LG_K).alias("user_hll"))
+          F.hll_sketch_agg("user_id", HLL_LG_K).alias("user_hll"),
+          # the SAME partial builder as the base cube column, so
+          # quantiles served from the rollup are bit-identical to raw
+          HistogramRollup().agg(F.col("value")).alias("value_hist"))
      # the registry declares partition_columns=['dt']: carry the column
      # so the planner's Day bound applies to it (row filter on the flat
      # fixture; a Hive-partitioned rewrite would prune directories)

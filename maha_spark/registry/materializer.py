@@ -72,11 +72,15 @@ _SUB_DAY = re.compile(r"(?i:hour|minute|second)|'[^']*[HhmsS][^']*'")
 def _carried_rollup(r, dtype) -> Optional[object]:
     """The rollup a stored partial re-declares with, or None if the
     metric cannot be carried as a lossless partial."""
+    from ..core.rollup import HistogramMergeRollup, HistogramRollup
     from ..core.types import IntType
     if isinstance(r, FilteredRollup):
         return _carried_rollup(r.base, dtype)
     if isinstance(r, CountRollup):
         return SumRollup()          # partial counts re-aggregate as SUM
+    if isinstance(r, (HistogramRollup, HistogramMergeRollup)):
+        # integer bin counts merge losslessly at any coarser grain
+        return HistogramMergeRollup(bins=r.bins)
     if isinstance(r, RoundedSumRollup):
         # round(sum(round(partials))) == round(sum(raw)) only when the
         # partials carry no sub-scale residue — integer columns (the

@@ -34,7 +34,8 @@ EVENT_SCHEMA = StructType([
 
 
 def hourly_stream(spark: SparkSession, events_dir: str,
-                  glob: str | None = None, with_sketch: bool = False) -> DataFrame:
+                  glob: str | None = None, with_sketch: bool = False,
+                  with_hist: bool = False) -> DataFrame:
     """readStream -> watermark -> 1h tumbling window aggregation.
 
     ``events_dir`` must be a directory (Spark file-source requirement);
@@ -64,6 +65,15 @@ def hourly_stream(spark: SparkSession, events_dir: str,
         aggs.append(F.hll_sketch_agg("user_id", HLL_LG_K)
                      .alias("user_hll"))
         outs.append("user_hll")
+    if with_hist:
+        # mergeable fixed-bin histogram partial at ingest — the SAME
+        # builder as the batch materializer and the base cube column
+        # (core/rollup.py HistogramRollup), so streamed quantile
+        # partials are bit-identical to the batch rollup's
+        from ..core.rollup import HistogramRollup
+        aggs.append(HistogramRollup().agg(F.col("value"))
+                    .alias("value_hist"))
+        outs.append("value_hist")
     return (ev
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"),
@@ -120,7 +130,8 @@ class bounded_shuffle:
 # ---------------------------------------------------------------- scale path
 def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
                  ckpt_dir: str, glob: str | None = None,
-                 with_sketch: bool = False) -> None:
+                 with_sketch: bool = False,
+                 with_hist: bool = False) -> None:
     """One availableNow drain of the backlog into a parquet APPEND sink.
 
     This is the production shape: finalized windows (watermark passed the
@@ -130,7 +141,7 @@ def drain_append(spark: SparkSession, events_dir: str, out_dir: str,
     source offsets + window state + sink commit log.
     """
     agg = hourly_stream(spark, events_dir, glob=glob,
-                        with_sketch=with_sketch)
+                        with_sketch=with_sketch, with_hist=with_hist)
     q = (agg.writeStream
          .format("parquet")
          .outputMode("append")
@@ -168,7 +179,8 @@ def write_sentinel(spark: SparkSession, input_dir: str,
 
 
 def streaming_hourly(spark: SparkSession, sf_dir: str,
-                     with_sketch: bool = False) -> DataFrame:
+                     with_sketch: bool = False,
+                     with_hist: bool = False) -> DataFrame:
     """Correctness entry for the APPEND-mode file-sink path: stage the
     events backlog, drain it, flush the tail windows with a sentinel
     batch, and read back the parquet output. Exercises multi-batch
@@ -199,12 +211,14 @@ def streaming_hourly(spark: SparkSession, sf_dir: str,
         # dominate the harness drain). Cross-DRAIN watermark advancement
         # stays pinned by test_streaming_append_sink_drops_late_rows.
         drain_append(spark, input_dir, out_dir, ckpt,
-                     with_sketch=with_sketch)
+                     with_sketch=with_sketch, with_hist=with_hist)
 
     out_schema = ("hour string, event_type string, "
                   "event_count long, total_value double")
     if with_sketch:
         out_schema += ", user_hll binary"
+    if with_hist:
+        out_schema += ", value_hist array<bigint>"
     return spark.read.schema(out_schema).parquet(out_dir)
 
 

@@ -112,3 +112,31 @@ def test_streamed_sketch_serves_approx_distinct_any_grain(spark, tmp_path):
     assert len(approx) == len(exact) > 0
     for day, est in approx.items():
         assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
+
+
+def test_streamed_histogram_partial_bit_matches_batch(spark, sf_dir):
+    """with_hist: the streaming drain computes the fixed-bin histogram
+    partial AT INGEST with the SAME builder as the batch materializer
+    (core/rollup.py HistogramRollup) — per-(hour, event_type) partials
+    are bit-identical integer arrays, so a stream-maintained rollup
+    serves quantiles exactly like the batch-built one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maha_spark.streaming.hourly import streaming_hourly
+
+    streamed = streaming_hourly(spark, sf_dir, with_hist=True)
+    got = {(r["hour"], r["event_type"]): list(r["value_hist"])
+           for r in streamed.collect()}
+
+    from maha_spark.core.rollup import HistogramRollup
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+             .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                    "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                      "event_type")
+             .agg(HistogramRollup().agg(F.col("value")).alias("h")))
+    want = {(r["hour"], r["event_type"]): list(r["h"])
+            for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -77,7 +77,7 @@ def main() -> None:
         "excluded": [n for n in s_names if n not in ok],
         "mrows_s": {n: round(rows / sp[n] / 1e6, 1) for n in ok},
     }
-    dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v6.json")
+    dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v7.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
