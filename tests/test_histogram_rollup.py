@@ -161,3 +161,44 @@ def test_advisor_carry_rule():
     assert isinstance(c, HistogramMergeRollup) and c.bins == 32
     c2 = _carried_rollup(HistogramMergeRollup(bins=32), DecType())
     assert isinstance(c2, HistogramMergeRollup) and c2.bins == 32
+
+
+def test_advised_rollup_carries_histogram_and_serves_p95(
+        spark, tmp_path_factory):
+    """Advisor loop x histogram partials, end to end: a day x event_type
+    grain advised from an events workload carries value_hist (the
+    _carried_rollup rule), and a p95 request is then SERVED from the
+    advised table bit-identical to raw — pre-aggregated percentiles
+    without any hand-built table."""
+    import json
+
+    from maha_spark.registry.advisor import _NdvProbe, recommend_rollups
+    from maha_spark.registry.materializer import apply_recommendation
+
+    d = str(tmp_path_factory.mktemp("hist_advised"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    reg = build_contract_registry()
+    eng = engine_for_dir(spark, reg, d)
+    req = {"cube": "events_cube",
+           "selectFields": [{"field": "day"}, {"field": "event_type"},
+                            {"field": "value_p95"},
+                            {"field": "event_count"}],
+           "filterExpressions": [EV_DAY]}
+    probe = _NdvProbe.fixed(
+        rows={"events": 500_000_000},
+        ndvs={("events", "ts"): 9000,          # ~hourly over a year
+              ("events", "event_type"): 5})
+    recs = recommend_rollups(eng, [json.dumps(req)] * 4, probe=probe)
+    assert recs, "no recommendation for the day x event_type workload"
+    t = apply_recommendation(eng, recs[0], d, "advised_events")
+    assert type(t.columns["value_hist"].rollup).__name__ \
+        == "HistogramMergeRollup"
+    assert "value_p95" in t.columns
+
+    raw = engine_for_dir(spark, build_contract_registry(), SRC)
+    rolled = engine_for_dir(spark, reg, d)
+    assert rolled.model(req).fact_table.name == "advised_events"
+    a = sorted(map(tuple, raw.dataframe(req).collect()))
+    b = sorted(map(tuple, rolled.dataframe(req).collect()))
+    assert a == b and len(a) > 0
