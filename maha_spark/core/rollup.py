@@ -218,13 +218,18 @@ class HistogramRollup(Rollup):
 
     def agg(self, col: Column) -> Column:
         b = self._bin(col)
+        # exclude NULL and NaN explicitly — a NaN would otherwise cast
+        # to bin 0 and silently drag quantiles down (note Spark's
+        # nonstandard NaN semantics: NaN = NaN is TRUE, so the SQL
+        # x = x idiom does NOT filter NaN here)
+        ok = col.isNotNull() & ~F.isnan(col.cast("double"))
         return F.array(*[
-            F.sum(F.when(col.isNotNull() & (b == i), F.lit(1))
+            F.sum(F.when(ok & (b == i), F.lit(1))
                   .otherwise(F.lit(0)).cast("bigint"))
             for i in range(self.bins)])
 
     def reagg(self, col: Column) -> Column:
-        return F.array(*[F.sum(col.getItem(i)) for i in range(self.bins)])
+        return HistogramMergeRollup(bins=self.bins).agg(col)
 
 
 @dataclass(frozen=True)

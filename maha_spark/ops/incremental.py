@@ -253,15 +253,21 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale = False
         try:
             os.kill(int(pid), 0)
+            # kill succeeded: SOME process owns the pid. It may be the
+            # living creator (whose lazy plans still read these files —
+            # never prune) or an unrelated recycler — indistinguishable,
+            # so err on keeping the dir.
         except (ProcessLookupError, OverflowError, ValueError):
             stale = True        # no such process / not a possible pid
         except PermissionError:
-            pass                # live, other-user process
-        try:
-            if not stale and os.path.getmtime(path) < time.time() - 7 * 86400:
-                stale = True    # recycled PID holding a week-old index
-        except OSError:
-            pass
+            # another USER's process holds the pid — our same-user
+            # creator is gone (its dirs are same-user), so this is a
+            # recycled pid; an age floor guards against rare same-pid
+            # same-window races
+            try:
+                stale = os.path.getmtime(path) < time.time() - 7 * 86400
+            except OSError:
+                pass
         if stale:
             shutil.rmtree(path, ignore_errors=True)
     materialize_dedup_index(

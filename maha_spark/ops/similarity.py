@@ -634,7 +634,10 @@ def _md5_seed_ids(emb: DataFrame, k: int) -> DataFrame:
                 "vec_id",
                 "conv(substr(md5(CAST(vec_id AS STRING)), 1, 7), 16, "
                 "10) AS h")
-            .orderBy("h").limit(k).select("vec_id"))
+            # vec_id tie-break: same rationale as ivf_centroids — a
+            # 28-bit prefix collision at the rank-k boundary must not
+            # make codebook training run-dependent
+            .orderBy("h", "vec_id").limit(k).select("vec_id"))
 
 
 def _train_codebooks(subs: DataFrame, seed_ids: DataFrame, k: int,

@@ -202,3 +202,16 @@ def test_advised_rollup_carries_histogram_and_serves_p95(
     a = sorted(map(tuple, raw.dataframe(req).collect()))
     b = sorted(map(tuple, rolled.dataframe(req).collect()))
     assert a == b and len(a) > 0
+
+
+def test_nan_values_excluded_from_histogram(spark):
+    """NaN must not be tallied (it would cast to bin 0 and drag
+    quantiles down); note Spark's NaN = NaN is TRUE, so this pins the
+    explicit isnan guard."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, float("nan")), (1, 250.0), (1, None)], "g INT, value DOUBLE")
+    h = (df.groupBy("g")
+         .agg(HistogramRollup().agg(F.col("value")).alias("h"))
+         .collect()[0]["h"])
+    assert sum(h) == 1 and h[0] == 0

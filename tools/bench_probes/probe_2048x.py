@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Round-8 trend guard: one more doubling of the scaled tier (2048x =
-~1.23B lineitem rows) over the v6 layout, checking that the flat ratio
-trend [128x 0.159, 256x 0.175, 512x 0.198, 1024x 0.168] holds. Reports
-per-query and aggregate spark/duckdb ratios plus the compact-file DuckDB
-denominator for the honest-throughput attribution (q6 dim-driven is the
-watch item — parity by design per README "Scaled-ratio trend").
+~1.23B lineitem rows) over the current bench layout (v7; the committed
+round-8 measurement `2048x_v6.json` ran on v6 — identical for every
+scaled query, v7 only adds the events_hourly histogram column), checking
+that the flat ratio trend [128x 0.159, 256x 0.175, 512x 0.198,
+1024x 0.168] holds (q6 dim-driven is the watch item — parity by design
+per README "Scaled-ratio trend").
 
-Writes tools/bench_probes/2048x_v6.json and prints it.
+Writes tools/bench_probes/{MULT}x_v7.json and prints it.
 Usage: python tools/bench_probes/probe_2048x.py  (~15 min first build)
 """
 
@@ -75,7 +76,10 @@ def main() -> None:
                                   / sum(du[n] for n in ok), 3)
                             if ok else None),
         "excluded": [n for n in s_names if n not in ok],
-        "mrows_s": {n: round(rows / sp[n] / 1e6, 1) for n in ok},
+        # Spark-only throughput needs no DuckDB denominator — keep every
+        # query Spark actually timed
+        "mrows_s": {n: round(rows / sp[n] / 1e6, 1)
+                    for n in s_names if sp.get(n, 0) > 0},
     }
     dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v7.json")
     with open(dst, "w") as f:
