@@ -215,3 +215,81 @@ def test_nan_values_excluded_from_histogram(spark):
          .agg(HistogramRollup().agg(F.col("value")).alias("h"))
          .collect()[0]["h"])
     assert sum(h) == 1 and h[0] == 0
+
+
+# ------------------------------------------------------- fuzz battery
+# randomized quantile requests (grain day/hour x optional event-type
+# filter x random p in {p50, p95} x random day windows) against a
+# GENERATED DuckDB window twin — the same treatment the other operator
+# families get in test_fuzz_requests.py.
+
+import datetime as _dt  # noqa: E402
+import random as _random  # noqa: E402
+
+_EV_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _gen_hist_case(rng):
+    grain = rng.choice(["day", "hour"])
+    field = rng.choice(["value_p95", "value_p50"])
+    p = 0.95 if field == "value_p95" else 0.50
+    start = _dt.date(2024, 1, 1) + _dt.timedelta(days=rng.randint(0, 10))
+    end = start + _dt.timedelta(days=rng.randint(2, 15))
+    filters = [{"field": "day", "operator": "between",
+                "from": start.isoformat(), "to": end.isoformat()}]
+    preds = [f"CAST(ts AS DATE) BETWEEN DATE '{start}' AND DATE '{end}'"]
+    if rng.random() < 0.5:
+        types = rng.sample(_EV_TYPES, rng.randint(1, 3))
+        filters.append({"field": "event_type", "operator": "in",
+                        "values": types})
+        tl = "', '".join(types)
+        preds.append(f"event_type IN ('{tl}')")
+    key_sql = ("strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+               if grain == "hour" else "CAST(ts AS DATE)")
+    sql = f"""
+        WITH b AS (
+            SELECT {key_sql} AS k, event_type,
+                   least(greatest(CAST(floor((value - {HIST_LO!r}) / {W!r})
+                                       AS INT), 0), {HIST_BINS - 1}) AS bin
+            FROM events
+            WHERE value IS NOT NULL AND {' AND '.join(preds)}
+        ), h AS (
+            SELECT k, event_type, bin, count(*) AS c FROM b GROUP BY ALL
+        ), e AS (
+            SELECT k, event_type, bin, c,
+                   sum(c) OVER (PARTITION BY k, event_type
+                                ORDER BY bin) AS cum,
+                   sum(c) OVER (PARTITION BY k, event_type) AS tot
+            FROM h
+        )
+        SELECT k, event_type,
+               {HIST_LO!r} + {W!r} * (bin +
+                   CAST(CAST(ceil({p!r} * tot) AS BIGINT) - (cum - c)
+                        AS DOUBLE) / CAST(c AS DOUBLE)) AS q
+        FROM e
+        WHERE cum >= CAST(ceil({p!r} * tot) AS BIGINT)
+          AND (cum - c) < CAST(ceil({p!r} * tot) AS BIGINT)
+    """
+    return {
+        "request": {"cube": "events_cube",
+                    "selectFields": [{"field": grain},
+                                     {"field": "event_type"},
+                                     {"field": field}],
+                    "filterExpressions": filters},
+        "grain": grain, "field": field, "sql": sql,
+    }
+
+
+_hist_rng = _random.Random(20260815)
+HIST_CASES = [_gen_hist_case(_hist_rng) for _ in range(12)]
+
+
+@pytest.mark.parametrize("case", HIST_CASES,
+                         ids=[f"hq{i:02d}" for i in range(len(HIST_CASES))])
+def test_fuzz_quantile_matches_window_twin(case, ev_engine, duck, spark,
+                                           tmp_path_factory):
+    got = {(str(r[case["grain"]]), r["event_type"]): r[case["field"]]
+           for r in ev_engine.dataframe(case["request"]).collect()}
+    want = {(str(k), et): q
+            for k, et, q in duck.execute(case["sql"]).fetchall()}
+    assert got == want and len(got) > 0, case["sql"]
