@@ -1,17 +1,23 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step defaults to a
-clearly-marked deterministic fake (dimensions derived from the payload's
-md5) — but the Spark-side plumbing is real and tested: binary column
-construction, explicit output schema, Arrow batch transfer, and a
-partition-preserving mapInPandas pipeline. ``decode_binary_features``
-probes for Pillow ON THE WORKER and decodes real pixels when present
-(``codec="auto"``/``"pil"``) behind the identical schema; everything
-else stands unchanged.
+Decode tiers, worker-probed per task:
 
-The driver-facing query (``mm_decode_features``) has a DuckDB oracle
-because the fake decode is pure md5 arithmetic expressible in SQL.
+* ``codec="pil"``/Pillow present — full-format real decode;
+* ``decode_png`` — a REAL pure-stdlib PNG decoder (zlib inflate + all
+  five scanline filters; no codec library at all), used by
+  ``codec="png"`` and, for PNG payloads, by ``codec="auto"`` — so even
+  this codec-less container decodes real pixels end-to-end
+  (``png_pixel_stats`` computes per-channel means over them);
+* the deterministic md5 stub (``codec="stub"``) for non-PNG payloads
+  without Pillow — the oracle-checked driver-contract path, kept
+  because the testdata corpus has no real image column.
+
+The Spark-side plumbing is identical in every tier: binary column
+construction, explicit output schema, Arrow batch transfer, and a
+partition-preserving mapInPandas pipeline. The driver-facing query
+(``mm_decode_features``) pins the stub codec so its DuckDB oracle (pure
+md5 arithmetic) stays valid in any environment.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from .common import load_table
@@ -65,6 +71,102 @@ def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     return width, height, "fake/rgb8"
 
 
+def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL pure-stdlib PNG decoder (zlib + struct — no codec library):
+    returns ``(width, height, channels, pixels)`` with ``pixels`` a
+    ``(height, width*channels)`` uint8 numpy array.
+
+    Scope: the baseline PNG profile — 8-bit depth, color types
+    gray(0)/RGB(2)/palette(3)/gray+alpha(4)/RGBA(6), non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth). Anything
+    outside raises ValueError (callers map that to 'undecodable').
+    Sub/Up un-filtering is numpy-vectorized; Average/Paeth keep the
+    spec's sequential left-dependency — this is the zero-dependency
+    CORRECTNESS decoder (and the swap-in point stays ``codec='pil'``
+    for a SIMD library when the environment ships one).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, hdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        pos += 8
+        data = payload[pos:pos + ln]
+        pos += ln + 4                        # skip CRC
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or nch is None or comp != 0 or filt != 0 or interlace:
+        raise ValueError("unsupported PNG profile")
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated scanlines")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            dtype=np.uint8).astype(np.int32)
+        if f == 1:      # Sub: per-channel-lane prefix sum (mod 256)
+            line = line.reshape(w, nch).cumsum(axis=0).reshape(stride)
+        elif f == 2:    # Up
+            line = line + prev
+        elif f == 3:    # Average: left term is sequential by spec
+            line = line.copy()
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] += (int(left) + int(prev[i])) // 2
+                line[i] &= 0xFF
+        elif f == 4:    # Paeth: sequential predictor
+            line = line.copy()
+            for i in range(stride):
+                a = int(line[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter {f}")
+        line = line & 0xFF
+        out[y] = line.astype(np.uint8)
+        prev = line
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        out = plte[out.reshape(h * w)].reshape(h, w * 3)
+        nch = 3
+    return w, h, nch, out
+
+
+def _stdlib_decode(payload: bytes) -> tuple[int | None, int | None, str]:
+    """Codec-chain step backed by ``decode_png``: real dimensions for
+    baseline PNGs, 'undecodable' for everything else."""
+    try:
+        w, h, _nch, _px = decode_png(payload)
+        return w, h, "image/png"
+    except Exception:
+        return None, None, "undecodable"
+
+
 def _make_pil_decode(Image):
     """Bind a decode-one over an already-resolved Pillow Image module (the
     probe runs once per task, not once per payload). Undecodable payloads
@@ -86,15 +188,17 @@ def decode_binary_features(binary_df: DataFrame,
                            codec: str = "auto") -> DataFrame:
     """(id, payload binary) -> typed features via Arrow-batched pandas.
 
-    ``codec``: ``"auto"`` uses Pillow when importable else the stub;
+    ``codec``: ``"auto"`` uses Pillow when importable, else the REAL
+    stdlib PNG decoder for PNG payloads with the stub for the rest;
     ``"stub"`` forces the deterministic fake (the oracle-checked path);
-    ``"pil"`` requires Pillow.
+    ``"pil"`` requires Pillow; ``"png"`` forces the stdlib PNG decoder
+    (non-PNG payloads come back 'undecodable').
 
     Scale notes: mapInPandas streams Arrow batches — no driver collect, no
     per-row Python calls; partitioning of the input is preserved, so at
     100 TB this runs one Python worker per core over ~10k-row batches.
     """
-    if codec not in ("auto", "stub", "pil"):
+    if codec not in ("auto", "stub", "pil", "png"):
         raise ValueError(f"unknown codec mode {codec!r}")
     # deliberately NO driver-side Pillow precheck for codec='pil': driver
     # and executors can have different installs, and a cluster with Pillow
@@ -110,8 +214,20 @@ def decode_binary_features(binary_df: DataFrame,
         Image = _probe_codec() if codec in ("auto", "pil") else None
         if codec == "pil" and Image is None:
             raise ImportError("codec='pil': Pillow missing on the worker")
-        use_real = Image is not None
-        decode_one = _make_pil_decode(Image) if use_real else _fake_decode
+        if Image is not None:
+            decode_one, use_real = _make_pil_decode(Image), True
+        elif codec == "png":
+            decode_one, use_real = _stdlib_decode, True
+        elif codec == "auto":
+            # no Pillow: REAL stdlib decode for PNG signatures, the
+            # deterministic stub for everything else
+            def decode_one(p: bytes):
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    return _stdlib_decode(p)
+                return _fake_decode(p)
+            use_real = True
+        else:
+            decode_one, use_real = _fake_decode, False
         # real decode can yield NULL dims (undecodable payloads) -> the
         # nullable Int32 extension dtype; the stub never does
         dim_dtype = "Int32" if use_real else "int32"
@@ -141,6 +257,58 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = docs.selectExpr("doc_id",
                              "CAST(encode(text, 'utf-8') AS BINARY) AS payload")
     return decode_binary_features(binary, codec="stub")
+
+
+PIXEL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("mean_r", DoubleType()),   # rounded to 4 dp
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+])
+
+
+def png_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL pixel feature extraction with zero codec dependencies:
+    decode each PNG payload with ``decode_png`` and emit per-channel
+    means (gray expands to r=g=b; alpha is dropped). Undecodable
+    payloads yield NULL dims/means — one corrupt object must not fail
+    the stage. Same 100 TB shape as the other mapInPandas ops: Arrow
+    batches, no driver collect, partitioning preserved."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, nch, px = decode_png(bytes(payload))
+                    m = px.reshape(h * w, nch).mean(axis=0,
+                                                    dtype=np.float64)
+                    rgb = (m[0], m[0], m[0]) if nch in (1, 2) \
+                        else (m[0], m[1], m[2])
+                    rows.append((int(doc_id), w, h, nch,
+                                 *(round(float(v), 4) for v in rgb)))
+                except Exception:
+                    rows.append((int(doc_id), None, None, None,
+                                 None, None, None))
+            yield pd.DataFrame({
+                "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="Int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="Int32"),
+                "channels": pd.Series([r[3] for r in rows],
+                                      dtype="Int32"),
+                "mean_r": pd.Series([r[4] for r in rows],
+                                    dtype="float64"),
+                "mean_g": pd.Series([r[5] for r in rows],
+                                    dtype="float64"),
+                "mean_b": pd.Series([r[6] for r in rows],
+                                    dtype="float64"),
+            })
+
+    return binary_df.mapInPandas(stats, schema=PIXEL_SCHEMA)
 
 
 RESIZE_BOX = 256
