@@ -112,10 +112,22 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if depth != 8 or nch is None or comp != 0 or filt != 0 or interlace:
         raise ValueError("unsupported PNG profile")
+    # dimension sanity: zero/degenerate dims must not decode
+    # "successfully" (a w=2^31 h=0 IHDR would otherwise survive to the
+    # Int32 batch column and fail the whole stage), and the pixel
+    # buffer must be bounded BEFORE inflation
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20
+            and w * h * nch <= 1 << 30):
+        raise ValueError("implausible PNG dimensions")
     stride = w * nch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("truncated scanlines")
+    expect = h * (stride + 1)
+    # bounded inflate: a corrupt/crafted IDAT must not decompression-
+    # bomb the worker — inflate at most expect+1 bytes and reject any
+    # over/under-length stream
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expect + 1)
+    if len(raw) != expect or d.unconsumed_tail or d.flush(1):
+        raise ValueError("wrong-length scanline stream")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):

@@ -26,17 +26,21 @@ SRC = "/root/testdata/sf0.001"
 W = (HIST_HI - HIST_LO) / HIST_BINS
 
 
-def duck_quantile_sql(p: float, keys: str = "event_type") -> str:
+def duck_quantile_sql(p: float, keys_select: str = "event_type",
+                      keys: str = "event_type",
+                      where: str = "value IS NOT NULL") -> str:
     """Independent DuckDB twin of the engine's histogram quantile:
     per-row fixed-bin assignment, per-group bin counts, window
     cumulative, then the SAME interpolation arithmetic
-    (lo + w * (bin + (target - before) / in_bin))."""
+    (lo + w * (bin + (target - before) / in_bin)). ONE definition,
+    parametrized by key select-exprs / bare key aliases / predicate —
+    the fuzz battery reuses it so the two twins cannot drift."""
     return f"""
         WITH b AS (
-            SELECT {keys},
+            SELECT {keys_select},
                    least(greatest(CAST(floor((value - {HIST_LO!r}) / {W!r})
                                        AS INT), 0), {HIST_BINS - 1}) AS bin
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE {where}
         ), h AS (
             SELECT {keys}, bin, count(*) AS c FROM b GROUP BY ALL
         ), e AS (
@@ -246,30 +250,10 @@ def _gen_hist_case(rng):
         preds.append(f"event_type IN ('{tl}')")
     key_sql = ("strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
                if grain == "hour" else "CAST(ts AS DATE)")
-    sql = f"""
-        WITH b AS (
-            SELECT {key_sql} AS k, event_type,
-                   least(greatest(CAST(floor((value - {HIST_LO!r}) / {W!r})
-                                       AS INT), 0), {HIST_BINS - 1}) AS bin
-            FROM events
-            WHERE value IS NOT NULL AND {' AND '.join(preds)}
-        ), h AS (
-            SELECT k, event_type, bin, count(*) AS c FROM b GROUP BY ALL
-        ), e AS (
-            SELECT k, event_type, bin, c,
-                   sum(c) OVER (PARTITION BY k, event_type
-                                ORDER BY bin) AS cum,
-                   sum(c) OVER (PARTITION BY k, event_type) AS tot
-            FROM h
-        )
-        SELECT k, event_type,
-               {HIST_LO!r} + {W!r} * (bin +
-                   CAST(CAST(ceil({p!r} * tot) AS BIGINT) - (cum - c)
-                        AS DOUBLE) / CAST(c AS DOUBLE)) AS q
-        FROM e
-        WHERE cum >= CAST(ceil({p!r} * tot) AS BIGINT)
-          AND (cum - c) < CAST(ceil({p!r} * tot) AS BIGINT)
-    """
+    sql = duck_quantile_sql(
+        p, keys_select=f"{key_sql} AS k, event_type",
+        keys="k, event_type",
+        where=f"value IS NOT NULL AND {' AND '.join(preds)}")
     return {
         "request": {"cube": "events_cube",
                     "selectFields": [{"field": grain},
@@ -286,8 +270,7 @@ HIST_CASES = [_gen_hist_case(_hist_rng) for _ in range(12)]
 
 @pytest.mark.parametrize("case", HIST_CASES,
                          ids=[f"hq{i:02d}" for i in range(len(HIST_CASES))])
-def test_fuzz_quantile_matches_window_twin(case, ev_engine, duck, spark,
-                                           tmp_path_factory):
+def test_fuzz_quantile_matches_window_twin(case, ev_engine, duck):
     got = {(str(r[case["grain"]]), r["event_type"]): r[case["field"]]
            for r in ev_engine.dataframe(case["request"]).collect()}
     want = {(str(k), et): q

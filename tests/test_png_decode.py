@@ -133,7 +133,13 @@ def test_spark_pipeline_decodes_real_pixels(spark):
 
 def test_codec_auto_uses_real_png_decode(spark):
     """codec='auto' without Pillow: PNG payloads get REAL dimensions
-    (not the md5 fake), non-PNG payloads keep the deterministic stub."""
+    (not the md5 fake), non-PNG payloads keep the deterministic stub.
+    In a Pillow-equipped environment auto resolves to Pillow instead
+    (pinned by tests/test_ops.py::test_binary_decode_codec_paths), so
+    the stub-fallback assertions here only apply without it."""
+    from maha_spark.ops import multimodal as mm
+    if mm.HAS_CODEC:
+        pytest.skip("Pillow present: auto resolves to the PIL path")
     from maha_spark.ops.multimodal import _fake_decode
     rng = np.random.RandomState(9)
     png = encode_png(_rand_px(rng, 3, 5, 3), 2)
@@ -150,3 +156,48 @@ def test_codec_auto_uses_real_png_decode(spark):
     got2 = {r["doc_id"]: r["format"]
             for r in decode_binary_features(df, codec="png").collect()}
     assert got2 == {1: "image/png", 2: "undecodable"}
+
+
+def test_degenerate_dimensions_rejected():
+    """A crafted IHDR with zero height / absurd width must raise in
+    decode_png (an Int32-overflowing 'success' would fail the whole
+    Spark batch), and must surface as NULLs — not a stage failure —
+    through the pipeline."""
+    ihdr = struct.pack(">IIBBBBB", 2**31 - 1, 0, 8, 0, 0, 0, 0)
+    crafted = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(b""))
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(crafted)
+
+
+def test_decompression_bomb_rejected():
+    """A few-KB IDAT inflating far past the declared pixel buffer must
+    be rejected by the bounded inflate, not fully decompressed."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # ~50 MB -> KBs
+    crafted = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    import time
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        decode_png(crafted)
+    assert time.time() - t0 < 1.0  # rejected without inflating 50 MB
+
+
+def test_crafted_payloads_yield_nulls_in_pipeline(spark):
+    """End-to-end contract: crafted/corrupt payloads become NULL rows,
+    never a stage failure."""
+    ihdr = struct.pack(">IIBBBBB", 2**31 - 1, 0, 8, 0, 0, 0, 0)
+    crafted = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(b""))
+               + _chunk(b"IEND", b""))
+    rng = np.random.RandomState(21)
+    ok = encode_png(_rand_px(rng, 2, 2, 3), 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(crafted)), (2, bytearray(ok))],
+        "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: (r["width"], r["channels"])
+           for r in png_pixel_stats(df).collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (2, 3)
