@@ -9,6 +9,8 @@ Decode tiers, worker-probed per task:
   ``codec="png"`` and, for PNG payloads, by ``codec="auto"`` — so even
   this codec-less container decodes real pixels end-to-end
   (``png_pixel_stats`` computes per-channel means over them);
+  ``decode_wav`` / ``wav_audio_stats`` are the audio twin (stdlib
+  ``wave`` PCM: sample rate, duration, RMS);
 * the deterministic md5 stub (``codec="stub"``) for non-PNG payloads
   without Pillow — the oracle-checked driver-contract path, kept
   because the testdata corpus has no real image column.
@@ -321,6 +323,85 @@ def png_pixel_stats(binary_df: DataFrame) -> DataFrame:
             })
 
     return binary_df.mapInPandas(stats, schema=PIXEL_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_s", DoubleType()),   # rounded to 6 dp
+    StructField("rms", DoubleType()),          # rounded to 6 dp, [0, 1]
+])
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL pure-stdlib WAV (PCM) decoder via the ``wave`` module:
+    returns ``(sample_rate, channels, n_frames, samples)`` with
+    ``samples`` a float64 numpy array of shape (n_frames, channels)
+    normalized to [-1, 1]. 8/16/32-bit PCM; anything else (24-bit,
+    compressed codecs) raises ValueError -> 'undecodable' upstream."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sw, nch = w.getsampwidth(), w.getnchannels()
+            sr, nf = w.getframerate(), w.getnframes()
+            frames = w.readframes(nf)
+    except Exception as e:
+        raise ValueError(f"not a PCM WAV: {e}") from e
+    if sw == 1:         # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) \
+            / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if nch <= 0 or sr <= 0 or x.size != nf * nch:
+        raise ValueError("inconsistent WAV header")
+    return sr, nch, nf, x.reshape(nf, nch)
+
+
+def wav_audio_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction with zero codec dependencies:
+    sample rate / channels / duration / overall RMS amplitude per PCM
+    WAV payload (the audio twin of ``png_pixel_stats``). Undecodable
+    payloads yield NULLs, never a stage failure; same Arrow-batched
+    mapInPandas shape as every multimodal op."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    sr, nch, nf, x = decode_wav(bytes(payload))
+                    rms = float(np.sqrt((x * x).mean())) if nf else 0.0
+                    rows.append((int(doc_id), sr, nch, nf,
+                                 round(nf / sr, 6), round(rms, 6)))
+                except Exception:
+                    rows.append((int(doc_id), None, None, None,
+                                 None, None))
+            yield pd.DataFrame({
+                "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "sample_rate": pd.Series([r[1] for r in rows],
+                                         dtype="Int32"),
+                "channels": pd.Series([r[2] for r in rows],
+                                      dtype="Int32"),
+                "n_frames": pd.Series([r[3] for r in rows],
+                                      dtype="Int64"),
+                "duration_s": pd.Series([r[4] for r in rows],
+                                        dtype="float64"),
+                "rms": pd.Series([r[5] for r in rows], dtype="float64"),
+            })
+
+    return binary_df.mapInPandas(stats, schema=AUDIO_SCHEMA)
 
 
 RESIZE_BOX = 256

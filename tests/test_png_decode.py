@@ -201,3 +201,56 @@ def test_crafted_payloads_yield_nulls_in_pipeline(spark):
            for r in png_pixel_stats(df).collect()}
     assert got[1] == (None, None)
     assert got[2] == (2, 3)
+
+
+# ------------------------------------------------------------- WAV audio
+def _make_wav(sr=8000, nch=1, sw=2, seconds=0.25, freq=440.0, amp=0.5):
+    """Test-side PCM WAV writer (stdlib wave): a pure sine at ``freq``
+    with amplitude ``amp`` — RMS is amp/sqrt(2) analytically."""
+    import io
+    import wave
+
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    if sw == 2:
+        pcm = (x * 32767).astype("<i2")
+    elif sw == 1:
+        pcm = ((x * 127) + 128).astype(np.uint8)
+    else:
+        pcm = (x * (2**31 - 1)).astype("<i4")
+    data = np.repeat(pcm[:, None], nch, axis=1).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(sr)
+        w.writeframes(data)
+    return buf.getvalue(), n
+
+
+@pytest.mark.parametrize("sw,nch", [(1, 1), (2, 1), (2, 2), (4, 2)])
+def test_wav_roundtrip_rms(sw, nch):
+    from maha_spark.ops.multimodal import decode_wav
+    payload, n = _make_wav(sw=sw, nch=nch, amp=0.5)
+    sr, ch, nf, x = decode_wav(payload)
+    assert (sr, ch, nf) == (8000, nch, n)
+    rms = float(np.sqrt((x * x).mean()))
+    # analytic sine RMS = amp/sqrt(2); quantization bounds the error
+    tol = 0.02 if sw == 1 else 0.001
+    assert abs(rms - 0.5 / np.sqrt(2)) < tol, rms
+
+
+def test_wav_spark_pipeline(spark):
+    from maha_spark.ops.multimodal import wav_audio_stats
+    good, n = _make_wav(sr=16000, nch=2, sw=2, seconds=0.125)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"RIFFgarbage")),
+         (3, bytearray(b""))],
+        "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: (r["sample_rate"], r["channels"], r["n_frames"],
+                         r["duration_s"]) for r in
+           wav_audio_stats(df).collect()}
+    assert got[1] == (16000, 2, n, round(n / 16000, 6))
+    assert got[2] == (None, None, None, None)
+    assert got[3] == (None, None, None, None)
