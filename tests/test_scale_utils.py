@@ -55,3 +55,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+
+def test_compact_day_partitions_bit_identical_and_scoped(spark, tmp_path):
+    """Fragmented dt= directories are bin-packed back to one file per
+    day with the row multiset unchanged; already-compact days are
+    physically untouched (mtime + file listing pinned)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maha_spark.plans.scale import (compact_day_partitions,
+                                        overwrite_day_partitions)
+
+    dst = str(tmp_path / "t")
+    df = spark.range(3000).select(
+        F.concat(F.lit("2024-01-0"),
+                 (F.col("id") % 3 + 1).cast("string")).alias("dt"),
+        F.col("id").alias("v"))
+    overwrite_day_partitions(df, dst)
+    # fragment two of the three days: append extra small files
+    for day in ("2024-01-01", "2024-01-02"):
+        extra = spark.range(5).select(
+            F.lit(day).alias("dt"), (F.col("id") + 10_000).alias("v"))
+        (extra.repartition(4).write.mode("append")
+         .partitionBy("dt").parquet(dst))
+    before = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    compact_dir = os.path.join(dst, "dt=2024-01-03")
+    untouched = sorted(os.listdir(compact_dir))
+    mtime = os.path.getmtime(compact_dir)
+
+    days = compact_day_partitions(spark, dst, min_files=2)
+    assert sorted(days) == ["2024-01-01", "2024-01-02"]
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert after == before                       # bit-identical rows
+    for day in days:                             # now one file per day
+        p = os.path.join(dst, f"dt={day}")
+        assert len([f for f in os.listdir(p)
+                    if f.endswith(".parquet")]) == 1
+    assert sorted(os.listdir(compact_dir)) == untouched
+    assert os.path.getmtime(compact_dir) == mtime
+    # idempotent: nothing left to compact
+    assert compact_day_partitions(spark, dst, min_files=2) == []
