@@ -213,8 +213,13 @@ class HistogramRollup(Rollup):
 
     def _bin(self, col: Column) -> Column:
         w = (self.hi - self.lo) / self.bins
-        b = F.floor((col - F.lit(self.lo)) / F.lit(w)).cast("int")
-        return F.least(F.greatest(b, F.lit(0)), F.lit(self.bins - 1))
+        # clamp on the LONG floor result, cast to int only afterwards:
+        # with ANSI off, casting a beyond-2^31 raw bin index to int
+        # overflow-wraps, so an extreme outlier could land in an
+        # arbitrary bin (even bin 0) instead of the top edge bin
+        b = F.floor((col - F.lit(self.lo)) / F.lit(w))
+        return (F.least(F.greatest(b, F.lit(0)), F.lit(self.bins - 1))
+                .cast("int"))
 
     def agg(self, col: Column) -> Column:
         b = self._bin(col)

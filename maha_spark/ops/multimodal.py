@@ -101,7 +101,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
         data = payload[pos:pos + ln]
         pos += ln + 4                        # skip CRC
         if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
+            # a truncated chunk (IHDR declaring length 13 with fewer
+            # payload bytes remaining) must honor the documented
+            # "anything out of scope raises ValueError" contract, not
+            # leak struct.error to the caller
+            try:
+                hdr = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:
+                raise ValueError(f"truncated IHDR chunk: {e}") from e
         elif typ == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":

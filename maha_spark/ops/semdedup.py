@@ -262,7 +262,8 @@ def semdedup_oracle(k: int = IVF_CELLS,
     cos_ab = _cos_sql("a.embedding", "b.embedding", one_based=True)
     return f"""
         WITH seeds AS (
-            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+            SELECT vec_id AS seed_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
                        AS centroid
             FROM embeddings
             ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
@@ -271,8 +272,11 @@ def semdedup_oracle(k: int = IVF_CELLS,
             LIMIT {k}
         ),
         cents AS (
-            SELECT CAST(row_number() OVER (ORDER BY centroid[1]) - 1
-                        AS INT) AS cell,
+            -- seed_id tie-break mirrors the Spark renumbering exactly:
+            -- without it, seeds sharing a first coordinate get
+            -- engine-dependent cell ids and the hash check diverges
+            SELECT CAST(row_number() OVER (ORDER BY centroid[1], seed_id)
+                        - 1 AS INT) AS cell,
                    centroid
             FROM seeds
         ),

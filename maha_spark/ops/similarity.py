@@ -388,9 +388,14 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_CELLS,
              # boundary is arbitrary — and the semdedup driver oracle
              # reproduces this exact ordering in DuckDB
              .orderBy("h", "vec_id").limit(k)
-             .selectExpr("embedding AS centroid")
-             .selectExpr("CAST(row_number() OVER (ORDER BY centroid[0]) - 1 "
-                         "AS INT) AS cell",
+             .selectExpr("vec_id AS seed_id", "embedding AS centroid")
+             # seed_id tie-break on the renumbering too: two seed
+             # centroids sharing a first coordinate would otherwise get
+             # engine/run-dependent cell ids (same collision class as
+             # the h tie-break above); the DuckDB semdedup oracle
+             # mirrors this exact ordering
+             .selectExpr("CAST(row_number() OVER (ORDER BY centroid[0], "
+                         "seed_id) - 1 AS INT) AS cell",
                          "transform(centroid, x -> CAST(x AS DOUBLE)) "
                          "AS centroid"))
     cents = seeds
@@ -648,10 +653,14 @@ def _train_codebooks(subs: DataFrame, seed_ids: DataFrame, k: int,
     from pyspark.sql import functions as F
 
     cents = (subs.join(F.broadcast(seed_ids), "vec_id")
-             .selectExpr("sub", "svec AS centroid")
+             .selectExpr("sub", "vec_id AS seed_id", "svec AS centroid")
+             # seed_id tie-break: same collision class as ivf_centroids'
+             # cell renumbering — sub-centroids sharing a first
+             # coordinate must still get deterministic codes
              .selectExpr("sub", "centroid",
                          "CAST(row_number() OVER (PARTITION BY sub "
-                         "ORDER BY centroid[0]) - 1 AS INT) AS code"))
+                         "ORDER BY centroid[0], seed_id) - 1 "
+                         "AS INT) AS code"))
     for _ in range(iters):
         best = _assign_nearest_sub(subs, cents)
         cents = (best.groupBy("sub", "code")

@@ -82,7 +82,8 @@ def partition_fact(spark: SparkSession, src_parquet: str, dst_dir: str,
 
 
 def overwrite_day_partitions(df: DataFrame, dst_dir: str,
-                             partition_col: str = "dt") -> None:
+                             partition_col: str = "dt",
+                             max_records_per_file: int | None = None) -> None:
     """Write ``df`` into a Hive day-partitioned parquet directory,
     replacing ONLY the ``partition_col`` values present in ``df`` (Spark's
     dynamic partition-overwrite, scoped to this write via the writer
@@ -108,12 +109,15 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     # co-locate each day before the write: without this every task emits
     # a file into every dt= directory it holds rows for (days x tasks
     # tiny files); hash-repartitioned on the partition column, each day
-    # lands wholly in one task -> one file per directory
-    (df.repartition(F.col(partition_col))
-       .write.mode("overwrite")
-       .option("partitionOverwriteMode", "dynamic")
-       .partitionBy(partition_col)
-       .parquet(dst_dir))
+    # lands wholly in one task -> one file per directory (or, with
+    # max_records_per_file set, ceil(day_rows / cap) files — the writer
+    # rolls to a new file per cap records WITHIN the task)
+    writer = (df.repartition(F.col(partition_col))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic"))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(partition_col).parquet(dst_dir)
     # a rewrite scoped inside EXISTING dt= subdirectories does not bump
     # the table root's mtime, but ParquetBinding memoizes DataFrames (and
     # byte/row gates) keyed on that mtime — bump it here so EVERY caller
@@ -127,8 +131,10 @@ def compact_day_partitions(spark: SparkSession, dst_dir: str,
                            target_file_mb: int = 256,
                            min_files: int = 2) -> list[str]:
     """Bin-pack the small files inside a Hive day-partitioned table back
-    into ~``target_file_mb`` files per day, bit-identically (row
-    multiset per day unchanged; only the file layout changes).
+    into files of ~``target_file_mb`` each (a day of B bytes is rewritten
+    into ~ceil(B / target_file_mb) files via the writer's per-task
+    records-per-file cap), bit-identically (row multiset per day
+    unchanged; only the file layout changes).
 
     The 100 TB maintenance job this automates: streaming appends and
     per-batch incremental refreshes accumulate many small files per
@@ -147,6 +153,7 @@ def compact_day_partitions(spark: SparkSession, dst_dir: str,
     import os
 
     days: list[str] = []
+    sel_bytes = 0
     for d in sorted(os.listdir(dst_dir)):
         if not d.startswith(f"{partition_col}="):
             continue
@@ -160,15 +167,30 @@ def compact_day_partitions(spark: SparkSession, dst_dir: str,
         if want >= len(files):
             continue
         days.append(d.split("=", 1)[1])
+        sel_bytes += total
 
     if not days:
         return []
     # one job for ALL days needing compaction: read them (partition-
-    # pruned), coalesce per day to the target count, dynamic-overwrite
-    # only those directories. At the common target (one file/day) the
-    # repartition inside overwrite_day_partitions already yields exactly
-    # one file per dt directory.
+    # pruned) and MATERIALIZE via localCheckpoint BEFORE the overwrite —
+    # the write deletes the very files this read consumes, and without
+    # the checkpoint that is only safe because overwrite_day_partitions
+    # happens to shuffle (repartition) and dynamic overwrite defers
+    # deletion to commit; the checkpoint makes the decoupling explicit
+    # instead of an accident of the downstream plan.
     df = (spark.read.parquet(dst_dir)
-          .filter(F.col(partition_col).isin(days)))
-    overwrite_day_partitions(df, dst_dir, partition_col=partition_col)
+          .filter(F.col(partition_col).isin(days))
+          .localCheckpoint(eager=True))
+    # honor target_file_mb per day: the per-task writer rolls to a new
+    # file every max_records_per_file rows, so a day of B bytes lands in
+    # ~ceil(B / target) files instead of collapsing into one oversized
+    # file. Bytes/row is estimated over the selected days (compressed
+    # parquet bytes — close enough for a file-COUNT target).
+    n_rows = df.count()
+    cap = None
+    if n_rows > 0 and sel_bytes > 0:
+        per_row = sel_bytes / n_rows
+        cap = max(1, math.ceil(target_file_mb * 1024 * 1024 / per_row))
+    overwrite_day_partitions(df, dst_dir, partition_col=partition_col,
+                             max_records_per_file=cap)
     return days

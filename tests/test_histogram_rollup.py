@@ -158,6 +158,22 @@ def test_clamping_to_edge_bins(spark):
     assert h[0] == 1 and h[-1] == 1 and sum(h) == 3
 
 
+def test_extreme_outlier_clamps_to_top_bin(spark):
+    """Clamp happens on the LONG floor result BEFORE the int cast: a
+    value whose raw bin index is exactly 2^32 would overflow-wrap the
+    int cast to bin 0 under the old cast-then-clamp order (ANSI off);
+    it must land in the top edge bin."""
+    from pyspark.sql import functions as F
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    wrap_to_zero = HIST_LO + w * float(1 << 32)   # raw bin = 2^32 -> int 0
+    df = spark.createDataFrame(
+        [(1, wrap_to_zero), (1, -1e18), (1, 250.0)], "g INT, value DOUBLE")
+    h = (df.groupBy("g")
+         .agg(HistogramRollup().agg(F.col("value")).alias("h"))
+         .collect()[0]["h"])
+    assert h[-1] == 1 and h[0] == 1 and sum(h) == 3
+
+
 def test_advisor_carry_rule():
     from maha_spark.registry.materializer import _carried_rollup
     from maha_spark.core.types import DecType

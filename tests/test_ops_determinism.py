@@ -69,3 +69,35 @@ def test_clusters_distributed_cc_path(spark, monkeypatch, tmp_path):
     rel = sorted(map(tuple, dedup.dedup_clusters(
         spark, sf, reliable_checkpoint=True).collect()))
     assert local == rel
+
+
+def test_centroid_renumbering_tie_break(spark):
+    """Cell renumbering must be deterministic even when seed centroids
+    share a first coordinate: every vector below has embedding[0] = 0.5,
+    so without the seed_id tie-break the k cell ids are engine/run
+    arbitrary. The expected order is recomputed independently in Python
+    from the same (md5-prefix h, vec_id) seed rule + (centroid[0],
+    seed_id) renumbering."""
+    import hashlib
+
+    from maha_spark.ops.similarity import DIM, ivf_centroids
+
+    n, k = 40, 4
+    rows = [(i, [0.5] + [float((i * 7 + c) % 13) / 13.0
+                         for c in range(DIM - 1)])
+            for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    def h(i):
+        # conv(substr(md5(id),1,7),16,10) returns a decimal STRING ->
+        # the Spark orderBy is lexicographic on the digits
+        return str(int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16))
+
+    seed_ids = sorted(range(n), key=lambda i: (h(i), i))[:k]
+    # all centroid[0] equal -> renumbering order is seed_id order
+    expected = {cell: dict(rows)[sid]
+                for cell, sid in enumerate(sorted(seed_ids))}
+    got = {r["cell"]: r["centroid"]
+           for r in ivf_centroids(emb, k=k, iters=0).collect()}
+    assert got == expected

@@ -108,6 +108,16 @@ def test_unsupported_profiles_raise():
         decode_png(bad)
 
 
+def test_truncated_ihdr_raises_valueerror():
+    """The documented contract is ValueError for anything out of scope —
+    a chunk header declaring 13 IHDR bytes with fewer payload bytes
+    remaining must not leak struct.error to the caller."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    truncated = sig + struct.pack(">I4s", 13, b"IHDR") + b"\x00\x00\x00\x01"
+    with pytest.raises(ValueError, match="truncated IHDR"):
+        decode_png(truncated)
+
+
 def test_spark_pipeline_decodes_real_pixels(spark):
     """The full mapInPandas path: generated PNGs (mixed color types and
     filters) -> png_pixel_stats matches numpy-computed means; a corrupt

@@ -97,3 +97,39 @@ def test_compact_day_partitions_bit_identical_and_scoped(spark, tmp_path):
     assert os.path.getmtime(compact_dir) == mtime
     # idempotent: nothing left to compact
     assert compact_day_partitions(spark, dst, min_files=2) == []
+
+
+def test_compact_day_partitions_honors_target_file_size(spark, tmp_path):
+    """A day LARGER than target_file_mb is rewritten into ~ceil(bytes /
+    target) files, not collapsed into one oversized file (the writer's
+    per-task records-per-file cap) — and the rewrite stays
+    bit-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maha_spark.plans.scale import compact_day_partitions
+
+    dst = str(tmp_path / "t")
+    # ~3-4 MB of incompressible payload in ONE day, fragmented 8 ways
+    df = spark.range(100_000).select(
+        F.lit("2024-02-01").alias("dt"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+    (df.repartition(8).write.mode("overwrite")
+     .partitionBy("dt").parquet(dst))
+    day_dir = os.path.join(dst, "dt=2024-02-01")
+    n_before = len([f for f in os.listdir(day_dir)
+                    if f.endswith(".parquet")])
+    assert n_before == 8
+    before = sorted(map(tuple, spark.read.parquet(dst).collect()))
+
+    days = compact_day_partitions(spark, dst, target_file_mb=1,
+                                  min_files=2)
+    assert days == ["2024-02-01"]
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert after == before
+    n_after = len([f for f in os.listdir(day_dir)
+                   if f.endswith(".parquet")])
+    # split toward the 1 MB target: more than one file, fewer than the
+    # fragment count (compressed-bytes/row estimate -> approximate)
+    assert 1 < n_after < n_before
