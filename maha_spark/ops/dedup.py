@@ -155,10 +155,48 @@ def verified_jaccard_pairs(cand: DataFrame, a_sh: DataFrame,
             .filter(f"jaccard >= {JACCARD_T}"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cap_hot_buckets(bands: DataFrame, cap: int,
+                    keys: tuple[str, ...] = ("band", "key")) -> DataFrame:
+    """Drop LSH bucket rows whose bucket holds more than ``cap``
+    documents BEFORE the candidate self-join — the hot-bucket guard.
+
+    A boilerplate-heavy corpus (identical license headers, cookie
+    banners) puts N documents into one (band, key) bucket and the
+    self-join emits N^2/2 candidate pairs before the exact verify; at
+    100 TB a single hot band is a straggler task that can OOM. One
+    window count over the join key bounds that: a bucket contributes at
+    most cap^2/2 candidates.
+
+    Semantics (documented, not silent): pairs whose ONLY collision is
+    an over-cap bucket are not enumerated. With multiple independent
+    bands a true near-dup pair collides in several buckets w.h.p., so
+    the loss is confined to duplicate FAMILIES larger than ``cap`` —
+    whose pair lists are quadratic in family size and belong on the
+    clustering path (``dedup_clusters`` represents an N-member family
+    as one cluster, losslessly, via value collapse). Same design as the
+    winnow positional-match df cap (``winnow.py WINNOW_MATCH_MAX_FP_DOCS``).
+
+    The window's (band, key) hash partitioning matches the downstream
+    join key, so the guard adds no extra shuffle on the guarded side.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*keys)
+    return (bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= cap).drop("__bn"))
+
+
+# no-op at harness scale (max observed bucket: 19 docs at sf0.1); at
+# corpus scale it bounds any bucket's candidate fan-out to cap^2/2
+LSH_MAX_BUCKET_DOCS = 500
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      max_bucket_docs: int = LSH_MAX_BUCKET_DOCS
+                      ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = lsh_shingle_frame(docs)
-    bands = lsh_band_frame(base)
+    bands = cap_hot_buckets(lsh_band_frame(base), max_bucket_docs)
     a = bands.selectExpr("band", "key", "doc_id AS a_id")
     b = bands.selectExpr("band", "key", "doc_id AS b_id")
     cand = (a.join(b, ["band", "key"]).filter("a_id < b_id")
@@ -475,25 +513,56 @@ def dedup_signatures_oracle() -> str:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_simhash(spark, sf_dir)
-    # literal chunk indices explode; simhash (an md5-heavy projection)
-    # passes through the Generate and each chunk value is sliced out
-    # post-explode — the array-of-structs form re-evaluated the full
-    # simhash expression once per emitted chunk
-    chunks = (sh.selectExpr("doc_id", "simhash",
-                            f"explode(sequence(0, {SIMHASH_CHUNKS - 1})) "
-                            f"AS c")
+    """All doc pairs within hamming <= HAMMING_T, via the pigeonhole
+    chunk join run between DISTINCT simhash VALUES (the ``dedup_clusters``
+    value collapse), then expanded back to documents.
+
+    This is the hot-bucket guard for the simhash join, and unlike a
+    bucket cap it is LOSSLESS: a boilerplate family of N near-identical
+    documents collapses to a handful of distinct fingerprints, so the
+    (c, v) chunk buckets hold distinct VALUES (bounded by fingerprint
+    diversity) instead of N document rows — candidate work no longer
+    scales with family size. The quadratic doc-level expansion survives
+    only where it IS the answer (a value pair's doc pairs are all true
+    hamming matches; same-value families are all hamming-0 pairs).
+    Output is bit-identical to the direct doc-level join: hamming <= 3
+    with 4 chunks pigeonholes every qualifying VALUE pair into at least
+    one shared chunk, and same-value pairs are hamming 0 by definition.
+    """
+    sh = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    sh = scoped_cache(sh)  # consumed by the chunk join + 3 expansions
+    vals = sh.select("simhash").distinct()
+    # literal chunk indices explode; simhash passes through the Generate
+    # and each chunk value is sliced out post-explode (see ops/text.py
+    # gram_rows_spark for the GenerateExec inlining mechanics)
+    chunks = (vals.selectExpr("simhash",
+                              f"explode(sequence(0, {SIMHASH_CHUNKS - 1})) "
+                              f"AS c")
               .selectExpr(
-                  "doc_id", "simhash",
+                  "simhash",
                   "named_struct('c', c, 'v', (simhash div "
                   "shiftleft(CAST(1 AS BIGINT), 8 * c)) % 256) AS ck"))
-    a = chunks.selectExpr("ck", "doc_id AS a_id", "simhash AS a_sh")
-    b = chunks.selectExpr("ck", "doc_id AS b_id", "simhash AS b_sh")
-    return (a.join(b, "ck").filter("a_id < b_id")
-            .selectExpr("a_id", "b_id",
-                        "bit_count(a_sh ^ b_sh) AS hamming")
-            .distinct()
-            .filter(f"hamming <= {HAMMING_T}"))
+    va = chunks.selectExpr("ck", "simhash AS a_sh")
+    vb = chunks.selectExpr("ck", "simhash AS b_sh")
+    vpairs = (va.join(vb, "ck").filter("a_sh < b_sh")
+              .selectExpr("a_sh", "b_sh",
+                          "bit_count(a_sh ^ b_sh) AS hamming")
+              .filter(f"hamming <= {HAMMING_T}")
+              .distinct())
+    # cross-value doc pairs: each unordered doc pair appears exactly once
+    # (its value pair is unique under a_sh < b_sh) — least/greatest
+    # restores the a_id < b_id output contract
+    cross = (vpairs
+             .join(sh.selectExpr("simhash AS a_sh", "doc_id AS x"), "a_sh")
+             .join(sh.selectExpr("simhash AS b_sh", "doc_id AS y"), "b_sh")
+             .selectExpr("least(x, y) AS a_id", "greatest(x, y) AS b_id",
+                         "hamming"))
+    # same-value doc pairs are hamming 0
+    same = (sh.selectExpr("simhash", "doc_id AS a_id")
+            .join(sh.selectExpr("simhash", "doc_id AS b_id"), "simhash")
+            .filter("a_id < b_id")
+            .selectExpr("a_id", "b_id", "CAST(0 AS INT) AS hamming"))
+    return cross.unionByName(same)
 
 
 def dedup_simhash_pairs_oracle() -> str:

@@ -438,3 +438,88 @@ def test_sim_pairs_contract_is_nonvacuous(spark, sf_dir):
     assert len(got) > 0, "contract fixture yields zero pairs — vacuous"
     assert (got["a_id"] < got["b_id"]).all()
     assert not got.duplicated(["a_id", "b_id"]).any()
+
+def _write_docs(tmp_path, rows):
+    """Plant a documents table (driver schema) for corpus-shape tests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "planted"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["planted"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_cap_hot_buckets_bounds_candidates(spark):
+    """The hot-bucket guard drops over-cap (band, key) buckets before
+    the self-join: a 1000-row bucket contributes zero candidate rows,
+    a 3-row bucket survives untouched."""
+    from pyspark.sql import functions as F
+
+    from maha_spark.ops.dedup import cap_hot_buckets
+    hot = spark.range(1000).select(
+        F.lit(0).alias("band"), F.lit("boiler").alias("key"),
+        F.col("id").alias("doc_id"))
+    cold = spark.range(3).select(
+        F.lit(1).alias("band"), F.lit("rare").alias("key"),
+        (F.col("id") + 5000).alias("doc_id"))
+    out = cap_hot_buckets(hot.unionByName(cold), cap=50).collect()
+    assert len(out) == 3 and all(r["key"] == "rare" for r in out)
+
+
+def test_lsh_hot_bucket_guard_boilerplate_corpus(spark, tmp_path):
+    """Planted boilerplate corpus (1,200 identical license headers):
+    without the guard the banded self-join would enumerate ~720k
+    candidate pairs from every bucket; with it the family's over-cap
+    buckets contribute nothing, the run stays bounded, and a small
+    genuine near-dup pair elsewhere in the corpus is still found
+    (documented cap semantics: families larger than the cap belong on
+    the clustering path)."""
+    from maha_spark.ops.dedup import dedup_minhash_lsh
+
+    boiler = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software and associated "
+              "documentation files to deal in the software without "
+              "restriction including without limitation the rights to "
+              "use copy modify merge publish distribute and sell")
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy riverbank nearby and three "
+            "silver fish leap upstream against the bright cold current "
+            "every morning before the sun rises over the eastern hills "
+            "casting long amber shadows across the quiet misty valley")
+    rows = [(i, boiler) for i in range(1200)]
+    rows += [(9001, base + " today"), (9002, base + " tonight")]
+    sf = _write_docs(tmp_path, rows)
+
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in dedup_minhash_lsh(spark, sf,
+                                        max_bucket_docs=100).collect()}
+    assert (9001, 9002) in pairs          # genuine near-dup survives
+    assert pairs[(9001, 9002)] >= 0.8
+    # the 1200-doc family's pairs are NOT enumerated (over-cap buckets)
+    assert not any(a < 1200 and b < 1200 for a, b in pairs)
+
+
+def test_simhash_pairs_value_collapse_boilerplate(spark, tmp_path):
+    """The value-collapsed simhash pair join on a planted boilerplate
+    family: 500 identical docs share ONE fingerprint, so the chunk-join
+    candidate work sees a single distinct value — yet the expansion
+    still emits all 500*499/2 hamming-0 pairs (the answer itself),
+    bit-equal to the quadratic definition."""
+    from maha_spark.ops.dedup import dedup_simhash_pairs
+
+    fam = ("identical cookie banner text that appears verbatim on every "
+           "single page of this website network without any variation")
+    other = ("completely unrelated prose about alpine meadows glaciers "
+             "and the migratory patterns of mountain birds in autumn")
+    rows = [(i, fam) for i in range(500)] + [(9000, other)]
+    sf = _write_docs(tmp_path, rows)
+
+    out = dedup_simhash_pairs(spark, sf)
+    assert out.filter("hamming = 0").count() == 500 * 499 // 2
+    assert out.filter("a_id = 9000 OR b_id = 9000").count() == 0
