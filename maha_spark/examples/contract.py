@@ -755,27 +755,6 @@ QUERIES: dict[str, dict] = {
             ORDER BY revenue DESC, part_id ASC LIMIT 15 OFFSET 5
         """,
     },
-    # -- §2.6 timeseries (grain grouping) + §2.8 DAY_OF_WEEK derived
-    #    function (functionally dependent on the day key)
-    "q3_daily_revenue": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "day"}, {"field": "day_of_week"},
-                             {"field": "revenue"}, {"field": "line_count"}],
-            "filterExpressions": [{"field": "day", "operator": "between",
-                                   "from": "1996-01-01", "to": "1996-12-31"}],
-        },
-        "sql": f"""
-            SELECT CAST(l_shipdate AS DATE) AS day,
-                   dayname(l_shipdate) AS day_of_week,
-                   {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
-            FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
-                  AND DATE '1996-12-31'
-            GROUP BY 1, 2
-        """,
-    },
     # -- §2.3 star join chain with dim filter (inner) + OGB re-aggregation
     "q4_nation_revenue_by_segment": {
         "request": {
@@ -887,21 +866,6 @@ QUERIES: dict[str, dict] = {
                    COUNT(DISTINCT l_orderkey) AS order_count,
                    COUNT(*) AS line_count
             FROM lineitem GROUP BY 1
-        """,
-    },
-    # -- §2.2 metric filter -> HAVING
-    "q11_having": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "revenue", "operator": ">",
-                                   "value": 900000}],
-        },
-        "sql": f"""
-            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
-            FROM lineitem GROUP BY 1
-            HAVING {SQL_REVENUE} > 900000
         """,
     },
     # -- §2.2 filter operator battery (in / not in / like / between / >)
@@ -1267,37 +1231,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 2
         """,
     },
-    # -- §2.5 dim-driven TOTALROWS: the row count is the UNPAGINATED number
-    #    of matching dim entities, not the page size (reference Oracle
-    #    generator computes TOTALROWS in the dim subquery before ROW_NUMBER
-    #    pagination)
-    "q37_dim_rowcount": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "order_key"},
-                             {"field": "order_priority"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-            "sortBy": [{"field": "order_priority", "order": "ASC"}],
-            "forceDimensionDriven": True,
-            "paginationStartIndex": 5,
-            "rowsPerPage": 10,
-            "includeRowCount": True,
-        },
-        "sql": f"""
-            WITH page AS (
-                SELECT o_orderkey, o_orderpriority FROM orders
-                ORDER BY o_orderpriority ASC, o_orderkey ASC
-                LIMIT 10 OFFSET 5
-            ), f AS (
-                SELECT l_orderkey, {SQL_REVENUE} AS revenue
-                FROM lineitem GROUP BY 1
-            ), t AS (SELECT COUNT(*) AS TOTALROWS FROM orders)
-            SELECT o_orderkey AS order_key, o_orderpriority AS order_priority,
-                   COALESCE(f.revenue, 0.0) AS revenue, TOTALROWS
-            FROM page LEFT JOIN f ON o_orderkey = l_orderkey CROSS JOIN t
-        """,
-    },
     # -- §3.1 step 4 timezone: local-day filtering + local-time grouping
     #    (BaseUTCTimeProvider day-shifting; Asia/Kolkata = fixed +05:30 so
     #    the DuckDB oracle can use interval arithmetic without ICU)
@@ -1385,6 +1318,76 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
                         THEN CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)
                         ELSE NULL END AS value_if_click
             FROM events GROUP BY 1
+        """,
+    },
+    # -- §2.6 timeseries (grain grouping) + §2.8 DAY_OF_WEEK derived
+    #    function (rotated out r9: grain grouping stays covered by
+    #    q2/q17/q20, the macro family by q20/q27; slot went to
+    #    op_asof_join)
+    "q3_daily_revenue": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "day"}, {"field": "day_of_week"},
+                             {"field": "revenue"}, {"field": "line_count"}],
+            "filterExpressions": [{"field": "day", "operator": "between",
+                                   "from": "1996-01-01", "to": "1996-12-31"}],
+        },
+        "sql": f"""
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   dayname(l_shipdate) AS day_of_week,
+                   {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                  AND DATE '1996-12-31'
+            GROUP BY 1, 2
+        """,
+    },
+    # -- §2.2 metric filter -> HAVING (rotated out r9: HAVING stays
+    #    fuzz-covered and the part-grain rollup serving shape by q2;
+    #    slot went to op_token_quantiles)
+    "q11_having": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "revenue", "operator": ">",
+                                   "value": 900000}],
+        },
+        "sql": f"""
+            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1
+            HAVING {SQL_REVENUE} > 900000
+        """,
+    },
+    # -- §2.5 dim-driven TOTALROWS (rotated out r9: dim-driven
+    #    pagination stays covered by q6, TOTALROWS by q19; slot went to
+    #    op_mm_pixel_stats — the real-PNG-decoder driver oracle)
+    "q37_dim_rowcount": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "order_key"},
+                             {"field": "order_priority"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+            "sortBy": [{"field": "order_priority", "order": "ASC"}],
+            "forceDimensionDriven": True,
+            "paginationStartIndex": 5,
+            "rowsPerPage": 10,
+            "includeRowCount": True,
+        },
+        "sql": f"""
+            WITH page AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                ORDER BY o_orderpriority ASC, o_orderkey ASC
+                LIMIT 10 OFFSET 5
+            ), f AS (
+                SELECT l_orderkey, {SQL_REVENUE} AS revenue
+                FROM lineitem GROUP BY 1
+            ), t AS (SELECT COUNT(*) AS TOTALROWS FROM orders)
+            SELECT o_orderkey AS order_key, o_orderpriority AS order_priority,
+                   COALESCE(f.revenue, 0.0) AS revenue, TOTALROWS
+            FROM page LEFT JOIN f ON o_orderkey = l_orderkey CROSS JOIN t
         """,
     },
 }

@@ -23,7 +23,7 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import (chunking, contamination, dedup, incremental,
+    from . import (asof, chunking, contamination, dedup, incremental,
                    multimodal, packing, pipeline, semdedup, sessions,
                    similarity, sketches, text, winnow)
     from ..streaming import hourly
@@ -50,6 +50,16 @@ def entry_queries() -> dict[str, Callable]:
         # == batch bit-identity pin in test_ops_sessions.py means the
         # driver's hash check on the batch op transitively covers both
         "op_sessionize": sessions.sessionize,
+        # r9 rotation: asof_join back IN (out since r7; exact DuckDB
+        # ASOF JOIN oracle, ops/asof.py) and token_quantiles back IN
+        # (out since r6; exact quantile oracle, ops/packing.py) —
+        # closing the r8 VERDICT's rotation-debt list. Their slots plus
+        # op_mm_pixel_stats' come from q3_daily_revenue, q11_having and
+        # q37_dim_rowcount (redundant coverage: grain/macros via
+        # q20/q27, part-grain rollup + HAVING via q2/q12, dim rowcount
+        # via q6/q19), pinned in tests/test_offcontract_queries.py.
+        "op_asof_join": asof.asof_join,
+        "op_token_quantiles": packing.token_quantiles,
         "op_dedup_signatures": dedup.dedup_signatures,
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "op_dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -72,6 +82,12 @@ def entry_queries() -> dict[str, Callable]:
         # debt per the contract map.
         "op_embed_quantize": similarity.embed_quantize,
         "op_mm_decode": multimodal.mm_decode_features,
+        # r9: the REAL PNG decoder under a driver-grade oracle — the
+        # r8 VERDICT's Missing #2 (op_mm_decode hashes only the stub).
+        # Deterministic doc_id-derived PNGs (all five scanline filters)
+        # are encoded, decoded with decode_png, and checksummed; the
+        # DuckDB oracle computes the checksums analytically.
+        "op_mm_pixel_stats": multimodal.mm_pixel_stats,
         "op_pack_sequences": packing.pack_sequences,
         "op_sample_stratified": packing.sample_profile,
         # Entries kept as public API + pytest (not in the 50-entry driver
@@ -92,15 +108,15 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (asof, dedup, incremental, multimodal, packing,
+    from . import (dedup, incremental, multimodal, packing,
                    semdedup, sessions, similarity, sketches, winnow)
     return {
         "winnow_contamination": (winnow.winnow_contamination,
                                  "test_ops_winnow.py (exact oracle + "
                                  "planted benchmark passage)"),
-        "asof_join": (asof.asof_join,
-                      "test_ops_packing.py (exact oracle; rotated out "
-                      "r7 for op_winnow_pairs)"),
+        # asof_join and token_quantiles rotated back ON contract r9
+        # (op_asof_join / op_token_quantiles); their off-contract pins
+        # in test_ops_packing.py remain as redundant coverage
         # the Lloyd-iterated kernel variant of SemDeDup; the contract
         # slot (op_semdedup) runs the seed-centroid SQL twin, pinned
         # equal to this kernel in test_ops_semdedup.py
@@ -108,9 +124,6 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                            "test_ops_semdedup.py (independent numpy "
                            "kernel oracle + hot-cluster split + "
                            "sql-twin equivalence)"),
-        "token_quantiles": (packing.token_quantiles,
-                            "test_ops_packing.py (exact oracle; rotated "
-                            "out r6 + vs approx_quantiles)"),
         "streaming_sessions": (sessions.streaming_sessions,
                                "test_ops_sessions.py (stream == batch "
                                "bit-identical + late-event drop; rotated "
@@ -145,11 +158,14 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import (chunking, contamination, dedup, incremental,
+    from . import (asof, chunking, contamination, dedup, incremental,
                    multimodal, packing, pipeline, semdedup, sessions,
                    similarity, sketches, text, winnow)
     from ..streaming import hourly
     return {
+        "op_asof_join": asof.asof_join_oracle(),
+        "op_token_quantiles": packing.token_quantiles_oracle(),
+        "op_mm_pixel_stats": multimodal.mm_pixel_stats_oracle(),
         "op_chunking": chunking.chunk_documents_oracle(),
         "op_curate": pipeline.curate_corpus_oracle(),
         "op_sessionize": sessions.sessionize_oracle(),

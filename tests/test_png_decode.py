@@ -264,3 +264,36 @@ def test_wav_spark_pipeline(spark):
     assert got[1] == (16000, 2, n, round(n / 16000, 6))
     assert got[2] == (None, None, None, None)
     assert got[3] == (None, None, None, None)
+
+
+def test_encode_png_roundtrip_and_filter_coverage():
+    """The in-repo encoder (the mm_pixel_stats test-vector generator) is
+    a genuinely independent forward implementation: its output decodes
+    bit-exactly through decode_png, and its scanline filter bytes cycle
+    through ALL five spec filters (so the contract entry exercises every
+    un-predictor every round)."""
+    import zlib
+
+    from maha_spark.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for nch in (1, 3):
+        px = rng.integers(0, 256, size=(7, 9 * nch), dtype=np.uint8)
+        payload = encode_png(px, nch)
+        w, h, n2, dec = decode_png(payload)
+        assert (w, h, n2) == (9, 7, nch)
+        assert (dec == px).all()
+        # filter byte of scanline y is y % 5 in the raw stream
+        idat = payload[payload.index(b"IDAT") + 4:payload.rindex(b"IEND") - 8]
+        raw = zlib.decompress(idat)
+        stride = 9 * nch
+        assert [raw[y * (stride + 1)] for y in range(7)] == \
+            [y % 5 for y in range(7)]
+
+
+def test_encode_png_rejects_bad_shapes():
+    from maha_spark.ops.multimodal import encode_png
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 4), dtype=np.uint8), 5)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 4), dtype=np.uint8), 3)
