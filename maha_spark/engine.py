@@ -192,6 +192,20 @@ class MahaSparkEngine:
                     self.request_logger.log(entry)
                 except Exception:
                     pass  # the ledger never breaks serving
+            # the envelope above is EAGER (rows are materialized into the
+            # response), so any op-scoped storage blocks left on this
+            # session — the pipeline ops cache intermediate signature
+            # streams (ops/common.scoped_cache) and cannot unpersist
+            # their own lazy plans — are safe to drop here. A long-lived
+            # serving session would otherwise accumulate MEMORY_AND_DISK
+            # blocks across requests (bench.py releases per entry; this
+            # is the same hygiene on the serving path). Unpersist is
+            # semantics-free: a still-held lazy plan just recomputes.
+            try:
+                from .ops.common import release_scoped_caches
+                release_scoped_caches()
+            except Exception:
+                pass
 
     # ------------------------------------------------------------------
     def _spawn_dry_run(self, req: ReportingRequest, schema: str,

@@ -47,6 +47,12 @@ from .binding import TableBinding
 
 ROW_COUNT_ALIAS = "TOTALROWS"  # Count(*) OVER() TOTALROWS (OracleQueryGeneratorTest.scala:44)
 
+#: cap on the cartesian product a dim-only DISTINCT request over UNRELATED
+#: chains may combine (the product is the request's semantics, but two
+#: high-cardinality attributes would be a genuine blow-up — refuse as a
+#: client error instead)
+DIM_ONLY_CROSS_MAX = 10_000_000
+
 
 def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
@@ -755,7 +761,12 @@ class Planner:
         Each chain is reduced to its projected attributes and de-duplicated
         BEFORE chains are combined, so a request spanning unrelated chains
         cross-joins the small distinct sets (product bounded by attribute
-        cardinalities) instead of the raw dimension tables."""
+        cardinalities) instead of the raw dimension tables. That bound is
+        ENFORCED, not hoped: when more than one chain combines, each
+        distinct set is counted and the running product is capped at
+        ``DIM_ONLY_CROSS_MAX`` — two high-cardinality attributes (e.g.
+        two name columns) raise ValidationError (-> 400) instead of
+        materializing a cartesian blow-up."""
         parts = []
         for ch in model.chains:
             chdf = self._build_chain_df(ch)
@@ -763,6 +774,21 @@ class Planner:
             keep += [s.field for s in ch.sorts
                      if s.field not in keep and s.field in chdf.columns]
             parts.append(chdf.select(*[F.col(_q(a)) for a in keep]).distinct())
+        if len(parts) > 1:
+            # count each distinct set once (recomputed by the join below
+            # — the frames are attribute-level DISTINCTs of dimension
+            # tables, tiny next to the product they would otherwise feed,
+            # and an uncached count leaves no storage blocks behind)
+            from ..request.request import ValidationError
+            product = 1
+            for p in parts:
+                product *= max(1, p.count())
+                if product > DIM_ONLY_CROSS_MAX:
+                    raise ValidationError(
+                        ["distinct dim request spans unrelated chains "
+                         f"whose cartesian product exceeds "
+                         f"{DIM_ONLY_CROSS_MAX} rows — narrow the "
+                         "requested attributes or add filters"])
         df = parts[0]
         for p in parts[1:]:
             df = df.crossJoin(p)

@@ -422,3 +422,69 @@ def test_additional_column_info_value_injection_rejected(spark):
             expand_macros("COL_W_REPLACEMENTS('__X__')")
     finally:
         reset_ctx_replacements(tok)
+
+
+def test_engine_execute_releases_scoped_caches(spark, engine, sf_dir):
+    """Serving-path cache hygiene: op-scoped storage blocks (the
+    pipeline ops cache intermediate signature streams their lazy plans
+    cannot unpersist) are drained by engine.execute's finally, so a
+    long-lived REST/engine session does not accumulate MEMORY_AND_DISK
+    blocks across requests."""
+    import json
+
+    from maha_spark.ops import common as ops_common
+    from maha_spark.ops.dedup import dedup_simhash_pairs
+
+    req = json.dumps({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Return Flag"}, {"field": "Revenue"}],
+        "filterExpressions": [{"field": "Day", "operator": "between",
+                               "from": "1995-01-01", "to": "1995-01-31"}],
+    })
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # warm the deliberate lifetime caches (the engine's dim frames and
+    # the binding layer's bounded small-table cache, which the op's
+    # documents load populates), then baseline the JVM storage count
+    assert engine.execute(req)["rows"]
+    dedup_simhash_pairs(spark, sf_dir).count()
+    ops_common.release_scoped_caches()
+    n0 = n_cached()
+
+    dedup_simhash_pairs(spark, sf_dir).count()   # registers a scoped cache
+    assert len(ops_common._SCOPED_CACHES) > 0
+    assert n_cached() > n0
+
+    assert engine.execute(req)["rows"]
+    assert ops_common._SCOPED_CACHES == []
+    # blocking unpersist: the op's JVM storage blocks are gone too
+    assert n_cached() == n0
+
+
+def test_dim_only_cross_chain_cardinality_guard(spark, engine, monkeypatch):
+    """A dim-only DISTINCT spanning UNRELATED chains cross-joins the
+    per-chain distinct attribute sets; the docstring's cardinality bound
+    is enforced — a product over DIM_ONLY_CROSS_MAX raises
+    ValidationError (400) instead of materializing the blow-up."""
+    import json
+
+    import pytest as _pytest
+
+    from maha_spark.plans import planner as planner_mod
+    from maha_spark.request.request import ValidationError
+
+    req = json.dumps({
+        "cube": "lineitem_stats",
+        "selectFields": [{"field": "Nation Name"},
+                         {"field": "Supplier Nation Name"}],
+        "filterExpressions": [{"field": "Day", "operator": "between",
+                               "from": "1995-01-01", "to": "2001-12-31"}],
+        "distinct": True,
+    })
+    # within the default cap the product is the request's semantics
+    assert engine.dataframe(req).count() > 0
+    monkeypatch.setattr(planner_mod, "DIM_ONLY_CROSS_MAX", 3)
+    with _pytest.raises(ValidationError, match="cartesian product"):
+        engine.dataframe(req)
