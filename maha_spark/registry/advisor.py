@@ -139,6 +139,13 @@ class _NdvProbe:
         self._wanted_day: dict[str, set] = {}
         self._got: dict[tuple, int] = {}
         self._rows: dict[str, int] = {}
+        #: (raw table, col) -> (rollup table, stored sketch col): ndv
+        #: servable by union-merging ALREADY-STORED HLL partials
+        self._sketch: dict[tuple[str, str], tuple[str, str]] = {}
+        #: audit trail: pairs actually served from stored sketches /
+        #: raw-aggregated this resolve (tests pin the no-raw-scan path)
+        self.sketch_served: set = set()
+        self.raw_probed: set = set()
 
     def want(self, table: str, col: str) -> None:
         self._wanted.setdefault(table, set()).add(col)
@@ -149,8 +156,47 @@ class _NdvProbe:
         per-day."""
         self._wanted_day.setdefault(table, set()).add(col)
 
+    def offer_sketch(self, table: str, col: str,
+                     rollup_table: str, sketch_col: str) -> None:
+        """Register that ``(table, col)``'s ndv can be served by
+        union-merging the HLL partials stored in
+        ``rollup_table.sketch_col`` (no raw-table scan)."""
+        self._sketch.setdefault((table, col), (rollup_table, sketch_col))
+
+    def _resolve_from_sketches(self) -> None:
+        """Serve wanted ndvs from stored HLL partials first: the rollup
+        table holds one sketch per stored group — orders of magnitude
+        smaller than the raw fact the advisor would otherwise re-scan in
+        its background loop. Union is lossless for HLL registers, so the
+        merged estimate equals building the sketch from raw values."""
+        from pyspark.sql import functions as F
+        by_roll: dict[str, list[tuple[str, str, str]]] = {}
+        for table, cols in self._wanted.items():
+            for col in sorted(cols):
+                off = self._sketch.get((table, col))
+                if off is not None:
+                    by_roll.setdefault(off[0], []).append(
+                        (table, col, off[1]))
+        for rt in sorted(by_roll):
+            try:
+                rdf = self.binding.table(rt)
+            except Exception:
+                continue        # rollup not materialized here — raw path
+            items = [it for it in by_roll[rt] if it[2] in rdf.columns]
+            if not items:
+                continue
+            row = rdf.agg(*[
+                F.hll_sketch_estimate(F.hll_union_agg(sc, True))
+                .alias(f"s{i}") for i, (_t, _c, sc) in enumerate(items)
+            ]).collect()[0]
+            for i, (t, c, _sc) in enumerate(items):
+                self._got[(t, c)] = int(row[f"s{i}"])
+                self._wanted[t].discard(c)
+                self.sketch_served.add((t, c))
+
     def resolve(self) -> None:
         from pyspark.sql import functions as F
+        self._resolve_from_sketches()
         for table in sorted(set(self._wanted) | set(self._wanted_day)):
             cols = self._wanted.get(table, set())
             df = self.binding.table(table)
@@ -166,6 +212,7 @@ class _NdvProbe:
             aggs += [F.approx_count_distinct(F.to_date(F.col(c)))
                      .alias(f"d{i}") for i, c in enumerate(day_cols)]
             row = df.agg(*aggs, F.count(F.lit(1)).alias("rows")).collect()[0]
+            self.raw_probed.update((table, c) for c in present + day_cols)
             for i, c in enumerate(present):
                 self._got[(table, c)] = int(row[f"n{i}"])
             for i, c in enumerate(day_cols):
@@ -190,6 +237,35 @@ class _NdvProbe:
 
     def rows(self, table: str) -> int:
         return max(self._rows[table], 1)
+
+
+def _offer_stored_sketches(cube, probe: _NdvProbe) -> None:
+    """Register sketch-serving offers for every base-fact column whose
+    HLL partial is ALREADY stored in a registered rollup table: the base
+    cube declares the builder (``FactCol(rollup=HllSketchRollup(),
+    depends_on=(src,))``), a pre-aggregated table storing the same-named
+    column as a sketch partial (``HllSketchRollup``/``HllUnionRollup``)
+    can serve ``ndv(base, src)`` by union-merge. Offers are lazy —
+    ``resolve`` falls back to the raw scan when the rollup table is not
+    materialized in this binding."""
+    from ..core.columns import FactCol
+    from ..core.rollup import HllSketchRollup, HllUnionRollup
+
+    base = cube.base_table
+    for name, spec in base.columns.items():
+        if not (isinstance(spec, FactCol)
+                and isinstance(spec.rollup, HllSketchRollup)):
+            continue
+        deps = tuple(getattr(spec, "depends_on", ()) or ())
+        if len(deps) != 1:
+            continue
+        for t in cube.tables:
+            if t.name == base.name or not t.grain_cols:
+                continue
+            stored = t.columns.get(name)
+            if isinstance(stored, FactCol) and isinstance(
+                    stored.rollup, (HllSketchRollup, HllUnionRollup)):
+                probe.offer_sketch(base.name, deps[0], t.name, name)
 
 
 # ------------------------------------------------------------- advisor
@@ -425,7 +501,10 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
     # ---- one NDV pass per referenced table ---------------------------
     m0 = sigs[0][1]
     base = m0.cube.base_table
-    injected = probe is not None
+    # a pre-seeded what-if probe (binding-less, _NdvProbe.fixed) skips
+    # live resolution entirely; a LIVE probe passed in for inspection
+    # (tests auditing the sketch-vs-raw split) still resolves
+    injected = probe is not None and probe.binding is None
     if probe is None:
         probe = _NdvProbe(engine.spark, engine.binding)
     probe.want_day(base.name, base.day_column)
@@ -450,6 +529,7 @@ def _recommend_one_cube(engine, sigs, *, top_n: int, max_rows_frac: float,
             dim = registry.dimension(dn)
             probe.want(dim.table.name, dim.table.primary_key)
     if not injected:
+        _offer_stored_sketches(m0.cube, probe)
         probe.resolve()
     fact_rows = probe.rows(base.name)
     days = probe.ndv(base.name, base.day_column)

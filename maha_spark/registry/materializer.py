@@ -322,7 +322,8 @@ def materialize_recommendation(spark, binding, registry: Registry,
 
 def refresh_recommendation(spark, binding, registry: Registry,
                            cube: PublicFact, rec, dst_dir: str, name: str,
-                           from_day: str, to_day: str) -> str:
+                           from_day: str, to_day: str,
+                           compact_target_mb: Optional[int] = 256) -> str:
     """Incrementally refresh ``[from_day, to_day]`` (inclusive,
     'YYYY-MM-DD') of the PARTITIONED advised rollup from the raw fact:
     the raw scan is bounded to the restated window (partition-pruned on
@@ -331,10 +332,20 @@ def refresh_recommendation(spark, binding, registry: Registry,
     advisor-built tables, same contract as
     ``examples/contract.py::refresh_lineitem_rollup`` (refreshed rows
     bit-identical to a full rebuild; untouched days physically
-    untouched)."""
+    untouched).
+
+    Each refresh cycle also SELF-COMPACTS the table: small files
+    accumulated by out-of-band appends (a streaming sink draining into
+    the same layout, per-batch incremental loads) are bin-packed back to
+    ~``compact_target_mb`` per file via ``compact_day_partitions``. The
+    sweep is a pure directory listing when nothing is fragmented —
+    already-compact days are never rewritten, so the bit-identical /
+    physically-untouched contract above still holds for them. Pass
+    ``compact_target_mb=None`` to skip (e.g. while a concurrent reader
+    holds file listings)."""
     from pyspark.sql import functions as F
 
-    from ..plans.scale import overwrite_day_partitions
+    from ..plans.scale import compact_day_partitions, overwrite_day_partitions
 
     dst = os.path.join(dst_dir, name)
     if not os.path.isdir(dst):
@@ -358,6 +369,9 @@ def refresh_recommendation(spark, binding, registry: Registry,
     frame = _recommendation_frame(spark, binding, registry, cube, rec,
                                   name, fact_df=fact)
     overwrite_day_partitions(frame, dst)
+    if compact_target_mb is not None:
+        compact_day_partitions(spark, dst,
+                               target_file_mb=compact_target_mb)
     return dst
 
 

@@ -219,3 +219,60 @@ def test_already_served_requests_excluded(spark, tmp_path_factory):
     assert all(r.n_eligible == 1 for r in recs)
     assert recs[0].fact_cols == ()
     assert recs[0].est_rows <= 0.9 * recs[0].fact_rows
+
+
+def test_ndv_served_from_stored_hll_partials(spark, tmp_path):
+    """Advise-time ndv for a column whose HLL partial is already stored
+    in a materialized rollup (events_hourly.user_hll) is union-merged
+    from the stored sketches — NO approx_count_distinct scan of the raw
+    fact for that column — and the estimate lands within the sketch's
+    error bound of the exact distinct count."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(os.path.join(SRC, "events.parquet"),
+                str(d / "events.parquet"))
+    materialize_events_rollup(spark, str(d), str(d))
+    eng = engine_for_dir(spark, build_contract_registry(), str(d))
+
+    from maha_spark.registry.advisor import _NdvProbe as Probe
+    probe = Probe(spark, eng.binding)
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "2024-01-01", "to": "2024-12-31"}],
+    })
+    recommend_rollups(eng, [req] * 3, probe=probe)
+
+    assert ("events", "user_id") in probe.sketch_served
+    assert ("events", "user_id") not in probe.raw_probed
+    exact = eng.binding.table("events").select("user_id").distinct().count()
+    got = probe.ndv("events", "user_id")
+    assert abs(got - exact) <= max(2, 0.05 * exact), (got, exact)
+
+
+def test_ndv_falls_back_to_raw_without_materialized_rollup(spark, tmp_path):
+    """Same workload, rollup NOT materialized: the offer is registered
+    but resolve falls back to the raw approx_count_distinct scan —
+    advisor behavior on the plain sf fixtures is unchanged."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(os.path.join(SRC, "events.parquet"),
+                str(d / "events.parquet"))
+    eng = engine_for_dir(spark, build_contract_registry(), str(d))
+
+    from maha_spark.registry.advisor import _NdvProbe as Probe
+    probe = Probe(spark, eng.binding)
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "2024-01-01", "to": "2024-12-31"}],
+    })
+    recommend_rollups(eng, [req] * 3, probe=probe)
+    assert ("events", "user_id") in probe.raw_probed
+    assert not probe.sketch_served

@@ -352,3 +352,56 @@ def test_chain_frame_unions_forked_snowflake_branches(spark):
     rows2 = {r["__join_key"]: (r["brand_fk"], r["v_name"])
              for r in jf2.collect()}
     assert rows2 == {100: (1, "south"), 101: (2, "north"), 102: (2, None)}
+
+
+def test_refresh_self_compacts_fragmented_days(spark, applied,
+                                               tmp_path_factory):
+    """The maintenance loop closes its own loop: a day fragmented by
+    out-of-band appends (the streaming-sink failure mode) is bin-packed
+    back to one file by the NEXT refresh cycle — even when that day is
+    outside the refreshed window — with the table's rows bit-identical
+    throughout and already-compact days physically untouched."""
+    from maha_spark.registry.materializer import (
+        materialize_recommendation, refresh_recommendation)
+    reg, d, rec, _t = applied
+    cube = reg.fact("lineitem_stats")
+
+    work = str(tmp_path_factory.mktemp("advised_compact"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(work, t))
+    eng = engine_for_dir(spark, reg, work)
+    out = materialize_recommendation(spark, eng.binding, reg, cube, rec,
+                                     work, "advised_cpt",
+                                     partitioned=True)
+    full = _part_rows(spark, out)
+    days = sorted(f.split("=", 1)[1] for f in os.listdir(out)
+                  if f.startswith("dt="))
+    # fragment the densest day (one file PER ROW — the worst append
+    # pattern) and pick a DIFFERENT day as the refresh window
+    counts = {str(r["dt"]): r["count"] for r in
+              spark.read.parquet(out).groupBy("dt").count().collect()}
+    frag = max(counts, key=lambda d: counts[d])
+    frag_dir = os.path.join(out, f"dt={frag}")
+    day_df = (spark.read.parquet(out)
+              .filter(f"dt = '{frag}'").localCheckpoint(eager=True))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (day_df.repartition(1).write.mode("overwrite")
+           .option("maxRecordsPerFile", 1)
+           .partitionBy("dt").parquet(out))
+    n_before = len([f for f in os.listdir(frag_dir)
+                    if f.endswith(".parquet")])
+    assert n_before >= 2
+    ref = next(x for x in days if x != frag)   # refresh a DIFFERENT day
+    untouched = {f: sorted(os.listdir(os.path.join(out, f)))
+                 for f in os.listdir(out)
+                 if f.startswith("dt=")
+                 and f.split("=", 1)[1] not in (frag, ref)}
+
+    refresh_recommendation(spark, eng.binding, reg, cube, rec, work,
+                           "advised_cpt", ref, ref)
+    n_after = len([f for f in os.listdir(frag_dir)
+                   if f.endswith(".parquet")])
+    assert n_after == 1, f"{n_before} -> {n_after}"
+    assert _part_rows(spark, out) == full
+    for f, listing in untouched.items():
+        assert sorted(os.listdir(os.path.join(out, f))) == listing
