@@ -235,6 +235,20 @@ def main() -> None:
     cube_names = sorted(n for n in queries if not n.startswith("op_"))
     all_names = sorted(queries)
 
+    # the scaled-tier trend must stay comparable across contract
+    # rotations: a SCALED_QUERIES entry rotated off the 50-slot contract
+    # (r9: q3_daily_revenue, q11_having) still runs here from the
+    # off-contract registry — same implementation, same DuckDB oracle
+    from maha_spark.examples import contract as _contract_mod
+    scaled_queries = dict(queries)
+    scaled_oracles = dict(oracles)
+    for _n in SCALED_QUERIES:
+        if _n not in scaled_queries and _n in _contract_mod.OFFCONTRACT_QUERIES:
+            scaled_queries[_n] = (
+                lambda name: lambda sp, d: _contract_mod.run_query(sp, d, name)
+            )(_n)
+            scaled_oracles[_n] = _contract_mod.OFFCONTRACT_QUERIES[_n]["sql"]
+
     def clear_caches():
         from maha_spark.examples import contract as _contract
         from maha_spark.ops import common as _ops_common
@@ -254,14 +268,14 @@ def main() -> None:
     scaled_tiers: list[dict] = []
     for mult in MULTS:
         sdir = ensure_scaled_dir(spark, SF_DIR, mult)
-        s_names = [n for n in SCALED_QUERIES if n in queries]
+        s_names = [n for n in SCALED_QUERIES if n in scaled_queries]
         # full warm pass: materializes both fact-table caches end-to-end
         # and JIT-compiles every query's generated code before any timed
         # pass (limit(1) only cached one partition, so pass 1 paid the
         # cache build and the min-of-3 still sat on a cold-JIT run)
         for n in s_names:
             try:
-                queries[n](spark, sdir).write.format("noop") \
+                scaled_queries[n](spark, sdir).write.format("noop") \
                     .mode("overwrite").save()
             except Exception:
                 pass
@@ -269,9 +283,11 @@ def main() -> None:
         # a single warm pass still sees GC noise — the min over two clean
         # warm passes is reproducible run-to-run
         s_passes = max(passes, 3)
-        s_spark = time_spark(queries, s_names, spark, sdir, passes=s_passes)
+        s_spark = time_spark(scaled_queries, s_names, spark, sdir,
+                             passes=s_passes)
         con = duck_connect(sdir)
-        s_duck = time_duckdb(oracles, [n for n in s_names if n in oracles],
+        s_duck = time_duckdb(scaled_oracles,
+                             [n for n in s_names if n in scaled_oracles],
                              con, passes=s_passes)
         con.close()
         sp_tot = sum(v for v in s_spark.values() if v > 0)

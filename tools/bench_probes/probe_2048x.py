@@ -45,6 +45,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    # r9 rotation: q3/q11 live off-contract now — resolve them from the
+    # off-contract registry so the trend stays comparable across rounds
+    from maha_spark.examples import contract as _contract
+    for _n in bench.SCALED_QUERIES:
+        if _n not in queries and _n in _contract.OFFCONTRACT_QUERIES:
+            queries[_n] = (lambda name: lambda sp, d:
+                           _contract.run_query(sp, d, name))(_n)
+            oracles[_n] = _contract.OFFCONTRACT_QUERIES[_n]["sql"]
     s_names = [n for n in bench.SCALED_QUERIES if n in queries]
 
     sdir = bench.ensure_scaled_dir(spark, bench.SF_DIR, MULT)
