@@ -1,0 +1,196 @@
+"""File-level data-skipping index: per-file zone maps (min/max) plus a
+Bloom filter per column, stored as a small parquet sidecar — the
+standard lakehouse trick (Delta data skipping, Iceberg/Hudi column
+stats, ClickHouse skip indexes) for NEEDLE queries over columns the
+``dt=`` partitioning cannot prune.
+
+Why this exists at 100 TB: the fact layout is day-partitioned, so Day
+bounds prune directories for free (``plans/scale.py``), but a point
+lookup on a non-partition column (``user_id = X`` across two years —
+the audit/abuse-investigation shape) still opens every file in the
+window. Parquet's own row-group stats only help AFTER a file is opened;
+on ~10^5 files the planning+open cost dominates. A sidecar with one row
+per (file, column) lets the driver shrink the file list BEFORE the scan
+— the same file-planning step Spark already does against the Hive
+partition tree, extended with value-level stats.
+
+Design constraints honored:
+
+* **No false negatives.** Zone maps are exact bounds; the Bloom filter
+  only ever says "definitely absent" or "maybe present". A file is
+  dropped only when the value is outside [min, max] OR any of its
+  ``hashes`` bit positions is unset. Equality of ``needle_scan`` with
+  the full-table filter is therefore guaranteed, and pinned in tests.
+* **Mergeable, partition-incremental build.** The index is built with
+  one grouped aggregation per column over ``input_file_name()`` — the
+  Bloom bitset is OR-merged per 64-bit word (``bit_or`` of
+  ``shiftleft``), pure codegen, no ``collect_set`` of per-file value
+  sets (whose state would scale with per-file ndv). ``days=`` rebuilds
+  only the restated ``dt=`` directories — the same incremental contract
+  as ``refresh_recommendation`` — and the sidecar swap is atomic per
+  column file.
+* **Driver-side probe is O(index).** The sidecar has one row per
+  (file, column): ~10^5-10^6 rows at 100 TB — the probe is a filter +
+  collect of FILE PATHS, the exact shape of normal file planning, not
+  of data.
+
+Bloom sizing: with ``bits`` per file and ``hashes`` probes, the
+false-positive rate for a file holding n distinct values is
+``(1 - e^(-hashes*n/bits))^hashes`` — at the 4096/5 defaults, ~2% for
+n=400, so mis-kept files cost a bounded extra open, never correctness.
+
+Hashing is md5-derived (identical in Spark SQL and Python's hashlib),
+so the driver-side probe computes the same positions the build stored
+without a JVM round-trip. Index integer/string/date columns — types
+whose Python ``str(value)`` matches Spark's ``CAST(v AS STRING)``;
+floats are deliberately out of scope (representation-sensitive, and a
+float equality needle is a smell anyway).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: defaults shared by build and probe — both sides must agree, exactly
+#: like HLL_LG_K for sketch partials (core/rollup.py)
+SKIP_BITS = 4096
+SKIP_HASHES = 5
+
+
+def _pos_sql(col: str, i: int, bits: int) -> str:
+    """Bit position i for a value (Spark SQL spelling): first 8 md5 hex
+    chars of ``value:i`` as an int, mod ``bits``. NULLs contribute no
+    position (the zone map's null_count covers IS NULL probes)."""
+    return (f"CAST(conv(substr(md5(concat(CAST(`{col}` AS STRING), ':{i}')),"
+            f" 1, 8), 16, 10) AS BIGINT) % {bits}")
+
+
+def _pos_py(value: Any, i: int, bits: int) -> int:
+    h = hashlib.md5(f"{value}:{i}".encode()).hexdigest()
+    return int(h[:8], 16) % bits
+
+
+def _index_path(index_dir: str, col: str) -> str:
+    return os.path.join(index_dir, f"skip_{col}.parquet")
+
+
+def build_skipping_index(spark: SparkSession, table_dir: str,
+                         cols: list[str], index_dir: str,
+                         bits: int = SKIP_BITS,
+                         hashes: int = SKIP_HASHES,
+                         days: Optional[list[str]] = None) -> list[str]:
+    """Build (or incrementally refresh) the sidecar for ``cols`` over the
+    parquet table at ``table_dir``. Returns the sidecar paths.
+
+    One pass per column: rows -> (file, word, bitmask) via a literal
+    hash-index explode (Generate-safe: the exploded sequence is a
+    literal, the md5 is evaluated post-explode), ``bit_or`` per word,
+    then one row per file carrying the zone map and the bitset as a
+    word map. With ``days``, only files under the restated ``dt=``
+    directories are re-indexed and other files' rows are carried over —
+    the sidecar swap stays atomic per column (write tmp, rename).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    src = spark.read.parquet(table_dir)
+    if days is not None:
+        src = src.filter(F.col("dt").isin(days))
+    out_paths = []
+    for col in cols:
+        base = (src.select(F.input_file_name().alias("file"),
+                           F.col(col).alias("v"))
+                .withColumn("dt_dir", F.element_at(
+                    F.split(F.col("file"), "/"), -2)))
+        zones = (base.groupBy("file", "dt_dir")
+                 .agg(F.min("v").alias("v_min"),
+                      F.max("v").alias("v_max"),
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.when(F.col("v").isNull(), 1)
+                            .otherwise(0)).alias("null_count")))
+        pos_exprs = ", ".join(_pos_sql("v", i, bits)
+                              for i in range(hashes))
+        words = (base.filter(F.col("v").isNotNull())
+                 .selectExpr("file", f"explode(array({pos_exprs})) AS pos")
+                 .selectExpr("file", "CAST(pos DIV 64 AS INT) AS word",
+                             "shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(pos % 64 AS INT)) AS mask")
+                 .groupBy("file", "word")
+                 .agg(F.expr("bit_or(mask)").alias("bits"))
+                 .groupBy("file")
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("word", "bits")))
+                     .alias("bloom")))
+        idx = (zones.join(words, "file", "left_outer")
+               .withColumn("bits_m", F.lit(bits))
+               .withColumn("hashes", F.lit(hashes)))
+        path = _index_path(index_dir, col)
+        if days is not None and os.path.exists(path):
+            # a restated day's directory is rewritten wholesale (file
+            # names change), so carry-over is keyed on the dt= DIRECTORY
+            # not the file name — stale rows for replaced files would
+            # otherwise keep dead paths in the index forever
+            prev = spark.read.parquet(path)
+            keep = prev.filter(
+                ~F.col("dt_dir").isin([f"dt={d}" for d in days]))
+            idx = keep.unionByName(idx)
+        tmp = path + ".tmp"
+        idx.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        out_paths.append(path)
+    return out_paths
+
+
+def prune_files(spark: SparkSession, index_dir: str, col: str,
+                value: Any) -> Optional[list[str]]:
+    """File paths that MAY contain ``col = value`` per the sidecar, or
+    None when no index exists for the column (caller falls back to the
+    full scan). Guaranteed superset of the files that DO contain it."""
+    path = _index_path(index_dir, col)
+    if not os.path.exists(path):
+        return None
+    idx = spark.read.parquet(path)
+    bits = idx.select("bits_m").first()
+    if bits is None:
+        return []
+    bits_m, hashes = int(bits["bits_m"]), \
+        int(idx.select("hashes").first()["hashes"])
+    cond = (F.col("v_min") <= F.lit(value)) & (F.lit(value) <= F.col("v_max"))
+    for i in range(hashes):
+        pos = _pos_py(value, i, bits_m)
+        word, mask = pos // 64, 1 << (pos % 64)
+        if mask >= 1 << 63:          # keep the long signed, like the build
+            mask -= 1 << 64
+        cond = cond & (
+            F.coalesce(F.element_at(F.col("bloom"), F.lit(word)), F.lit(0))
+            .bitwiseAND(F.lit(mask)) != 0)
+    return [r["file"] for r in idx.filter(cond).select("file").collect()]
+
+
+def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
+                col: str, value: Any) -> DataFrame:
+    """``SELECT * FROM table WHERE col = value`` with the file list
+    pruned by the sidecar BEFORE the scan. Identical rows to the full
+    scan (no false negatives by construction); the residual filter still
+    applies because surviving files may be Bloom false positives.
+
+    The empty-prune case returns the full table under ``WHERE false`` —
+    a footer-only plan with the correct schema, no data read."""
+    files = prune_files(spark, index_dir, col, value)
+    if files is None:
+        return spark.read.parquet(table_dir).filter(F.col(col) == F.lit(value))
+    full = spark.read.parquet(table_dir)
+    if not files:
+        return full.filter(F.lit(False))
+    # basePath keeps directory-derived partition columns (dt=) intact
+    # when reading an explicit leaf-file list; a FLAT single-file table
+    # has no directory-derived columns and basePath rejects non-dirs
+    reader = spark.read
+    if os.path.isdir(table_dir):
+        reader = reader.option("basePath", table_dir)
+    return (reader.schema(full.schema).parquet(*files)
+            .filter(F.col(col) == F.lit(value)))

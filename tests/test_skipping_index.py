@@ -1,0 +1,148 @@
+"""File-level data-skipping index (plans/skipping.py): zone maps +
+Bloom sidecar for needle queries. The contract under test: NO false
+negatives (needle_scan == full-scan filter, always), real skipping
+(pruned file list strictly smaller than the layout on selective
+needles), and a partition-incremental rebuild that never serves stale
+file paths."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from maha_spark.plans.skipping import (  # noqa: E402
+    build_skipping_index, needle_scan, prune_files)
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    """A small day-partitioned fact: 40 days x 1 file, user_id clustered
+    so most users appear in FEW files (the needle-query shape)."""
+    d = tmp_path_factory.mktemp("skipdata")
+    table = str(d / "events_part")
+    idx = str(d / "skipidx")
+    df = (spark.range(20_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-01-01', CAST(id % 40 AS INT))"))
+          .withColumn("user_id", F.expr("CAST(id DIV 40 AS BIGINT)"))
+          .withColumn("kind", F.expr(
+              "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'click' "
+              "WHEN 1 THEN 'view' ELSE 'buy' END"))
+          .withColumn("value", F.expr("CAST(id % 97 AS DOUBLE)")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    build_skipping_index(spark, table, ["user_id", "kind"], idx)
+    return table, idx
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("id", "dt", "user_id", "kind")
+                      .collect()))
+
+
+def test_needle_equals_full_scan(spark, layout):
+    table, idx = layout
+    full = spark.read.parquet(table)
+    for uid in (0, 7, 499, 123):
+        got = needle_scan(spark, table, idx, "user_id", uid)
+        exp = full.filter(F.col("user_id") == uid)
+        assert _rows(got) == _rows(exp)
+        assert got.count() == 40        # every user hits all 40 days here
+
+
+def test_absent_needle_returns_empty_with_schema(spark, layout):
+    table, idx = layout
+    got = needle_scan(spark, table, idx, "user_id", 10_000_000)
+    assert got.count() == 0
+    assert got.columns == spark.read.parquet(table).columns
+    assert prune_files(spark, idx, "user_id", 10_000_000) == []
+
+
+def test_pruning_actually_skips_files(spark, layout):
+    """Selective needles must read a strict subset of the layout — on a
+    value-clustered column the zone maps alone prune most files."""
+    d = layout[0]
+    table, idx = layout
+    n_files = sum(len([f for f in os.listdir(os.path.join(table, p))
+                       if f.endswith(".parquet")])
+                  for p in os.listdir(table) if p.startswith("dt="))
+    # re-cluster by user_id ranges: write a second layout partitioned by
+    # user bucket so each file holds a narrow user range
+    clustered = table + "_byuser"
+    (spark.read.parquet(table)
+     .withColumn("ub", F.expr("CAST(user_id DIV 50 AS INT)"))
+     # explicit count: a column-only repartition is AQE-coalescible and
+     # can collapse the whole layout into one file
+     .repartition(10, F.col("ub")).sortWithinPartitions("user_id")
+     .drop("ub")
+     .withColumn("dt", F.col("dt"))
+     .write.mode("overwrite").parquet(clustered))
+    idx2 = idx + "_byuser"
+    build_skipping_index(spark, clustered, ["user_id"], idx2)
+    total = len([f for f in os.listdir(clustered)
+                 if f.endswith(".parquet")])
+    kept = prune_files(spark, idx2, "user_id", 123)
+    assert kept is not None and 0 < len(kept) < total
+    got = needle_scan(spark, clustered, idx2, "user_id", 123)
+    exp = spark.read.parquet(clustered).filter("user_id = 123")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert n_files > 0    # sanity on the fixture itself
+
+
+def test_string_column_and_unindexed_fallback(spark, layout):
+    table, idx = layout
+    got = needle_scan(spark, table, idx, "kind", "click")
+    exp = spark.read.parquet(table).filter("kind = 'click'")
+    assert got.count() == exp.count() > 0
+    # unindexed column -> None from prune, full-scan fallback in scan
+    assert prune_files(spark, idx, "value", 3.0) is None
+    fb = needle_scan(spark, table, idx, "value", 3.0)
+    assert fb.count() == spark.read.parquet(table) \
+        .filter("value = 3.0").count() > 0
+
+
+def test_incremental_rebuild_drops_stale_files(spark, layout, tmp_path):
+    """Restating a day rewrites its directory (new file names); a
+    days-scoped index refresh must drop the dead paths and index the new
+    ones — needle results stay exact afterwards."""
+    import shutil
+
+    table, idx = layout
+    work = str(tmp_path / "t")
+    shutil.copytree(table, work)
+    widx = str(tmp_path / "i")
+    build_skipping_index(spark, work, ["user_id"], widx)
+
+    day = "2024-01-05"
+    day_df = (spark.read.parquet(work).filter(f"dt = '{day}'")
+              .localCheckpoint(eager=True))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # rewrite the day with shifted user ids (a restatement)
+    (day_df.withColumn("user_id", F.col("user_id") + 1_000_000)
+     .repartition(2).write.mode("overwrite")
+     .partitionBy("dt").parquet(work))
+
+    build_skipping_index(spark, work, ["user_id"], widx, days=[day])
+    # stale paths gone: every indexed file still exists on disk
+    import pyspark.sql.functions as G
+    files = [r["file"] for r in spark.read.parquet(
+        os.path.join(widx, "skip_user_id.parquet")).select("file").collect()]
+    for f in files:
+        assert os.path.exists(f[len("file:"):] if f.startswith("file:")
+                              else f), f
+    # new values findable, old value for that day now excludes it
+    got = needle_scan(spark, work, widx, "user_id", 1_000_123)
+    exp = spark.read.parquet(work).filter("user_id = 1000123")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert got.count() == 1
+    got7 = needle_scan(spark, work, widx, "user_id", 123)
+    exp7 = spark.read.parquet(work).filter("user_id = 123")
+    assert got7.count() == exp7.count() == 39   # one day restated away
