@@ -250,6 +250,31 @@ class ParquetBinding(TableBinding):
         except Exception:
             return False
 
+    def table_pruned(self, name: str, files: list[str]) -> DataFrame:
+        """Read only ``files`` of table ``name`` — a data-skipping
+        pruned leaf list (plans/skipping.py) — through the same
+        timestamp normalization as ``table()``. ``basePath`` keeps
+        ``dt=`` partition columns intact when the table is a
+        partitioned directory. Deliberately uncached: a needle read is
+        a different (and much smaller) file set per value."""
+        from pyspark.sql import functions as F
+        paths = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in files]
+        pdir = os.path.join(self.base_dir, name)
+        reader = self.spark.read
+        if os.path.isdir(pdir):
+            reader = reader.option("basePath", pdir)
+        ns_cols = _nano_timestamp_cols(paths[0]) if paths else []
+        if ns_cols:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                                "true")
+        df = reader.parquet(*paths)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    .cast("timestamp_ntz"))
+        return normalize_timestamps(df)
+
     def _read_parquet(self, path: str) -> DataFrame:
         # Canonical timestamp dtype is TIMESTAMP_NTZ (naive wall clock —
         # what DuckDB and the testdata parquet store).  Two non-NTZ shapes

@@ -202,8 +202,71 @@ class Planner:
                 out = out.unionByName(d, allowMissingColumns=True)
         else:
             out = self.binding.table(table.name)
+            pruned = self._apply_file_skipping(table, model)
+            if pruned is not None:
+                out = pruned
         out = self._apply_partition_pruning(out, table, model)
         return self._apply_timezone(out, table, model)
+
+    def _apply_file_skipping(self, table: FactTable,
+                             model: Optional[RequestModel]
+                             ) -> Optional[DataFrame]:
+        """File-level data skipping for needle requests: when the
+        binding dir carries a sidecar index (``plans/skipping.py``,
+        built by a maintenance job under ``{dir}/_skipidx/{table}/``)
+        for a physical column the request filters by ``=``/``in``, the
+        fact scan reads ONLY files whose zone map + Bloom filter may
+        contain the value(s). Every original filter (day bound, forced
+        filters, the needle itself) still applies to the pruned frame,
+        so Bloom false positives cost an extra file open, never
+        correctness — and false negatives cannot occur by construction.
+
+        Eligibility is deliberately narrow: plain stored DimCols only —
+        no derived expressions (their value space differs from stored
+        bytes), no static mappings (filters expand through the reverse
+        map elsewhere), no case-insensitive columns (the index hashes
+        exact stored values). Returns None when no filter matches an
+        index — the normal (cached) scan proceeds."""
+        import os as _os
+
+        if model is None:
+            return None
+        base_dir = getattr(self.binding, "base_dir", None)
+        if base_dir is None or not hasattr(self.binding, "table_pruned"):
+            return None
+        from ..core.filters import EqualityFilter, InFilter
+        from .skipping import prune_files, table_index_dir
+        idx_dir = table_index_dir(base_dir, table.name)
+        if not _os.path.isdir(idx_dir):
+            return None
+        for f in model.fact_filters:
+            if isinstance(f, EqualityFilter):
+                values = [f.value]
+            elif isinstance(f, InFilter):
+                values = list(f.values)
+            else:
+                continue
+            pub = model.cube.col_by_alias(f.field)
+            name = pub.name if pub is not None else f.field
+            col = table.columns.get(name)
+            if not isinstance(col, DimCol) or col.case_insensitive \
+                    or col.dtype.has_static_mapping:
+                continue
+            kept: set[str] = set()
+            missing = False
+            for v in values:
+                fl = prune_files(self.spark, idx_dir, name, v)
+                if fl is None:
+                    missing = True
+                    break
+                kept.update(fl)
+            if missing:
+                continue
+            if not kept:
+                # the index proves the value(s) absent everywhere
+                return self.binding.table(table.name).filter(F.lit(False))
+            return self.binding.table_pruned(table.name, sorted(kept))
+        return None
 
     def _apply_partition_pruning(self, df: DataFrame, table: FactTable,
                                  model: Optional[RequestModel]) -> DataFrame:

@@ -78,6 +78,14 @@ def _index_path(index_dir: str, col: str) -> str:
     return os.path.join(index_dir, f"skip_{col}.parquet")
 
 
+def table_index_dir(base_dir: str, table: str) -> str:
+    """Conventional sidecar location the PLANNER probes: a maintenance
+    job that builds indexes under ``{data_dir}/_skipidx/{table}/`` makes
+    every engine request with an equality/IN needle filter on an indexed
+    column prune its fact scan automatically (planner._load_fact)."""
+    return os.path.join(base_dir, "_skipidx", table)
+
+
 def build_skipping_index(spark: SparkSession, table_dir: str,
                          cols: list[str], index_dir: str,
                          bits: int = SKIP_BITS,

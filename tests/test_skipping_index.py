@@ -146,3 +146,68 @@ def test_incremental_rebuild_drops_stale_files(spark, layout, tmp_path):
     got7 = needle_scan(spark, work, widx, "user_id", 123)
     exp7 = spark.read.parquet(work).filter("user_id = 123")
     assert got7.count() == exp7.count() == 39   # one day restated away
+
+
+def test_engine_needle_request_prunes_fact_files(spark, tmp_path):
+    """Planner integration: an engine request with an equality needle on
+    an indexed physical column reads a pruned fact file list — same
+    rows as the unindexed engine, fewer fact files scanned. The sidecar
+    lives at {dir}/_skipidx/{table}/ (table_index_dir), built by a
+    maintenance job; no request or registry change needed."""
+    import json
+    import shutil
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.plans.skipping import table_index_dir
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001"
+    for t in os.listdir(src):
+        if t != "events.parquet":
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+    # day-partitioned events layout, value-clustered by user bucket so
+    # zone maps can prune (each file holds a narrow user range per day)
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    (ev.withColumn("dt", F.to_date("ts"))
+       .withColumn("ub", F.expr("CAST(user_id % 4 AS INT)"))
+       .repartition(4, F.col("ub")).sortWithinPartitions("user_id")
+       .drop("ub")
+       .write.mode("overwrite").partitionBy("dt")
+       .parquet(os.path.join(d, "events")))
+    build_skipping_index(spark, os.path.join(d, "events"), ["user_id"],
+                         table_index_dir(d, "events"))
+
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "2024-01-01", "to": "2024-12-31"},
+            {"field": "user_id", "operator": "=", "value": 13}],
+    })
+    eng = engine_for_dir(spark, build_contract_registry(), d)
+    got = eng.dataframe(req)
+    ev_files = [f for f in got.inputFiles() if "/events/" in f]
+    n_events_files = sum(
+        len([f for f in os.listdir(os.path.join(d, "events", p))
+             if f.endswith(".parquet")])
+        for p in os.listdir(os.path.join(d, "events"))
+        if p.startswith("dt="))
+    assert 0 < len(ev_files) < n_events_files
+
+    # rows identical to the unindexed engine on the same layout
+    d2 = str(tmp_path / "sf2")
+    shutil.copytree(d, d2)
+    shutil.rmtree(os.path.join(d2, "_skipidx"))
+    eng2 = engine_for_dir(spark, build_contract_registry(), d2)
+    exp = eng2.dataframe(req)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert got.count() > 0
+
+    # an absent needle short-circuits to zero rows without a scan
+    req_absent = json.loads(req)
+    req_absent["filterExpressions"][1]["value"] = 99_999_999
+    assert eng.dataframe(json.dumps(req_absent)).count() == 0
