@@ -157,26 +157,37 @@ def prune_files(spark: SparkSession, index_dir: str, col: str,
                 value: Any) -> Optional[list[str]]:
     """File paths that MAY contain ``col = value`` per the sidecar, or
     None when no index exists for the column (caller falls back to the
-    full scan). Guaranteed superset of the files that DO contain it."""
+    full scan). Guaranteed superset of the files that DO contain it.
+
+    The probe is DRIVER-SIDE pyarrow, not a Spark job: the sidecar has
+    one row per (file, column) by construction, so even a 100 TB
+    layout's index is ~10^5-10^6 rows — milliseconds to scan in-process,
+    while a Spark job would pay scheduler+stage overhead per needle (it
+    measurably LOST to the plain filter at small scale). This is the
+    same altitude as Spark's own driver-side partition pruning: file
+    planning happens on the driver, data processing on executors.
+    (``spark`` is kept in the signature for API stability; the probe
+    does not use it.)"""
     path = _index_path(index_dir, col)
     if not os.path.exists(path):
         return None
-    idx = spark.read.parquet(path)
-    bits = idx.select("bits_m").first()
-    if bits is None:
+    import pyarrow.parquet as pq
+    cols = pq.read_table(path).to_pydict()
+    if not cols["file"]:
         return []
-    bits_m, hashes = int(bits["bits_m"]), \
-        int(idx.select("hashes").first()["hashes"])
-    cond = (F.col("v_min") <= F.lit(value)) & (F.lit(value) <= F.col("v_max"))
-    for i in range(hashes):
-        pos = _pos_py(value, i, bits_m)
-        word, mask = pos // 64, 1 << (pos % 64)
-        if mask >= 1 << 63:          # keep the long signed, like the build
-            mask -= 1 << 64
-        cond = cond & (
-            F.coalesce(F.element_at(F.col("bloom"), F.lit(word)), F.lit(0))
-            .bitwiseAND(F.lit(mask)) != 0)
-    return [r["file"] for r in idx.filter(cond).select("file").collect()]
+    bits_m, hashes = int(cols["bits_m"][0]), int(cols["hashes"][0])
+    pos = [_pos_py(value, i, bits_m) for i in range(hashes)]
+    out: list[str] = []
+    for i, f in enumerate(cols["file"]):
+        v_min, v_max = cols["v_min"][i], cols["v_max"][i]
+        if v_min is None or not (v_min <= value <= v_max):
+            continue
+        bloom = dict(cols["bloom"][i] or ())
+        # stored words are signed int64; Python's sign extension makes
+        # bit 63 read correctly without normalization
+        if all((bloom.get(p // 64, 0) or 0) >> (p % 64) & 1 for p in pos):
+            out.append(f)
+    return out
 
 
 def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
@@ -191,14 +202,18 @@ def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
     files = prune_files(spark, index_dir, col, value)
     if files is None:
         return spark.read.parquet(table_dir).filter(F.col(col) == F.lit(value))
-    full = spark.read.parquet(table_dir)
     if not files:
-        return full.filter(F.lit(False))
+        # rare path (index proves the value absent): the full-table read
+        # under WHERE false is footer-only and gives the right schema
+        return spark.read.parquet(table_dir).filter(F.lit(False))
     # basePath keeps directory-derived partition columns (dt=) intact
     # when reading an explicit leaf-file list; a FLAT single-file table
-    # has no directory-derived columns and basePath rejects non-dirs
+    # has no directory-derived columns and basePath rejects non-dirs.
+    # Schema is inferred from the KEPT files only — resolving the full
+    # table for its schema would re-list ~10^5 files per needle, the
+    # exact cost the index exists to avoid.
     reader = spark.read
     if os.path.isdir(table_dir):
         reader = reader.option("basePath", table_dir)
-    return (reader.schema(full.schema).parquet(*files)
+    return (reader.parquet(*files)
             .filter(F.col(col) == F.lit(value)))
