@@ -180,8 +180,17 @@ def prune_files(spark: SparkSession, index_dir: str, col: str,
     out: list[str] = []
     for i, f in enumerate(cols["file"]):
         v_min, v_max = cols["v_min"][i], cols["v_max"][i]
-        if v_min is None or not (v_min <= value <= v_max):
+        if v_min is None:
             continue
+        try:
+            if not (v_min <= value <= v_max):
+                continue
+        except TypeError:
+            # cross-type needle (e.g. "13" against an int column): the
+            # zone map can't decide, but the Bloom check below still
+            # can — str(13) and "13" hash identically — and keeping the
+            # file is always the safe (superset) direction
+            pass
         bloom = dict(cols["bloom"][i] or ())
         # stored words are signed int64; Python's sign extension makes
         # bit 63 read correctly without normalization

@@ -211,3 +211,16 @@ def test_engine_needle_request_prunes_fact_files(spark, tmp_path):
     req_absent = json.loads(req)
     req_absent["filterExpressions"][1]["value"] = 99_999_999
     assert eng.dataframe(json.dumps(req_absent)).count() == 0
+
+
+def test_cross_type_needle_is_safe(spark, layout):
+    """A string-typed needle against an int column (the JSON-request
+    shape) must not false-negative: the zone map abstains on the type
+    mismatch and the Bloom check still prunes (str(13) and '13' hash
+    identically)."""
+    table, idx = layout
+    kept_int = prune_files(spark, idx, "user_id", 123)
+    kept_str = prune_files(spark, idx, "user_id", "123")
+    assert set(kept_int) <= set(kept_str)   # superset direction only
+    got = needle_scan(spark, table, idx, "user_id", 123)
+    assert got.count() == 40
