@@ -265,6 +265,12 @@ class Planner:
             if not kept:
                 # the index proves the value(s) absent everywhere
                 return self.binding.table(table.name).filter(F.lit(False))
+            from .skipping import index_file_count
+            total = index_file_count(idx_dir, name)
+            if total is not None and len(kept) >= total:
+                # no-benefit prune (low-selectivity needle keeps every
+                # file): the normal scan is cacheable — use it
+                continue
             return self.binding.table_pruned(table.name, sorted(kept))
         return None
 

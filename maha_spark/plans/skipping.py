@@ -153,6 +153,21 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
     return out_paths
 
 
+def index_file_count(index_dir: str, col: str) -> Optional[int]:
+    """Number of files the sidecar indexes for ``col`` (footer-only
+    metadata read), or None when no index exists — callers compare a
+    prune result against it to skip no-benefit pruning (a low-
+    selectivity needle that keeps every file should use the normal,
+    cacheable scan)."""
+    path = _index_path(index_dir, col)
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")] if os.path.isdir(path) else [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def prune_files(spark: SparkSession, index_dir: str, col: str,
                 value: Any) -> Optional[list[str]]:
     """File paths that MAY contain ``col = value`` per the sidecar, or
