@@ -234,45 +234,76 @@ class Planner:
         base_dir = getattr(self.binding, "base_dir", None)
         if base_dir is None or not hasattr(self.binding, "table_pruned"):
             return None
-        from ..core.filters import EqualityFilter, InFilter
-        from .skipping import prune_files, table_index_dir
+        from ..core.filters import (BetweenFilter, EqualityFilter,
+                                    GreaterThanFilter, InFilter,
+                                    IsNullFilter, LessThanFilter)
+        from .skipping import (index_file_count, prune_files,
+                               prune_files_null, prune_files_range,
+                               table_index_dir)
         idx_dir = table_index_dir(base_dir, table.name)
         if not _os.path.isdir(idx_dir):
             return None
+
+        # top-level request filters are CONJUNCTIVE, so per-filter keep
+        # sets intersect: a file dropped by ANY needle cannot hold a row
+        # satisfying the whole predicate (Or combinators are single
+        # opaque Filter objects and never match below — they cannot
+        # prune a branch at a time)
+        kept_sets: list[set[str]] = []
+        totals: list[int] = []
         for f in model.fact_filters:
-            if isinstance(f, EqualityFilter):
-                values = [f.value]
-            elif isinstance(f, InFilter):
-                values = list(f.values)
-            else:
-                continue
-            pub = model.cube.col_by_alias(f.field)
-            name = pub.name if pub is not None else f.field
-            col = table.columns.get(name)
+            pub = model.cube.col_by_alias(f.field) \
+                if hasattr(f, "field") else None
+            name = pub.name if pub is not None else \
+                getattr(f, "field", None)
+            col = table.columns.get(name) if name else None
             if not isinstance(col, DimCol) or col.case_insensitive \
                     or col.dtype.has_static_mapping:
                 continue
-            kept: set[str] = set()
-            missing = False
-            for v in values:
-                fl = prune_files(self.spark, idx_dir, name, v)
-                if fl is None:
-                    missing = True
-                    break
-                kept.update(fl)
-            if missing:
+            if isinstance(f, (EqualityFilter, InFilter)):
+                values = [f.value] if isinstance(f, EqualityFilter) \
+                    else list(f.values)
+                fl: Optional[set[str]] = set()
+                for v in values:
+                    one = prune_files(self.spark, idx_dir, name, v)
+                    if one is None:
+                        fl = None
+                        break
+                    fl.update(one)
+            elif isinstance(f, GreaterThanFilter):
+                fl0 = prune_files_range(self.spark, idx_dir, name,
+                                        lo=f.value, lo_inclusive=False)
+                fl = set(fl0) if fl0 is not None else None
+            elif isinstance(f, LessThanFilter):
+                fl0 = prune_files_range(self.spark, idx_dir, name,
+                                        hi=f.value, hi_inclusive=False)
+                fl = set(fl0) if fl0 is not None else None
+            elif isinstance(f, BetweenFilter):
+                fl0 = prune_files_range(self.spark, idx_dir, name,
+                                        lo=f.from_value, hi=f.to_value)
+                fl = set(fl0) if fl0 is not None else None
+            elif isinstance(f, IsNullFilter):
+                fl0 = prune_files_null(self.spark, idx_dir, name)
+                fl = set(fl0) if fl0 is not None else None
+            else:
                 continue
-            if not kept:
-                # the index proves the value(s) absent everywhere
-                return self.binding.table(table.name).filter(F.lit(False))
-            from .skipping import index_file_count
+            if fl is None:      # no sidecar for this column
+                continue
+            kept_sets.append(fl)
             total = index_file_count(idx_dir, name)
-            if total is not None and len(kept) >= total:
-                # no-benefit prune (low-selectivity needle keeps every
-                # file): the normal scan is cacheable — use it
-                continue
-            return self.binding.table_pruned(table.name, sorted(kept))
-        return None
+            if total is not None:
+                totals.append(total)
+        if not kept_sets:
+            return None
+        kept = set.intersection(*kept_sets)
+        if not kept:
+            # the index proves the conjunction unsatisfiable
+            return self.binding.table(table.name).filter(F.lit(False))
+        if totals and len(kept) >= min(totals):
+            # no-benefit prune (every indexed file survives): the
+            # normal scan is cacheable — use it
+            return None
+        return self.binding.table_pruned(table.name, sorted(kept))
 
     def _apply_partition_pruning(self, df: DataFrame, table: FactTable,
                                  model: Optional[RequestModel]) -> DataFrame:

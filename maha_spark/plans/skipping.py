@@ -214,6 +214,54 @@ def prune_files(spark: SparkSession, index_dir: str, col: str,
     return out
 
 
+def prune_files_range(spark: SparkSession, index_dir: str, col: str,
+                      lo: Any = None, hi: Any = None,
+                      lo_inclusive: bool = True,
+                      hi_inclusive: bool = True) -> Optional[list[str]]:
+    """Zone-map pruning for RANGE needles (``>``, ``<``, ``between``):
+    a file survives when its [v_min, v_max] interval intersects the
+    probe range. All-null files are dropped (range predicates are
+    null-false); cross-type comparisons abstain (keep — the safe
+    superset direction). Same driver-side pyarrow altitude as
+    ``prune_files``; the Bloom filter plays no part here."""
+    path = _index_path(index_dir, col)
+    if not os.path.exists(path):
+        return None
+    import operator
+    import pyarrow.parquet as pq
+    cols = pq.read_table(
+        path, columns=["file", "v_min", "v_max"]).to_pydict()
+    lo_op = operator.ge if lo_inclusive else operator.gt
+    hi_op = operator.le if hi_inclusive else operator.lt
+    out: list[str] = []
+    for i, f in enumerate(cols["file"]):
+        v_min, v_max = cols["v_min"][i], cols["v_max"][i]
+        if v_min is None:
+            continue
+        try:
+            if lo is not None and not lo_op(v_max, lo):
+                continue
+            if hi is not None and not hi_op(v_min, hi):
+                continue
+        except TypeError:
+            pass        # cross-type probe: abstain, keep the file
+        out.append(f)
+    return out
+
+
+def prune_files_null(spark: SparkSession, index_dir: str,
+                     col: str) -> Optional[list[str]]:
+    """Files that may contain NULL ``col`` values (``IS NULL`` needles):
+    the sidecar's exact per-file null_count makes this lossless."""
+    path = _index_path(index_dir, col)
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+    cols = pq.read_table(path, columns=["file", "null_count"]).to_pydict()
+    return [f for i, f in enumerate(cols["file"])
+            if (cols["null_count"][i] or 0) > 0]
+
+
 def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
                 col: str, value: Any) -> DataFrame:
     """``SELECT * FROM table WHERE col = value`` with the file list

@@ -224,3 +224,121 @@ def test_cross_type_needle_is_safe(spark, layout):
     assert set(kept_int) <= set(kept_str)   # superset direction only
     got = needle_scan(spark, table, idx, "user_id", 123)
     assert got.count() == 40
+
+
+@pytest.fixture(scope="module")
+def range_layout(spark, tmp_path_factory):
+    """Time-clustered layout: each dt= file holds a contiguous id range
+    (the event_id shape of real append-only facts), plus a column whose
+    NULLs live in only a few days."""
+    from maha_spark.plans.skipping import table_index_dir
+
+    d = str(tmp_path_factory.mktemp("rangedata"))
+    table = os.path.join(d, "facts")
+    df = (spark.range(10_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-03-01', CAST(id DIV 500 AS INT))"))
+          .withColumn("score", F.expr(
+              "CASE WHEN id % 500 < 3 AND id DIV 500 IN (2, 7) "
+              "THEN NULL ELSE CAST(id % 100 AS BIGINT) END")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["id", "score"], idx)
+    return table, idx
+
+
+def test_range_pruning_equals_full_scan(spark, range_layout):
+    from maha_spark.plans.skipping import prune_files_range
+
+    table, idx = range_layout
+    full = spark.read.parquet(table)
+    n_files = len(set(full.inputFiles()))
+    # id > 9000: only the last two 500-row files can intersect
+    kept = prune_files_range(spark, idx, "id", lo=9000, lo_inclusive=False)
+    assert 0 < len(kept) < n_files
+    exp = {r["id"] for r in full.filter("id > 9000").collect()}
+    got = set()
+    for f in kept:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        got |= {r["id"] for r in spark.read.parquet(p)
+                .filter("id > 9000").collect()}
+    assert got == exp
+    # between window intersects exactly the covering files
+    kept2 = prune_files_range(spark, idx, "id", lo=1200, hi=1400)
+    assert len(kept2) == 1
+    # unsatisfiable range prunes everything
+    assert prune_files_range(spark, idx, "id", lo=50_000) == []
+
+
+def test_null_pruning(spark, range_layout):
+    from maha_spark.plans.skipping import prune_files_null
+
+    table, idx = range_layout
+    kept = prune_files_null(spark, idx, "score")
+    assert len(kept) == 2          # NULLs planted in days 2 and 7 only
+    rows = 0
+    for f in kept:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        rows += spark.read.parquet(p).filter("score IS NULL").count()
+    assert rows == spark.read.parquet(table) \
+        .filter("score IS NULL").count() == 6
+
+
+def test_engine_range_needle_prunes(spark, tmp_path):
+    """Planner integration for range needles: a > filter on an indexed
+    time-clustered column reads a file subset, rows identical to the
+    unindexed engine; the conjunction of two needles intersects."""
+    import json
+    import shutil
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.plans.skipping import table_index_dir
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001"
+    for t in os.listdir(src):
+        if t != "events.parquet":
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+    # make user_id time-clustered (:= event_id, which is monotone with
+    # ts) so per-file zone maps have disjoint ranges — the append-only
+    # id shape real facts have
+    ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
+          .withColumn("user_id", F.col("event_id")))
+    (ev.withColumn("dt", F.to_date("ts"))
+       .repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(os.path.join(d, "events")))
+    build_skipping_index(spark, os.path.join(d, "events"), ["user_id"],
+                         table_index_dir(d, "events"))
+
+    hi = int(ev.selectExpr("max(user_id)").first()[0])
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "event_type"},
+                         {"field": "event_count"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "2024-01-01", "to": "2024-12-31"},
+            {"field": "user_id", "operator": ">",
+             "value": int(hi * 0.9)}],
+    })
+    eng = engine_for_dir(spark, build_contract_registry(), d)
+    got = eng.dataframe(req)
+    ev_files = [f for f in got.inputFiles() if "/events/" in f]
+    n_events_files = sum(
+        len([f for f in os.listdir(os.path.join(d, "events", p))
+             if f.endswith(".parquet")])
+        for p in os.listdir(os.path.join(d, "events"))
+        if p.startswith("dt="))
+    assert 0 < len(ev_files) < n_events_files
+
+    d2 = str(tmp_path / "sf2")
+    shutil.copytree(d, d2)
+    shutil.rmtree(os.path.join(d2, "_skipidx"))
+    eng2 = engine_for_dir(spark, build_contract_registry(), d2)
+    exp = eng2.dataframe(req)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert got.count() > 0
