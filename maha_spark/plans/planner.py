@@ -237,11 +237,19 @@ class Planner:
         from ..core.filters import (BetweenFilter, EqualityFilter,
                                     GreaterThanFilter, InFilter,
                                     IsNullFilter, LessThanFilter)
-        from .skipping import (index_file_count, prune_files,
+        from .skipping import (index_file_count, index_stale, prune_files,
                                prune_files_null, prune_files_range,
                                table_index_dir)
         idx_dir = table_index_dir(base_dir, table.name)
         if not _os.path.isdir(idx_dir):
+            return None
+        tdir = _os.path.join(base_dir, table.name)
+        if not _os.path.exists(tdir):
+            tdir = _os.path.join(base_dir, f"{table.name}.parquet")
+        if index_stale(tdir, idx_dir):
+            # the table was rewritten after the sidecar was built — a
+            # stale index can miss a restated day's new files, so fall
+            # back to the full scan until the maintenance job refreshes
             return None
 
         # top-level request filters are CONJUNCTIVE, so per-filter keep

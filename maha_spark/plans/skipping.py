@@ -86,6 +86,39 @@ def table_index_dir(base_dir: str, table: str) -> str:
     return os.path.join(base_dir, "_skipidx", table)
 
 
+_SRC_MTIME = "_SRC_MTIME"
+
+
+def _record_src_mtime(index_dir: str, table_dir: str) -> None:
+    try:
+        with open(os.path.join(index_dir, _SRC_MTIME), "w") as f:
+            f.write(repr(os.path.getmtime(table_dir)))
+    except OSError:
+        pass
+
+
+def index_stale(table_dir: str, index_dir: str) -> bool:
+    """True when the table has been rewritten since the sidecar was
+    built — a stale index can FALSE-NEGATIVE (a restated day's new
+    files are unknown to it), so stale means fall back to the full
+    scan, never prune. Detection is the table ROOT mtime, which every
+    engine-maintained rewrite bumps explicitly
+    (``overwrite_day_partitions`` — and through it compaction,
+    ``refresh_recommendation``, and the materializers). External
+    writers that mutate day directories without touching the root must
+    refresh the index (or bump the root mtime) themselves — the same
+    caller contract the binding's DataFrame cache documents."""
+    try:
+        with open(os.path.join(index_dir, _SRC_MTIME)) as f:
+            built = float(f.read().strip())
+    except (OSError, ValueError):
+        return True     # no/unreadable record: never trust the sidecar
+    try:
+        return os.path.getmtime(table_dir) > built + 1e-6
+    except OSError:
+        return True
+
+
 def build_skipping_index(spark: SparkSession, table_dir: str,
                          cols: list[str], index_dir: str,
                          bits: int = SKIP_BITS,
@@ -150,6 +183,7 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
         out_paths.append(path)
+    _record_src_mtime(index_dir, table_dir)
     return out_paths
 
 
@@ -271,6 +305,8 @@ def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
 
     The empty-prune case returns the full table under ``WHERE false`` —
     a footer-only plan with the correct schema, no data read."""
+    if index_stale(table_dir, index_dir):
+        return spark.read.parquet(table_dir).filter(F.col(col) == F.lit(value))
     files = prune_files(spark, index_dir, col, value)
     if files is None:
         return spark.read.parquet(table_dir).filter(F.col(col) == F.lit(value))

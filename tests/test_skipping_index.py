@@ -342,3 +342,50 @@ def test_engine_range_needle_prunes(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, exp.collect()))
     assert got.count() > 0
+
+
+def test_stale_index_falls_back_until_refresh(spark, tmp_path):
+    """A table rewrite (compaction, day refresh — anything routed
+    through overwrite_day_partitions, which bumps the root mtime) makes
+    the sidecar STALE: pruning could miss the rewritten files, so the
+    probe must fall back to the full scan until the maintenance job
+    rebuilds the index."""
+    from maha_spark.plans.scale import compact_day_partitions
+    from maha_spark.plans.skipping import index_stale, table_index_dir
+
+    d = str(tmp_path)
+    table = os.path.join(d, "facts")
+    df = (spark.range(4_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-05-01', CAST(id DIV 500 AS INT))")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    # fragment one day so compaction has something to rewrite
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day = (spark.read.parquet(table).filter("dt = '2024-05-02'")
+           .localCheckpoint(eager=True))
+    (day.repartition(1).write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .partitionBy("dt").parquet(table))
+
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["id"], idx)
+    assert not index_stale(table, idx)
+    kept0 = prune_files(spark, idx, "id", 600)
+    assert kept0       # prunes while fresh
+
+    compact_day_partitions(spark, table, target_file_mb=256)
+    assert index_stale(table, idx)
+    # needle_scan falls back to the full scan — rows stay correct even
+    # though the indexed files for the compacted day no longer exist
+    got = needle_scan(spark, table, idx, "id", 600)
+    assert got.count() == 1
+    assert len(set(got.inputFiles())) == len(
+        set(spark.read.parquet(table).inputFiles()))
+
+    build_skipping_index(spark, table, ["id"], idx)
+    assert not index_stale(table, idx)
+    pruned = needle_scan(spark, table, idx, "id", 600)
+    assert pruned.count() == 1
+    assert len(set(pruned.inputFiles())) < len(
+        set(spark.read.parquet(table).inputFiles()))
