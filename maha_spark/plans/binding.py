@@ -257,13 +257,25 @@ class ParquetBinding(TableBinding):
         ``dt=`` partition columns intact when the table is a
         partitioned directory. Deliberately uncached: a needle read is
         a different (and much smaller) file set per value."""
-        from pyspark.sql import functions as F
         paths = [f[len("file:"):] if f.startswith("file:") else f
                  for f in files]
         pdir = os.path.join(self.base_dir, name)
         reader = self.spark.read
         if os.path.isdir(pdir):
             reader = reader.option("basePath", pdir)
+        return self._read_normalized(reader, paths)
+
+    def _read_normalized(self, reader, paths: list[str]) -> DataFrame:
+        # Canonical timestamp dtype is TIMESTAMP_NTZ (naive wall clock —
+        # what DuckDB and the testdata parquet store).  Two non-NTZ shapes
+        # get normalized so every downstream expression sees one dtype
+        # regardless of the session's parquet-inference config:
+        #  * TIMESTAMP(NANOS) parquet: Spark rejects it outright
+        #    (PARQUET_TYPE_ILLEGAL); read as long nanos -> micros -> NTZ.
+        #  * TIMESTAMP (ltz) columns (inferTimestampNTZ disabled): cast.
+        # Shared by the full-table and pruned-file read paths so a fix
+        # to either shape can never silently miss one of them.
+        from pyspark.sql import functions as F
         ns_cols = _nano_timestamp_cols(paths[0]) if paths else []
         if ns_cols:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
@@ -276,24 +288,7 @@ class ParquetBinding(TableBinding):
         return normalize_timestamps(df)
 
     def _read_parquet(self, path: str) -> DataFrame:
-        # Canonical timestamp dtype is TIMESTAMP_NTZ (naive wall clock —
-        # what DuckDB and the testdata parquet store).  Two non-NTZ shapes
-        # get normalized so every downstream expression sees one dtype
-        # regardless of the session's parquet-inference config:
-        #  * TIMESTAMP(NANOS) parquet: Spark rejects it outright
-        #    (PARQUET_TYPE_ILLEGAL); read as long nanos -> micros -> NTZ.
-        #  * TIMESTAMP (ltz) columns (inferTimestampNTZ disabled): cast.
-        from pyspark.sql import functions as F
-        ns_cols = _nano_timestamp_cols(path)
-        if ns_cols:
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-                                "true")
-        df = self.spark.read.parquet(path)
-        for c in ns_cols:
-            df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-                    .cast("timestamp_ntz"))
-        return normalize_timestamps(df)
+        return self._read_normalized(self.spark.read, [path])
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:

@@ -47,6 +47,43 @@ from .binding import TableBinding
 
 ROW_COUNT_ALIAS = "TOTALROWS"  # Count(*) OVER() TOTALROWS (OracleQueryGeneratorTest.scala:44)
 
+#: sentinel for _canon_needle: the needle's string form may not match
+#: Spark's CAST(stored AS STRING) — never prune on it
+_SKIP = object()
+
+
+def _canon_needle(dtype, value):
+    """Canonicalize an equality/IN needle so ``str(value)`` matches the
+    string Spark's CAST(stored AS STRING) produced at Bloom-build time —
+    a mismatched representation would hash to the wrong positions and
+    prune files that DO contain the value (a silent wrong answer).
+
+    Int columns: ints pass; integral floats and canonical digit strings
+    coerce (Spark's relaxed equality matches them against stored ints,
+    and the coerced int hashes identically to the stored form). String
+    columns: strings only (a numeric needle makes Spark compare after a
+    numeric cast, where '013' = 13 — the Bloom can't see that). Anything
+    else — fractional needles on int columns, non-digit strings,
+    non-int/str column types — returns the _SKIP sentinel."""
+    from ..core.types import IntType, StrType
+    if isinstance(dtype, IntType):
+        if isinstance(value, bool):
+            return _SKIP
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        if isinstance(value, str):
+            try:
+                return int(value, 10)
+            except ValueError:
+                return _SKIP
+        return _SKIP
+    if isinstance(dtype, StrType):
+        return value if isinstance(value, str) else _SKIP
+    return _SKIP
+
+
 #: cap on the cartesian product a dim-only DISTINCT request over UNRELATED
 #: chains may combine (the product is the request's semantics, but two
 #: high-cardinality attributes would be a genuine blow-up — refuse as a
@@ -237,20 +274,15 @@ class Planner:
         from ..core.filters import (BetweenFilter, EqualityFilter,
                                     GreaterThanFilter, InFilter,
                                     IsNullFilter, LessThanFilter)
-        from .skipping import (index_file_count, index_stale, prune_files,
-                               prune_files_null, prune_files_range,
-                               table_index_dir)
+        from .skipping import (index_file_count, index_stale,
+                               prune_files_any, prune_files_null,
+                               prune_files_range, table_index_dir)
         idx_dir = table_index_dir(base_dir, table.name)
         if not _os.path.isdir(idx_dir):
             return None
         tdir = _os.path.join(base_dir, table.name)
         if not _os.path.exists(tdir):
             tdir = _os.path.join(base_dir, f"{table.name}.parquet")
-        if index_stale(tdir, idx_dir):
-            # the table was rewritten after the sidecar was built — a
-            # stale index can miss a restated day's new files, so fall
-            # back to the full scan until the maintenance job refreshes
-            return None
 
         # top-level request filters are CONJUNCTIVE, so per-filter keep
         # sets intersect: a file dropped by ANY needle cannot hold a row
@@ -268,16 +300,23 @@ class Planner:
             if not isinstance(col, DimCol) or col.case_insensitive \
                     or col.dtype.has_static_mapping:
                 continue
+            if index_stale(tdir, idx_dir, name):
+                # the table was rewritten after this column's sidecar
+                # was built — a stale index can miss a restated day's
+                # new files; never prune on it
+                continue
             if isinstance(f, (EqualityFilter, InFilter)):
                 values = [f.value] if isinstance(f, EqualityFilter) \
                     else list(f.values)
-                fl: Optional[set[str]] = set()
-                for v in values:
-                    one = prune_files(self.spark, idx_dir, name, v)
-                    if one is None:
-                        fl = None
-                        break
-                    fl.update(one)
+                canon = [_canon_needle(col.dtype, v) for v in values]
+                if any(c is _SKIP for c in canon):
+                    # a needle whose string form may not match Spark's
+                    # CAST(stored AS STRING) would hash to the wrong
+                    # Bloom positions — pruning on it could FALSE-
+                    # NEGATIVE, so the whole filter abstains
+                    continue
+                fl0 = prune_files_any(self.spark, idx_dir, name, canon)
+                fl = set(fl0) if fl0 is not None else None
             elif isinstance(f, GreaterThanFilter):
                 fl0 = prune_files_range(self.spark, idx_dir, name,
                                         lo=f.value, lo_inclusive=False)

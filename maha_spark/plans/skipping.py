@@ -61,15 +61,11 @@ SKIP_BITS = 4096
 SKIP_HASHES = 5
 
 
-def _pos_sql(col: str, i: int, bits: int) -> str:
-    """Bit position i for a value (Spark SQL spelling): first 8 md5 hex
-    chars of ``value:i`` as an int, mod ``bits``. NULLs contribute no
-    position (the zone map's null_count covers IS NULL probes)."""
-    return (f"CAST(conv(substr(md5(concat(CAST(`{col}` AS STRING), ':{i}')),"
-            f" 1, 8), 16, 10) AS BIGINT) % {bits}")
-
-
 def _pos_py(value: Any, i: int, bits: int) -> int:
+    """Bit position i for a value: first 8 md5 hex chars of ``value:i``
+    as an int, mod ``bits`` — the exact Python twin of the build's SQL
+    spelling (md5 of CAST(v AS STRING) || ':' || i). NULLs contribute
+    no position (the zone map's null_count covers IS NULL probes)."""
     h = hashlib.md5(f"{value}:{i}".encode()).hexdigest()
     return int(h[:8], 16) % bits
 
@@ -86,20 +82,26 @@ def table_index_dir(base_dir: str, table: str) -> str:
     return os.path.join(base_dir, "_skipidx", table)
 
 
-_SRC_MTIME = "_SRC_MTIME"
+def _mtime_path(index_dir: str, col: str) -> str:
+    return os.path.join(index_dir, f"skip_{col}.srcmtime")
 
 
-def _record_src_mtime(index_dir: str, table_dir: str) -> None:
+def _record_src_mtime(index_dir: str, col: str, mtime: float) -> None:
+    """Freshness is recorded PER COLUMN (a partial-column rebuild must
+    not mark other columns' sidecars fresh) with the mtime observed
+    BEFORE the build read its source snapshot (a rewrite landing
+    mid-build leaves the record older than the root, correctly
+    reading as stale)."""
     try:
-        with open(os.path.join(index_dir, _SRC_MTIME), "w") as f:
-            f.write(repr(os.path.getmtime(table_dir)))
+        with open(_mtime_path(index_dir, col), "w") as f:
+            f.write(repr(mtime))
     except OSError:
         pass
 
 
-def index_stale(table_dir: str, index_dir: str) -> bool:
-    """True when the table has been rewritten since the sidecar was
-    built — a stale index can FALSE-NEGATIVE (a restated day's new
+def index_stale(table_dir: str, index_dir: str, col: str) -> bool:
+    """True when the table has been rewritten since ``col``'s sidecar
+    was built — a stale index can FALSE-NEGATIVE (a restated day's new
     files are unknown to it), so stale means fall back to the full
     scan, never prune. Detection is the table ROOT mtime, which every
     engine-maintained rewrite bumps explicitly
@@ -109,7 +111,7 @@ def index_stale(table_dir: str, index_dir: str) -> bool:
     refresh the index (or bump the root mtime) themselves — the same
     caller contract the binding's DataFrame cache documents."""
     try:
-        with open(os.path.join(index_dir, _SRC_MTIME)) as f:
+        with open(_mtime_path(index_dir, col)) as f:
             built = float(f.read().strip())
     except (OSError, ValueError):
         return True     # no/unreadable record: never trust the sidecar
@@ -136,6 +138,13 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
     the sidecar swap stays atomic per column (write tmp, rename).
     """
     os.makedirs(index_dir, exist_ok=True)
+    # freshness snapshot BEFORE the source read: a rewrite landing
+    # mid-build leaves the recorded mtime older than the root, so the
+    # sidecar correctly reads as stale afterwards
+    try:
+        src_mtime = os.path.getmtime(table_dir)
+    except OSError:
+        src_mtime = 0.0
     src = spark.read.parquet(table_dir)
     if days is not None:
         src = src.filter(F.col("dt").isin(days))
@@ -151,10 +160,20 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
                       F.count(F.lit(1)).alias("n_rows"),
                       F.sum(F.when(F.col("v").isNull(), 1)
                             .otherwise(0)).alias("null_count")))
-        pos_exprs = ", ".join(_pos_sql("v", i, bits)
-                              for i in range(hashes))
+        # Generate-safe: explode a LITERAL hash-index sequence and
+        # compute the single md5 in the Project AFTER the Generate —
+        # exploding an array of computed md5 expressions would inline
+        # them into GenerateExec and re-evaluate all `hashes` hashes per
+        # emitted row (the explode-inlining trap pinned in
+        # tests/test_plan_shape.py)
         words = (base.filter(F.col("v").isNotNull())
-                 .selectExpr("file", f"explode(array({pos_exprs})) AS pos")
+                 .selectExpr("file", "v",
+                             f"explode(sequence(0, {hashes - 1})) AS hi")
+                 .selectExpr(
+                     "file",
+                     "CAST(conv(substr(md5(concat(CAST(v AS STRING), "
+                     f"':', CAST(hi AS STRING))), 1, 8), 16, 10) "
+                     f"AS BIGINT) % {bits} AS pos")
                  .selectExpr("file", "CAST(pos DIV 64 AS INT) AS word",
                              "shiftleft(CAST(1 AS BIGINT), "
                              "CAST(pos % 64 AS INT)) AS mask")
@@ -182,8 +201,8 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         import shutil
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
+        _record_src_mtime(index_dir, col, src_mtime)
         out_paths.append(path)
-    _record_src_mtime(index_dir, table_dir)
     return out_paths
 
 
@@ -217,34 +236,50 @@ def prune_files(spark: SparkSession, index_dir: str, col: str,
     planning happens on the driver, data processing on executors.
     (``spark`` is kept in the signature for API stability; the probe
     does not use it.)"""
+    files = prune_files_any(spark, index_dir, col, [value])
+    return None if files is None else files
+
+
+def prune_files_any(spark: SparkSession, index_dir: str, col: str,
+                    values: list[Any]) -> Optional[list[str]]:
+    """Union of ``prune_files`` over an IN-list, reading the sidecar
+    ONCE (per-value re-reads would multiply the driver-side planning
+    cost by the list length)."""
     path = _index_path(index_dir, col)
     if not os.path.exists(path):
         return None
     import pyarrow.parquet as pq
     cols = pq.read_table(path).to_pydict()
-    if not cols["file"]:
+    if not cols["file"] or not values:
         return []
     bits_m, hashes = int(cols["bits_m"][0]), int(cols["hashes"][0])
-    pos = [_pos_py(value, i, bits_m) for i in range(hashes)]
+    pos = {v: [_pos_py(v, i, bits_m) for i in range(hashes)]
+           for v in values}
     out: list[str] = []
     for i, f in enumerate(cols["file"]):
         v_min, v_max = cols["v_min"][i], cols["v_max"][i]
         if v_min is None:
             continue
-        try:
-            if not (v_min <= value <= v_max):
-                continue
-        except TypeError:
-            # cross-type needle (e.g. "13" against an int column): the
-            # zone map can't decide, but the Bloom check below still
-            # can — str(13) and "13" hash identically — and keeping the
-            # file is always the safe (superset) direction
-            pass
-        bloom = dict(cols["bloom"][i] or ())
-        # stored words are signed int64; Python's sign extension makes
-        # bit 63 read correctly without normalization
-        if all((bloom.get(p // 64, 0) or 0) >> (p % 64) & 1 for p in pos):
-            out.append(f)
+        bloom = None
+        for v in values:
+            try:
+                if not (v_min <= v <= v_max):
+                    continue
+            except TypeError:
+                # cross-type needle (e.g. "13" against an int column):
+                # the zone map can't decide, but the Bloom check below
+                # still can — str(13) and "13" hash identically — and
+                # keeping the file is always the safe (superset)
+                # direction
+                pass
+            if bloom is None:
+                bloom = dict(cols["bloom"][i] or ())
+            # stored words are signed int64; Python's sign extension
+            # makes bit 63 read correctly without normalization
+            if all((bloom.get(p // 64, 0) or 0) >> (p % 64) & 1
+                   for p in pos[v]):
+                out.append(f)
+                break
     return out
 
 
@@ -305,7 +340,7 @@ def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
 
     The empty-prune case returns the full table under ``WHERE false`` —
     a footer-only plan with the correct schema, no data read."""
-    if index_stale(table_dir, index_dir):
+    if index_stale(table_dir, index_dir, col):
         return spark.read.parquet(table_dir).filter(F.col(col) == F.lit(value))
     files = prune_files(spark, index_dir, col, value)
     if files is None:

@@ -370,12 +370,12 @@ def test_stale_index_falls_back_until_refresh(spark, tmp_path):
 
     idx = table_index_dir(d, "facts")
     build_skipping_index(spark, table, ["id"], idx)
-    assert not index_stale(table, idx)
+    assert not index_stale(table, idx, "id")
     kept0 = prune_files(spark, idx, "id", 600)
     assert kept0       # prunes while fresh
 
     compact_day_partitions(spark, table, target_file_mb=256)
-    assert index_stale(table, idx)
+    assert index_stale(table, idx, "id")
     # needle_scan falls back to the full scan — rows stay correct even
     # though the indexed files for the compacted day no longer exist
     got = needle_scan(spark, table, idx, "id", 600)
@@ -384,8 +384,139 @@ def test_stale_index_falls_back_until_refresh(spark, tmp_path):
         set(spark.read.parquet(table).inputFiles()))
 
     build_skipping_index(spark, table, ["id"], idx)
-    assert not index_stale(table, idx)
+    assert not index_stale(table, idx, "id")
     pruned = needle_scan(spark, table, idx, "id", 600)
     assert pruned.count() == 1
     assert len(set(pruned.inputFiles())) < len(
         set(spark.read.parquet(table).inputFiles()))
+
+
+def test_prune_files_any_reads_sidecar_once(spark, layout):
+    """IN-list pruning is the union of the per-value keeps, computed
+    from ONE sidecar read."""
+    from maha_spark.plans.skipping import prune_files_any
+    table, idx = layout
+    one = set(prune_files(spark, idx, "kind", "click"))
+    two = set(prune_files(spark, idx, "kind", "view"))
+    both = prune_files_any(spark, idx, "kind", ["click", "view"])
+    assert set(both) == one | two
+    assert prune_files_any(spark, idx, "kind", []) == []
+    assert prune_files_any(spark, idx, "value", ["x"]) is None
+
+
+def test_staleness_is_per_column(spark, tmp_path):
+    """A partial-column rebuild after a table rewrite refreshes ONLY the
+    rebuilt column's sidecar: the other column must still read stale
+    (pruning on it could miss the rewrite's new files)."""
+    from maha_spark.plans.skipping import index_stale, table_index_dir
+
+    d = str(tmp_path)
+    table = os.path.join(d, "facts")
+    df = (spark.range(2_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-06-01', CAST(id DIV 500 AS INT))"))
+          .withColumn("k", F.expr("CAST(id % 7 AS BIGINT)")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["id", "k"], idx)
+    assert not index_stale(table, idx, "id")
+    assert not index_stale(table, idx, "k")
+
+    # bump the root mtime the way every engine-maintained rewrite does
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))
+    assert index_stale(table, idx, "id")
+    assert index_stale(table, idx, "k")
+
+    build_skipping_index(spark, table, ["id"], idx)
+    assert not index_stale(table, idx, "id")
+    assert index_stale(table, idx, "k")     # untouched sidecar stays stale
+
+
+@pytest.fixture(scope="module")
+def engine_layout(spark, tmp_path_factory):
+    """sf0.001 dir with a value-clustered day-partitioned events layout
+    plus its user_id sidecar — the planner-integration fixture."""
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.plans.skipping import table_index_dir
+
+    d = str(tmp_path_factory.mktemp("engskip") / "sf")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001"
+    for t in os.listdir(src):
+        if t != "events.parquet":
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    (ev.withColumn("dt", F.to_date("ts"))
+       .withColumn("ub", F.expr("CAST(user_id % 4 AS INT)"))
+       .repartition(4, F.col("ub")).sortWithinPartitions("user_id")
+       .drop("ub")
+       .write.mode("overwrite").partitionBy("dt")
+       .parquet(os.path.join(d, "events")))
+    build_skipping_index(spark, os.path.join(d, "events"), ["user_id"],
+                         table_index_dir(d, "events"))
+    eng = engine_for_dir(spark, build_contract_registry(), d)
+    n_files = sum(
+        len([f for f in os.listdir(os.path.join(d, "events", p))
+             if f.endswith(".parquet")])
+        for p in os.listdir(os.path.join(d, "events"))
+        if p.startswith("dt="))
+    return d, eng, n_files
+
+
+def _needle_req(value):
+    import json
+    return json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "2024-01-01", "to": "2024-12-31"},
+            {"field": "user_id", "operator": "=", "value": value}],
+    })
+
+
+def test_planner_canonicalizes_string_needle(spark, engine_layout):
+    """JSON requests carry stringly values; '13' against an int column
+    must coerce to the stored int's hash and prune exactly like 13 —
+    same rows, same pruned file set."""
+    d, eng, n_files = engine_layout
+    got_int = eng.dataframe(_needle_req(13))
+    got_str = eng.dataframe(_needle_req("13"))
+    fi = {f for f in got_int.inputFiles() if "/events/" in f}
+    fs = {f for f in got_str.inputFiles() if "/events/" in f}
+    assert fi == fs and 0 < len(fi) < n_files
+    assert sorted(map(tuple, got_int.collect())) \
+        == sorted(map(tuple, got_str.collect()))
+    assert got_int.count() > 0
+
+
+def test_planner_abstains_on_uncanonical_needles(spark, engine_layout):
+    """Needles whose string form may not match CAST(stored AS STRING) —
+    fractional floats, non-digit strings — must NOT prune (a wrong hash
+    would false-negative); rows stay correct via the residual filter."""
+    from maha_spark.request.request import ValidationError
+
+    d, eng, n_files = engine_layout
+    got = eng.dataframe(_needle_req(13.5))
+    # the abstained plan routes through the binding's CACHED full scan
+    # (InMemoryRelation) — a pruned plan is an uncached explicit
+    # file-list FileScan and never caches
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert got.count() == 0
+
+    # a non-numeric string on an int field never reaches the planner:
+    # request validation rejects it (reference parity), so _canon_needle's
+    # non-digit abstain only guards internal callers
+    with pytest.raises(ValidationError):
+        eng.dataframe(_needle_req("13x"))
+
+    # integral float DOES canonicalize (13.0 == stored 13 in Spark,
+    # str(13) is the built hash)
+    got = eng.dataframe(_needle_req(13.0))
+    fv = {f for f in got.inputFiles() if "/events/" in f}
+    assert 0 < len(fv) < n_files
+    assert got.count() > 0
