@@ -83,7 +83,8 @@ def partition_fact(spark: SparkSession, src_parquet: str, dst_dir: str,
 
 def overwrite_day_partitions(df: DataFrame, dst_dir: str,
                              partition_col: str = "dt",
-                             max_records_per_file: int | None = None) -> None:
+                             max_records_per_file: int | None = None,
+                             sort_within: list | None = None) -> None:
     """Write ``df`` into a Hive day-partitioned parquet directory,
     replacing ONLY the ``partition_col`` values present in ``df`` (Spark's
     dynamic partition-overwrite, scoped to this write via the writer
@@ -111,9 +112,18 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     # tiny files); hash-repartitioned on the partition column, each day
     # lands wholly in one task -> one file per directory (or, with
     # max_records_per_file set, ceil(day_rows / cap) files — the writer
-    # rolls to a new file per cap records WITHIN the task)
-    writer = (df.repartition(F.col(partition_col))
-              .write.mode("overwrite")
+    # rolls to a new file per cap records WITHIN the task). With
+    # sort_within, rows are sorted inside each task BEFORE the write, so
+    # the per-cap file roll cuts the day into CONSECUTIVE ranges of the
+    # sort key — the clustering hook zorder_day_partitions builds on.
+    # The partition column LEADS the sort: FileFormatWriter requires
+    # task rows ordered by the partition columns and would otherwise
+    # insert its own (unstable) sort by them, silently destroying the
+    # clustering order.
+    out = df.repartition(F.col(partition_col))
+    if sort_within:
+        out = out.sortWithinPartitions(F.col(partition_col), *sort_within)
+    writer = (out.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic"))
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -194,3 +204,135 @@ def compact_day_partitions(spark: SparkSession, dst_dir: str,
     overwrite_day_partitions(df, dst_dir, partition_col=partition_col,
                              max_records_per_file=cap)
     return days
+
+def zorder_expr(df: DataFrame, cols: list[str], zbits: int = 6,
+                sample: DataFrame | None = None):
+    """A Z-value (Morton order) Column over ``cols``: each column is
+    reduced to a ``2^zbits``-bin id, and the bin ids' bits are
+    interleaved so sorting by the result clusters rows that are close in
+    EVERY listed dimension — the multi-column locality a single-column
+    sort cannot give (sorting by A scatters B).
+
+    Bin assignment per column type:
+
+    * numeric / date-like: APPROX-QUANTILE boundaries (equi-depth bins,
+      skew-robust — equi-width bins would put most rows of a zipfian
+      column in one bin), so files get narrow [min,max] zone-map ranges
+      on the column: both range and equality needles prune.
+    * everything else (strings, binaries): hash bins — no meaningful
+      order to preserve, but co-locating equal values still concentrates
+      each value in few files, which the Bloom sidecar turns into
+      equality pruning.
+
+    The bin lookup is ``cardinality(filter(boundaries, b -> b <= v))``
+    over a LITERAL sorted boundary array — O(2^zbits) pure-codegen ops
+    per row per column, which is why ``zbits`` defaults to 6 (64 bins:
+    at file-level granularity a day rarely holds more than ~100 files,
+    so 64 bins per dimension already separates them). NULLs sort to bin
+    0. ``sample`` (default ``df``) is what quantiles are estimated on —
+    pass a pre-materialized frame to avoid recomputing lineage."""
+    from pyspark.sql.types import (ByteType, DateType, DecimalType,
+                                   DoubleType, FloatType, IntegerType,
+                                   LongType, ShortType, TimestampNTZType,
+                                   TimestampType)
+    bins = 1 << zbits
+    src = sample if sample is not None else df
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
+               DoubleType, DecimalType)
+    datelike = (DateType, TimestampType, TimestampNTZType)
+
+    bin_exprs = []
+    quant_cols = [c for c in cols
+                  if isinstance(dtypes[c], numeric + datelike)]
+    bounds: dict[str, list[float]] = {}
+    if quant_cols:
+        probs = [i / bins for i in range(1, bins)]
+        num_src = src.select(*[
+            F.col(c).cast("double").alias(c) if isinstance(
+                dtypes[c], numeric)
+            # date/timestamp: epoch seconds keeps order
+            else F.col(c).cast("timestamp").cast("double").alias(c)
+            for c in quant_cols])
+        qs = num_src.approxQuantile(quant_cols, probs, 0.01)
+        for c, q in zip(quant_cols, qs):
+            bounds[c] = sorted(set(q))   # dedup collapsed boundaries
+    for c in cols:
+        if c in bounds and bounds[c]:
+            v = (F.col(c).cast("double") if isinstance(dtypes[c], numeric)
+                 else F.col(c).cast("timestamp").cast("double"))
+            barr = F.array(*[F.lit(float(b)) for b in bounds[c]])
+            bin_c = F.when(v.isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(barr, lambda b: b <= v)))
+        elif c in dtypes and not isinstance(dtypes[c], numeric + datelike):
+            bin_c = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                F.pmod(F.hash(F.col(c)), F.lit(bins)))
+        else:       # constant column (no distinct boundaries): bin 0
+            bin_c = F.lit(0)
+        bin_exprs.append(bin_c.cast("long"))
+
+    # interleave: bit b of column j lands at position b*k + j
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(zbits):
+        for j, bin_c in enumerate(bin_exprs):
+            bit = F.shiftright(bin_c, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * k + j)
+    return z
+
+
+def zorder_day_partitions(spark: SparkSession, dst_dir: str,
+                          cols: list[str], partition_col: str = "dt",
+                          target_file_mb: float = 256, zbits: int = 6,
+                          days: list[str] | None = None) -> list[str]:
+    """Rewrite the day partitions of a Hive day-partitioned table with
+    rows Z-ORDERED on ``cols`` — the lakehouse clustering maintenance
+    job (Delta ``OPTIMIZE ZORDER BY`` shape): within each ``dt=``
+    directory, files become tiles of the multi-column space, so the
+    data-skipping sidecar (``plans/skipping.py``) prunes needle queries
+    on ANY of the listed columns, not just a single sort leader.
+
+    Bit-identical per day (row multiset unchanged; only order and file
+    boundaries move). ``days=None`` rewrites every day; pass the churned
+    days for the incremental shape. Day directories are the rewrite
+    unit, so the swap is atomic-per-partition and the table-root mtime
+    bump invalidates binding caches — the sidecar then reads stale until
+    ``refresh_skipping_index`` runs (callers should chain it; the
+    planner's staleness gate keeps results correct either way).
+
+    Mechanics: one quantile pass to fix the bin boundaries, then one
+    shuffle (repartition by day) + in-task sort by the z-value + size-
+    capped write — the writer's per-cap file roll cuts each sorted day
+    into consecutive z-ranges. Cost is one read + one write of the
+    selected days, same as compaction."""
+    import math
+    import os
+
+    sel = []
+    sel_bytes = 0
+    for d in sorted(os.listdir(dst_dir)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        val = d.split("=", 1)[1]
+        if days is not None and val not in days:
+            continue
+        p = os.path.join(dst_dir, d)
+        sel_bytes += sum(os.path.getsize(os.path.join(p, f))
+                         for f in os.listdir(p) if f.endswith(".parquet"))
+        sel.append(val)
+    if not sel:
+        return []
+    # materialize BEFORE the overwrite: the write deletes the files this
+    # read consumes (same decoupling as compact_day_partitions)
+    df = (spark.read.parquet(dst_dir)
+          .filter(F.col(partition_col).isin(sel))
+          .localCheckpoint(eager=True))
+    n_rows = df.count()
+    cap = None
+    if n_rows > 0 and sel_bytes > 0:
+        per_row = sel_bytes / n_rows
+        cap = max(1, math.ceil(target_file_mb * 1024 * 1024 / per_row))
+    z = zorder_expr(df, cols, zbits=zbits)
+    overwrite_day_partitions(df, dst_dir, partition_col=partition_col,
+                             max_records_per_file=cap, sort_within=[z])
+    return sel

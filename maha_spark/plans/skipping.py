@@ -99,6 +99,16 @@ def _record_src_mtime(index_dir: str, col: str, mtime: float) -> None:
         pass
 
 
+def _built_mtime(index_dir: str, col: str) -> Optional[float]:
+    """The source-root mtime snapshot recorded when ``col``'s sidecar was
+    built, or None when absent/unreadable."""
+    try:
+        with open(_mtime_path(index_dir, col)) as f:
+            return float(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def index_stale(table_dir: str, index_dir: str, col: str) -> bool:
     """True when the table has been rewritten since ``col``'s sidecar
     was built — a stale index can FALSE-NEGATIVE (a restated day's new
@@ -110,10 +120,8 @@ def index_stale(table_dir: str, index_dir: str, col: str) -> bool:
     writers that mutate day directories without touching the root must
     refresh the index (or bump the root mtime) themselves — the same
     caller contract the binding's DataFrame cache documents."""
-    try:
-        with open(_mtime_path(index_dir, col)) as f:
-            built = float(f.read().strip())
-    except (OSError, ValueError):
+    built = _built_mtime(index_dir, col)
+    if built is None:
         return True     # no/unreadable record: never trust the sidecar
     try:
         return os.path.getmtime(table_dir) > built + 1e-6
@@ -191,10 +199,19 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
             # a restated day's directory is rewritten wholesale (file
             # names change), so carry-over is keyed on the dt= DIRECTORY
             # not the file name — stale rows for replaced files would
-            # otherwise keep dead paths in the index forever
+            # otherwise keep dead paths in the index forever. Carried
+            # rows are additionally restricted to directories still ON
+            # DISK: a full-day deletion (the overwrite_day_partitions
+            # caveat) removes the dt= dir without restating it, and a
+            # kept row for a dead path would make the pruned scan read
+            # a nonexistent file
+            live = [d for d in os.listdir(table_dir)
+                    if d.startswith("dt=")] \
+                if os.path.isdir(table_dir) else []
             prev = spark.read.parquet(path)
             keep = prev.filter(
-                ~F.col("dt_dir").isin([f"dt={d}" for d in days]))
+                ~F.col("dt_dir").isin([f"dt={d}" for d in days])
+                & F.col("dt_dir").isin(live))
             idx = keep.unionByName(idx)
         tmp = path + ".tmp"
         idx.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -360,3 +377,107 @@ def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
         reader = reader.option("basePath", table_dir)
     return (reader.parquet(*files)
             .filter(F.col(col) == F.lit(value)))
+
+
+def indexed_columns(index_dir: str) -> list[str]:
+    """Columns carrying a sidecar under ``index_dir`` — the maintenance
+    loop rediscovers what to refresh from the directory itself instead
+    of requiring callers to re-state the column list every cycle."""
+    if not os.path.isdir(index_dir):
+        return []
+    return sorted(f[len("skip_"):-len(".parquet")]
+                  for f in os.listdir(index_dir)
+                  if f.startswith("skip_") and f.endswith(".parquet"))
+
+
+def refresh_skipping_index(spark: SparkSession, table_dir: str,
+                           index_dir: str,
+                           days: Optional[list[str]] = None) -> list[str]:
+    """Incrementally refresh EVERY existing sidecar for the table — the
+    maintenance twin of ``build_skipping_index`` that the day-partition
+    upkeep jobs (incremental rollup refresh, compaction, streaming-append
+    drains) call after rewriting data.
+
+    With ``days=None`` the changed set is AUTO-DETECTED per column: a
+    ``dt=`` directory whose mtime is newer than that column's recorded
+    build snapshot was rewritten since the sidecar was built (every
+    engine-maintained rewrite creates/replaces files inside the day
+    directory, which bumps its mtime) and gets re-indexed; untouched
+    days carry over. A full-day DELETION leaves no directory to detect —
+    those are caught by diffing the sidecar's ``dt_dir`` set against
+    disk, and the rebuild's carry-over purges the dead rows (kept rows
+    for dead paths would make a pruned scan read nonexistent files). A
+    column with NO stale days and no deletions only has its freshness
+    record re-stamped (the table-root mtime moves on every rewrite even
+    when this column's days all carried over).
+
+    Returns the refreshed sidecar paths. At 100 TB this is the contract
+    that keeps needle queries fast forever: each cycle re-indexes only
+    the restated days (cost ∝ churn, not table size), and the planner's
+    staleness gate guarantees correctness in the window between a
+    rewrite and the next refresh (falls back to the full scan, never
+    prunes on a stale sidecar)."""
+    cols = indexed_columns(index_dir)
+    if not cols or not os.path.isdir(table_dir):
+        return []
+    day_dirs = [d for d in os.listdir(table_dir) if d.startswith("dt=")]
+    if not day_dirs:
+        # flat (non-partitioned) table: no per-day increments possible —
+        # full rebuild of every sidecar
+        return build_skipping_index(spark, table_dir, cols, index_dir)
+    out: list[str] = []
+    live = set(day_dirs)
+    # group columns by their changed-day set: sidecars built together
+    # share a snapshot, so the common case is ONE build call (and one
+    # source read) covering every column. Key None = full rebuild;
+    # a tuple (possibly EMPTY — pure-deletion case) = days-scoped
+    # rebuild whose carry-over purges dead dt_dirs.
+    groups: dict[Optional[tuple[str, ...]], list[str]] = {}
+    for col in cols:
+        if days is not None:
+            changed = sorted(days)
+        else:
+            built = _built_mtime(index_dir, col)
+            if built is None:
+                # never built / unreadable record: full rebuild
+                groups.setdefault(None, []).append(col)
+                continue
+            changed = []
+            for d in day_dirs:
+                try:
+                    if os.path.getmtime(
+                            os.path.join(table_dir, d)) > built + 1e-6:
+                        changed.append(d.split("=", 1)[1])
+                except OSError:
+                    continue    # raced a deletion: carry-over drops it
+            changed = sorted(changed)
+        if not changed and not _sidecar_dead_dirs(index_dir, col, live):
+            # nothing to re-index and no dead rows — the root mtime
+            # moved (the rewrite that triggered this refresh), so just
+            # re-stamp freshness and the planner keeps pruning
+            try:
+                src_mtime = os.path.getmtime(table_dir)
+            except OSError:
+                continue
+            _record_src_mtime(index_dir, col, src_mtime)
+            out.append(_index_path(index_dir, col))
+            continue
+        groups.setdefault(tuple(changed), []).append(col)
+    for key, group_cols in groups.items():
+        out.extend(build_skipping_index(
+            spark, table_dir, group_cols, index_dir,
+            days=list(key) if key is not None else None))
+    return out
+
+
+def _sidecar_dead_dirs(index_dir: str, col: str, live: set[str]) -> bool:
+    """True when ``col``'s sidecar holds rows for a ``dt=`` directory no
+    longer on disk (a full-day deletion). Driver-side pyarrow read of
+    the one small dt_dir column."""
+    path = _index_path(index_dir, col)
+    if not os.path.exists(path):
+        return False
+    import pyarrow.parquet as pq
+    dirs = set(pq.read_table(path, columns=["dt_dir"])
+               .column("dt_dir").to_pylist())
+    return bool(dirs - live - {None})

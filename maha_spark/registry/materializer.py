@@ -342,10 +342,18 @@ def refresh_recommendation(spark, binding, registry: Registry,
     already-compact days are never rewritten, so the bit-identical /
     physically-untouched contract above still holds for them. Pass
     ``compact_target_mb=None`` to skip (e.g. while a concurrent reader
-    holds file listings)."""
+    holds file listings).
+
+    When the table carries a data-skipping sidecar
+    (``{dst_dir}/_skipidx/{name}/``), the cycle finishes by refreshing
+    it for exactly the rewritten days (auto-detected by directory
+    mtime) — without this, every refresh would leave the sidecar stale
+    and needle queries on the rollup permanently back at the full
+    scan."""
     from pyspark.sql import functions as F
 
     from ..plans.scale import compact_day_partitions, overwrite_day_partitions
+    from ..plans.skipping import refresh_skipping_index, table_index_dir
 
     dst = os.path.join(dst_dir, name)
     if not os.path.isdir(dst):
@@ -372,6 +380,9 @@ def refresh_recommendation(spark, binding, registry: Registry,
     if compact_target_mb is not None:
         compact_day_partitions(spark, dst,
                                target_file_mb=compact_target_mb)
+    idx_dir = table_index_dir(dst_dir, name)
+    if os.path.isdir(idx_dir):
+        refresh_skipping_index(spark, dst, idx_dir)
     return dst
 
 

@@ -405,3 +405,49 @@ def test_refresh_self_compacts_fragmented_days(spark, applied,
     assert _part_rows(spark, out) == full
     for f, listing in untouched.items():
         assert sorted(os.listdir(os.path.join(out, f))) == listing
+
+
+def test_refresh_keeps_skipping_sidecar_fresh(spark, applied,
+                                              tmp_path_factory):
+    """The maintenance loop closes over the data-skipping index: a
+    day-range refresh (which rewrites dt= dirs and bumps the root mtime,
+    making any sidecar stale) finishes by refreshing the sidecar for
+    exactly the rewritten days — needle pruning stays enabled across
+    refresh cycles without a separate job."""
+    import shutil
+
+    from maha_spark.plans.skipping import (
+        build_skipping_index, index_stale, prune_files, table_index_dir)
+    from maha_spark.registry.materializer import (
+        materialize_recommendation, refresh_recommendation)
+
+    reg, d, rec, _t = applied
+    cube = reg.fact("lineitem_stats")
+    work = str(tmp_path_factory.mktemp("advised_skipidx"))
+    for t in os.listdir(SRC):
+        os.symlink(os.path.join(SRC, t), os.path.join(work, t))
+    eng = engine_for_dir(spark, reg, work)
+    out = materialize_recommendation(spark, eng.binding, reg, cube, rec,
+                                     work, "advised_part",
+                                     partitioned=True)
+    idx = table_index_dir(work, "advised_part")
+    build_skipping_index(spark, out, ["customer_nation_fk"], idx)
+    assert not index_stale(out, idx, "customer_nation_fk")
+
+    days = sorted(f.split("=", 1)[1] for f in os.listdir(out)
+                  if f.startswith("dt="))
+    lo, hi = days[1], days[2]
+    shutil.rmtree(os.path.join(out, f"dt={days[1]}"))   # corrupt one day
+    refresh_recommendation(spark, eng.binding, reg, cube, rec, work,
+                           "advised_part", lo, hi)
+    # refresh rewrote dt= dirs AND re-indexed them: sidecar fresh, every
+    # indexed path live, needle pruning still answers
+    assert not index_stale(out, idx, "customer_nation_fk")
+    df = spark.read.parquet(os.path.join(idx,
+                                         "skip_customer_nation_fk.parquet"))
+    for r in df.select("file").collect():
+        f = r["file"]
+        assert os.path.exists(f[len("file:"):] if f.startswith("file:")
+                              else f), f
+    kept = prune_files(spark, idx, "customer_nation_fk", 3)
+    assert kept  # value exists -> non-empty keep from a FRESH sidecar

@@ -520,3 +520,215 @@ def test_planner_abstains_on_uncanonical_needles(spark, engine_layout):
     fv = {f for f in got.inputFiles() if "/events/" in f}
     assert 0 < len(fv) < n_files
     assert got.count() > 0
+
+
+@pytest.fixture()
+def refresh_layout(spark, tmp_path):
+    """Fresh per-test day-partitioned table with a two-column sidecar."""
+    from maha_spark.plans.skipping import table_index_dir
+    d = str(tmp_path)
+    table = os.path.join(d, "facts")
+    df = (spark.range(4_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-07-01', CAST(id DIV 500 AS INT))"))
+          .withColumn("k", F.expr("CAST(id % 11 AS BIGINT)")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["id", "k"], idx)
+    return table, idx
+
+
+def _sidecar_files(spark, idx, col, day=None):
+    df = spark.read.parquet(os.path.join(idx, f"skip_{col}.parquet"))
+    if day is not None:
+        df = df.filter(F.col("dt_dir") == f"dt={day}")
+    return sorted(r["file"] for r in df.select("file").collect())
+
+
+def test_refresh_auto_detects_changed_days(spark, refresh_layout):
+    """refresh_skipping_index(days=None) re-indexes exactly the day
+    directories rewritten since the build (mtime-detected), carries the
+    rest over byte-identically, and leaves the sidecar fresh."""
+    from maha_spark.plans.skipping import (
+        index_stale, refresh_skipping_index)
+    table, idx = refresh_layout
+    untouched_before = _sidecar_files(spark, idx, "id", "2024-07-05")
+
+    # restate one day with shifted ids (new files, new values)
+    day = "2024-07-02"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day_df = (spark.read.parquet(table).filter(f"dt = '{day}'")
+              .localCheckpoint(eager=True))
+    (day_df.withColumn("id", F.col("id") + 1_000_000)
+     .repartition(2).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))     # the engine-rewrite root bump
+    assert index_stale(table, idx, "id")
+
+    paths = refresh_skipping_index(spark, table, idx)
+    assert len(paths) == 2          # both columns refreshed, one group
+    assert not index_stale(table, idx, "id")
+    assert not index_stale(table, idx, "k")
+    # untouched day rows carried over verbatim
+    assert _sidecar_files(spark, idx, "id", "2024-07-05") \
+        == untouched_before
+    # every indexed file exists on disk (no dead paths)
+    for f in _sidecar_files(spark, idx, "id"):
+        assert os.path.exists(f[len("file:"):]
+                              if f.startswith("file:") else f)
+    # new values findable, exact vs full scan
+    got = needle_scan(spark, table, idx, "id", 1_000_600)
+    exp = spark.read.parquet(table).filter("id = 1000600")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert got.count() == 1
+
+
+def test_refresh_drops_deleted_day(spark, refresh_layout):
+    """A full-day deletion (dt= dir removed, root bumped — the
+    overwrite_day_partitions caveat) must purge that day's rows from the
+    sidecar on refresh: kept rows for dead paths would make the pruned
+    scan read nonexistent files."""
+    from maha_spark.plans.skipping import refresh_skipping_index
+    import shutil
+    table, idx = refresh_layout
+    # id=1700 lives only in dt=2024-07-04 (1700 DIV 500 = 3)
+    assert _sidecar_files(spark, idx, "id", "2024-07-04")
+    shutil.rmtree(os.path.join(table, "dt=2024-07-04"))
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))
+
+    refresh_skipping_index(spark, table, idx)
+    assert _sidecar_files(spark, idx, "id", "2024-07-04") == []
+    got = needle_scan(spark, table, idx, "id", 1_700)
+    assert got.count() == 0
+    got2 = needle_scan(spark, table, idx, "id", 600)
+    assert got2.count() == 1
+
+
+def test_refresh_restamps_when_nothing_changed(spark, refresh_layout):
+    """A root-mtime bump with no day-directory changes (a rewrite that
+    touched other state) re-stamps freshness WITHOUT rebuilding — the
+    sidecar bytes stay identical and pruning stays enabled."""
+    from maha_spark.plans.skipping import (
+        index_stale, refresh_skipping_index)
+    table, idx = refresh_layout
+    before = _sidecar_files(spark, idx, "id")
+    sidecar = os.path.join(idx, "skip_id.parquet")
+    bytes_before = sorted(
+        (f, os.path.getmtime(os.path.join(sidecar, f)))
+        for f in os.listdir(sidecar))
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))
+    assert index_stale(table, idx, "id")
+
+    refresh_skipping_index(spark, table, idx)
+    assert not index_stale(table, idx, "id")
+    assert _sidecar_files(spark, idx, "id") == before
+    assert sorted((f, os.path.getmtime(os.path.join(sidecar, f)))
+                  for f in os.listdir(sidecar)) == bytes_before
+
+
+@pytest.fixture(scope="module")
+def zorder_layout(spark, tmp_path_factory):
+    """Two independent needle columns + a string column over 3 days —
+    the shape where a single-column sort can't serve both needles."""
+    d = str(tmp_path_factory.mktemp("zorder"))
+    table = os.path.join(d, "facts")
+    df = (spark.range(90_000)
+          .withColumn("dt", F.expr(
+              "date_add(DATE '2024-08-01', CAST(id % 3 AS INT))"))
+          .withColumn("x", F.expr("CAST(id % 1000 AS BIGINT)"))
+          .withColumn("y", F.expr("pmod(hash(id), 1000)").cast("long"))
+          .withColumn("s", F.expr(
+              "concat('u', CAST((id * 131) % 500 AS STRING))"))
+          .withColumn("pad", F.expr("repeat(uuid(), 4)")))
+    (df.repartition(F.col("dt")).write.mode("overwrite")
+       .partitionBy("dt").parquet(table))
+    return d, table
+
+
+def _day_rows(spark, table):
+    return sorted(map(tuple, spark.read.parquet(table)
+                      .select("dt", "id", "x", "y", "s").collect()))
+
+
+def _files_per_day(table):
+    return {p: sorted(f for f in os.listdir(os.path.join(table, p))
+                      if f.endswith(".parquet"))
+            for p in os.listdir(table) if p.startswith("dt=")}
+
+
+def test_zorder_bit_identical_and_multi_file(spark, zorder_layout):
+    """The rewrite changes layout only: per-day row multisets unchanged,
+    and the size cap actually cuts each day into multiple files."""
+    from maha_spark.plans.scale import zorder_day_partitions
+    d, table = zorder_layout
+    before = _day_rows(spark, table)
+    days = zorder_day_partitions(spark, table, ["x", "y"],
+                                 target_file_mb=0.05)
+    assert len(days) == 3
+    assert _day_rows(spark, table) == before
+    for day, files in _files_per_day(table).items():
+        assert len(files) > 4, day
+
+
+def test_zorder_prunes_on_every_listed_column(spark, zorder_layout):
+    """After Z-ORDER on (x, y), the sidecar prunes needles on BOTH
+    columns (files are tiles of the 2-D space); a plain x-sorted layout
+    only prunes x — the y zone maps all span the full range."""
+    from maha_spark.plans.skipping import table_index_dir
+    d, table = zorder_layout     # already z-ordered by the test above
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["x", "y"], idx)
+    total = sum(len(v) for v in _files_per_day(table).values())
+
+    for col, needle in (("x", 123), ("y", 456)):
+        kept = prune_files(spark, idx, col, needle)
+        assert kept is not None and 0 < len(kept) < total // 2, col
+        got = needle_scan(spark, table, idx, col, needle)
+        exp = spark.read.parquet(table).filter(F.col(col) == needle)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, exp.collect())), col
+
+    # contrast: single-column sort leaves the OTHER column unprunable
+    from maha_spark.plans.scale import overwrite_day_partitions
+    xsorted = os.path.join(d, "facts_xsort")
+    src = (spark.read.parquet(table).localCheckpoint(eager=True))
+    n = src.count()
+    overwrite_day_partitions(src, xsorted, max_records_per_file=n // 20,
+                             sort_within=[F.col("x")])
+    xidx = os.path.join(d, "_skipidx", "facts_xsort")
+    build_skipping_index(spark, xsorted, ["x", "y"], xidx)
+    xtotal = sum(len(v) for v in _files_per_day(xsorted).values())
+    kept_x = prune_files(spark, xidx, "x", 123)
+    kept_y = prune_files(spark, xidx, "y", 456)
+    assert 0 < len(kept_x) < xtotal // 2       # leader prunes
+    assert len(kept_y) == xtotal               # follower cannot
+
+
+def test_zorder_hash_bins_string_column(spark, zorder_layout):
+    """A string column in the Z-order gets hash bins: equal values
+    co-locate, so the Bloom sidecar prunes equality needles on it."""
+    from maha_spark.plans.scale import zorder_day_partitions
+    from maha_spark.plans.skipping import (
+        refresh_skipping_index, table_index_dir)
+    d, table = zorder_layout
+    before = _day_rows(spark, table)
+    zorder_day_partitions(spark, table, ["x", "s"],
+                          target_file_mb=0.05)
+    assert _day_rows(spark, table) == before
+    idx = table_index_dir(d, "facts")
+    # the rewrite made the existing sidecar stale — the maintenance
+    # chain (zorder -> refresh) brings it back, re-indexing every day
+    refresh_skipping_index(spark, table, idx)
+    build_skipping_index(spark, table, ["s"], idx)
+    total = sum(len(v) for v in _files_per_day(table).values())
+    kept = prune_files(spark, idx, "s", "u123")
+    assert kept is not None and 0 < len(kept) < total // 2
+    got = needle_scan(spark, table, idx, "s", "u123")
+    exp = spark.read.parquet(table).filter("s = 'u123'")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
