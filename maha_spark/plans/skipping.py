@@ -22,7 +22,7 @@ Design constraints honored:
   ``hashes`` bit positions is unset. Equality of ``needle_scan`` with
   the full-table filter is therefore guaranteed, and pinned in tests.
 * **Mergeable, partition-incremental build.** The index is built with
-  one grouped aggregation per column over ``input_file_name()`` — the
+  one grouped aggregation per column over ``_metadata.file_path`` — the
   Bloom bitset is OR-merged per 64-bit word (``bit_or`` of
   ``shiftleft``), pure codegen, no ``collect_set`` of per-file value
   sets (whose state would scale with per-file ndv). ``days=`` rebuilds
@@ -158,7 +158,13 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         src = src.filter(F.col("dt").isin(days))
     out_paths = []
     for col in cols:
-        base = (src.select(F.input_file_name().alias("file"),
+        # _metadata.file_path, NOT input_file_name(): a cached copy of
+        # the table (the binding caches small tables) would be
+        # substituted for the plain read by Spark's cache manager, and
+        # input_file_name() is EMPTY on InMemoryRelation rows — the
+        # metadata column cannot be served from such a cache, so the
+        # build always sees real file paths
+        base = (src.select(F.col("_metadata.file_path").alias("file"),
                            F.col(col).alias("v"))
                 .withColumn("dt_dir", F.element_at(
                     F.split(F.col("file"), "/"), -2)))

@@ -124,3 +124,46 @@ def test_mine_build_prune_loop(spark, tmp_path):
         .groupBy("user_id").agg(F.sum(F.lit(1)).alias("event_count"))
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, exp.collect()))
+
+
+def test_live_ledger_entries_mine_directly(spark, tmp_path):
+    """The advisor consumes the engine's OWN RequestLogEntry stream
+    (CollectingRequestLogWriter), not just raw JSON — the live loop:
+    serve needle traffic -> ledger -> recommend -> build -> prune."""
+    from maha_spark.engine import MahaSparkEngine
+    from maha_spark.log.request_log import CollectingRequestLogWriter
+    from maha_spark.plans.binding import ParquetBinding
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for t in os.listdir(SRC):
+        if t != "events.parquet":
+            os.symlink(os.path.join(SRC, t), os.path.join(d, t))
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    (ev.withColumn("dt", F.to_date("ts"))
+       .withColumn("ub", F.expr("CAST(user_id % 4 AS INT)"))
+       .repartition(4, F.col("ub")).sortWithinPartitions("user_id")
+       .drop("ub")
+       .write.mode("overwrite").partitionBy("dt")
+       .parquet(os.path.join(d, "events")))
+    writer = CollectingRequestLogWriter()
+    eng = MahaSparkEngine(spark, build_contract_registry(),
+                          ParquetBinding(spark, d),
+                          request_logger=writer)
+    for i in (13, 14, 15):
+        out = eng.execute(_needle(i))
+        assert "rows" in out
+    assert len(writer.entries) == 3
+
+    recs = recommend_skipping_indexes(eng, writer.entries)
+    assert [(r.table, r.column, r.count) for r in recs] == [
+        ("events", "user_id", 3)]
+    build_recommended_indexes(spark, d, recs)
+    got = eng.dataframe(_needle(13))
+    ev_files = [f for f in got.inputFiles() if "/events/" in f]
+    n_files = sum(
+        len([f for f in os.listdir(os.path.join(d, "events", p))
+             if f.endswith(".parquet")])
+        for p in os.listdir(os.path.join(d, "events"))
+        if p.startswith("dt="))
+    assert 0 < len(ev_files) < n_files
