@@ -244,6 +244,32 @@ def index_file_count(index_dir: str, col: str) -> Optional[int]:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+#: memoized sidecar tables keyed by path -> (mtime, pydict). A needle
+#: workload probes the same sidecar on every request; re-parsing the
+#: parquet per request is pure waste, and the atomic rename that swaps
+#: a rebuilt sidecar moves the path's mtime, which invalidates here.
+_SIDECAR_CACHE: dict[str, tuple[float, dict]] = {}
+_SIDECAR_CACHE_MAX = 128
+
+
+def _load_sidecar(path: str) -> Optional[dict]:
+    if not os.path.exists(path):
+        return None
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    import pyarrow.parquet as pq
+    cols = pq.read_table(path).to_pydict()
+    if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    _SIDECAR_CACHE[path] = (mtime, cols)
+    return cols
+
+
 def prune_files(spark: SparkSession, index_dir: str, col: str,
                 value: Any) -> Optional[list[str]]:
     """File paths that MAY contain ``col = value`` per the sidecar, or
@@ -268,11 +294,9 @@ def prune_files_any(spark: SparkSession, index_dir: str, col: str,
     """Union of ``prune_files`` over an IN-list, reading the sidecar
     ONCE (per-value re-reads would multiply the driver-side planning
     cost by the list length)."""
-    path = _index_path(index_dir, col)
-    if not os.path.exists(path):
+    cols = _load_sidecar(_index_path(index_dir, col))
+    if cols is None:
         return None
-    import pyarrow.parquet as pq
-    cols = pq.read_table(path).to_pydict()
     if not cols["file"] or not values:
         return []
     bits_m, hashes = int(cols["bits_m"][0]), int(cols["hashes"][0])
@@ -316,13 +340,10 @@ def prune_files_range(spark: SparkSession, index_dir: str, col: str,
     null-false); cross-type comparisons abstain (keep — the safe
     superset direction). Same driver-side pyarrow altitude as
     ``prune_files``; the Bloom filter plays no part here."""
-    path = _index_path(index_dir, col)
-    if not os.path.exists(path):
+    cols = _load_sidecar(_index_path(index_dir, col))
+    if cols is None:
         return None
     import operator
-    import pyarrow.parquet as pq
-    cols = pq.read_table(
-        path, columns=["file", "v_min", "v_max"]).to_pydict()
     lo_op = operator.ge if lo_inclusive else operator.gt
     hi_op = operator.le if hi_inclusive else operator.lt
     out: list[str] = []
@@ -345,11 +366,9 @@ def prune_files_null(spark: SparkSession, index_dir: str,
                      col: str) -> Optional[list[str]]:
     """Files that may contain NULL ``col`` values (``IS NULL`` needles):
     the sidecar's exact per-file null_count makes this lossless."""
-    path = _index_path(index_dir, col)
-    if not os.path.exists(path):
+    cols = _load_sidecar(_index_path(index_dir, col))
+    if cols is None:
         return None
-    import pyarrow.parquet as pq
-    cols = pq.read_table(path, columns=["file", "null_count"]).to_pydict()
     return [f for i, f in enumerate(cols["file"])
             if (cols["null_count"][i] or 0) > 0]
 

@@ -732,3 +732,39 @@ def test_zorder_hash_bins_string_column(spark, zorder_layout):
     exp = spark.read.parquet(table).filter("s = 'u123'")
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, exp.collect()))
+
+
+def test_sidecar_probe_memoized(spark, refresh_layout):
+    """Repeated needles on the same sidecar must not re-parse it: the
+    driver memoizes per path+mtime, and the atomic rename of a rebuild
+    bumps the mtime, invalidating the entry."""
+    import pyarrow.parquet as pq
+
+    from maha_spark.plans import skipping
+    table, idx = refresh_layout
+    skipping._SIDECAR_CACHE.clear()
+    k1 = prune_files(spark, idx, "id", 600)
+    path = os.path.join(idx, "skip_id.parquet")
+    assert path in skipping._SIDECAR_CACHE
+
+    orig = pq.read_table
+    pq.read_table = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("sidecar re-parsed on a warm probe"))
+    try:
+        assert prune_files(spark, idx, "id", 600) == k1
+        # range/null probes share the same memoized table
+        from maha_spark.plans.skipping import (prune_files_null,
+                                               prune_files_range)
+        assert prune_files_range(spark, idx, "id", lo=600, hi=600) \
+            is not None
+        assert prune_files_null(spark, idx, "id") == []
+    finally:
+        pq.read_table = orig
+
+    # a rebuild swaps the sidecar dir (rename -> new mtime): the next
+    # probe re-reads instead of serving the dead entry
+    import time
+    time.sleep(0.01)
+    build_skipping_index(spark, table, ["id"], idx)
+    assert prune_files(spark, idx, "id", 600) == k1
+    assert skipping._SIDECAR_CACHE[path][1] is not None
