@@ -62,10 +62,16 @@ def _canon_needle(dtype, value):
     coerce (Spark's relaxed equality matches them against stored ints,
     and the coerced int hashes identically to the stored form). String
     columns: strings only (a numeric needle makes Spark compare after a
-    numeric cast, where '013' = 13 — the Bloom can't see that). Anything
-    else — fractional needles on int columns, non-digit strings,
-    non-int/str column types — returns the _SKIP sentinel."""
-    from ..core.types import IntType, StrType
+    numeric cast, where '013' = 13 — the Bloom can't see that). Date
+    columns: date objects and 'YYYY-M-D' strings coerce to a
+    ``datetime.date`` whose str() is the ISO form CAST(date AS STRING)
+    produced (Spark's lenient string->date cast accepts the same
+    shapes). Anything else — fractional needles on int columns,
+    non-digit strings, unsupported column types — returns the _SKIP
+    sentinel."""
+    import datetime as _dt
+
+    from ..core.types import DateType, IntType, StrType
     if isinstance(dtype, IntType):
         if isinstance(value, bool):
             return _SKIP
@@ -81,6 +87,17 @@ def _canon_needle(dtype, value):
         return _SKIP
     if isinstance(dtype, StrType):
         return value if isinstance(value, str) else _SKIP
+    if isinstance(dtype, DateType):
+        if isinstance(value, _dt.datetime):    # before date: subclass
+            return _SKIP
+        if isinstance(value, _dt.date):
+            return value
+        if isinstance(value, str):
+            try:
+                return _dt.datetime.strptime(value, "%Y-%m-%d").date()
+            except ValueError:
+                return _SKIP
+        return _SKIP
     return _SKIP
 
 

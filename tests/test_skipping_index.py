@@ -768,3 +768,44 @@ def test_sidecar_probe_memoized(spark, refresh_layout):
     build_skipping_index(spark, table, ["id"], idx)
     assert prune_files(spark, idx, "id", 600) == k1
     assert skipping._SIDECAR_CACHE[path][1] is not None
+
+
+def test_date_needle_canonicalization(spark, tmp_path):
+    """Date needles: a 'YYYY-M-D' string coerces to a datetime.date
+    whose str() is the ISO form the Bloom was built from (CAST(date AS
+    STRING)); datetimes and non-date strings abstain. The coerced value
+    both zone-map-compares (date vs date) and Bloom-hashes correctly."""
+    import datetime as dt
+
+    from maha_spark.core.types import DateType
+    from maha_spark.plans.planner import _SKIP, _canon_needle
+
+    assert _canon_needle(DateType(), "2024-07-02") == dt.date(2024, 7, 2)
+    assert _canon_needle(DateType(), "2024-7-2") == dt.date(2024, 7, 2)
+    assert _canon_needle(DateType(),
+                         dt.date(2024, 7, 2)) == dt.date(2024, 7, 2)
+    assert _canon_needle(DateType(), "2024-07-02 10:00:00") is _SKIP
+    assert _canon_needle(DateType(),
+                         dt.datetime(2024, 7, 2, 0, 0)) is _SKIP
+    assert _canon_needle(DateType(), 20240702) is _SKIP
+
+    d = str(tmp_path)
+    table = os.path.join(d, "t")
+    (spark.range(4_000)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-07-01', CAST(id DIV 1000 AS INT))"))
+     .withColumn("event_date", F.expr(
+         "date_add(DATE '2023-01-01', CAST(id % 8 AS INT))"))
+     .repartition(8, F.col("event_date"))
+     .write.partitionBy("dt").parquet(table))
+    idx = os.path.join(d, "idx")
+    build_skipping_index(spark, table, ["event_date"], idx)
+    total = sum(len([f for f in os.listdir(os.path.join(table, p))
+                     if f.endswith(".parquet")])
+                for p in os.listdir(table) if p.startswith("dt="))
+    needle = _canon_needle(DateType(), "2023-01-03")
+    kept = prune_files(spark, idx, "event_date", needle)
+    assert kept is not None and 0 < len(kept) < total
+    got = needle_scan(spark, table, idx, "event_date", needle)
+    exp = spark.read.parquet(table).filter("event_date = '2023-01-03'")
+    assert got.count() == exp.count() > 0
