@@ -363,9 +363,13 @@ class Planner:
         if not kept:
             # the index proves the conjunction unsatisfiable
             return self.binding.table(table.name).filter(F.lit(False))
-        if totals and len(kept) >= min(totals):
-            # no-benefit prune (every indexed file survives): the
-            # normal scan is cacheable — use it
+        if totals and len(kept) * 2 >= min(totals):
+            # no-benefit prune: an explicit N-root-path read lists each
+            # root separately and loses to the one-root (and cacheable)
+            # directory scan when most files survive — measured 4x
+            # SLOWER at 97% kept (tools/bench_probes/zorderdemo_r9) —
+            # so a needle keeping half the files or more uses the
+            # normal scan
             return None
         return self.binding.table_pruned(table.name, sorted(kept))
 

@@ -391,6 +391,14 @@ def needle_scan(spark: SparkSession, table_dir: str, index_dir: str,
         # rare path (index proves the value absent): the full-table read
         # under WHERE false is footer-only and gives the right schema
         return spark.read.parquet(table_dir).filter(F.lit(False))
+    total = index_file_count(index_dir, col)
+    if total is not None and len(files) * 2 >= total:
+        # no-benefit prune (the planner's guard, mirrored): an explicit
+        # N-root-path read lists each root separately and MEASURABLY
+        # LOSES to the one-root directory scan when most files survive
+        # — a low-selectivity needle uses the plain scan
+        return spark.read.parquet(table_dir) \
+            .filter(F.col(col) == F.lit(value))
     # basePath keeps directory-derived partition columns (dt=) intact
     # when reading an explicit leaf-file list; a FLAT single-file table
     # has no directory-derived columns and basePath rejects non-dirs.

@@ -55,14 +55,18 @@ def main() -> None:
     cols = ["event_id", "user_id"]
     layouts = {"frag": frag}
 
+    # matched granularity across layouts (same records-per-file cap)
+    # so kept-file ratios and scan times compare apples-to-apples
+    from maha_spark.plans.scale import zorder_expr
+
     zo = frag + "_zorder"
     if not os.path.exists(os.path.join(zo, "_READY")):
         import shutil
         shutil.rmtree(zo, ignore_errors=True)
-        (spark.read.parquet(frag).write.mode("overwrite")
-         .option("maxRecordsPerFile", 25000)
-         .partitionBy("dt").parquet(zo))
-        zorder_day_partitions(spark, zo, cols, target_file_mb=1)
+        src = spark.read.parquet(frag).localCheckpoint(eager=True)
+        z = zorder_expr(src, cols)
+        overwrite_day_partitions(src, zo, max_records_per_file=25000,
+                                 sort_within=[z])
         open(os.path.join(zo, "_READY"), "w").write("ok")
     layouts["zorder"] = zo
 
