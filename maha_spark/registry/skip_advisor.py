@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from typing import Any, Iterable, Optional
 
 __all__ = ["SkippingIndexRecommendation", "recommend_skipping_indexes",
-           "build_recommended_indexes"]
+           "build_recommended_indexes", "recommend_zorder"]
 
 
 @dataclass(frozen=True)
@@ -134,4 +134,26 @@ def build_recommended_indexes(spark, base_dir: str,
         out[table] = build_skipping_index(
             spark, tdir, sorted(set(cols)),
             table_index_dir(base_dir, table), days=days)
+    return out
+
+
+def recommend_zorder(recs: Iterable[SkippingIndexRecommendation],
+                     max_cols: int = 4) -> dict[str, list[str]]:
+    """Tables whose ledger shows needles on MULTIPLE columns should be
+    Z-ORDERED on them (``plans/scale.py::zorder_day_partitions``) — a
+    sidecar over an unclustered column barely prunes (high per-file ndv
+    saturates the Bloom, zone maps span the full range), and a
+    single-column sort only serves its leader. Returns
+    ``{table: [columns, needle-frequency-ranked]}`` for tables with at
+    least two recommended columns, capped at ``max_cols`` (each extra
+    dimension costs per-dimension tile resolution: ~F^(1/k) pruning per
+    column at F files)."""
+    by_table: dict[str, list[SkippingIndexRecommendation]] = {}
+    for r in recs:
+        by_table.setdefault(r.table, []).append(r)
+    out: dict[str, list[str]] = {}
+    for t, rs in sorted(by_table.items()):
+        if len(rs) >= 2:
+            rs.sort(key=lambda r: (-r.count, r.column))
+            out[t] = [r.column for r in rs[:max_cols]]
     return out

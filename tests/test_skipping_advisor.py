@@ -167,3 +167,21 @@ def test_live_ledger_entries_mine_directly(spark, tmp_path):
         for p in os.listdir(os.path.join(d, "events"))
         if p.startswith("dt="))
     assert 0 < len(ev_files) < n_files
+
+
+def test_zorder_recommendation_needs_multiple_needle_columns(eng):
+    """Z-order advice: only tables with needles on >= 2 columns (a
+    single needle column is served by sort/sidecar alone); columns
+    ranked by needle frequency."""
+    from maha_spark.registry.skip_advisor import recommend_zorder
+
+    single = recommend_skipping_indexes(eng, [_needle(i) for i in
+                                              range(3)])
+    assert recommend_zorder(single) == {}
+
+    mixed = [_needle(i, extra={"field": "event_type", "operator": "in",
+                               "values": ["click"]}) for i in range(2)] \
+        + [_needle(9)]
+    recs = recommend_skipping_indexes(eng, mixed)
+    assert recommend_zorder(recs) == {
+        "events": ["user_id", "event_type"]}
