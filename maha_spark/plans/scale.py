@@ -336,3 +336,66 @@ def zorder_day_partitions(spark: SparkSession, dst_dir: str,
     overwrite_day_partitions(df, dst_dir, partition_col=partition_col,
                              max_records_per_file=cap, sort_within=[z])
     return sel
+
+def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
+                          dst_dir: str, keys: list[str],
+                          partition_col: str = "dt",
+                          max_records_per_file: int | None = None
+                          ) -> list[str]:
+    """Keyed upsert into a Hive day-partitioned table (the lakehouse
+    ``MERGE INTO`` shape): rows of ``delta`` REPLACE existing rows with
+    the same ``(partition_col, *keys)`` and INSERT otherwise — the
+    late-correction maintenance primitive for when restating a whole
+    day (``overwrite_day_partitions``) is too blunt.
+
+    Scale contract: only the days PRESENT in the delta are read
+    (partition-pruned) and rewritten (dynamic overwrite, atomic per
+    partition); the delta is broadcast into the anti-join — it is the
+    small side by definition of a correction batch. Cost ∝ the touched
+    days, never the table.
+
+    Semantics notes:
+
+    * The match key IMPLICITLY includes ``partition_col``: a key whose
+      day changed is an INSERT in the new day, and the OLD day's row
+      survives unless the delta restates it (or the caller deletes it).
+      This is the standard day-partitioned trade — matching on the key
+      alone would require scanning every day to find the old row.
+    * The delta must be UNIQUE per match key (two versions of the same
+      row in one batch is an upstream bug with no defined winner) —
+      violations raise ``ValueError`` before anything is written.
+    * New days (and a not-yet-existing table) are pure inserts.
+
+    Returns the list of day values written. Sidecar indexes over the
+    table read stale after this (root mtime bumps) — chain
+    ``refresh_skipping_index`` like the other rewrite primitives."""
+    import os
+
+    join_keys = [partition_col] + [k for k in keys if k != partition_col]
+    n = delta.count()
+    if n == 0:
+        return []
+    if delta.select(*join_keys).distinct().count() != n:
+        raise ValueError(
+            f"delta is not unique per match key {join_keys} — two "
+            f"versions of one row in a batch have no defined winner")
+    days = sorted(str(r[0]) for r in
+                  delta.select(partition_col).distinct().collect())
+    if os.path.isdir(dst_dir):
+        existing = (spark.read.parquet(dst_dir)
+                    .filter(F.col(partition_col).isin(days)))
+        missing = [c for c in existing.columns if c not in delta.columns]
+        if missing:
+            raise ValueError(f"delta lacks table columns {missing}")
+        survivors = existing.join(
+            F.broadcast(delta.select(*join_keys).distinct()),
+            join_keys, "left_anti")
+        out = survivors.unionByName(delta.select(*existing.columns))
+    else:
+        out = delta
+    # materialize BEFORE the overwrite (the write deletes the files the
+    # survivor read consumes — same decoupling as compaction/zorder)
+    out = out.localCheckpoint(eager=True)
+    overwrite_day_partitions(out, dst_dir, partition_col=partition_col,
+                             max_records_per_file=max_records_per_file)
+    return days

@@ -5,7 +5,11 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from maha_spark.plans.scale import (  # noqa: E402
     bucketed_join, salted_join, write_bucketed,
@@ -133,3 +137,92 @@ def test_compact_day_partitions_honors_target_file_size(spark, tmp_path):
     # split toward the 1 MB target: more than one file, fewer than the
     # fragment count (compressed-bytes/row estimate -> approximate)
     assert 1 < n_after < n_before
+
+
+def test_upsert_day_partitions_merge_semantics(spark, tmp_path):
+    """Keyed upsert == DuckDB MERGE semantics (update matched on
+    (dt, key), insert otherwise), touching ONLY the delta's days."""
+    import duckdb
+
+    from maha_spark.plans.scale import upsert_day_partitions
+
+    table = str(tmp_path / "t")
+    base = (spark.range(3_000)
+            .withColumn("dt", F.expr(
+                "date_add(DATE '2024-04-01', CAST(id DIV 1000 AS INT))"))
+            .withColumn("k", F.col("id"))
+            .withColumn("v", F.expr("CAST(id * 10 AS BIGINT)"))
+            .drop("id"))
+    (base.repartition(F.col("dt")).write.mode("overwrite")
+         .partitionBy("dt").parquet(table))
+    untouched = os.path.join(table, "dt=2024-04-03")
+    before = sorted((f, os.path.getmtime(os.path.join(untouched, f)))
+                    for f in os.listdir(untouched))
+
+    # 2 updates in day 1, 1 insert in day 1, 1 insert into a NEW day
+    delta = spark.createDataFrame(
+        [("2024-04-01", 5, -55), ("2024-04-01", 7, -77),
+         ("2024-04-01", 99_001, -1), ("2024-04-09", 99_002, -2)],
+        "dt string, k bigint, v bigint").withColumn(
+            "dt", F.to_date("dt"))
+    days = upsert_day_partitions(spark, delta, table, ["k"])
+    assert days == ["2024-04-01", "2024-04-09"]
+
+    got = sorted(map(tuple, spark.read.parquet(table)
+                     .select("dt", "k", "v").collect()))
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH cur AS (SELECT dt, k, v FROM read_parquet(
+                 '{table}/*/*.parquet', hive_partitioning=1)),
+             delta(dt, k, v) AS (VALUES
+                 (DATE '2024-04-01', 5, -55),
+                 (DATE '2024-04-01', 7, -77),
+                 (DATE '2024-04-01', 99001, -1),
+                 (DATE '2024-04-09', 99002, -2))
+        SELECT dt, k, v FROM delta
+        UNION ALL
+        SELECT c.dt, c.k, c.v FROM cur c
+        WHERE NOT EXISTS (SELECT 1 FROM delta d
+                          WHERE d.dt = c.dt AND d.k = c.k)
+    """).fetchall()
+    # DuckDB reads the POST-upsert files, so 'cur' == got already; the
+    # real oracle is idempotence + the direct checks below
+    assert sorted(map(tuple, exp)) == got       # upsert is idempotent
+    gd = dict(((str(r[0]), r[1]), r[2]) for r in got)
+    assert gd[("2024-04-01", 5)] == -55 and gd[("2024-04-01", 7)] == -77
+    assert gd[("2024-04-01", 99_001)] == -1
+    assert gd[("2024-04-09", 99_002)] == -2
+    assert gd[("2024-04-02", 1500)] == 15_000   # untouched day intact
+    assert len(got) == 3_002                    # 2 inserts, 2 in-place
+
+    # days outside the delta are physically untouched
+    after = sorted((f, os.path.getmtime(os.path.join(untouched, f)))
+                   for f in os.listdir(untouched))
+    assert after == before
+
+
+def test_upsert_rejects_ambiguous_delta(spark, tmp_path):
+    from maha_spark.plans.scale import upsert_day_partitions
+    table = str(tmp_path / "t")
+    delta = spark.createDataFrame(
+        [("2024-04-01", 5, 1), ("2024-04-01", 5, 2)],
+        "dt string, k bigint, v bigint")
+    with pytest.raises(ValueError, match="unique per match key"):
+        upsert_day_partitions(spark, delta, table, ["k"])
+    delta3 = spark.createDataFrame([("2024-04-01", 5)],
+                                   "dt string, k bigint")
+    (spark.createDataFrame([("2024-04-01", 5, 1)],
+                           "dt string, k bigint, v bigint")
+     .write.partitionBy("dt").parquet(table))
+    with pytest.raises(ValueError, match="lacks table columns"):
+        upsert_day_partitions(spark, delta3, table, ["k"])
+
+
+def test_upsert_into_missing_table_is_insert(spark, tmp_path):
+    from maha_spark.plans.scale import upsert_day_partitions
+    table = str(tmp_path / "new")
+    delta = spark.createDataFrame([("2024-04-01", 1, 10)],
+                                  "dt string, k bigint, v bigint")
+    assert upsert_day_partitions(spark, delta, table, ["k"]) \
+        == ["2024-04-01"]
+    assert spark.read.parquet(table).count() == 1
