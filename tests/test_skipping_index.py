@@ -809,3 +809,36 @@ def test_date_needle_canonicalization(spark, tmp_path):
     got = needle_scan(spark, table, idx, "event_date", needle)
     exp = spark.read.parquet(table).filter("event_date = '2023-01-03'")
     assert got.count() == exp.count() > 0
+
+
+def test_flat_append_invalidates_then_refresh_restores(spark, tmp_path):
+    """The streaming sink shape: a FLAT parquet dir (no dt=) gains files
+    via append — the root mtime bumps (files land in the root), so the
+    sidecar reads stale (pruning on it would miss the new files), and
+    refresh_skipping_index falls back to a full rebuild for flat
+    tables. Needle results stay exact through the whole cycle."""
+    from maha_spark.plans.skipping import (
+        index_stale, refresh_skipping_index, table_index_dir)
+
+    d = str(tmp_path)
+    table = os.path.join(d, "rollup")
+    (spark.range(1_000).withColumn("k", F.col("id") % 50)
+     .coalesce(1).write.parquet(table))
+    idx = table_index_dir(d, "rollup")
+    build_skipping_index(spark, table, ["id"], idx)
+    assert not index_stale(table, idx, "id")
+    assert needle_scan(spark, table, idx, "id", 7).count() == 1
+
+    import time
+    time.sleep(0.01)
+    (spark.range(1_000, 2_000).withColumn("k", F.col("id") % 50)
+     .coalesce(1).write.mode("append").parquet(table))
+    assert index_stale(table, idx, "id")
+    # stale gate: falls back to the full scan — new rows visible NOW
+    assert needle_scan(spark, table, idx, "id", 1_500).count() == 1
+
+    refresh_skipping_index(spark, table, idx)
+    assert not index_stale(table, idx, "id")
+    assert needle_scan(spark, table, idx, "id", 1_500).count() == 1
+    assert needle_scan(spark, table, idx, "id", 7).count() == 1
+    assert prune_files(spark, idx, "id", 5_000) == []
