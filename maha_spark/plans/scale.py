@@ -399,3 +399,55 @@ def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
     overwrite_day_partitions(out, dst_dir, partition_col=partition_col,
                              max_records_per_file=max_records_per_file)
     return days
+
+def delete_from_day_partitions(spark: SparkSession, tombstones: DataFrame,
+                               dst_dir: str, keys: list[str],
+                               partition_col: str = "dt",
+                               max_records_per_file: int | None = None
+                               ) -> list[str]:
+    """Row-level delete from a Hive day-partitioned table: rows matching
+    a ``(partition_col, *keys)`` tombstone are removed — the third leg
+    of the maintenance CRUD set (restate = ``overwrite_day_partitions``,
+    update/insert = ``upsert_day_partitions``, delete = this). The
+    GDPR-erasure / retraction shape.
+
+    Same scale contract as upsert: only the tombstones' days are read
+    (partition-pruned) and rewritten (dynamic overwrite, atomic per
+    partition) with the tombstone set broadcast into the anti-join; and
+    the same day-scoped semantics — the tombstone must name the row's
+    day (finding a key without its day would scan every day).
+
+    A day whose rows are ALL deleted cannot be expressed by dynamic
+    overwrite (no rows to write = directory untouched), so fully-emptied
+    days have their ``dt=`` directories REMOVED explicitly here — the
+    one rewrite primitive that deletes directories. Returns the list of
+    day values touched (rewritten or removed)."""
+    import os
+    import shutil
+
+    join_keys = [partition_col] + [k for k in keys if k != partition_col]
+    if not os.path.isdir(dst_dir) or tombstones.select(
+            *join_keys).limit(1).count() == 0:
+        return []
+    days = sorted(str(r[0]) for r in
+                  tombstones.select(partition_col).distinct().collect())
+    existing = (spark.read.parquet(dst_dir)
+                .filter(F.col(partition_col).isin(days)))
+    survivors = (existing.join(
+        F.broadcast(tombstones.select(*join_keys).distinct()),
+        join_keys, "left_anti").localCheckpoint(eager=True))
+    # split surviving days (rewrite) from emptied days (remove the dir)
+    alive = {str(r[0]) for r in
+             survivors.select(partition_col).distinct().collect()}
+    if alive:
+        overwrite_day_partitions(
+            survivors, dst_dir, partition_col=partition_col,
+            max_records_per_file=max_records_per_file)
+    for day in days:
+        if day not in alive:
+            shutil.rmtree(
+                os.path.join(dst_dir, f"{partition_col}={day}"),
+                ignore_errors=True)
+    if days != sorted(alive & set(days)) and os.path.isdir(dst_dir):
+        os.utime(dst_dir, None)     # dir removals also invalidate caches
+    return days

@@ -248,8 +248,12 @@ def index_file_count(index_dir: str, col: str) -> Optional[int]:
 #: workload probes the same sidecar on every request; re-parsing the
 #: parquet per request is pure waste, and the atomic rename that swaps
 #: a rebuilt sidecar moves the path's mtime, which invalidates here.
+#: Entry cap is deliberately SMALL: at 10^6 indexed files one decoded
+#: sidecar (bloom word maps included) can run to ~1 GB of driver heap —
+#: resident copies, not the per-probe transient, are what the cap
+#: bounds. FIFO eviction; a hot workload probes few distinct sidecars.
 _SIDECAR_CACHE: dict[str, tuple[float, dict]] = {}
-_SIDECAR_CACHE_MAX = 128
+_SIDECAR_CACHE_MAX = 16
 
 
 def _load_sidecar(path: str) -> Optional[dict]:

@@ -226,3 +226,47 @@ def test_upsert_into_missing_table_is_insert(spark, tmp_path):
     assert upsert_day_partitions(spark, delta, table, ["k"]) \
         == ["2024-04-01"]
     assert spark.read.parquet(table).count() == 1
+
+
+def test_delete_from_day_partitions(spark, tmp_path):
+    """Row-level delete: tombstoned (dt, k) rows vanish, other rows and
+    other days are untouched, and a fully-emptied day's dt= directory
+    is REMOVED (dynamic overwrite cannot express an empty day)."""
+    from maha_spark.plans.scale import delete_from_day_partitions
+
+    table = str(tmp_path / "t")
+    (spark.range(300)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-05-01', CAST(id DIV 100 AS INT))"))
+     .withColumn("k", F.col("id"))
+     .repartition(F.col("dt")).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    untouched = os.path.join(table, "dt=2024-05-03")
+    before = sorted((f, os.path.getmtime(os.path.join(untouched, f)))
+                    for f in os.listdir(untouched))
+
+    # two rows from day 1, the ENTIRE day 2 (100 tombstones)
+    tomb = (spark.range(100, 200)
+            .withColumn("dt", F.lit("2024-05-02").cast("date"))
+            .withColumn("k", F.col("id")).select("dt", "k")
+            .union(spark.createDataFrame(
+                [("2024-05-01", 5), ("2024-05-01", 7)],
+                "dt string, k bigint").withColumn(
+                    "dt", F.to_date("dt")).select("dt", "k")))
+    days = delete_from_day_partitions(spark, tomb, table, ["k"])
+    assert days == ["2024-05-01", "2024-05-02"]
+
+    left = spark.read.parquet(table)
+    assert left.count() == 198                      # 300 - 2 - 100
+    assert left.filter("k in (5, 7)").count() == 0
+    assert not os.path.exists(os.path.join(table, "dt=2024-05-02"))
+    assert left.filter("dt = '2024-05-03'").count() == 100
+    after = sorted((f, os.path.getmtime(os.path.join(untouched, f)))
+                   for f in os.listdir(untouched))
+    assert after == before                          # other days untouched
+
+    # no-op shapes
+    assert delete_from_day_partitions(
+        spark, tomb.limit(0), table, ["k"]) == []
+    assert delete_from_day_partitions(
+        spark, tomb, str(tmp_path / "absent"), ["k"]) == []
