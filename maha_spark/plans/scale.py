@@ -451,3 +451,33 @@ def delete_from_day_partitions(spark: SparkSession, tombstones: DataFrame,
     if days != sorted(alive & set(days)) and os.path.isdir(dst_dir):
         os.utime(dst_dir, None)     # dir removals also invalidate caches
     return days
+
+def expire_day_partitions(dst_dir: str, before_day: str,
+                          partition_col: str = "dt") -> list[str]:
+    """Retention: drop every ``dt=`` directory strictly OLDER than
+    ``before_day`` ('YYYY-MM-DD') — the TTL job that pairs with the
+    mandatory request-side day bounds (``max_days_window`` /
+    ``max_days_lookback`` caps in the request model mean expired days
+    are unreachable by queries before they are unreadable on disk).
+
+    Pure directory removal — no Spark job, no data read; lexicographic
+    comparison is correct for the zero-padded ISO day format the layout
+    uses. Bumps the table-root mtime so binding caches and skipping
+    sidecars invalidate (sidecar carry-over purges the dead days on the
+    next ``refresh_skipping_index``). Returns the dropped day values."""
+    import os
+    import shutil
+
+    if not os.path.isdir(dst_dir):
+        return []
+    dropped = []
+    for d in sorted(os.listdir(dst_dir)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        day = d.split("=", 1)[1]
+        if day < before_day:
+            shutil.rmtree(os.path.join(dst_dir, d), ignore_errors=True)
+            dropped.append(day)
+    if dropped:
+        os.utime(dst_dir, None)
+    return dropped

@@ -270,3 +270,40 @@ def test_delete_from_day_partitions(spark, tmp_path):
         spark, tomb.limit(0), table, ["k"]) == []
     assert delete_from_day_partitions(
         spark, tomb, str(tmp_path / "absent"), ["k"]) == []
+
+
+def test_expire_day_partitions(spark, tmp_path):
+    """Retention drops only days strictly before the cutoff, bumps the
+    root mtime (cache + sidecar invalidation), and the next sidecar
+    refresh purges the dead days' rows."""
+    from maha_spark.plans.scale import expire_day_partitions
+    from maha_spark.plans.skipping import (
+        build_skipping_index, index_stale, refresh_skipping_index,
+        table_index_dir)
+
+    d = str(tmp_path)
+    table = os.path.join(d, "t")
+    (spark.range(400)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-05-01', CAST(id DIV 100 AS INT))"))
+     .repartition(F.col("dt")).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "t")
+    build_skipping_index(spark, table, ["id"], idx)
+
+    import time
+    time.sleep(0.01)
+    assert expire_day_partitions(table, "2024-05-03") \
+        == ["2024-05-01", "2024-05-02"]
+    assert sorted(p for p in os.listdir(table) if p.startswith("dt=")) \
+        == ["dt=2024-05-03", "dt=2024-05-04"]
+    assert spark.read.parquet(table).count() == 200
+    assert index_stale(table, idx, "id")    # root bumped
+    refresh_skipping_index(spark, table, idx)
+    assert not index_stale(table, idx, "id")
+    import pyarrow.parquet as pq
+    dirs = set(pq.read_table(os.path.join(idx, "skip_id.parquet"),
+                             columns=["dt_dir"])
+               .column("dt_dir").to_pylist())
+    assert dirs == {"dt=2024-05-03", "dt=2024-05-04"}
+    assert expire_day_partitions(table, "2024-01-01") == []   # no-op
