@@ -238,6 +238,10 @@ def zorder_expr(df: DataFrame, cols: list[str], zbits: int = 6,
     bins = 1 << zbits
     src = sample if sample is not None else df
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(
+            f"z-order columns {missing} not in frame {sorted(dtypes)}")
     numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
                DoubleType, DecimalType)
     datelike = (DateType, TimestampType, TimestampNTZType)
@@ -264,7 +268,7 @@ def zorder_expr(df: DataFrame, cols: list[str], zbits: int = 6,
             barr = F.array(*[F.lit(float(b)) for b in bounds[c]])
             bin_c = F.when(v.isNull(), F.lit(0)).otherwise(
                 F.size(F.filter(barr, lambda b: b <= v)))
-        elif c in dtypes and not isinstance(dtypes[c], numeric + datelike):
+        elif not isinstance(dtypes[c], numeric + datelike):
             bin_c = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
                 F.pmod(F.hash(F.col(c)), F.lit(bins)))
         else:       # constant column (no distinct boundaries): bin 0
@@ -322,10 +326,15 @@ def zorder_day_partitions(spark: SparkSession, dst_dir: str,
         sel.append(val)
     if not sel:
         return []
+    src = spark.read.parquet(dst_dir)
+    unknown = [c for c in cols if c not in src.columns]
+    if unknown:
+        # refuse BEFORE the checkpointed read pays for the whole table
+        raise ValueError(
+            f"z-order columns {unknown} not in {sorted(src.columns)}")
     # materialize BEFORE the overwrite: the write deletes the files this
     # read consumes (same decoupling as compact_day_partitions)
-    df = (spark.read.parquet(dst_dir)
-          .filter(F.col(partition_col).isin(sel))
+    df = (src.filter(F.col(partition_col).isin(sel))
           .localCheckpoint(eager=True))
     n_rows = df.count()
     cap = None
@@ -336,6 +345,23 @@ def zorder_day_partitions(spark: SparkSession, dst_dir: str,
     overwrite_day_partitions(df, dst_dir, partition_col=partition_col,
                              max_records_per_file=cap, sort_within=[z])
     return sel
+
+
+def _refuse_null_keys(df: DataFrame, join_keys: list[str],
+                      what: str) -> None:
+    """Upsert/delete match with SQL equality, where NULL never equals
+    NULL — a NULL-keyed delta row would silently INSERT a duplicate and
+    a NULL-keyed tombstone would delete nothing. Refuse up front."""
+    cond = None
+    for k in join_keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    if df.filter(cond).limit(1).count() > 0:
+        raise ValueError(
+            f"{what} contains NULL in a match key {join_keys} — NULL "
+            f"never matches under join equality, so the row could not "
+            f"replace/delete anything")
+
 
 def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
                           dst_dir: str, keys: list[str],
@@ -372,6 +398,9 @@ def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
     import os
 
     join_keys = [partition_col] + [k for k in keys if k != partition_col]
+    # pay the delta's lineage ONCE: everything below (validation aggs,
+    # days collect, anti-join, union, write) reads the checkpointed rows
+    delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     if n == 0:
         return []
@@ -379,6 +408,7 @@ def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
         raise ValueError(
             f"delta is not unique per match key {join_keys} — two "
             f"versions of one row in a batch have no defined winner")
+    _refuse_null_keys(delta, join_keys, "delta")
     days = sorted(str(r[0]) for r in
                   delta.select(partition_col).distinct().collect())
     if os.path.isdir(dst_dir):
@@ -426,9 +456,10 @@ def delete_from_day_partitions(spark: SparkSession, tombstones: DataFrame,
     import shutil
 
     join_keys = [partition_col] + [k for k in keys if k != partition_col]
-    if not os.path.isdir(dst_dir) or tombstones.select(
-            *join_keys).limit(1).count() == 0:
+    tombstones = tombstones.select(*join_keys).localCheckpoint(eager=True)
+    if not os.path.isdir(dst_dir) or tombstones.count() == 0:
         return []
+    _refuse_null_keys(tombstones, join_keys, "tombstones")
     days = sorted(str(r[0]) for r in
                   tombstones.select(partition_col).distinct().collect())
     existing = (spark.read.parquet(dst_dir)

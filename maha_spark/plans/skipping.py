@@ -224,6 +224,10 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         import shutil
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
+        # in-process probes must not serve the replaced sidecar even on
+        # filesystems whose mtime granularity can't distinguish two
+        # rebuilds in one tick
+        _SIDECAR_CACHE.pop(path, None)
         _record_src_mtime(index_dir, col, src_mtime)
         out_paths.append(path)
     return out_paths
@@ -236,6 +240,16 @@ def index_file_count(index_dir: str, col: str) -> Optional[int]:
     selectivity needle that keeps every file should use the normal,
     cacheable scan)."""
     path = _index_path(index_dir, col)
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None:
+        try:
+            if os.stat(path).st_mtime_ns == hit[0]:
+                # the probe just loaded (and memoized) the whole sidecar
+                # — its row count is free; don't re-parse footers on the
+                # hot per-request planning path
+                return len(hit[1]["file"])
+        except OSError:
+            return None
     if not os.path.exists(path):
         return None
     import pyarrow.parquet as pq
@@ -260,7 +274,10 @@ def _load_sidecar(path: str) -> Optional[dict]:
     if not os.path.exists(path):
         return None
     try:
-        mtime = os.path.getmtime(path)
+        # nanosecond mtime: two rebuilds inside a coarse-mtime window
+        # must not serve the first rebuild's rows (build_skipping_index
+        # also busts this cache explicitly after its rename)
+        mtime = os.stat(path).st_mtime_ns
     except OSError:
         return None
     hit = _SIDECAR_CACHE.get(path)
@@ -272,6 +289,10 @@ def _load_sidecar(path: str) -> Optional[dict]:
         _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     _SIDECAR_CACHE[path] = (mtime, cols)
     return cols
+
+
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and x != x
 
 
 def prune_files(spark: SparkSession, index_dir: str, col: str,
@@ -314,7 +335,13 @@ def prune_files_any(spark: SparkSession, index_dir: str, col: str,
         bloom = None
         for v in values:
             try:
-                if not (v_min <= v <= v_max):
+                # NaN bounds abstain: Spark orders NaN ABOVE every
+                # double (a file holding one NaN gets v_max = NaN),
+                # while every Python NaN comparison is False — trusting
+                # the interval test would drop files that DO contain
+                # real values. The Bloom check below still prunes.
+                if not (_is_nan(v_min) or _is_nan(v_max)
+                        or _is_nan(v)) and not (v_min <= v <= v_max):
                     continue
             except TypeError:
                 # cross-type needle (e.g. "13" against an int column):
@@ -354,6 +381,13 @@ def prune_files_range(spark: SparkSession, index_dir: str, col: str,
     for i, f in enumerate(cols["file"]):
         v_min, v_max = cols["v_min"][i], cols["v_max"][i]
         if v_min is None:
+            continue
+        if _is_nan(v_min) or _is_nan(v_max) or _is_nan(lo) or _is_nan(hi):
+            # NaN bounds/probes abstain: Spark orders NaN above every
+            # double (so `col > 1000` MATCHES a NaN row), while Python
+            # NaN comparisons are all False — the interval test would
+            # false-negative. Keep the file.
+            out.append(f)
             continue
         try:
             if lo is not None and not lo_op(v_max, lo):
@@ -464,6 +498,14 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
         return build_skipping_index(spark, table_dir, cols, index_dir)
     out: list[str] = []
     live = set(day_dirs)
+    # root-mtime snapshot taken BEFORE the day-dir scan: a rewrite
+    # landing mid-refresh bumps the root past this value, so a re-stamp
+    # below can never mark that rewrite indexed (the same ordering
+    # build_skipping_index uses for its own freshness record)
+    try:
+        root_snapshot = os.path.getmtime(table_dir)
+    except OSError:
+        root_snapshot = None
     # group columns by their changed-day set: sidecars built together
     # share a snapshot, so the common case is ONE build call (and one
     # source read) covering every column. Key None = full rebuild;
@@ -471,14 +513,16 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
     # rebuild whose carry-over purges dead dt_dirs.
     groups: dict[Optional[tuple[str, ...]], list[str]] = {}
     for col in cols:
+        built = _built_mtime(index_dir, col)
+        if built is None:
+            # never built / unreadable record (e.g. a pre-upgrade
+            # sidecar): the carried-over rows cannot be trusted, so a
+            # FULL rebuild — even when the caller scoped explicit days
+            groups.setdefault(None, []).append(col)
+            continue
         if days is not None:
             changed = sorted(days)
         else:
-            built = _built_mtime(index_dir, col)
-            if built is None:
-                # never built / unreadable record: full rebuild
-                groups.setdefault(None, []).append(col)
-                continue
             changed = []
             for d in day_dirs:
                 try:
@@ -492,11 +536,9 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
             # nothing to re-index and no dead rows — the root mtime
             # moved (the rewrite that triggered this refresh), so just
             # re-stamp freshness and the planner keeps pruning
-            try:
-                src_mtime = os.path.getmtime(table_dir)
-            except OSError:
+            if root_snapshot is None:
                 continue
-            _record_src_mtime(index_dir, col, src_mtime)
+            _record_src_mtime(index_dir, col, root_snapshot)
             out.append(_index_path(index_dir, col))
             continue
         groups.setdefault(tuple(changed), []).append(col)

@@ -48,6 +48,15 @@ class SkippingIndexRecommendation:
                 f"needle filter(s) [{ops}]")
 
 
+def _canon_supported(dtype) -> bool:
+    """Dtypes whose equality/IN needles the planner can canonicalize
+    (``planner._canon_needle``): int, string, date. Everything else
+    (decimals, timestamps) abstains there, so an equality-only workload
+    on such a column gains nothing from a sidecar."""
+    from ..core.types import DateType, IntType, StrType
+    return isinstance(dtype, (IntType, StrType, DateType))
+
+
 def recommend_skipping_indexes(engine, entries: Iterable[Any], *,
                                top_n: int = 5, min_count: int = 2,
                                today=None
@@ -101,6 +110,14 @@ def recommend_skipping_indexes(engine, entries: Iterable[Any], *,
             if not isinstance(col, DimCol) or col.case_insensitive \
                     or col.dtype.has_static_mapping \
                     or col.is_day_column or name in parts:
+                continue
+            if isinstance(f, (EqualityFilter, InFilter)) \
+                    and not _canon_supported(col.dtype):
+                # the planner's _canon_needle abstains on every
+                # equality/IN needle for this dtype (e.g. decimals) —
+                # an index would be built and maintained but never
+                # consulted. Range/null needles still count: zone maps
+                # serve those for any ordered type.
                 continue
             rec = counts.setdefault((table.name, name), [0, set()])
             rec[0] += 1

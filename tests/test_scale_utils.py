@@ -307,3 +307,22 @@ def test_expire_day_partitions(spark, tmp_path):
                .column("dt_dir").to_pylist())
     assert dirs == {"dt=2024-05-03", "dt=2024-05-04"}
     assert expire_day_partitions(table, "2024-01-01") == []   # no-op
+
+
+def test_upsert_and_delete_refuse_null_keys(spark, tmp_path):
+    """NULL never matches under join equality: a NULL-keyed delta row
+    would silently insert a duplicate and a NULL-keyed tombstone would
+    delete nothing — both refuse before writing."""
+    from maha_spark.plans.scale import (delete_from_day_partitions,
+                                        upsert_day_partitions)
+    table = str(tmp_path / "t")
+    (spark.createDataFrame([("2024-04-01", 5, 1)],
+                           "dt string, k bigint, v bigint")
+     .write.partitionBy("dt").parquet(table))
+    null_delta = spark.createDataFrame(
+        [("2024-04-01", None, 2)], "dt string, k bigint, v bigint")
+    with pytest.raises(ValueError, match="NULL in a match key"):
+        upsert_day_partitions(spark, null_delta, table, ["k"])
+    with pytest.raises(ValueError, match="NULL in a match key"):
+        delete_from_day_partitions(
+            spark, null_delta.select("dt", "k"), table, ["k"])

@@ -185,3 +185,17 @@ def test_zorder_recommendation_needs_multiple_needle_columns(eng):
     recs = recommend_skipping_indexes(eng, mixed)
     assert recommend_zorder(recs) == {
         "events": ["user_id", "event_type"]}
+
+
+def test_equality_needles_on_uncanonical_dtypes_excluded():
+    """An equality-only workload on a dtype the planner's needle
+    canonicalization abstains on (decimals, timestamps) gains nothing
+    from a sidecar — the advisor must not recommend building one."""
+    from maha_spark.core.types import (DateType, DecType, IntType,
+                                       StrType, TimestampType)
+    from maha_spark.registry.skip_advisor import _canon_supported
+    assert _canon_supported(IntType())
+    assert _canon_supported(StrType())
+    assert _canon_supported(DateType())
+    assert not _canon_supported(DecType())
+    assert not _canon_supported(TimestampType())

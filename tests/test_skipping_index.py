@@ -842,3 +842,67 @@ def test_flat_append_invalidates_then_refresh_restores(spark, tmp_path):
     assert needle_scan(spark, table, idx, "id", 1_500).count() == 1
     assert needle_scan(spark, table, idx, "id", 7).count() == 1
     assert prune_files(spark, idx, "id", 5_000) == []
+
+
+def test_nan_zone_bounds_abstain(spark, tmp_path):
+    """Spark orders NaN ABOVE every double (max of [1.0, NaN] is NaN,
+    and `col > 1000` MATCHES a NaN row), while every Python NaN
+    comparison is False — a zone-map test trusting NaN bounds would
+    silently drop files that DO contain matching rows. Both the
+    equality and the range probes must abstain on NaN bounds."""
+    from maha_spark.plans.skipping import prune_files_range
+
+    d = str(tmp_path)
+    table = os.path.join(d, "t")
+    (spark.sql("""
+        SELECT * FROM VALUES
+          (DATE '2024-01-01', 1.0d), (DATE '2024-01-01', double('NaN')),
+          (DATE '2024-01-02', 5.0d), (DATE '2024-01-02', 7.0d)
+        AS t(dt, v)
+     """).repartition(F.col("dt"))
+     .write.partitionBy("dt").parquet(table))
+    idx = os.path.join(d, "idx")
+    build_skipping_index(spark, table, ["v"], idx)
+
+    # range needle v > 1000: only the NaN row matches; its file's
+    # v_max is NaN and must be KEPT
+    kept = prune_files_range(spark, idx, "v", lo=1000.0,
+                             lo_inclusive=False)
+    exp = spark.read.parquet(table).filter("v > 1000")
+    assert exp.count() == 1         # Spark: NaN > 1000 is TRUE
+    assert any("dt=2024-01-01" in f for f in kept)
+    # equality needle 1.0 lives in the NaN-bounded file: must be kept
+    got = needle_scan(spark, table, idx, "v", 1.0)
+    assert got.count() == 1
+
+
+def test_refresh_explicit_days_rebuilds_fully_without_record(
+        spark, refresh_layout):
+    """A sidecar with no readable freshness record (pre-upgrade format,
+    manual tampering) cannot have its carried-over rows trusted: even a
+    days-SCOPED refresh must fall back to a FULL rebuild for that
+    column."""
+    from maha_spark.plans.skipping import (
+        index_stale, refresh_skipping_index)
+    table, idx = refresh_layout
+    # restate one day, then lose the freshness record for 'id'
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day_df = (spark.read.parquet(table).filter("dt = '2024-07-03'")
+              .localCheckpoint(eager=True))
+    (day_df.withColumn("id", F.col("id") + 2_000_000)
+     .repartition(1).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    os.unlink(os.path.join(idx, "skip_id.srcmtime"))
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))
+
+    # caller scopes the refresh to a DIFFERENT day — the untrusted
+    # column must still rebuild fully (its sidecar would otherwise keep
+    # dead 2024-07-03 paths and get stamped fresh)
+    refresh_skipping_index(spark, table, idx, days=["2024-07-05"])
+    assert not index_stale(table, idx, "id")
+    for f in _sidecar_files(spark, idx, "id"):
+        assert os.path.exists(f[len("file:"):]
+                              if f.startswith("file:") else f), f
+    got = needle_scan(spark, table, idx, "id", 2_001_300)
+    assert got.count() == 1
