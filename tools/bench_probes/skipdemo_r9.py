@@ -28,7 +28,8 @@ def tmin(fn, passes=5):
 
 def main() -> None:
     from maha_spark.plans.skipping import (build_skipping_index,
-                                           needle_scan, prune_files)
+                                           index_stale, needle_scan,
+                                           prune_files)
     from maha_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -40,7 +41,10 @@ def main() -> None:
     idx = os.path.join(REPO, ".bench-scaled-sf0.1x128v7",
                        "_skipidx", "events")
     t_build = time.perf_counter()
-    if not os.path.exists(os.path.join(idx, "skip_event_id.parquet")):
+    if not os.path.exists(os.path.join(idx, "skip_event_id.parquet")) \
+            or index_stale(table, idx, "event_id"):
+        # stale (incl. a pre-format-change freshness record): rebuild,
+        # or needle_scan would silently measure the full-scan fallback
         build_skipping_index(spark, table, ["event_id"], idx)
     t_build = round(time.perf_counter() - t_build, 2)
 
@@ -87,7 +91,8 @@ def main() -> None:
          .partitionBy("dt").parquet(frag))
         open(os.path.join(frag, "_FRAG_READY"), "w").write("ok")
     fidx = idx + "_frag"
-    if not os.path.exists(os.path.join(fidx, "skip_event_id.parquet")):
+    if not os.path.exists(os.path.join(fidx, "skip_event_id.parquet")) \
+            or index_stale(frag, fidx, "event_id"):
         build_skipping_index(spark, frag, ["event_id"], fidx)
     fkept = prune_files(spark, fidx, "event_id", needle)
     run_needle(frag, fidx)(); run_full(frag)()

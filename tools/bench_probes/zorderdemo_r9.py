@@ -39,7 +39,8 @@ def main() -> None:
     from maha_spark.plans.scale import (overwrite_day_partitions,
                                         zorder_day_partitions)
     from maha_spark.plans.skipping import (build_skipping_index,
-                                           needle_scan, prune_files)
+                                           index_stale, needle_scan,
+                                           prune_files)
     from maha_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -90,7 +91,10 @@ def main() -> None:
     for name, path in layouts.items():
         idx = os.path.join(base, "_skipidx",
                            f"zdemo_{os.path.basename(path)}")
-        if not os.path.exists(os.path.join(idx, "skip_event_id.parquet")):
+        if not os.path.exists(os.path.join(idx, "skip_event_id.parquet")) \
+                or any(index_stale(path, idx, c) for c in cols):
+            # stale (layout rebuilt under an existing index): rebuild, or
+            # needle_scan would silently measure the full-scan fallback
             build_skipping_index(spark, path, cols, idx)
         nf = len({f for f in spark.read.parquet(path).inputFiles()})
         entry: dict = {"layout_files": nf}
