@@ -167,23 +167,52 @@ def cap_hot_buckets(bands: DataFrame, cap: int,
     window count over the join key bounds that: a bucket contributes at
     most cap^2/2 candidates.
 
-    Semantics (documented, not silent): pairs whose ONLY collision is
-    an over-cap bucket are not enumerated. With multiple independent
-    bands a true near-dup pair collides in several buckets w.h.p., so
-    the loss is confined to duplicate FAMILIES larger than ``cap`` —
-    whose pair lists are quadratic in family size and belong on the
-    clustering path (``dedup_clusters`` represents an N-member family
-    as one cluster, losslessly, via value collapse). Same design as the
-    winnow positional-match df cap (``winnow.py WINNOW_MATCH_MAX_FP_DOCS``).
+    Callers that need over-cap buckets REPRESENTED rather than dropped
+    pair this with ``hot_bucket_chain_links`` (a spanning chain of the
+    bucket, N-1 rows) — ``dedup_minhash_lsh`` does.
 
     The window's (band, key) hash partitioning matches the downstream
     join key, so the guard adds no extra shuffle on the guarded side.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(*keys)
-    return (bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+    return (_with_bucket_count(bands, keys)
             .filter(F.col("__bn") <= cap).drop("__bn"))
+
+
+def _with_bucket_count(bands: DataFrame,
+                       keys: tuple[str, ...]) -> DataFrame:
+    """Band frame + per-bucket document count ``__bn`` (idempotent —
+    a frame already carrying ``__bn`` passes through so the guard and
+    the chain-link path can SHARE one cached counted frame instead of
+    re-evaluating the md5-heavy minhash twice)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    if "__bn" in bands.columns:
+        return bands
+    w = Window.partitionBy(*keys)
+    return bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+
+
+def hot_bucket_chain_links(bands: DataFrame, cap: int,
+                           keys: tuple[str, ...] = ("band", "key")
+                           ) -> DataFrame:
+    """Candidate (a_id, b_id) links for the OVER-cap buckets
+    ``cap_hot_buckets`` removed: per hot bucket, consecutive doc_ids in
+    sorted order — a SPANNING CHAIN of N-1 rows instead of the N^2/2
+    all-pairs enumeration. Every member of a boilerplate family still
+    appears in candidate pairs (the family stays detected and, after
+    verification, connected for the clustering path), while the work
+    stays linear in bucket size. Same (band, key) window partitioning
+    as the guard — no extra exchange."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    wo = Window.partitionBy(*keys).orderBy("doc_id")
+    return (_with_bucket_count(bands, keys)
+            .filter(F.col("__bn") > cap)
+            .withColumn("__prev", F.lag("doc_id").over(wo))
+            .filter(F.col("__prev").isNotNull())
+            .select(F.col("__prev").alias("a_id"),
+                    F.col("doc_id").alias("b_id")))
 
 
 # no-op at harness scale (max observed bucket: 19 docs at sf0.1); at
@@ -194,17 +223,35 @@ LSH_MAX_BUCKET_DOCS = 500
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                       max_bucket_docs: int = LSH_MAX_BUCKET_DOCS
                       ) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the hot-bucket guard.
+
+    Cap semantics (documented, data-dependent vs the exhaustive
+    all-pairs oracle): buckets holding more than ``max_bucket_docs``
+    documents contribute a verified SPANNING CHAIN of their sorted
+    members (N-1 linear links via ``hot_bucket_chain_links``) instead
+    of the N^2/2 all-pairs enumeration — a duplicate family larger than
+    the cap is still fully detected and connected, but its pair LIST is
+    not exhaustive (exhaustive quadratic pair lists for such families
+    belong on the clustering path, where ``dedup_clusters`` represents
+    the family as one cluster). On corpora where no bucket exceeds the
+    cap — including the driver's oracle-checked fixtures — the output
+    is exactly the all-pairs answer."""
     docs = load_table(spark, sf_dir, "documents")
     base = lsh_shingle_frame(docs)
-    # both self-join branches consume the capped band frame — cache it
-    # so the md5-heavy minhash permutations AND the guard's window count
-    # evaluate once, not once per branch (measured 2.3x on this op)
-    bands = scoped_cache(
-        cap_hot_buckets(lsh_band_frame(base), max_bucket_docs))
+    # ONE cached counted band frame feeds the guard (both self-join
+    # branches) AND the hot-bucket chain path, so the md5-heavy minhash
+    # permutations and the window count evaluate once (measured 2.3x
+    # on this op when the branches shared nothing)
+    counted = scoped_cache(_with_bucket_count(
+        lsh_band_frame(base), ("band", "key")))
+    bands = cap_hot_buckets(counted, max_bucket_docs)
     a = bands.selectExpr("band", "key", "doc_id AS a_id")
     b = bands.selectExpr("band", "key", "doc_id AS b_id")
     cand = (a.join(b, ["band", "key"]).filter("a_id < b_id")
-            .select("a_id", "b_id").distinct())
+            .select("a_id", "b_id")
+            .unionByName(hot_bucket_chain_links(counted,
+                                                max_bucket_docs))
+            .distinct())
     return verified_jaccard_pairs(cand, base, base)
 
 

@@ -285,6 +285,16 @@ class Planner:
 
         if model is None:
             return None
+        if getattr(model, "timezone", None) or getattr(
+                model, "utc_shifted", False):
+            # a shifted-timezone request evaluates filters against
+            # LOCAL-day expressions over the stored UTC values
+            # (_apply_timezone); the sidecar indexes the stored values,
+            # so pruning on the request's local-time literals could drop
+            # files whose UTC rows map into the requested local day —
+            # abstain entirely, same posture as rollup serving
+            # (shifted-tz never rollup-served)
+            return None
         base_dir = getattr(self.binding, "base_dir", None)
         if base_dir is None or not hasattr(self.binding, "table_pruned"):
             return None
@@ -315,7 +325,12 @@ class Planner:
                 getattr(f, "field", None)
             col = table.columns.get(name) if name else None
             if not isinstance(col, DimCol) or col.case_insensitive \
-                    or col.dtype.has_static_mapping:
+                    or col.dtype.has_static_mapping or col.is_day_column:
+                # day columns are excluded even unshifted: their request
+                # bounds are already served losslessly by directory
+                # partition pruning, and their filter values pass
+                # through day-grain normalization the sidecar's stored
+                # values never saw
                 continue
             if index_stale(tdir, idx_dir, name):
                 # the table was rewritten after this column's sidecar
@@ -943,11 +958,13 @@ class Planner:
                      if s.field not in keep and s.field in chdf.columns]
             parts.append(chdf.select(*[F.col(_q(a)) for a in keep]).distinct())
         if len(parts) > 1:
-            # count each distinct set once (recomputed by the join below
-            # — the frames are attribute-level DISTINCTs of dimension
-            # tables, tiny next to the product they would otherwise feed,
-            # and an uncached count leaves no storage blocks behind)
+            # materialize each distinct set ONCE (localCheckpoint): the
+            # guard's count and the cross-join below both read the
+            # checkpointed rows instead of re-deriving the dimension
+            # distinct twice per chain — the frames are attribute-level
+            # DISTINCTs, tiny next to the product they would feed
             from ..request.request import ValidationError
+            parts = [p.localCheckpoint(eager=True) for p in parts]
             product = 1
             for p in parts:
                 product *= max(1, p.count())

@@ -157,15 +157,26 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
     if days is not None:
         src = src.filter(F.col("dt").isin(days))
     out_paths = []
+    full_src = spark.read.parquet(table_dir) if days is not None else src
     for col in cols:
+        path = _index_path(index_dir, col)
+        col_days = days
+        if days is not None and os.path.exists(path) \
+                and not _sidecar_params_match(path, bits, hashes):
+            # the existing sidecar was built with different bits/hashes:
+            # unioning carried-over rows with this build's would mix
+            # parameters the probe cannot safely test — rebuild this
+            # column FULLY at the new parameters instead
+            col_days = None
+        source = src if col_days is not None else full_src
         # _metadata.file_path, NOT input_file_name(): a cached copy of
         # the table (the binding caches small tables) would be
         # substituted for the plain read by Spark's cache manager, and
         # input_file_name() is EMPTY on InMemoryRelation rows — the
         # metadata column cannot be served from such a cache, so the
         # build always sees real file paths
-        base = (src.select(F.col("_metadata.file_path").alias("file"),
-                           F.col(col).alias("v"))
+        base = (source.select(F.col("_metadata.file_path").alias("file"),
+                              F.col(col).alias("v"))
                 .withColumn("dt_dir", F.element_at(
                     F.split(F.col("file"), "/"), -2)))
         zones = (base.groupBy("file", "dt_dir")
@@ -200,8 +211,7 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         idx = (zones.join(words, "file", "left_outer")
                .withColumn("bits_m", F.lit(bits))
                .withColumn("hashes", F.lit(hashes)))
-        path = _index_path(index_dir, col)
-        if days is not None and os.path.exists(path):
+        if col_days is not None and os.path.exists(path):
             # a restated day's directory is rewritten wholesale (file
             # names change), so carry-over is keyed on the dt= DIRECTORY
             # not the file name — stale rows for replaced files would
@@ -216,7 +226,7 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
                 if os.path.isdir(table_dir) else []
             prev = spark.read.parquet(path)
             keep = prev.filter(
-                ~F.col("dt_dir").isin([f"dt={d}" for d in days])
+                ~F.col("dt_dir").isin([f"dt={d}" for d in col_days])
                 & F.col("dt_dir").isin(live))
             idx = keep.unionByName(idx)
         tmp = path + ".tmp"
@@ -231,6 +241,20 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         _record_src_mtime(index_dir, col, src_mtime)
         out_paths.append(path)
     return out_paths
+
+
+def _sidecar_params_match(path: str, bits: int, hashes: int) -> bool:
+    """True when every row of the existing sidecar was built with
+    exactly (bits, hashes) — the precondition for unioning carried-over
+    rows with a new incremental build."""
+    try:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=["bits_m", "hashes"])
+        pairs = set(zip(t.column("bits_m").to_pylist(),
+                        t.column("hashes").to_pylist()))
+    except Exception:
+        return False    # unreadable: rebuild fully, never mix
+    return pairs <= {(bits, hashes)}
 
 
 def index_file_count(index_dir: str, col: str) -> Optional[int]:
@@ -285,6 +309,13 @@ def _load_sidecar(path: str) -> Optional[dict]:
         return hit[1]
     import pyarrow.parquet as pq
     cols = pq.read_table(path).to_pydict()
+    # Bloom positions are mod bits_m with `hashes` probes — BOTH stored
+    # per row. Rows with mixed parameters (an incremental rebuild run
+    # with different bits/hashes unioned with carried-over rows) would
+    # be tested at the wrong positions and could false-negative;
+    # validate ONCE at load (cached) and let probes abstain.
+    cols["_mixed_params"] = len(
+        set(zip(cols.get("bits_m", ()), cols.get("hashes", ())))) > 1
     if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
         _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     _SIDECAR_CACHE[path] = (mtime, cols)
@@ -320,7 +351,9 @@ def prune_files_any(spark: SparkSession, index_dir: str, col: str,
     ONCE (per-value re-reads would multiply the driver-side planning
     cost by the list length)."""
     cols = _load_sidecar(_index_path(index_dir, col))
-    if cols is None:
+    if cols is None or cols["_mixed_params"]:
+        # mixed bits/hashes rows cannot be probed safely — fall back to
+        # the full scan until a consistent rebuild lands
         return None
     if not cols["file"] or not values:
         return []

@@ -182,7 +182,10 @@ class _NdvProbe:
                 rdf = self.binding.table(rt)
             except Exception:
                 continue        # rollup not materialized here — raw path
-            items = [it for it in by_roll[rt] if it[2] in rdf.columns]
+            items = [it for it in by_roll[rt]
+                     if it[2] in rdf.columns
+                     and not _rollup_older_than_base(
+                         self.binding, rt, it[0])]
             if not items:
                 continue
             row = rdf.agg(*[
@@ -190,7 +193,15 @@ class _NdvProbe:
                 .alias(f"s{i}") for i, (_t, _c, sc) in enumerate(items)
             ]).collect()[0]
             for i, (t, c, _sc) in enumerate(items):
-                self._got[(t, c)] = int(row[f"s{i}"])
+                est = row[f"s{i}"]
+                if est is None or int(est) <= 0:
+                    # empty rollup / all-NULL sketch column: the union
+                    # yields NULL or an empty sketch (estimate 0) —
+                    # leave the column wanted so resolve()'s raw path
+                    # serves it (a zero from a hollow rollup is not
+                    # evidence the fact has no values)
+                    continue
+                self._got[(t, c)] = int(est)
                 self._wanted[t].discard(c)
                 self.sketch_served.add((t, c))
 
@@ -237,6 +248,36 @@ class _NdvProbe:
 
     def rows(self, table: str) -> int:
         return max(self._rows[table], 1)
+
+
+def _rollup_older_than_base(binding, rollup: str, base: str) -> bool:
+    """True when the rollup's on-disk mtime predates the base fact's —
+    its stored sketches were built BEFORE the fact's latest write, so
+    union-merging them would report the ndv of a stale snapshot with no
+    signal. Every engine-maintained fact rewrite bumps the table root
+    mtime (``overwrite_day_partitions``), and every rollup refresh bumps
+    the rollup's; a fresh rollup therefore reads >= the base. Unknown
+    paths (non-filesystem bindings) conservatively read as stale —
+    the raw probe is always correct. Note this guards STALENESS, not
+    day coverage: a mid-backfill rollup that is newer than the fact but
+    covers a partial history is the materializer's contract to finish
+    (``refresh_recommendation`` keeps advised tables day-complete)."""
+    import os
+    base_dir = getattr(binding, "base_dir", None)
+    if base_dir is None:
+        return True
+    def _mtime(name: str):
+        for p in (os.path.join(base_dir, name),
+                  os.path.join(base_dir, f"{name}.parquet")):
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                continue
+        return None
+    rm, bm = _mtime(rollup), _mtime(base)
+    if rm is None or bm is None:
+        return True
+    return rm < bm - 1e-6
 
 
 def _offer_stored_sketches(cube, probe: _NdvProbe) -> None:

@@ -475,11 +475,11 @@ def test_cap_hot_buckets_bounds_candidates(spark):
 def test_lsh_hot_bucket_guard_boilerplate_corpus(spark, tmp_path):
     """Planted boilerplate corpus (1,200 identical license headers):
     without the guard the banded self-join would enumerate ~720k
-    candidate pairs from every bucket; with it the family's over-cap
-    buckets contribute nothing, the run stays bounded, and a small
-    genuine near-dup pair elsewhere in the corpus is still found
-    (documented cap semantics: families larger than the cap belong on
-    the clustering path)."""
+    candidate pairs from every bucket; with it each over-cap bucket
+    contributes a verified SPANNING CHAIN (linear, not quadratic), so
+    the family stays fully detected and connected while the run stays
+    bounded — and a small genuine near-dup pair elsewhere in the corpus
+    is still found."""
     from maha_spark.ops.dedup import dedup_minhash_lsh
 
     boiler = ("permission is hereby granted free of charge to any person "
@@ -501,8 +501,14 @@ def test_lsh_hot_bucket_guard_boilerplate_corpus(spark, tmp_path):
                                         max_bucket_docs=100).collect()}
     assert (9001, 9002) in pairs          # genuine near-dup survives
     assert pairs[(9001, 9002)] >= 0.8
-    # the 1200-doc family's pairs are NOT enumerated (over-cap buckets)
-    assert not any(a < 1200 and b < 1200 for a, b in pairs)
+    # the 1200-doc family is represented by its spanning chain — LINEAR
+    # candidate work (the consecutive links, every one jaccard 1.0),
+    # not the ~720k all-pairs enumeration
+    fam = {(a, b) for a, b in pairs if a < 1200 and b < 1200}
+    assert fam == {(i, i + 1) for i in range(1199)}
+    assert all(pairs[p] == 1.0 for p in fam)
+    # connectivity: every family member appears in the output
+    assert {d for p in fam for d in p} == set(range(1200))
 
 
 def test_simhash_pairs_value_collapse_boilerplate(spark, tmp_path):

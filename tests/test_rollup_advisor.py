@@ -276,3 +276,64 @@ def test_ndv_falls_back_to_raw_without_materialized_rollup(spark, tmp_path):
     recommend_rollups(eng, [req] * 3, probe=probe)
     assert ("events", "user_id") in probe.raw_probed
     assert not probe.sketch_served
+
+
+def test_ndv_sketch_path_survives_empty_rollup(spark, tmp_path):
+    """An EMPTY materialized rollup (fresh target, refresh window with
+    no rows): hll_union_agg over nothing is NULL — the sketch path must
+    fall back to the raw probe instead of crashing the advise pass."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(os.path.join(SRC, "events.parquet"),
+                str(d / "events.parquet"))
+    materialize_events_rollup(spark, str(d), str(d))
+    # empty the rollup but keep its schema (and keep it NEWER than the
+    # fact so the freshness gate is not what rescues us)
+    roll = str(d / "events_hourly.parquet")
+    empty = spark.read.parquet(roll).limit(0).localCheckpoint(eager=True)
+    empty.write.mode("overwrite").parquet(roll)
+    eng = engine_for_dir(spark, build_contract_registry(), str(d))
+
+    from maha_spark.registry.advisor import _NdvProbe as Probe
+    probe = Probe(spark, eng.binding)
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "2024-01-01", "to": "2024-12-31"}],
+    })
+    recommend_rollups(eng, [req] * 3, probe=probe)
+    assert ("events", "user_id") in probe.raw_probed
+    assert not probe.sketch_served
+    assert probe.ndv("events", "user_id") > 0
+
+
+def test_ndv_sketches_not_served_from_stale_rollup(spark, tmp_path):
+    """A rollup older than the fact's latest write holds sketches of a
+    STALE snapshot — the probe must use the raw path until the rollup
+    is refreshed."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(os.path.join(SRC, "events.parquet"),
+                str(d / "events.parquet"))
+    materialize_events_rollup(spark, str(d), str(d))
+    # the fact gets rewritten AFTER the rollup was built
+    now = os.path.getmtime(str(d / "events.parquet")) + 10
+    os.utime(str(d / "events.parquet"), (now, now))
+    eng = engine_for_dir(spark, build_contract_registry(), str(d))
+
+    from maha_spark.registry.advisor import _NdvProbe as Probe
+    probe = Probe(spark, eng.binding)
+    req = json.dumps({
+        "cube": "events_cube",
+        "selectFields": [{"field": "user_id"}, {"field": "event_count"}],
+        "filterExpressions": [{"field": "day", "operator": "between",
+                               "from": "2024-01-01", "to": "2024-12-31"}],
+    })
+    recommend_rollups(eng, [req] * 3, probe=probe)
+    assert ("events", "user_id") in probe.raw_probed
+    assert not probe.sketch_served

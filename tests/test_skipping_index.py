@@ -906,3 +906,78 @@ def test_refresh_explicit_days_rebuilds_fully_without_record(
                               if f.startswith("file:") else f), f
     got = needle_scan(spark, table, idx, "id", 2_001_300)
     assert got.count() == 1
+
+
+def test_planner_abstains_under_shifted_timezone(spark, engine_layout):
+    """A shifted-timezone request evaluates filters against LOCAL-day
+    expressions over stored UTC values; the sidecar indexes stored
+    values, so pruning could drop files whose UTC rows map into the
+    requested local day — the planner must abstain entirely (same
+    posture as rollup serving) and rows must match the unindexed
+    engine."""
+    import json
+    d, eng, n_files = engine_layout
+    req = json.loads(_needle_req(13))
+    req["additionalParameters"] = {"timeZone": "America/Los_Angeles"}
+    got = eng.dataframe(json.dumps(req))
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan       # cached full scan, no prune
+    # same rows as an engine with NO index on an identical layout
+    import shutil
+    import tempfile
+    d2 = tempfile.mkdtemp() + "/sf"
+    shutil.copytree(d, d2)
+    shutil.rmtree(os.path.join(d2, "_skipidx"))
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    eng2 = engine_for_dir(spark, build_contract_registry(), d2)
+    exp = eng2.dataframe(json.dumps(req))
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+
+
+def test_incremental_rebuild_with_new_params_never_mixes(spark, tmp_path):
+    """Bloom positions are mod bits_m with `hashes` probes; a days-scoped
+    rebuild at NEW parameters must not union its rows with carried-over
+    rows built at the old ones (the probe would test wrong positions and
+    could false-negative) — the column rebuilds fully instead, and a
+    hand-mixed sidecar is refused by the probe (full-scan fallback)."""
+    import pyarrow.parquet as pq
+
+    from maha_spark.plans import skipping
+    d = str(tmp_path)
+    table = os.path.join(d, "t")
+    (spark.range(2_000)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-07-01', CAST(id DIV 500 AS INT))"))
+     .repartition(F.col("dt")).write.partitionBy("dt").parquet(table))
+    idx = os.path.join(d, "idx")
+    build_skipping_index(spark, table, ["id"], idx, bits=4096)
+    build_skipping_index(spark, table, ["id"], idx, bits=8192,
+                         days=["2024-07-02"])
+    t = pq.read_table(os.path.join(idx, "skip_id.parquet"),
+                      columns=["bits_m", "hashes"])
+    assert set(t.column("bits_m").to_pylist()) == {8192}   # full rebuild
+    got = needle_scan(spark, table, idx, "id", 600)
+    assert got.count() == 1
+    assert prune_files(spark, idx, "id", 600)
+
+    # belt-and-suspenders: a mixed sidecar (external writer) makes the
+    # probe abstain rather than test wrong positions
+    import pyarrow as pa
+    path = os.path.join(idx, "skip_id.parquet")
+    full = pq.read_table(path)
+    half = full.num_rows // 2
+    bits_col = pa.chunked_array([pa.array(
+        [4096] * half + [8192] * (full.num_rows - half), pa.int32()
+    ).cast(full.schema.field("bits_m").type)])
+    mixed = full.set_column(full.schema.get_field_index("bits_m"),
+                            "bits_m", bits_col)
+    skipping._SIDECAR_CACHE.clear()
+    for f in (os.listdir(path) if os.path.isdir(path) else []):
+        if not f.endswith(".parquet"):
+            continue
+        pq.write_table(mixed, os.path.join(path, f))
+        break
+    assert prune_files(spark, idx, "id", 600) is None   # abstains
+    assert needle_scan(spark, table, idx, "id", 600).count() == 1
