@@ -200,8 +200,9 @@ def hot_bucket_chain_links(bands: DataFrame, cap: int,
     ``cap_hot_buckets`` removed: per hot bucket, consecutive doc_ids in
     sorted order — a SPANNING CHAIN of N-1 rows instead of the N^2/2
     all-pairs enumeration. Every member of a boilerplate family still
-    appears in candidate pairs (the family stays detected and, after
-    verification, connected for the clustering path), while the work
+    appears in CANDIDATE pairs (links between near-identical neighbors
+    then verify — an identical-text family connects completely; a
+    sub-threshold consecutive pair drops its link), while the work
     stays linear in bucket size. Same (band, key) window partitioning
     as the guard — no extra exchange."""
     from pyspark.sql import functions as F
@@ -229,9 +230,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     all-pairs oracle): buckets holding more than ``max_bucket_docs``
     documents contribute a verified SPANNING CHAIN of their sorted
     members (N-1 linear links via ``hot_bucket_chain_links``) instead
-    of the N^2/2 all-pairs enumeration — a duplicate family larger than
-    the cap is still fully detected and connected, but its pair LIST is
-    not exhaustive (exhaustive quadratic pair lists for such families
+    of the N^2/2 all-pairs enumeration — every member of a duplicate
+    family larger than the cap still appears in candidate pairs, and
+    links between near-identical neighbors verify (an identical-text
+    boilerplate family connects completely at jaccard 1.0; a looser
+    family's chain can break where consecutive members fall below the
+    threshold, leaving connectivity to the other bands), but the pair
+    LIST is not exhaustive (exhaustive quadratic pair lists for such families
     belong on the clustering path, where ``dedup_clusters`` represents
     the family as one cluster). On corpora where no bucket exceeds the
     cap — including the driver's oracle-checked fixtures — the output

@@ -238,12 +238,25 @@ class ParquetBinding(TableBinding):
             return _df_cache_put(self.spark, path, df)
         return self.spark.table(name)
 
+    def table_path(self, name: str) -> Optional[str]:
+        """On-disk location of ``name`` under this binding's layout
+        rules — partitioned directory first, flat ``{name}.parquet``
+        second — or None when neither exists (catalog tables have no
+        path). THE single place that encodes the layout convention:
+        the planner's sidecar probe and the advisor's freshness gate
+        resolve through here instead of re-implementing it."""
+        pdir = os.path.join(self.base_dir, name)
+        if os.path.isdir(pdir):
+            return pdir
+        path = os.path.join(self.base_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            return path
+        return None
+
     def has_table(self, name: str) -> bool:
         if name in self._overrides:
             return True
-        if os.path.isdir(os.path.join(self.base_dir, name)) or \
-                os.path.exists(os.path.join(self.base_dir,
-                                            f"{name}.parquet")):
+        if self.table_path(name) is not None:
             return True
         try:
             return self.spark.catalog.tableExists(name)

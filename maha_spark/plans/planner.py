@@ -307,9 +307,10 @@ class Planner:
         idx_dir = table_index_dir(base_dir, table.name)
         if not _os.path.isdir(idx_dir):
             return None
-        tdir = _os.path.join(base_dir, table.name)
-        if not _os.path.exists(tdir):
-            tdir = _os.path.join(base_dir, f"{table.name}.parquet")
+        tdir = self.binding.table_path(table.name) \
+            if hasattr(self.binding, "table_path") else None
+        if tdir is None:
+            return None
 
         # top-level request filters are CONJUNCTIVE, so per-filter keep
         # sets intersect: a file dropped by ANY needle cannot hold a row
@@ -958,13 +959,17 @@ class Planner:
                      if s.field not in keep and s.field in chdf.columns]
             parts.append(chdf.select(*[F.col(_q(a)) for a in keep]).distinct())
         if len(parts) > 1:
-            # materialize each distinct set ONCE (localCheckpoint): the
-            # guard's count and the cross-join below both read the
-            # checkpointed rows instead of re-deriving the dimension
-            # distinct twice per chain — the frames are attribute-level
-            # DISTINCTs, tiny next to the product they would feed
+            # evaluate each distinct set ONCE via scoped_cache: the
+            # guard's count materializes it lazily (one part at a time
+            # — a rejected request never evaluates past the part that
+            # blows the cap) and the cross-join reuses the cached rows;
+            # the engine drains scoped caches in execute()'s finally,
+            # so a long-lived serving session accumulates nothing, and
+            # a lost-executor recomputes from lineage (a localCheckpoint
+            # would be unrecoverable)
+            from ..ops.common import scoped_cache
             from ..request.request import ValidationError
-            parts = [p.localCheckpoint(eager=True) for p in parts]
+            parts = [scoped_cache(p) for p in parts]
             product = 1
             for p in parts:
                 product *= max(1, p.count())

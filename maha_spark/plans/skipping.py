@@ -153,11 +153,13 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         src_mtime = os.path.getmtime(table_dir)
     except OSError:
         src_mtime = 0.0
-    src = spark.read.parquet(table_dir)
-    if days is not None:
-        src = src.filter(F.col("dt").isin(days))
+    # ONE read handle: the days filter derives from it, so the param-
+    # mismatch full-rebuild path reuses the same file listing instead of
+    # paying a second InMemoryFileIndex over ~10^5 files
+    full_src = spark.read.parquet(table_dir)
+    src = full_src.filter(F.col("dt").isin(days)) if days is not None \
+        else full_src
     out_paths = []
-    full_src = spark.read.parquet(table_dir) if days is not None else src
     for col in cols:
         path = _index_path(index_dir, col)
         col_days = days
@@ -243,18 +245,28 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
     return out_paths
 
 
-def _sidecar_params_match(path: str, bits: int, hashes: int) -> bool:
-    """True when every row of the existing sidecar was built with
-    exactly (bits, hashes) — the precondition for unioning carried-over
-    rows with a new incremental build."""
+def _sidecar_params(path: str) -> Optional[tuple[int, int]]:
+    """The single (bits, hashes) every row of the sidecar was built
+    with, or None when rows mix parameters / the sidecar is unreadable
+    / it is empty — callers must then rebuild fully, never union."""
     try:
         import pyarrow.parquet as pq
         t = pq.read_table(path, columns=["bits_m", "hashes"])
         pairs = set(zip(t.column("bits_m").to_pylist(),
                         t.column("hashes").to_pylist()))
     except Exception:
-        return False    # unreadable: rebuild fully, never mix
-    return pairs <= {(bits, hashes)}
+        return None
+    if len(pairs) != 1:
+        return None
+    b, h = next(iter(pairs))
+    return int(b), int(h)
+
+
+def _sidecar_params_match(path: str, bits: int, hashes: int) -> bool:
+    """True when every row of the existing sidecar was built with
+    exactly (bits, hashes) — the precondition for unioning carried-over
+    rows with a new incremental build."""
+    return _sidecar_params(path) == (bits, hashes)
 
 
 def index_file_count(index_dir: str, col: str) -> Optional[int]:
@@ -527,8 +539,21 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
     day_dirs = [d for d in os.listdir(table_dir) if d.startswith("dt=")]
     if not day_dirs:
         # flat (non-partitioned) table: no per-day increments possible —
-        # full rebuild of every sidecar
-        return build_skipping_index(spark, table_dir, cols, index_dir)
+        # full rebuild of every sidecar, each at ITS OWN stored sizing
+        # (a maintenance refresh must not downgrade a custom-sized
+        # Bloom back to the defaults)
+        out = []
+        flat_groups: dict[Optional[tuple[int, int]], list[str]] = {}
+        for col in cols:
+            flat_groups.setdefault(
+                _sidecar_params(_index_path(index_dir, col)),
+                []).append(col)
+        for params, gcols in flat_groups.items():
+            kw = {"bits": params[0], "hashes": params[1]} \
+                if params is not None else {}
+            out.extend(build_skipping_index(
+                spark, table_dir, gcols, index_dir, **kw))
+        return out
     out: list[str] = []
     live = set(day_dirs)
     # root-mtime snapshot taken BEFORE the day-dir scan: a rewrite
@@ -539,19 +564,26 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
         root_snapshot = os.path.getmtime(table_dir)
     except OSError:
         root_snapshot = None
-    # group columns by their changed-day set: sidecars built together
-    # share a snapshot, so the common case is ONE build call (and one
-    # source read) covering every column. Key None = full rebuild;
+    # group columns by (stored sizing, changed-day set): sidecars built
+    # together share a snapshot, so the common case is ONE build call
+    # (and one source read) covering every column, AT EACH COLUMN'S OWN
+    # stored (bits, hashes) — a refresh must not downgrade a
+    # custom-sized Bloom to the defaults. Days key None = full rebuild;
     # a tuple (possibly EMPTY — pure-deletion case) = days-scoped
     # rebuild whose carry-over purges dead dt_dirs.
-    groups: dict[Optional[tuple[str, ...]], list[str]] = {}
+    groups: dict[tuple[Optional[tuple[int, int]],
+                       Optional[tuple[str, ...]]], list[str]] = {}
     for col in cols:
+        params = _sidecar_params(_index_path(index_dir, col))
         built = _built_mtime(index_dir, col)
-        if built is None:
-            # never built / unreadable record (e.g. a pre-upgrade
-            # sidecar): the carried-over rows cannot be trusted, so a
-            # FULL rebuild — even when the caller scoped explicit days
-            groups.setdefault(None, []).append(col)
+        if built is None or params is None:
+            # never built / unreadable record / MIXED parameters: the
+            # carried-over rows cannot be trusted — FULL rebuild even
+            # under an explicit days scope. A mixed sidecar (params
+            # None) rebuilds at the defaults, HEALING the probe's
+            # otherwise-permanent full-scan abstention on a table whose
+            # days never change again.
+            groups.setdefault((params, None), []).append(col)
             continue
         if days is not None:
             changed = sorted(days)
@@ -574,11 +606,13 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
             _record_src_mtime(index_dir, col, root_snapshot)
             out.append(_index_path(index_dir, col))
             continue
-        groups.setdefault(tuple(changed), []).append(col)
-    for key, group_cols in groups.items():
+        groups.setdefault((params, tuple(changed)), []).append(col)
+    for (params, key), group_cols in groups.items():
+        kw = {"bits": params[0], "hashes": params[1]} \
+            if params is not None else {}
         out.extend(build_skipping_index(
             spark, table_dir, group_cols, index_dir,
-            days=list(key) if key is not None else None))
+            days=list(key) if key is not None else None, **kw))
     return out
 
 

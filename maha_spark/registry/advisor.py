@@ -263,17 +263,17 @@ def _rollup_older_than_base(binding, rollup: str, base: str) -> bool:
     covers a partial history is the materializer's contract to finish
     (``refresh_recommendation`` keeps advised tables day-complete)."""
     import os
-    base_dir = getattr(binding, "base_dir", None)
-    if base_dir is None:
+    if not hasattr(binding, "table_path"):
         return True
+
     def _mtime(name: str):
-        for p in (os.path.join(base_dir, name),
-                  os.path.join(base_dir, f"{name}.parquet")):
-            try:
-                return os.path.getmtime(p)
-            except OSError:
-                continue
-        return None
+        p = binding.table_path(name)
+        if p is None:
+            return None
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
     rm, bm = _mtime(rollup), _mtime(base)
     if rm is None or bm is None:
         return True

@@ -981,3 +981,72 @@ def test_incremental_rebuild_with_new_params_never_mixes(spark, tmp_path):
         break
     assert prune_files(spark, idx, "id", 600) is None   # abstains
     assert needle_scan(spark, table, idx, "id", 600).count() == 1
+
+
+def test_refresh_preserves_custom_sidecar_sizing(spark, tmp_path):
+    """A sidecar built with custom (bits, hashes) keeps that sizing
+    through maintenance refreshes — a refresh must not silently
+    downgrade a high-ndv column's Bloom to the defaults (which would
+    both force a full rebuild and permanently raise the false-positive
+    rate)."""
+    import pyarrow.parquet as pq
+
+    from maha_spark.plans.skipping import (
+        index_stale, refresh_skipping_index, table_index_dir)
+    d = str(tmp_path)
+    table = os.path.join(d, "facts")
+    (spark.range(2_000)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-07-01', CAST(id DIV 500 AS INT))"))
+     .repartition(F.col("dt")).write.partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "facts")
+    build_skipping_index(spark, table, ["id"], idx, bits=16384, hashes=7)
+
+    # restate one day, then refresh (auto mode)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day_df = (spark.read.parquet(table).filter("dt = '2024-07-02'")
+              .localCheckpoint(eager=True))
+    (day_df.withColumn("id", F.col("id") + 1_000_000)
+     .repartition(1).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    now = os.path.getmtime(table) + 10
+    os.utime(table, (now, now))
+    refresh_skipping_index(spark, table, idx)
+
+    t = pq.read_table(os.path.join(idx, "skip_id.parquet"),
+                      columns=["bits_m", "hashes"])
+    assert set(t.column("bits_m").to_pylist()) == {16384}
+    assert set(t.column("hashes").to_pylist()) == {7}
+    assert not index_stale(table, idx, "id")
+    assert needle_scan(spark, table, idx, "id", 1_000_600).count() == 1
+
+
+def test_refresh_heals_mixed_sidecar(spark, refresh_layout):
+    """A mixed-parameter sidecar (external writer / pre-fix state) on a
+    QUIET table: the probe abstains, and the next refresh detects the
+    mix and rebuilds fully instead of re-stamping it fresh forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maha_spark.plans import skipping
+    from maha_spark.plans.skipping import refresh_skipping_index
+    table, idx = refresh_layout
+    path = os.path.join(idx, "skip_id.parquet")
+    full = pq.read_table(path)
+    half = full.num_rows // 2
+    bits_col = pa.chunked_array([pa.array(
+        [4096] * half + [8192] * (full.num_rows - half), pa.int32()
+    ).cast(full.schema.field("bits_m").type)])
+    mixed = full.set_column(full.schema.get_field_index("bits_m"),
+                            "bits_m", bits_col)
+    skipping._SIDECAR_CACHE.clear()
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            pq.write_table(mixed, os.path.join(path, f))
+            break
+    assert prune_files(spark, idx, "id", 600) is None   # abstains
+
+    # a refresh with NO changed days must still heal the column
+    refresh_skipping_index(spark, table, idx)
+    assert prune_files(spark, idx, "id", 600)           # prunes again
+    assert needle_scan(spark, table, idx, "id", 600).count() == 1
