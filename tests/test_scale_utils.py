@@ -326,3 +326,50 @@ def test_upsert_and_delete_refuse_null_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL in a match key"):
         delete_from_day_partitions(
             spark, null_delta.select("dt", "k"), table, ["k"])
+
+
+def test_upsert_then_sidecar_refresh_chain(spark, tmp_path):
+    """The maintenance chain end-to-end: upsert makes the sidecar stale
+    (root bump), needle scans stay correct via the stale-gate fallback,
+    and refresh re-indexes ONLY the upserted days — pruning resumes
+    with the new values findable."""
+    from maha_spark.plans.scale import upsert_day_partitions
+    from maha_spark.plans.skipping import (
+        build_skipping_index, index_stale, needle_scan,
+        refresh_skipping_index, table_index_dir)
+
+    d = str(tmp_path)
+    table = os.path.join(d, "t")
+    (spark.range(2_000)
+     .withColumn("dt", F.expr(
+         "date_add(DATE '2024-04-01', CAST(id DIV 500 AS INT))"))
+     .withColumn("k", F.col("id"))
+     .withColumn("v", F.expr("CAST(id AS BIGINT)"))
+     .drop("id")
+     .repartition(F.col("dt")).write.mode("overwrite")
+     .partitionBy("dt").parquet(table))
+    idx = table_index_dir(d, "t")
+    build_skipping_index(spark, table, ["v"], idx)
+    untouched = _sidecar_day_files(spark, idx, "v", "2024-04-03")
+
+    delta = spark.createDataFrame(
+        [("2024-04-02", 600, 7_000_600)],
+        "dt string, k bigint, v bigint").withColumn("dt", F.to_date("dt"))
+    upsert_day_partitions(spark, delta, table, ["k"])
+    assert index_stale(table, idx, "v")
+    # stale gate: the NEW value is findable immediately (full scan)
+    assert needle_scan(spark, table, idx, "v", 7_000_600).count() == 1
+
+    refresh_skipping_index(spark, table, idx)
+    assert not index_stale(table, idx, "v")
+    assert needle_scan(spark, table, idx, "v", 7_000_600).count() == 1
+    assert needle_scan(spark, table, idx, "v", 600).count() == 0  # replaced
+    # untouched day's sidecar rows carried over verbatim
+    assert _sidecar_day_files(spark, idx, "v", "2024-04-03") == untouched
+
+
+def _sidecar_day_files(spark, idx, col, day):
+    df = spark.read.parquet(os.path.join(idx, f"skip_{col}.parquet"))
+    return sorted(r["file"] for r in
+                  df.filter(F.col("dt_dir") == f"dt={day}")
+                  .select("file").collect())
