@@ -1046,29 +1046,6 @@ QUERIES: dict[str, dict] = {
             FROM lineitem GROUP BY 1
         """,
     },
-    # -- §2.2 OR combinator + NOT LIKE + IS NOT NULL
-    "q22_or_notlike": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "brand"}, {"field": "revenue"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"operator": "or", "filterExpressions": [
-                    {"field": "part_size", "operator": "<", "value": 15},
-                    {"field": "brand", "operator": "not like",
-                     "value": "rand#1"},
-                ]},
-                {"field": "part_name", "operator": "isnotnull"},
-            ],
-        },
-        "sql": f"""
-            SELECT p_brand AS brand, {SQL_REVENUE} AS revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
-              AND p_name IS NOT NULL
-            GROUP BY 1
-        """,
-    },
     # -- §2.2 '<>' + AND combinator with range bounds
     # -- §2.8 REGEX_EXTRACT derived dim attribute
     "q27_regex_extract": {
@@ -1388,6 +1365,33 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             SELECT o_orderkey AS order_key, o_orderpriority AS order_priority,
                    COALESCE(f.revenue, 0.0) AS revenue, TOTALROWS
             FROM page LEFT JOIN f ON o_orderkey = l_orderkey CROSS JOIN t
+        """,
+    },
+    # -- §2.2 OR combinator + NOT LIKE + IS NOT NULL (rotated out r9:
+    #    each operator keeps individual coverage — Like/NotIn/range via
+    #    q12, Or/NotLike/IsNull via the fuzz invalid+filter batteries —
+    #    and this exact pin; slot went to op_sim_lsh_buckets, whose
+    #    exact oracle had been off-contract since r6)
+    "q22_or_notlike": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "brand"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"operator": "or", "filterExpressions": [
+                    {"field": "part_size", "operator": "<", "value": 15},
+                    {"field": "brand", "operator": "not like",
+                     "value": "rand#1"},
+                ]},
+                {"field": "part_name", "operator": "isnotnull"},
+            ],
+        },
+        "sql": f"""
+            SELECT p_brand AS brand, {SQL_REVENUE} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
+              AND p_name IS NOT NULL
+            GROUP BY 1
         """,
     },
 }

@@ -75,6 +75,14 @@ def entry_queries() -> dict[str, Callable]:
         "op_sketch_setops": sketches.sketch_setops,
         "op_sim_topk": similarity.sim_topk,
         "op_sim_pairs": similarity.sim_pairs,
+        # r9 rotation (second wave): the RH-LSH bucket histogram back IN
+        # (out since r6; its md5-derived hyperplanes make the bucket
+        # assignment an exact SQL expression, so the DuckDB oracle is
+        # bit-exact) — the last rotation-debt entry with an exact oracle
+        # that had never returned to the contract. Its slot comes from
+        # q22_or_notlike (Or/NotLike/IsNull coverage retained by q12 +
+        # the fuzz batteries + the off-contract pin).
+        "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
         # op_embed_quantize rotated back IN round 6 (out r5); its slot
         # comes from op_token_quantiles, which keeps an exact off-contract
         # oracle in tests/test_ops_packing.py AND is cross-checked against
@@ -128,9 +136,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                                "test_ops_sessions.py (stream == batch "
                                "bit-identical + late-event drop; rotated "
                                "out r7 for batch op_sessionize)"),
-        "sim_lsh_buckets": (similarity.sim_lsh_buckets,
-                            "test_ops_packing.py (exact oracle; rotated "
-                            "out r6 for op_dedup_incremental)"),
+        # sim_lsh_buckets rotated back ON contract r9 (op_sim_lsh_buckets);
+        # its off-contract pin in test_ops_packing.py remains as
+        # redundant coverage
         "ann_index_topk": (incremental.ann_index_topk,
                            "test_ann_index.py (append == rebuild; "
                            "recall + determinism gates)"),
@@ -183,6 +191,7 @@ def entry_oracles() -> dict[str, str]:
         "op_sketch_setops": sketches.sketch_setops_oracle(),
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
+        "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
         "op_dedup_incremental": incremental.dedup_incremental_oracle(),
         "op_embed_quantize": similarity.embed_quantize_oracle(),
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
