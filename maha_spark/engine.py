@@ -27,7 +27,8 @@ class MahaSparkEngine:
                  binding: TableBinding,
                  bucket_selector: Optional["BucketSelector"] = None,
                  request_logger: Optional[Any] = None,
-                 registry_name: str = "maha"):
+                 registry_name: str = "maha",
+                 result_cache: Optional[Any] = None):
         self.spark = spark
         self.registry = registry
         self.binding = binding
@@ -42,6 +43,11 @@ class MahaSparkEngine:
         #: the dry-run revision's query runs out-of-band, result discarded)
         self.dry_run_log: list[dict[str, Any]] = []
         self._dry_run_threads: list[Any] = []
+        #: optional result-level cache (Druid broker result cache parity;
+        #: execution/result_cache.py) — keyed on canonical request +
+        #: per-table mtime stamps, so the maintenance ops' root-mtime
+        #: bumps invalidate it for free
+        self.result_cache = result_cache
 
     # ------------------------------------------------------------------
     def model(self, request: Union[dict, str, bytes, ReportingRequest],
@@ -132,6 +138,25 @@ class MahaSparkEngine:
                     sel.dry_run_revision != model.cube.revision:
                 entry.is_dry_run = True
                 self._spawn_dry_run(req, schema, today, sel.dry_run_revision)
+            # result-level cache (Druid broker result cache parity):
+            # debug requests bypass (their envelope's purpose is a fresh
+            # plan); everything else keys on the canonical request plus
+            # per-table mtime stamps — see execution/result_cache.py for
+            # the never-stale argument. The lookup sits AFTER the model
+            # build (validation errors must 400 identically hit or miss,
+            # the ledger records the request either way) and after the
+            # dry-run spawn (A/B shadow coverage is workload-driven).
+            cache_key = None
+            if self.result_cache is not None and not req.is_debug:
+                cache_key = self.result_cache.key_for(
+                    model, self.binding, request, schema, today,
+                    self.registry_name)
+                if cache_key is None:
+                    self.result_cache.bypasses += 1
+                else:
+                    cached = self.result_cache.get(cache_key)
+                    if cached is not None:
+                        return cached
             df = self.planner.build(model)
             curator_results = run_curators(self, model) if req.curators \
                 else None
@@ -144,13 +169,16 @@ class MahaSparkEngine:
                 debug = {"requestType": req.request_type,
                          "factTable": model.fact_table.name,
                          "plan": plan[:8000]}
-            return to_json_response(
+            envelope = to_json_response(
                 df, cube=req.cube,
                 metric_aliases=set(model.metric_aliases),
                 max_rows=req.rows_per_page,
                 curators=curator_results,
                 debug=debug,
             )
+            if cache_key is not None:
+                self.result_cache.put(cache_key, envelope)
+            return envelope
         except Exception as e:
             # parse/validation failures happen before the model (or even
             # the request) exists — log a skeleton record so failed
