@@ -116,9 +116,15 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (dedup, incremental, multimodal, packing,
+    from . import (dedup, freqtopk, incremental, multimodal, packing,
                    semdedup, sessions, similarity, sketches, winnow)
     return {
+        # new r9: mergeable frequent-items partials (Druid datasketches
+        # frequentItems parity) — exact inline-SQL twin ready for a
+        # future contract rotation
+        "freq_topk": (freqtopk.freq_topk,
+                      "test_freq_items.py (exact oracle + bound/"
+                      "guarantee properties vs raw top-k)"),
         "winnow_contamination": (winnow.winnow_contamination,
                                  "test_ops_winnow.py (exact oracle + "
                                  "planted benchmark passage)"),
