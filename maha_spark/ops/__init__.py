@@ -168,6 +168,12 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                              "test_ops_packing.py (vs exact quantiles)"),
         "dedup_stream_exact": (dedup.streaming_dedup,
                                "test_ops.py::test_streaming_dedup_across_batches"),
+        # new r9: continuous crawl-ingest near-dup maintenance — the
+        # foreachBatch twin of the batch incremental flow
+        "dedup_stream_incremental": (
+            incremental.streaming_dedup_incremental,
+            "test_dedup_incremental.py (stream drain == sequential "
+            "batch calls: pairs, index bit-identity, replay no-op)"),
     }
 
 

@@ -285,3 +285,76 @@ def dedup_incremental_oracle() -> str:
         WHERE a_id % {BATCH_MOD} = 0 OR b_id % {BATCH_MOD} = 0
         ORDER BY a_id, b_id
     """
+
+
+# -------------------------------------------- streaming index maintenance
+def streaming_dedup_incremental(spark: SparkSession, docs_dir: str,
+                                index_dir: str, pairs_dir: str,
+                                ckpt_dir: str,
+                                max_files_per_trigger: int = 1) -> None:
+    """Continuous crawl-ingest near-dup maintenance: drain the document
+    feed micro-batch by micro-batch, emitting each batch's near-dup
+    pairs (new-vs-corpus + new-vs-new, via ``dedup_incremental``) and
+    folding the batch into the persisted LSH index — the streaming twin
+    of the batch incremental flow, processing files in arrival order so
+    the emitted pair set is EXACTLY what repeated batch calls would
+    produce (test-pinned).
+
+    Idempotence under replays (foreachBatch re-invokes a batch after a
+    failure; the parquet sink is not transactional):
+
+    * pairs land in ``pairs_dir/batch_id=N`` via per-batch OVERWRITE,
+      and pairs are written BEFORE the index append — a crash between
+      the two replays the batch with its docs still absent from the
+      index, so the recomputed pairs overwrite the same directory
+      (identical rows) and the append then lands once;
+    * a batch whose doc_ids are ALL already indexed (a replay of a fully
+      committed batch — e.g. a sink-committed drain re-run from a fresh
+      checkpoint) is a pure no-op: its previously-emitted pairs are left
+      in place, nothing is appended. A HALF-appended batch (bands
+      landed, crash before shingles) is the one non-idempotent window;
+      restate those ids via the overwrite pattern, as the append
+      contract documents.
+
+    ``max_files_per_trigger=1`` mirrors daily-drop ingest (one file ~ one
+    crawl partition); raise it when the feed is many small files. State
+    lives in the INDEX, not the streaming state store — the checkpoint
+    only tracks source progress, so state size is index-bound, not
+    Spark-state-bound, and the index stays queryable/bucketable by every
+    batch consumer."""
+    from pyspark.sql import functions as F
+
+    from .dedup import DOC_SCHEMA
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        bands_path = os.path.join(index_dir, BANDS_TABLE)
+        if os.path.exists(bands_path):
+            seen = s.read.parquet(bands_path).select("doc_id").distinct()
+            fresh = batch.join(seen, "doc_id", "left_anti")
+        else:
+            materialize_dedup_index(s, batch.limit(0), index_dir)
+            fresh = batch
+        # localCheckpoint: `fresh` is consumed three times (pairs kernel
+        # twice through dedup_incremental's branches, then the index
+        # append) and anti-joins against the very table the append
+        # mutates — materialize BEFORE writing, the compaction rule
+        # (plans/scale.py)
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.limit(1).count():
+            return      # fully-committed replay: keep its pairs, no-op
+        pairs = dedup_incremental(s, index_dir, fresh)
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(pairs_dir, f"batch_id={batch_id}")))
+        update_dedup_index(s, index_dir, fresh, assume_new=True)
+
+    q = (spark.readStream.schema(DOC_SCHEMA).format("parquet")
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .load(docs_dir)
+         .writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -118,3 +118,69 @@ def test_scratch_index_dir_registered_for_cleanup_and_stale_pruned(spark):
     assert not os.path.isdir(stale)
     assert registered and str(os.getpid()) in registered[0][0]
     assert os.path.isdir(registered[0][0])  # deferred: still live now
+
+
+def test_streaming_drain_equals_sequential_batches(spark, tmp_path):
+    """The foreachBatch maintenance drain (one file per micro-batch, in
+    arrival order) emits exactly the pairs repeated batch incremental
+    calls produce, and leaves an index identical to a full rebuild —
+    plus a replayed batch is a no-op (idempotence)."""
+    from maha_spark.ops.incremental import streaming_dedup_incremental
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    corpus = docs.filter("doc_id % 5 != 0")
+    b1 = docs.filter("doc_id % 5 = 0 AND doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 5 = 0 AND doc_id % 2 = 1")
+
+    # --- batch reference: two sequential incremental calls
+    ref_idx = str(tmp_path / "ref_idx")
+    materialize_dedup_index(spark, corpus, ref_idx)
+    want = _pairs(dedup_incremental(spark, ref_idx, b1))
+    update_dedup_index(spark, ref_idx, b1)
+    want |= _pairs(dedup_incremental(spark, ref_idx, b2))
+    update_dedup_index(spark, ref_idx, b2)
+
+    # --- streaming twin: same base index, feed lands as two files
+    idx = str(tmp_path / "s_idx")
+    materialize_dedup_index(spark, corpus, idx)
+    feed = str(tmp_path / "feed")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1.select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "f1"))
+    b2.select(*cols).coalesce(1).write.parquet(
+        os.path.join(feed, "f2"))
+    # flatten: the reader wants files directly under the feed dir,
+    # named so f1 sorts (and thus arrives) before f2
+    import glob as _glob
+    import shutil as _shutil
+    for i, sub in enumerate(("f1", "f2")):
+        for f in _glob.glob(os.path.join(feed, sub, "*.parquet")):
+            _shutil.move(f, os.path.join(feed, f"{i:02d}.parquet"))
+        _shutil.rmtree(os.path.join(feed, sub))
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_dedup_incremental(spark, feed, idx, pairs_dir, ckpt)
+
+    got_df = spark.read.parquet(pairs_dir)
+    assert _pairs(got_df.select("a_id", "b_id", "jaccard")) == want
+    # two micro-batches really ran (order pinned by the per-batch dirs)
+    assert got_df.select("batch_id").distinct().count() == 2
+
+    # final index == the sequentially-updated reference index
+    for t in (BANDS_TABLE, SHINGLES_TABLE):
+        a = sorted(map(tuple, spark.read.parquet(
+            os.path.join(idx, t)).collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            os.path.join(ref_idx, t)).collect()))
+        assert a == b, f"{t} diverged from the batch path"
+
+    # --- replay idempotence: drain again with a FRESH checkpoint (the
+    # worst-case replay: every batch re-delivered); pairs are
+    # overwritten in place, the index gains nothing
+    n_bands = spark.read.parquet(os.path.join(idx, BANDS_TABLE)).count()
+    streaming_dedup_incremental(spark, feed, idx, pairs_dir,
+                                str(tmp_path / "ckpt2"))
+    assert _pairs(spark.read.parquet(pairs_dir)
+                  .select("a_id", "b_id", "jaccard")) == want
+    assert spark.read.parquet(
+        os.path.join(idx, BANDS_TABLE)).count() == n_bands
