@@ -910,32 +910,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.3 two independent join chains in one query
-    "q13_two_chains": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "nation_name"},
-                             {"field": "supp_nation_name"},
-                             {"field": "revenue"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"field": "supp_nation_name", "operator": "in",
-                 "values": ["NATION_1", "NATION_2", "NATION_3"]},
-            ],
-        },
-        "sql": f"""
-            SELECT cn.n_name AS nation_name, sn.n_name AS supp_nation_name,
-                   {SQL_REVENUE} AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation cn ON c_nationkey = cn.n_nationkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
-            WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3')
-            GROUP BY 1, 2
-        """,
-    },
     # -- §2.2 outer filter on final projected aliases
     "q15_outer_filter": {
         "request": {
@@ -1392,6 +1366,35 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
               AND p_name IS NOT NULL
             GROUP BY 1
+        """,
+    },
+    # -- §2.3 two independent join chains in one query (rotated out r9:
+    #    the two-chain plan stays pinned at the physical level in
+    #    test_plan_shape.py and this exact oracle; slot went to
+    #    op_freq_topk — the new mergeable frequent-items serve)
+    "q13_two_chains": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "supp_nation_name"},
+                             {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "supp_nation_name", "operator": "in",
+                 "values": ["NATION_1", "NATION_2", "NATION_3"]},
+            ],
+        },
+        "sql": f"""
+            SELECT cn.n_name AS nation_name, sn.n_name AS supp_nation_name,
+                   {SQL_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3')
+            GROUP BY 1, 2
         """,
     },
 }

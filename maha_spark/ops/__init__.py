@@ -23,9 +23,9 @@ def entry_queries() -> dict[str, Callable]:
     signature-family dedups (exact / wordset / simhash); the individual
     functions remain public API (dedup.dedup_exact etc.).
     """
-    from . import (asof, chunking, contamination, dedup, incremental,
-                   multimodal, packing, pipeline, semdedup, sessions,
-                   similarity, sketches, text, winnow)
+    from . import (asof, chunking, contamination, dedup, freqtopk,
+                   incremental, multimodal, packing, pipeline, semdedup,
+                   sessions, similarity, sketches, text, winnow)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
@@ -83,6 +83,14 @@ def entry_queries() -> dict[str, Callable]:
         # q22_or_notlike (Or/NotLike/IsNull coverage retained by q12 +
         # the fuzz batteries + the off-contract pin).
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets,
+        # new r9 operator straight onto the contract: mergeable
+        # frequent-items partials (Druid datasketches frequentItems
+        # parity) — day partials over events served weekly with provable
+        # [lb, ub] bounds; the oracle inlines the identical build+serve
+        # in exact integer arithmetic. Slot from q13_two_chains (its
+        # two-chain plan stays pinned physically in test_plan_shape.py
+        # plus the off-contract oracle).
+        "op_freq_topk": freqtopk.freq_topk,
         # op_embed_quantize rotated back IN round 6 (out r5); its slot
         # comes from op_token_quantiles, which keeps an exact off-contract
         # oracle in tests/test_ops_packing.py AND is cross-checked against
@@ -116,15 +124,11 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (dedup, freqtopk, incremental, multimodal, packing,
+    from . import (dedup, incremental, multimodal, packing,
                    semdedup, sessions, similarity, sketches, winnow)
     return {
-        # new r9: mergeable frequent-items partials (Druid datasketches
-        # frequentItems parity) — exact inline-SQL twin ready for a
-        # future contract rotation
-        "freq_topk": (freqtopk.freq_topk,
-                      "test_freq_items.py (exact oracle + bound/"
-                      "guarantee properties vs raw top-k)"),
+        # freq_topk went STRAIGHT onto the contract (op_freq_topk, r9);
+        # its bound/guarantee property pins live in test_freq_items.py
         "winnow_contamination": (winnow.winnow_contamination,
                                  "test_ops_winnow.py (exact oracle + "
                                  "planted benchmark passage)"),
@@ -204,6 +208,7 @@ def entry_oracles() -> dict[str, str]:
         "op_sim_topk": similarity.sim_topk_oracle(),
         "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
+        "op_freq_topk": freqtopk.freq_topk_oracle(),
         "op_dedup_incremental": incremental.dedup_incremental_oracle(),
         "op_embed_quantize": similarity.embed_quantize_oracle(),
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
