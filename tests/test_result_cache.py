@@ -144,6 +144,53 @@ def test_unversionable_binding_bypasses(spark):
     assert cache.bypasses == 2 and cache.stats()["entries"] == 0
 
 
+def test_fuzz_cache_coherence_under_rewrites(spark, writable_dir):
+    """Seeded battery: a randomized request stream with table rewrites
+    interleaved — the cached engine must answer every request exactly
+    like a cache-less engine over the same current data, and the cache
+    must actually serve hits between rewrites (non-vacuity)."""
+    import random
+    rng = random.Random(907)
+    cache = ResultCache()
+    cached = _engine(spark, writable_dir, cache)
+    plain = _engine(spark, writable_dir, None)
+
+    dims = ["Nation Name", "Region Name", "Market Segment"]
+    mets = ["Revenue", "Total Quantity", "Line Count"]
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD"]
+
+    def _req():
+        fields = (rng.sample(dims, rng.randint(1, 2))
+                  + rng.sample(mets, rng.randint(1, 2)))
+        filters = [{"field": "Day", "operator": "between",
+                    "from": "1995-01-01", "to": "2002-12-31"}]
+        if rng.random() < 0.5:
+            filters.append({"field": "Market Segment", "operator": "in",
+                            "values": rng.sample(segs, rng.randint(1, 2))})
+        return json.dumps({"cube": "lineitem_stats",
+                           "selectFields": [{"field": f} for f in fields],
+                           "filterExpressions": filters,
+                           "rowsPerPage": -1})
+
+    li = os.path.join(writable_dir, "lineitem.parquet")
+    for step in range(24):
+        if step and step % 6 == 0:
+            mod = rng.choice([3, 5, 7])
+            kept = spark.read.parquet(li).filter(
+                F.col("l_orderkey") % mod != 0)
+            tmp = li + ".new"
+            kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(li) if os.path.isdir(li) else os.remove(li)
+            shutil.move(tmp, li)
+        req = _req()
+        assert cached.execute(req) == plain.execute(req), \
+            f"cache served stale/divergent rows at step {step}"
+        if rng.random() < 0.5:          # immediate repeat: a likely hit
+            assert cached.execute(req) == plain.execute(req)
+    st = cache.stats()
+    assert st["hits"] > 0 and st["misses"] > 0 and st["bypasses"] == 0
+
+
 def test_key_covers_schema_today_and_tables(spark):
     import datetime as dt
     cache = ResultCache()
