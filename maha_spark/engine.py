@@ -146,14 +146,26 @@ class MahaSparkEngine:
             # build (validation errors must 400 identically hit or miss,
             # the ledger records the request either way) and after the
             # dry-run spawn (A/B shadow coverage is workload-driven).
+            # Per-request control rides additionalParameters with
+            # Druid's own context-flag names: useResultLevelCache
+            # gates reads, populateResultLevelCache gates writes
+            # (druid.apache.org query-context semantics; both default
+            # true when the engine carries a cache).
             cache_key = None
+            cache_populate = False
             if self.result_cache is not None and not req.is_debug:
-                cache_key = self.result_cache.key_for(
-                    model, self.binding, request, schema, today,
-                    self.registry_name)
+                from .request.request import _to_bool
+                cache_use = _to_bool(req.get_parameter(
+                    "useResultLevelCache", True))
+                cache_populate = _to_bool(req.get_parameter(
+                    "populateResultLevelCache", True))
+                if cache_use or cache_populate:
+                    cache_key = self.result_cache.key_for(
+                        model, self.binding, request, schema, today,
+                        self.registry_name)
                 if cache_key is None:
                     self.result_cache.bypasses += 1
-                else:
+                elif cache_use:
                     cached = self.result_cache.get(cache_key)
                     if cached is not None:
                         return cached
@@ -176,7 +188,7 @@ class MahaSparkEngine:
                 curators=curator_results,
                 debug=debug,
             )
-            if cache_key is not None:
+            if cache_key is not None and cache_populate:
                 self.result_cache.put(cache_key, envelope)
             return envelope
         except Exception as e:

@@ -126,6 +126,36 @@ def test_debug_requests_bypass(spark):
     assert cache.stats()["entries"] == 0 and cache.misses == 0
 
 
+def test_druid_context_flags(spark):
+    """Per-request control with Druid's own context-flag names:
+    useResultLevelCache gates reads, populateResultLevelCache gates
+    writes (stringly bools honored like every other parameter)."""
+    cache = ResultCache()
+    eng = _engine(spark, SRC, cache)
+
+    no_pop = dict(REQ)
+    no_pop["additionalParameters"] = {"populateResultLevelCache": "false"}
+    eng.execute(json.dumps(no_pop))
+    assert cache.stats()["entries"] == 0      # computed, not stored
+
+    eng.execute(json.dumps(REQ))              # stored normally
+    assert cache.stats()["entries"] == 1
+
+    no_use = dict(REQ)
+    no_use["additionalParameters"] = {"useResultLevelCache": False}
+    hits_before = cache.hits
+    first = eng.execute(json.dumps(no_use))   # populates its own entry
+    again = eng.execute(json.dumps(no_use))   # same key now cached...
+    assert cache.hits == hits_before          # ...but the read is OFF
+    assert again == first and first["rows"]
+
+    off = dict(REQ)
+    off["additionalParameters"] = {"useResultLevelCache": "false",
+                                   "populateResultLevelCache": "false"}
+    eng.execute(json.dumps(off))
+    assert cache.bypasses == 1                # both off == full bypass
+
+
 def test_unversionable_binding_bypasses(spark):
     """A binding without table paths cannot stamp versions — the engine
     must bypass, never cache."""
