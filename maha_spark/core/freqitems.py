@@ -106,6 +106,15 @@ def freq_topk_serve(partials: DataFrame, group_cols: list[str], k: int,
 
     The whole computation is exact integer arithmetic over the partials
     — a SQL twin reproduces it bit-for-bit (test-pinned)."""
+    reserved = {"value", "count_lb", "count_ub", "rank", "guaranteed",
+                "_v", "_c", "_om", "_om_all", "_om_present",
+                "_dropped_ub", "_items"}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"freq_topk_serve: group column(s) {sorted(clash)} collide "
+            "with the serve's output/internal names — rename before "
+            "serving")
     gc = [F.col(c) for c in group_cols]
     p = partials.select(
         *group_cols,

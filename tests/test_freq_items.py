@@ -147,6 +147,14 @@ def test_op_matches_inline_oracle(spark, duck, sf_dir):
     assert got == want and got
 
 
+def test_reserved_group_col_names_refuse(spark):
+    df = spark.createDataFrame([("g", "x")], "g string, v string")
+    parts = freq_items_partial(df, ["g"], "v", k=2) \
+        .withColumnRenamed("g", "value")
+    with pytest.raises(ValueError, match="collide"):
+        freq_topk_serve(parts, ["value"], k=1)
+
+
 def test_nulls_excluded_and_empty_grains_absent(spark):
     df = spark.createDataFrame(
         [("g1", "x"), ("g1", None), ("g2", None)], "g string, v string")
