@@ -185,7 +185,9 @@ WITH p AS (
            AS dropped_ub
     FROM scored GROUP BY {g}
 )
-SELECT {g}, v AS value, count_lb, count_ub, rank,
+SELECT {g}, v AS value,
+       CAST(count_lb AS BIGINT) AS count_lb,
+       CAST(count_ub AS BIGINT) AS count_ub, rank,
        count_lb >= GREATEST(dropped_ub, om_all) AS guaranteed
 FROM scored JOIN threat USING ({g})
 WHERE rank <= {k}

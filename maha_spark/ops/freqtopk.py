@@ -76,7 +76,9 @@ WITH counts AS (
            AS dropped_ub
     FROM scored GROUP BY week
 )
-SELECT week, v AS value, count_lb, count_ub, rank,
+SELECT week, v AS value,
+       CAST(count_lb AS BIGINT) AS count_lb,
+       CAST(count_ub AS BIGINT) AS count_ub, rank,
        count_lb >= GREATEST(dropped_ub, om_all) AS guaranteed
 FROM scored JOIN threat USING (week)
 WHERE rank <= {k}
