@@ -299,5 +299,7 @@ class MahaSparkEngine:
 
 
 def engine_for_dir(spark: SparkSession, registry: Registry,
-                   base_dir: str) -> MahaSparkEngine:
-    return MahaSparkEngine(spark, registry, ParquetBinding(spark, base_dir))
+                   base_dir: str,
+                   result_cache: Optional[Any] = None) -> MahaSparkEngine:
+    return MahaSparkEngine(spark, registry, ParquetBinding(spark, base_dir),
+                           result_cache=result_cache)

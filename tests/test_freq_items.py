@@ -147,6 +147,27 @@ def test_op_matches_inline_oracle(spark, duck, sf_dir):
     assert got == want and got
 
 
+def test_serve_plan_uses_window_group_limit(spark):
+    """The serve's reported branch (rank <= k) must compile with
+    WindowGroupLimit — Spark's top-k window pushdown inserts
+    per-partition partial limits before the final window sort, so the
+    reported-items branch never fully sorts a group's stored values.
+    (The BUILD intentionally has no such pushdown: every rank feeds
+    either the kept map or the residual scalars, so all rows are
+    consumed — asserted here too so a future 'optimization' that drops
+    tail rows fails loudly.)"""
+    df = (spark.range(1000)
+          .selectExpr("CAST(id % 37 AS STRING) AS v", "id % 3 AS g"))
+    parts = freq_items_partial(df, ["g"], "v", k=4)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    assert "WindowGroupLimit" not in \
+        parts._jdf.queryExecution().explainString(mode)
+    served = freq_topk_serve(parts, ["g"], k=2)
+    assert "WindowGroupLimit" in \
+        served._jdf.queryExecution().explainString(mode)
+
+
 def test_reserved_group_col_names_refuse(spark):
     df = spark.createDataFrame([("g", "x")], "g string, v string")
     parts = freq_items_partial(df, ["g"], "v", k=2) \
