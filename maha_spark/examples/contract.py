@@ -910,29 +910,6 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.2 outer filter on final projected aliases
-    "q15_outer_filter": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"operator": "outer", "filterExpressions": [
-                    {"field": "nation_name", "operator": "like", "value": "NATION_1"},
-                ]},
-            ],
-        },
-        "sql": f"""
-            SELECT * FROM (
-                SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue
-                FROM lineitem
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation ON c_nationkey = n_nationkey
-                GROUP BY 1
-            ) WHERE nation_name LIKE '%NATION_1%'
-        """,
-    },
     # -- §2.7 union view (UNION ALL with per-branch constants)
     "q16_union_view": {
         "request": {
@@ -1059,24 +1036,6 @@ QUERIES: dict[str, dict] = {
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
-            GROUP BY 1
-        """,
-    },
-    # -- §1.2 filter on a static-mapped label: reverse map expands the
-    #    label back to raw values (DataType.scala reverseStaticMapping)
-    "q29_static_mapping_filter": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "line_status"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "order_status", "operator": "=",
-                                   "value": "OPEN"}],
-        },
-        "sql": f"""
-            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue
-            FROM lineitem
-            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                                 WHERE o_orderstatus = 'O')
             GROUP BY 1
         """,
     },
@@ -1237,6 +1196,53 @@ QUERIES: dict[str, dict] = {
 #: against the same DuckDB oracles every round by
 #: tests/test_offcontract_queries.py, so rotation loses no coverage.
 OFFCONTRACT_QUERIES: dict[str, dict] = {
+    # -- §2.2 outer filter on final projected aliases (rotated out r9:
+    #    OuterFilter stays covered by the fuzz invalid/combinator
+    #    batteries and this pin; slot went to op_exact_substring_spans
+    #    — the ExactSubstr training-data dedup)
+    "q15_outer_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"operator": "outer", "filterExpressions": [
+                    {"field": "nation_name", "operator": "like", "value": "NATION_1"},
+                ]},
+            ],
+        },
+        "sql": f"""
+            SELECT * FROM (
+                SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            ) WHERE nation_name LIKE '%NATION_1%'
+        """,
+    },
+    # -- §1.2 filter on a static-mapped label: reverse map expands the
+    #    label back to raw values (DataType.scala reverseStaticMapping;
+    #    rotated out r9: the decode direction stays on contract via q7,
+    #    the reverse map via this pin + the fuzz filter battery; slot
+    #    went to op_lm_perplexity — the CCNet-style LM quality score)
+    "q29_static_mapping_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "line_status"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "order_status", "operator": "=",
+                                   "value": "OPEN"}],
+        },
+        "sql": f"""
+            SELECT l_linestatus AS line_status, {SQL_REVENUE} AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'O')
+            GROUP BY 1
+        """,
+    },
     # -- §2.4 dim-only SELECT DISTINCT (rotated out r8 after six stable
     #    rounds on contract)
     "q14_distinct_dims": {

@@ -24,8 +24,9 @@ def entry_queries() -> dict[str, Callable]:
     functions remain public API (dedup.dedup_exact etc.).
     """
     from . import (asof, chunking, contamination, dedup, freqtopk,
-                   incremental, multimodal, packing, pipeline, semdedup,
-                   sessions, similarity, sketches, text, winnow)
+                   incremental, lm, multimodal, packing, pipeline,
+                   semdedup, sessions, similarity, sketches, substring,
+                   text, winnow)
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
@@ -44,6 +45,18 @@ def entry_queries() -> dict[str, Callable]:
         # OUT after six stable rounds — pinned every round against the
         # SAME DuckDB oracles in tests/test_offcontract_queries.py.
         "op_winnow_matches": winnow.winnow_matches,
+        # new r9 operators straight onto the contract (third wave):
+        # ExactSubstr duplicated-span detection (Lee et al. ACL'22 —
+        # exhaustive window hashing, the exact complement to winnowing's
+        # sampled fingerprints) and the CCNet-style bigram-LM perplexity
+        # quality score (integer micro-nat aggregation for cross-engine
+        # bit parity). Slots from q15_outer_filter and
+        # q29_static_mapping_filter (both long-stable; pinned against
+        # the same oracles in tests/test_offcontract_queries.py, with
+        # OuterFilter/reverse-map coverage retained by the fuzz
+        # batteries and q7).
+        "op_exact_substring_spans": substring.exact_substring_spans,
+        "op_lm_perplexity": lm.lm_perplexity,
         "op_semdedup": semdedup.semdedup_op,
         # r7 rotation: batch sessionize back IN (exact oracle, pure window
         # functions); its streaming twin moves to pytest-only — the stream
@@ -124,9 +137,20 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (dedup, incremental, multimodal, packing,
-                   semdedup, sessions, similarity, sketches, winnow)
+    from . import (dedup, incremental, lm, multimodal, packing,
+                   semdedup, sessions, similarity, sketches, substring,
+                   winnow)
     return {
+        # new r9: the removal leg of ExactSubstr (the detection leg is
+        # the contract entry op_exact_substring_spans) and the
+        # reference-LM cross-scoring leg of the perplexity filter (the
+        # self-scored leg is op_lm_perplexity)
+        "exact_substring_dedup": (substring.exact_substring_dedup_op,
+                                  "test_ops_substring.py (keep-first "
+                                  "removal vs pure-Python reference)"),
+        "lm_perplexity_ref": (lm.lm_perplexity_ref,
+                              "test_ops_lm.py (exact DuckDB oracle incl. "
+                              "unseen-bigram backoff)"),
         # freq_topk went STRAIGHT onto the contract (op_freq_topk, r9);
         # its bound/guarantee property pins live in test_freq_items.py
         "winnow_contamination": (winnow.winnow_contamination,
@@ -182,12 +206,15 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
 
 
 def entry_oracles() -> dict[str, str]:
-    from . import (asof, chunking, contamination, dedup, incremental,
-                   multimodal, packing, pipeline, semdedup, sessions,
-                   similarity, sketches, text, winnow)
+    from . import (asof, chunking, contamination, dedup, freqtopk,
+                   incremental, lm, multimodal, packing, pipeline,
+                   semdedup, sessions, similarity, sketches, substring,
+                   text, winnow)
     from ..streaming import hourly
     return {
         "op_asof_join": asof.asof_join_oracle(),
+        "op_exact_substring_spans": substring.exact_substring_spans_oracle(),
+        "op_lm_perplexity": lm.lm_perplexity_oracle(),
         "op_token_quantiles": packing.token_quantiles_oracle(),
         "op_mm_pixel_stats": multimodal.mm_pixel_stats_oracle(),
         "op_chunking": chunking.chunk_documents_oracle(),

@@ -99,6 +99,21 @@ def duck_h32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
+def h60_sql(expr: str) -> str:
+    """First 15 md5 hex chars as an integer (< 2^60) — Spark spelling.
+
+    The wide variant for EXHAUSTIVE window hashing (every k-gram position,
+    ``ops/substring.py``): a 32-bit space sees birthday collisions from
+    ~2^16 distinct windows — guaranteed false "duplicates" at corpus
+    scale — while 60 bits holds ~2^30 windows at the same risk, and the
+    value still fits BIGINT with headroom for arithmetic."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def duck_h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 def dot64_sql(a: str, b: str, one_based: bool, cast: str) -> str:
     """Explicit 64-term dot product with strictly left-to-right addition.
 

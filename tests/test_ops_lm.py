@@ -1,0 +1,119 @@
+"""Bigram-LM perplexity quality scoring (``ops/lm.py`` — on the
+50-entry driver contract as ``op_lm_perplexity``; the reference-LM
+cross-scoring leg is pytest-pinned here)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.ops import lm  # noqa: E402
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+# ------------------------------------------------- oracle bit-parity
+def test_self_scored_matches_duckdb_oracle(spark, duck, sf_dir):
+    from tests.test_ops_packing import _match
+    df = lm.lm_perplexity(spark, sf_dir)
+    _match(df, lm.lm_perplexity_oracle(), duck)
+    assert df.count() > 0
+
+
+# ------------------------------------------------- hand-computed model
+def _py_lm(score: dict[int, str], train: dict[int, str], k=lm.LM_ADD_K):
+    """Pure-Python twin of lm_perplexity_frame (micro-nat integers)."""
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for t in train.values():
+        w = t.split()
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    out = {}
+    for d, t in score.items():
+        w = t.split()
+        if len(w) < 2:
+            continue
+        lps = [round(math.log((c2.get((a, b), 0) + k)
+                              / (c1.get(a, 0) + k * v)) * 1e6)
+               for a, b in zip(w, w[1:])]
+        n = len(lps)
+        xent = -sum(lps)
+        out[d] = (n, xent, round(math.exp(xent / 1e6 / n), 4))
+    return out
+
+
+def test_matches_python_reference_self_scored(spark):
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "colorless green ideas sleep furiously today",
+        4: "the the the the",
+        5: "single",                      # < 2 words -> dropped
+    }
+    docs = _docs(spark, sorted(texts.items()))
+    want = _py_lm(texts, texts)
+    got = {r.doc_id: (r.n_bigrams, r.xent_micro, r.ppl)
+           for r in lm.lm_perplexity_frame(docs).collect()}
+    assert got == want
+    assert 5 not in got
+
+
+def test_typicality_ordering(spark):
+    """The filtering signal: a document made of corpus-common bigrams
+    scores lower perplexity than one made of hapax sequences."""
+    common = "the cat sat on the mat"
+    texts = {i: common for i in range(1, 7)}
+    texts[7] = "zxq wvu tsr qpo nml kji"
+    docs = _docs(spark, sorted(texts.items()))
+    ppl = {r.doc_id: r.ppl for r in lm.lm_perplexity_frame(docs).collect()}
+    assert ppl[7] > ppl[1] * 2
+
+
+def test_reference_lm_backoff_paths(spark):
+    """Cross-scoring takes the unseen-bigram (c2=0) and unseen-context
+    (c1=0 -> p = 1/V) backoff branches; pin against the Python twin."""
+    train = {10: "alpha beta gamma delta alpha beta",
+             20: "beta gamma epsilon zeta"}
+    score = {1: "alpha beta gamma",        # seen bigrams
+             2: "alpha gamma beta",        # seen contexts, unseen pairs
+             3: "omega psi chi"}           # everything unseen
+    want = _py_lm(score, train)
+    got = {r.doc_id: (r.n_bigrams, r.xent_micro, r.ppl)
+           for r in lm.lm_perplexity_frame(
+               _docs(spark, sorted(score.items())),
+               train=_docs(spark, sorted(train.items()))).collect()}
+    assert got == want
+    # both backoff docs score worse than the fully-seen one (note the
+    # order BETWEEN them: the unseen-context floor 1/V can exceed a
+    # seen-context unseen-pair's 1/(c1 + V) — Laplace smoothing gives a
+    # rare-context novelty a higher probability than a common-context
+    # novelty, so doc 3 is not necessarily the worst)
+    assert got[2][2] > got[1][2]
+    assert got[3][2] > got[1][2]
+
+
+def test_ref_registry_entry_runs_and_is_disjoint(spark, sf_dir):
+    out = lm.lm_perplexity_ref(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(r.doc_id % lm.LM_TRAIN_MOD != 0 for r in rows)
+    assert all(r.ppl > 0 and r.n_bigrams > 0 for r in rows)
+
+
+# ------------------------------------------------- plan shape
+def test_counts_join_not_cartesian(spark, sf_dir):
+    """The only crossJoin in the plan must be the broadcast 1-row vocab
+    frame — scoring joins are hash joins on token keys."""
+    plan = (lm.lm_perplexity(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan

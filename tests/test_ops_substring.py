@@ -1,0 +1,147 @@
+"""ExactSubstr duplicated-span detection + keep-first removal
+(``ops/substring.py`` — on the 50-entry driver contract as
+``op_exact_substring_spans``; the removal leg is pytest-pinned here)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.ops import substring  # noqa: E402
+from maha_spark.ops.substring import EXSUB_L  # noqa: E402
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+# ------------------------------------------------- oracle bit-parity
+def test_spans_match_duckdb_oracle(spark, duck, sf_dir):
+    from tests.test_ops_packing import _match
+    df = substring.exact_substring_spans(spark, sf_dir)
+    _match(df, substring.exact_substring_spans_oracle(), duck)
+    assert df.count() > 0
+
+
+# ------------------------------------------------- planted semantics
+def _planted(spark):
+    """Three docs sharing one verbatim 12-word passage (>= L so it must
+    be detected), plus a unique doc and a doc with an INTERNAL repeat."""
+    passage = " ".join(f"shared{i}" for i in range(12))
+    rep = " ".join(f"rep{i}" for i in range(EXSUB_L))
+    return _docs(spark, [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, f"{passage} epsilon zeta eta theta iota kappa"),
+        (3, f"one two three four {passage}"),
+        (4, "entirely unique words nothing here repeats at all ever once"),
+        (5, f"intro {rep} {rep} outro filler words pad pad2 pad3"),
+    ])
+
+
+def test_planted_passage_detected_with_exact_extent(spark):
+    spans = {r.doc_id: (r.span_start, r.span_end, r.n_windows)
+             for r in substring.exact_substring_spans_frame(
+                 _planted(spark)).collect()
+             if r.doc_id in (1, 2, 3)}
+    # doc 1: passage occupies words 3..14 -> 12-word span, 5 windows
+    assert spans[1] == (3, 14, 12 - EXSUB_L + 1)
+    assert spans[2] == (1, 12, 12 - EXSUB_L + 1)
+    assert spans[3] == (5, 16, 12 - EXSUB_L + 1)
+
+
+def test_unique_doc_has_no_spans(spark):
+    got = {r.doc_id
+           for r in substring.exact_substring_spans_frame(
+               _planted(spark)).collect()}
+    assert 4 not in got
+
+
+def test_within_document_repeat_counts_as_duplicate(spark):
+    """Lee et al. count a substring appearing twice in ONE document; the
+    two adjacent repeats merge into a single maximal span."""
+    spans = [r for r in substring.exact_substring_spans_frame(
+        _planted(spark)).collect() if r.doc_id == 5]
+    assert len(spans) == 1
+    s = spans[0]
+    # rep block: words 2 .. 1 + 2*L, one merged island
+    assert s.span_start == 2 and s.span_end == 1 + 2 * EXSUB_L
+
+
+def test_short_documents_emit_nothing(spark):
+    few = " ".join(f"w{i}" for i in range(EXSUB_L - 1))
+    out = substring.exact_substring_spans_frame(
+        _docs(spark, [(1, few), (2, few)])).collect()
+    assert out == []   # below L words -> no window, even though equal
+
+
+# ------------------------------------------------- keep-first removal
+def _py_keep_first(texts: dict[int, str], L: int = EXSUB_L):
+    """Pure-Python reference: hash every L-gram, rank occurrences by
+    (doc_id, pos), merge rank>=2 windows per doc, cut covered words."""
+    occ: dict[tuple, list] = {}
+    words = {d: t.split() for d, t in texts.items()}
+    for d in sorted(words):
+        w = words[d]
+        for p in range(len(w) - L + 1):
+            occ.setdefault(tuple(w[p:p + L]), []).append((d, p + 1))
+    doomed: dict[int, set] = {d: set() for d in words}
+    for gram, hits in occ.items():
+        if len(hits) < 2:
+            continue
+        for d, p in sorted(hits)[1:]:
+            doomed[d].update(range(p, p + L))
+    out = {}
+    for d, w in words.items():
+        kept = [x for i, x in enumerate(w, 1) if i not in doomed[d]]
+        out[d] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+def test_dedup_matches_python_reference(spark):
+    rows = _planted(spark).collect()
+    texts = {r.doc_id: r.text for r in rows}
+    want = _py_keep_first(texts)
+    got = {r.doc_id: (r.clean_text, r.n_words, r.removed_words)
+           for r in substring.exact_substring_dedup(
+               _planted(spark)).collect()}
+    assert got == want
+
+
+def test_dedup_keeps_exactly_first_occurrence(spark):
+    got = {r.doc_id: r for r in substring.exact_substring_dedup(
+        _planted(spark)).collect()}
+    # doc 1 (lowest doc_id) keeps the passage; docs 2 and 3 lose it
+    assert got[1].removed_words == 0
+    assert got[2].removed_words == 12
+    assert got[3].removed_words == 12
+    assert "shared0" in got[1].clean_text
+    assert "shared0" not in got[2].clean_text
+    assert "shared0" not in got[3].clean_text
+    # non-duplicated context survives the cut
+    assert got[2].clean_text.startswith("epsilon zeta")
+    assert got[3].clean_text == "one two three four"
+
+
+def test_dedup_registry_entry_runs(spark, sf_dir):
+    out = substring.exact_substring_dedup_op(spark, sf_dir)
+    assert out.columns == ["doc_id", "clean_text", "n_words",
+                           "removed_words"]
+    rows = out.collect()
+    assert rows and any(r.removed_words > 0 for r in rows)
+    assert all(r.removed_words >= 0 for r in rows)
+
+
+# ------------------------------------------------- linearity guard
+def test_no_pair_join_rows_stay_linear(spark):
+    """The op's 100 TB contract: N copies of one document produce N
+    span rows (linear), never N^2 candidate pairs — assert the physical
+    plan has no join at all."""
+    n = 40
+    text = " ".join(f"boil{i}" for i in range(EXSUB_L + 3))
+    docs = _docs(spark, [(i, text) for i in range(n)])
+    frame = substring.exact_substring_spans_frame(docs)
+    assert frame.count() == n
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
