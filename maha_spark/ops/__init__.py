@@ -137,10 +137,18 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (dedup, incremental, lm, multimodal, packing,
+    from . import (bpe, dedup, incremental, lm, multimodal, packing,
                    semdedup, sessions, similarity, sketches, substring,
                    winnow)
     return {
+        # new r9: end-to-end BPE tokenizer fitting (train on the corpus
+        # word-frequency table, encode the corpus) — iterative by
+        # construction, so no single-statement SQL twin exists; pinned
+        # against a pure-Python Sennrich reference instead
+        "bpe_pipeline": (bpe.bpe_pipeline,
+                         "test_ops_bpe.py (merge-list + token equality "
+                         "vs Python reference; partitioning invariance; "
+                         "lossless round-trip)"),
         # new r9: the removal leg of ExactSubstr (the detection leg is
         # the contract entry op_exact_substring_spans) and the
         # reference-LM cross-scoring leg of the perplexity filter (the

@@ -16,6 +16,19 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Python workers import maha_spark BY NAME (cloudpickle serializes
+    # the pandas-UDF closures' module functions by reference), so the
+    # package root must be importable ON THE WORKER, not just in the
+    # driver's sys.path. A driver launched from outside the repo (sys.
+    # path.insert without PYTHONPATH) would otherwise fail every UDF op
+    # with ModuleNotFoundError. Local-mode workers inherit this process
+    # env; on a real cluster the package ships as a wheel/--py-files and
+    # this is a no-op.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root)
     return (
         SparkSession.builder
         .master(master)

@@ -1,0 +1,130 @@
+"""Distributed BPE training/encoding (``ops/bpe.py``) pinned against a
+pure-Python Sennrich-style reference — merge-list equality, token
+equality, partitioning invariance, lossless round-trip."""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from maha_spark.ops import bpe  # noqa: E402
+from maha_spark.ops.bpe import EOW  # noqa: E402
+
+
+# ---------------------------------------------------------------- twin
+def _py_train(word_freqs: dict[str, int], n_merges: int,
+              min_count: int = bpe.BPE_MIN_COUNT):
+    """Reference trainer: count adjacent pairs over the weighted vocab
+    (zip-style, overlapping), merge the most frequent greedily leftmost;
+    ties by (count DESC, a ASC, b ASC)."""
+    vocab = {w: list(w) + [EOW] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+CORPUS = {
+    1: "low low low low low",
+    2: "lower lower newest newest",
+    3: "newest newest newest newest",
+    4: "widest widest widest",
+    5: "new new news newer lowest",
+}
+
+
+def _docs(spark, parts=None):
+    df = spark.createDataFrame(sorted(CORPUS.items()),
+                               "doc_id INT, text STRING")
+    return df.repartition(parts) if parts else df
+
+
+def _freqs():
+    c: Counter = Counter()
+    for t in CORPUS.values():
+        c.update(t.split())
+    return dict(c)
+
+
+# ------------------------------------------------------------- trainer
+def test_merges_match_python_reference(spark):
+    got = bpe.bpe_train(bpe.word_frequencies(_docs(spark)), n_merges=12)
+    want = _py_train(_freqs(), 12)
+    assert got == want
+    assert len(got) == 12
+
+
+def test_training_invariant_under_partitioning(spark):
+    one = bpe.bpe_train(bpe.word_frequencies(_docs(spark, 1)), n_merges=8)
+    many = bpe.bpe_train(
+        bpe.word_frequencies(_docs(spark, 7)), n_merges=8)
+    assert one == many
+
+
+def test_min_count_stops_early(spark):
+    wf = spark.createDataFrame([("ab", 1)], "word STRING, freq LONG")
+    # every pair occurs once < min_count=2 -> no merges at all
+    assert bpe.bpe_train(wf, n_merges=5) == []
+
+
+# -------------------------------------------------------------- encode
+def test_encode_matches_python_reference(spark):
+    merges = _py_train(_freqs(), 10)
+    got = {r.doc_id: list(r.tokens)
+           for r in bpe.bpe_encode_frame(_docs(spark), merges).collect()}
+    for d, text in CORPUS.items():
+        want = []
+        for w in text.split():
+            want.extend(bpe._encode_word(w, merges))
+        assert got[d] == want, d
+    # n_tokens column agrees
+    nt = {r.doc_id: r.n_tokens
+          for r in bpe.bpe_encode_frame(_docs(spark), merges).collect()}
+    assert nt == {d: len(t) for d, t in got.items()}
+
+
+def test_round_trip_is_lossless(spark):
+    merges = _py_train(_freqs(), 10)
+    for r in bpe.bpe_encode_frame(_docs(spark), merges).collect():
+        # tokens concatenate back to the original words: EOW marks ends
+        text = "".join(r.tokens).replace(EOW, " ").strip()
+        assert text == CORPUS[r.doc_id]
+
+
+def test_frequent_word_collapses_to_single_token(spark):
+    """'newest' (6 occurrences) must become one token well within the
+    merge budget — the compression property BPE exists for."""
+    merges = bpe.bpe_train(bpe.word_frequencies(_docs(spark)),
+                           n_merges=30)
+    assert bpe._encode_word("newest", merges) == ["newest" + EOW]
+
+
+# ------------------------------------------------------------ pipeline
+def test_pipeline_runs_on_testdata(spark, sf_dir):
+    out = bpe.bpe_pipeline(spark, sf_dir, n_merges=10)
+    rows = out.limit(50).collect()
+    assert rows
+    assert all(r.n_tokens == len(r.tokens) and r.n_tokens > 0
+               for r in rows)
