@@ -156,6 +156,17 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         "exact_substring_dedup": (substring.exact_substring_dedup_op,
                                   "test_ops_substring.py (keep-first "
                                   "removal vs pure-Python reference)"),
+        # new r9: the crawl-ingest legs — persisted window-hash index
+        # (batch spans == one-shot over the union, bit-identical;
+        # append == rebuild) and persisted LM model (fit once, score
+        # batches; == in-memory training bit-identically)
+        "exsub_incremental": (substring.exsub_incremental,
+                              "test_ops_substring.py (incremental == "
+                              "one-shot union; append == rebuild; "
+                              "append contract enforced)"),
+        "lm_score": (lm.lm_score,
+                     "test_ops_lm.py (persisted model == in-memory "
+                     "bit-identically; batch-composable)"),
         "lm_perplexity_ref": (lm.lm_perplexity_ref,
                               "test_ops_lm.py (exact DuckDB oracle incl. "
                               "unseen-bigram backoff)"),

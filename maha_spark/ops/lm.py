@@ -170,3 +170,67 @@ def lm_perplexity_oracle() -> str:
         FROM scored GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------
+# persisted LM: fit the count model once, score many ingest batches
+# (the model twin of the persisted LSH / window-hash / IVF indexes —
+# CCNet's actual deployment shape: one reference LM, a stream of shards)
+# --------------------------------------------------------------------
+COUNTS_TABLE = "lm_bigrams"
+META_TABLE = "lm_meta"
+
+
+def lm_fit(spark: SparkSession, train: DataFrame, dst_dir: str) -> str:
+    """Persist the bigram count model under ``dst_dir``: the
+    ``(w1, w2, c2, c1)`` count table (vocabulary-bounded, columnar) and
+    a 1-row meta table carrying the unigram vocabulary size ``v``.
+
+    One training-corpus pass; scoring thereafter never rescans it. The
+    counts are exact integers, so a model persisted and reloaded scores
+    bit-identically to in-memory training (pinned in
+    ``tests/test_ops_lm.py``)."""
+    import os
+
+    tb = _bigrams(train)
+    counts = (tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1"))))
+    counts.write.mode("overwrite").parquet(
+        os.path.join(dst_dir, COUNTS_TABLE))
+    (train.selectExpr(f"explode({words_sql()}) AS w")
+     .agg(F.countDistinct("w").alias("v"))
+     .write.mode("overwrite").parquet(os.path.join(dst_dir, META_TABLE)))
+    return dst_dir
+
+
+def lm_score(spark: SparkSession, model_dir: str,
+             docs: DataFrame) -> DataFrame:
+    """Score ``docs`` against a persisted model — identical output
+    contract (and bit-identical values) to
+    ``lm_perplexity_frame(docs, train)`` with the model's training
+    corpus. Per-batch cost is the batch's bigram stream joined to the
+    stored (vocabulary-bounded) count table; the training corpus is
+    never touched."""
+    import os
+
+    k = LM_ADD_K
+    counts = spark.read.parquet(os.path.join(model_dir, COUNTS_TABLE))
+    vocab = spark.read.parquet(os.path.join(model_dir, META_TABLE))
+    c1s = counts.select("w1", "c1").distinct()
+    sb = _bigrams(docs)
+    scored = (sb.join(counts.select("w1", "w2", "c2"), ["w1", "w2"], "left")
+              .join(c1s, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .selectExpr(
+                  "doc_id",
+                  f"CAST(round(ln(CAST(coalesce(c2, 0) + {k} AS DOUBLE) "
+                  f"/ CAST(coalesce(c1, 0) + {k} * v AS DOUBLE)) "
+                  f"* 1000000e0) AS BIGINT) AS lp"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (-F.sum("lp")).alias("xent_micro"))
+            .selectExpr(
+                "doc_id", "n_bigrams", "xent_micro",
+                "round(exp(CAST(xent_micro AS DOUBLE) / 1000000e0 "
+                "/ n_bigrams), 4) AS ppl")
+            .orderBy("doc_id"))

@@ -51,9 +51,12 @@ the brief, next to ``ops/winnow.py`` and ``ops/dedup.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .common import duck_h60_sql, duck_words_sql, h60_sql, load_table, words_sql
+from .common import (duck_h60_sql, duck_words_sql, h60_sql, load_table,
+                     scoped_cache, words_sql)
 
 #: duplicated-window length in words — the minimum verbatim run the
 #: detector reports (the paper uses 50 BPE tokens at web scale; the
@@ -82,6 +85,28 @@ def _window_hashes(docs: DataFrame, length: int) -> DataFrame:
             .selectExpr("doc_id", "pos", "hs[pos - 1] AS h"))
 
 
+def _merge_spans(dup: DataFrame, length: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions
+    ``(doc_id, pos)`` into maximal spans: a window extends the current
+    span iff its covered range ``[pos, pos+L-1]`` overlaps or touches
+    the previous window's range — i.e. ``pos - prev_pos <= L``."""
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    return (dup
+            .withColumn("prev", F.lag("pos").over(seq))
+            .withColumn(
+                "new_span",
+                F.when(F.col("prev").isNull() |
+                       (F.col("pos") - F.col("prev") > length), 1)
+                .otherwise(0))
+            .withColumn("island", F.sum("new_span").over(
+                seq.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(length - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("island"))
+
+
 def exact_substring_spans_frame(docs: DataFrame,
                                 length: int = EXSUB_L) -> DataFrame:
     """Maximal duplicated spans: ``(doc_id, span_start, span_end,
@@ -95,25 +120,7 @@ def exact_substring_spans_frame(docs: DataFrame,
            .withColumn("occ", F.count(F.lit(1)).over(occ))
            .filter("occ >= 2")
            .select("doc_id", "pos"))
-    seq = Window.partitionBy("doc_id").orderBy("pos")
-    # islands: a window extends the current span iff its covered range
-    # [pos, pos+L-1] overlaps or touches the previous window's range —
-    # i.e. pos - prev_pos <= L
-    spans = (dup
-             .withColumn("prev", F.lag("pos").over(seq))
-             .withColumn(
-                 "new_span",
-                 F.when(F.col("prev").isNull() |
-                        (F.col("pos") - F.col("prev") > length), 1)
-                 .otherwise(0))
-             .withColumn("island", F.sum("new_span").over(
-                 seq.rowsBetween(Window.unboundedPreceding, 0)))
-             .groupBy("doc_id", "island")
-             .agg(F.min("pos").alias("span_start"),
-                  (F.max("pos") + F.lit(length - 1)).alias("span_end"),
-                  F.count(F.lit(1)).alias("n_windows"))
-             .drop("island"))
-    return spans.orderBy("doc_id", "span_start")
+    return _merge_spans(dup, length).orderBy("doc_id", "span_start")
 
 
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,3 +248,82 @@ def exact_substring_dedup(docs: DataFrame,
                 "concat_ws(' ', kept) AS clean_text",
                 "n_words",
                 "n_words - size(kept) AS removed_words"))
+
+
+# --------------------------------------------------------------------
+# incremental ExactSubstr: persisted window-hash index for crawl ingest
+# (the batch twin of ops/incremental.py's persisted LSH index — dedupe
+# each arriving batch against the corpus-so-far without re-scanning it)
+# --------------------------------------------------------------------
+WINDOWS_TABLE = "exsub_windows"
+
+
+def materialize_exsub_index(spark: SparkSession, docs: DataFrame,
+                            dst_dir: str, length: int = EXSUB_L) -> str:
+    """Build the corpus window-hash index under ``dst_dir`` (full
+    rebuild): every ``(doc_id, pos, h)`` window row, stored columnar.
+
+    Linear in corpus token count — the same volume the one-shot
+    detector shuffles, persisted once so each ingest batch pays only
+    its own size. At warehouse scale, store it bucketed/partitioned by
+    ``pmod(h, N)`` so the per-batch probe prunes to the batch's hash
+    buckets; the probe below already column-prunes to ``h``."""
+    (_window_hashes(docs, length).write.mode("overwrite")
+     .parquet(os.path.join(dst_dir, WINDOWS_TABLE)))
+    return dst_dir
+
+
+def update_exsub_index(spark: SparkSession, index_dir: str,
+                       new_docs: DataFrame, length: int = EXSUB_L,
+                       assume_new: bool = False) -> None:
+    """Fold a new batch's window rows into the index (append). The
+    batch's doc_ids must be new to the corpus — same enforced append
+    contract as ``ops/incremental.py``: stale + new window rows for one
+    re-crawled id would double-count its windows as "duplicates".
+    ``assume_new=True`` skips the (column-pruned, footer-cheap) probe
+    when ingest mints fresh ids by construction."""
+    path = os.path.join(index_dir, WINDOWS_TABLE)
+    if not assume_new:
+        dup = (new_docs.select("doc_id").distinct()
+               .join(spark.read.parquet(path).select("doc_id"),
+                     "doc_id", "left_semi")
+               .limit(5).collect())
+        if dup:
+            ids = sorted(r.doc_id for r in dup)
+            raise ValueError(
+                f"update_exsub_index: doc_ids already indexed: {ids} — "
+                "restate re-crawled ids instead of re-appending, or "
+                "pass assume_new=True only when ingest guarantees "
+                "fresh ids")
+    (_window_hashes(new_docs, length).write.mode("append").parquet(path))
+
+
+def exsub_incremental(spark: SparkSession, index_dir: str,
+                      new_docs: DataFrame,
+                      length: int = EXSUB_L) -> DataFrame:
+    """Duplicated spans WITHIN the new batch's documents, measured
+    against (corpus index + the batch itself): a batch window is
+    duplicated iff it occurs >= 2 times in the batch or at least once
+    in the index. Exactly the one-shot detector's answer over
+    (corpus + batch) restricted to batch doc_ids (bit-identity pinned
+    in ``tests/test_ops_substring.py``) — corpus-internal spans were
+    already reported when the corpus was indexed.
+
+    Scale shape: the batch's distinct hash set is BROADCAST into a
+    left-semi probe of the index (one index scan filtered executor-side
+    — never a shuffle of the index), and the returned hit set is
+    bounded by the batch's own window count. Per-batch cost is
+    O(batch) + one pruned index read, independent of corpus size.
+    """
+    bw = scoped_cache(_window_hashes(new_docs, length))
+    hits = (spark.read.parquet(os.path.join(index_dir, WINDOWS_TABLE))
+            .select("h")
+            .join(F.broadcast(bw.select("h").distinct()), "h", "left_semi")
+            .distinct())
+    dup = (bw
+           .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+           .join(F.broadcast(hits.withColumn("in_idx", F.lit(1))),
+                 "h", "left")
+           .filter("occ >= 2 OR in_idx IS NOT NULL")
+           .select("doc_id", "pos"))
+    return _merge_spans(dup, length).orderBy("doc_id", "span_start")

@@ -117,3 +117,35 @@ def test_counts_join_not_cartesian(spark, sf_dir):
     plan = (lm.lm_perplexity(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- persisted model
+def test_persisted_model_scores_bit_identically(spark, tmp_path):
+    """fit -> score == in-memory train+score, bit-for-bit (exact
+    integer counts survive the parquet round trip)."""
+    train = _docs(spark, [(10, "alpha beta gamma delta alpha beta"),
+                          (20, "beta gamma epsilon zeta")])
+    score = _docs(spark, [(1, "alpha beta gamma"),
+                          (2, "alpha gamma beta"),
+                          (3, "omega psi chi")])
+    model = str(tmp_path / "lm_model")
+    lm.lm_fit(spark, train, model)
+    got = sorted(map(tuple, lm.lm_score(spark, model, score).collect()))
+    want = sorted(map(tuple,
+                      lm.lm_perplexity_frame(score, train=train).collect()))
+    assert got == want and got
+
+
+def test_persisted_model_reusable_across_batches(spark, tmp_path):
+    """One fit, many batches — union of per-batch scores equals one
+    scoring pass over the concatenated batch."""
+    train = _docs(spark, [(100, "the cat sat on the mat the cat ran")])
+    b1 = _docs(spark, [(1, "the cat sat"), (2, "on the mat")])
+    b2 = _docs(spark, [(3, "the cat ran far away")])
+    model = str(tmp_path / "lm_model2")
+    lm.lm_fit(spark, train, model)
+    parts = (sorted(map(tuple, lm.lm_score(spark, model, b1).collect()))
+             + sorted(map(tuple, lm.lm_score(spark, model, b2).collect())))
+    whole = sorted(map(tuple, lm.lm_score(
+        spark, model, b1.unionByName(b2)).collect()))
+    assert sorted(parts) == whole

@@ -145,3 +145,68 @@ def test_no_pair_join_rows_stay_linear(spark):
     assert frame.count() == n
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ------------------------------------------------- incremental index
+def test_incremental_equals_oneshot_on_union(spark, tmp_path):
+    """The ingest contract: spans for batch B against (index(A) + B)
+    == the one-shot detector over A ∪ B restricted to B's doc_ids."""
+    passage = " ".join(f"pp{i}" for i in range(12))
+    corpus = _docs(spark, [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, "entirely unique words nothing here repeats at all once"),
+    ])
+    batch = _docs(spark, [
+        (10, f"intro {passage} outro pad pad2 pad3 pad4 pad5"),
+        (11, "another novel document with no shared runs anywhere at"),
+        (12, f"one two three {passage}"),
+    ])
+    idx = str(tmp_path / "exsub_idx")
+    substring.materialize_exsub_index(spark, corpus, idx)
+    got = [(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in substring.exsub_incremental(spark, idx, batch).collect()]
+    union = corpus.unionByName(batch)
+    want = [(r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in substring.exact_substring_spans_frame(union).collect()
+            if r.doc_id >= 10]
+    assert got == want and got
+
+
+def test_incremental_batch_internal_duplicates_detected(spark, tmp_path):
+    """A passage duplicated only WITHIN the batch (absent from the
+    corpus index) must still be flagged."""
+    rep = " ".join(f"bb{i}" for i in range(EXSUB_L))
+    corpus = _docs(spark, [(1, "base corpus words with nothing shared "
+                               "anywhere in this text")])
+    batch = _docs(spark, [(10, f"x {rep} y pad pad2 pad3"),
+                          (11, f"{rep} z pad4 pad5 pad6 pad7")])
+    idx = str(tmp_path / "exsub_idx2")
+    substring.materialize_exsub_index(spark, corpus, idx)
+    got = {r.doc_id for r in
+           substring.exsub_incremental(spark, idx, batch).collect()}
+    assert got == {10, 11}
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    corpus = _planted(spark)
+    a = corpus.filter("doc_id <= 3")
+    b = corpus.filter("doc_id > 3")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    substring.materialize_exsub_index(spark, a, inc)
+    substring.update_exsub_index(spark, inc, b)
+    substring.materialize_exsub_index(spark, corpus, full)
+    import os
+    read = lambda p: sorted(
+        map(tuple, spark.read.parquet(
+            os.path.join(p, substring.WINDOWS_TABLE)).collect()))
+    assert read(inc) == read(full)
+
+
+def test_index_append_contract_enforced(spark, tmp_path):
+    corpus = _planted(spark)
+    idx = str(tmp_path / "guard")
+    substring.materialize_exsub_index(spark, corpus, idx)
+    import pytest
+    with pytest.raises(ValueError, match="already indexed"):
+        substring.update_exsub_index(spark, idx, corpus.filter("doc_id = 1"))
