@@ -164,6 +164,10 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                               "test_ops_substring.py (incremental == "
                               "one-shot union; append == rebuild; "
                               "append contract enforced)"),
+        "exsub_stream_incremental": (
+            substring.streaming_exsub_incremental,
+            "test_ops_substring.py (stream drain == sequential batch "
+            "calls: spans, index bit-identity, replay no-op)"),
         "lm_score": (lm.lm_score,
                      "test_ops_lm.py (persisted model == in-memory "
                      "bit-identically; batch-composable)"),

@@ -327,3 +327,61 @@ def exsub_incremental(spark: SparkSession, index_dir: str,
            .filter("occ >= 2 OR in_idx IS NOT NULL")
            .select("doc_id", "pos"))
     return _merge_spans(dup, length).orderBy("doc_id", "span_start")
+
+
+def streaming_exsub_incremental(spark: SparkSession, docs_dir: str,
+                                index_dir: str, spans_dir: str,
+                                ckpt_dir: str, length: int = EXSUB_L,
+                                max_files_per_trigger: int = 1) -> None:
+    """Continuous crawl-ingest ExactSubstr maintenance: drain the
+    document feed micro-batch by micro-batch, emitting each batch's
+    duplicated spans (vs corpus-so-far + the batch itself, via
+    ``exsub_incremental``) and folding the batch's window rows into the
+    persisted index — the streaming twin of the batch incremental flow,
+    mirroring ``ops/incremental.py::streaming_dedup_incremental``'s
+    idempotence design:
+
+    * spans land in ``spans_dir/batch_id=N`` via per-batch OVERWRITE,
+      written BEFORE the index append, so a crash between the two
+      replays the batch with its windows still absent from the index
+      and the recomputed spans overwrite identically;
+    * a replay whose doc_ids are all already indexed is a pure no-op
+      (previously-emitted spans stay, nothing re-appends).
+
+    State lives in the INDEX (linear in corpus tokens), not the
+    streaming state store — the checkpoint only tracks source progress.
+    """
+    from .dedup import DOC_SCHEMA
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        path = os.path.join(index_dir, WINDOWS_TABLE)
+        if os.path.exists(path):
+            seen = s.read.parquet(path).select("doc_id").distinct()
+            fresh = batch.join(seen, "doc_id", "left_anti")
+        else:
+            materialize_exsub_index(s, batch.limit(0), index_dir,
+                                    length=length)
+            fresh = batch
+        # consumed twice (span probe + index append) and anti-joined
+        # against the table the append mutates — materialize first
+        # (the compaction rule, plans/scale.py)
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.limit(1).count():
+            return
+        spans = exsub_incremental(s, index_dir, fresh, length=length)
+        (spans.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(spans_dir, f"batch_id={batch_id}")))
+        update_exsub_index(s, index_dir, fresh, length=length,
+                           assume_new=True)
+
+    q = (spark.readStream.schema(DOC_SCHEMA).format("parquet")
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .load(docs_dir)
+         .writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -210,3 +210,64 @@ def test_index_append_contract_enforced(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="already indexed"):
         substring.update_exsub_index(spark, idx, corpus.filter("doc_id = 1"))
+
+
+# ------------------------------------------------- streaming ingest twin
+def test_streaming_drain_equals_sequential_batches(spark, tmp_path, sf_dir):
+    """The foreachBatch ExactSubstr drain (one file per micro-batch, in
+    arrival order) emits exactly the spans repeated batch incremental
+    calls produce, leaves an index identical to the sequentially-updated
+    one, and replaying every batch from a fresh checkpoint is a no-op."""
+    import glob as _glob
+    import shutil as _shutil
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter("doc_id % 5 != 0")
+    b1 = docs.filter("doc_id % 5 = 0 AND doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 5 = 0 AND doc_id % 2 = 1")
+
+    def spans(df):
+        return sorted((r.doc_id, r.span_start, r.span_end, r.n_windows)
+                      for r in df.collect())
+
+    # batch reference: two sequential incremental calls
+    ref_idx = str(tmp_path / "ref_idx")
+    substring.materialize_exsub_index(spark, corpus, ref_idx)
+    want = spans(substring.exsub_incremental(spark, ref_idx, b1))
+    substring.update_exsub_index(spark, ref_idx, b1)
+    want += spans(substring.exsub_incremental(spark, ref_idx, b2))
+    substring.update_exsub_index(spark, ref_idx, b2)
+
+    # streaming twin: same base index, feed lands as two ordered files
+    idx = str(tmp_path / "s_idx")
+    substring.materialize_exsub_index(spark, corpus, idx)
+    feed = str(tmp_path / "feed")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for i, b in enumerate((b1, b2)):
+        b.select(*cols).coalesce(1).write.parquet(
+            os.path.join(feed, f"f{i}"))
+        for f in _glob.glob(os.path.join(feed, f"f{i}", "*.parquet")):
+            _shutil.move(f, os.path.join(feed, f"{i:02d}.parquet"))
+        _shutil.rmtree(os.path.join(feed, f"f{i}"))
+    spans_dir = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    substring.streaming_exsub_incremental(spark, feed, idx, spans_dir, ckpt)
+
+    got_df = spark.read.parquet(spans_dir)
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_windows)
+                 for r in got_df.collect())
+    assert got == sorted(want) and got
+    assert got_df.select("batch_id").distinct().count() == 2
+
+    # final index == the sequentially-updated reference index
+    read = lambda p: sorted(map(tuple, spark.read.parquet(
+        os.path.join(p, substring.WINDOWS_TABLE)).collect()))
+    assert read(idx) == read(ref_idx)
+
+    # replay idempotence: drain again with a FRESH checkpoint
+    substring.streaming_exsub_incremental(
+        spark, feed, idx, spans_dir, str(tmp_path / "ckpt2"))
+    got2 = sorted((r.doc_id, r.span_start, r.span_end, r.n_windows)
+                  for r in spark.read.parquet(spans_dir).collect())
+    assert got2 == got
+    assert read(idx) == read(ref_idx)
