@@ -45,6 +45,11 @@ def entry_queries() -> dict[str, Callable]:
         # OUT after six stable rounds — pinned every round against the
         # SAME DuckDB oracles in tests/test_offcontract_queries.py.
         "op_winnow_matches": winnow.winnow_matches,
+        # r9 wave-3 rotation: the passage-level benchmark decontamination
+        # twin IN (exact DuckDB oracle existed since r7 but the driver
+        # had never hash-checked it — the last such op); slot from
+        # q16_union_view (fuzz union-battery + off-contract pin).
+        "op_winnow_contamination": winnow.winnow_contamination,
         # new r9 operators straight onto the contract (third wave):
         # ExactSubstr duplicated-span detection (Lee et al. ACL'22 —
         # exhaustive window hashing, the exact complement to winnowing's
@@ -175,10 +180,10 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
                               "test_ops_lm.py (exact DuckDB oracle incl. "
                               "unseen-bigram backoff)"),
         # freq_topk went STRAIGHT onto the contract (op_freq_topk, r9);
-        # its bound/guarantee property pins live in test_freq_items.py
-        "winnow_contamination": (winnow.winnow_contamination,
-                                 "test_ops_winnow.py (exact oracle + "
-                                 "planted benchmark passage)"),
+        # its bound/guarantee property pins live in test_freq_items.py.
+        # winnow_contamination rotated ON contract r9 wave 3
+        # (op_winnow_contamination); its planted-passage pin in
+        # test_ops_winnow.py remains as redundant coverage.
         # asof_join and token_quantiles rotated back ON contract r9
         # (op_asof_join / op_token_quantiles); their off-contract pins
         # in test_ops_packing.py remain as redundant coverage
@@ -247,6 +252,7 @@ def entry_oracles() -> dict[str, str]:
         "op_contamination": contamination.contamination_oracle(),
         "op_winnow_pairs": winnow.winnow_pairs_oracle(),
         "op_winnow_matches": winnow.winnow_matches_oracle(),
+        "op_winnow_contamination": winnow.winnow_contamination_oracle(),
         "op_semdedup": semdedup.semdedup_oracle(),
         "op_dedup_signatures": dedup.dedup_signatures_oracle(),
         "op_dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
