@@ -173,6 +173,11 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
             substring.streaming_exsub_incremental,
             "test_ops_substring.py (stream drain == sequential batch "
             "calls: spans, index bit-identity, replay no-op)"),
+        "exsub_index_maintenance": (
+            substring.compact_exsub_index,
+            "test_ops_substring.py (compaction bit-identity + "
+            "already-compact untouched; doc erasure removes influence, "
+            "erased id re-ingests fresh)"),
         "lm_score": (lm.lm_score,
                      "test_ops_lm.py (persisted model == in-memory "
                      "bit-identically; batch-composable)"),

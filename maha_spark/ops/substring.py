@@ -385,3 +385,55 @@ def streaming_exsub_incremental(spark: SparkSession, docs_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def compact_exsub_index(spark: SparkSession, index_dir: str,
+                        target_file_mb: int = 256,
+                        min_files: int = 8) -> int:
+    """Bin-pack the window-hash index's files: streaming/batch appends
+    leave one small file per ingest batch, and the per-batch probe's
+    index scan degrades to open-cost-dominated work — the same failure
+    mode ``compact_day_partitions`` fixes for day-partitioned tables,
+    for the index's flat layout. Row multiset unchanged (bit-identical
+    probe results); returns the new file count, or 0 if the index was
+    already compact (< ``min_files`` files — left physically untouched).
+
+    The rewrite reads and replaces the same directory, so rows are
+    MATERIALIZED first (``localCheckpoint`` — the standard decoupling,
+    plans/scale.py) and the file-count target derives from on-disk
+    bytes, like the day-partition compactor."""
+    import math
+
+    path = os.path.join(index_dir, WINDOWS_TABLE)
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+    if len(files) < min_files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if want >= len(files):
+        return 0
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    df.repartition(want).write.mode("overwrite").parquet(path)
+    return want
+
+
+def remove_docs_from_exsub_index(spark: SparkSession, index_dir: str,
+                                 doc_ids: DataFrame) -> None:
+    """Erase documents from the window-hash index (the GDPR-erasure /
+    retraction leg, the flat-index twin of
+    ``plans/scale.py::delete_from_day_partitions``): all window rows of
+    the tombstoned ``doc_id``s are removed via a broadcast anti-join —
+    the tombstone set is small by definition of an erasure batch — and
+    the survivors rewrite the index in place (materialized first).
+
+    After removal the erased documents' text no longer influences ANY
+    future batch's duplicate detection; re-ingesting a removed id later
+    is a legitimate fresh append (the append-contract probe will pass).
+    """
+    path = os.path.join(index_dir, WINDOWS_TABLE)
+    survivors = (spark.read.parquet(path)
+                 .join(F.broadcast(doc_ids.select("doc_id").distinct()),
+                       "doc_id", "left_anti")
+                 .localCheckpoint(eager=True))
+    survivors.write.mode("overwrite").parquet(path)

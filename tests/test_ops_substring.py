@@ -271,3 +271,54 @@ def test_streaming_drain_equals_sequential_batches(spark, tmp_path, sf_dir):
                   for r in spark.read.parquet(spans_dir).collect())
     assert got2 == got
     assert read(idx) == read(ref_idx)
+
+
+# ------------------------------------------------- index maintenance
+def test_index_compaction_bit_identical(spark, tmp_path):
+    """Many tiny appended files collapse to the byte-derived target
+    count with the row multiset (and thus probe results) unchanged;
+    an already-compact index is physically untouched."""
+    idx = str(tmp_path / "cidx")
+    docs = _planted(spark)
+    substring.materialize_exsub_index(spark, docs.filter("doc_id = 1"), idx)
+    for i in (2, 3, 4, 5):
+        substring.update_exsub_index(spark, idx,
+                                     docs.filter(f"doc_id = {i}"))
+    path = os.path.join(idx, substring.WINDOWS_TABLE)
+    n_files = lambda: len([f for f in os.listdir(path)
+                           if f.endswith(".parquet")])
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert n_files() >= 5
+    got = substring.compact_exsub_index(spark, idx, min_files=2)
+    assert got == 1 and n_files() == 1
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == before_rows
+    # untouched when already compact
+    mtimes = {f: os.path.getmtime(os.path.join(path, f))
+              for f in os.listdir(path)}
+    assert substring.compact_exsub_index(spark, idx, min_files=2) == 0
+    assert mtimes == {f: os.path.getmtime(os.path.join(path, f))
+                      for f in os.listdir(path)}
+
+
+def test_remove_docs_erases_influence_and_allows_reingest(spark, tmp_path):
+    """After erasing doc 1, a batch duplicating only doc 1's passage is
+    no longer flagged; the erased id can then re-ingest as fresh."""
+    idx = str(tmp_path / "ridx")
+    passage = " ".join(f"er{i}" for i in range(12))
+    corpus = _docs(spark, [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, "totally different words all unique in this entire row here"),
+    ])
+    substring.materialize_exsub_index(spark, corpus, idx)
+    batch = _docs(spark, [(10, f"intro {passage} outro pad pad2 pad3")])
+    assert substring.exsub_incremental(spark, idx, batch).count() == 1
+    substring.remove_docs_from_exsub_index(
+        spark, idx, _docs(spark, [(1, "x")]).select("doc_id"))
+    # influence gone: the same batch now has no duplicate source
+    assert substring.exsub_incremental(spark, idx, batch).count() == 0
+    path = os.path.join(idx, substring.WINDOWS_TABLE)
+    assert spark.read.parquet(path).filter("doc_id = 1").count() == 0
+    # re-ingest of the erased id passes the append-contract probe
+    substring.update_exsub_index(spark, idx, corpus.filter("doc_id = 1"))
+    assert substring.exsub_incremental(spark, idx, batch).count() == 1
