@@ -48,6 +48,44 @@ def release_scoped_caches() -> int:
     return n
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — correct on
+    HDFS/S3A/ABFS/GCS where ``os.path.exists`` would silently return
+    False (and let a bootstrap branch clobber a remote table with an
+    empty one). Falls back to the local check if the JVM gateway is
+    unavailable (plain-Python unit contexts)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        return os.path.exists(path)
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set:
+    """IDs of every currently persisted RDD (caches + local
+    checkpoints) — snapshot before creating scoped state, diff after to
+    release exactly what a block of work allocated."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return set(m.keySet().toArray())
+
+
+def release_new_persistent_rdds(spark: SparkSession, before: set) -> int:
+    """Unpersist every RDD persisted since the ``before`` snapshot —
+    the cleanup for ``localCheckpoint`` blocks, which sit below the SQL
+    CacheManager and are untouched by ``DataFrame.unpersist``. A
+    long-running ingest loop (streaming ``foreachBatch``) calls this per
+    micro-batch so checkpoint blocks never accumulate."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rid in list(m.keySet().toArray()):
+        if rid not in before:
+            m.get(rid).unpersist()
+            n += 1
+    return n
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table via the engine's binding (nanos-timestamp safe,
     optionally cached).

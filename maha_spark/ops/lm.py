@@ -58,6 +58,46 @@ def _bigrams(docs: DataFrame) -> DataFrame:
             .selectExpr("doc_id", "w[i - 1] AS w1", "w[i] AS w2"))
 
 
+def _bigrams_ext(docs: DataFrame) -> DataFrame:
+    """``(doc_id, w1, w2)`` — one row per TOKEN POSITION of every
+    document with >= 1 word: ``w1`` is the token, ``w2`` its successor
+    or NULL at document end. Rows with ``w2 IS NOT NULL`` are exactly
+    ``_bigrams``' pairs, while ``count(DISTINCT w1)`` over ALL rows is
+    the unigram vocabulary (1-word documents contribute their token via
+    their single NULL-successor row) — so ONE corpus pass yields both
+    the count model and V, where the previous shape paid a second full
+    explode just for the vocabulary."""
+    return (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+            .filter("size(w) >= 1")
+            .selectExpr("doc_id", "w",
+                        "explode(sequence(1, size(w))) AS i")
+            .selectExpr("doc_id", "w[i - 1] AS w1",
+                        "CASE WHEN i < size(w) THEN w[i] END AS w2"))
+
+
+def _count_model(train: DataFrame) -> tuple[DataFrame, int]:
+    """Fit the add-k bigram count model in one training-corpus pass:
+    returns ``(counts, v)`` where ``counts`` is the vocabulary-bounded
+    ``(w1, w2, c2, c1)`` table and ``v`` the unigram vocabulary size.
+    Raises ``ValueError`` on an empty / token-free training corpus —
+    v = 0 would otherwise turn every smoothed probability into a silent
+    NULL (ln of k/0) downstream."""
+    from .common import scoped_cache
+
+    g = scoped_cache(_bigrams_ext(train).groupBy("w1", "w2")
+                     .agg(F.count(F.lit(1)).alias("c2")))
+    row = g.agg(F.countDistinct("w1").alias("v")).collect()
+    v = int(row[0].v) if row else 0
+    if v <= 0:
+        raise ValueError(
+            "bigram LM: empty training corpus (vocabulary size 0) — "
+            "smoothing denominator would be k/0; pass a non-empty "
+            "train frame")
+    counts = (g.filter("w2 IS NOT NULL")
+              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1"))))
+    return counts, v
+
+
 def lm_perplexity_frame(docs: DataFrame,
                         train: DataFrame | None = None) -> DataFrame:
     """Per-document bigram cross-entropy: ``(doc_id, n_bigrams,
@@ -73,25 +113,20 @@ def lm_perplexity_frame(docs: DataFrame,
     """
     k = LM_ADD_K
     train = docs if train is None else train
-    tb = _bigrams(train)
-    # count model: c2 per bigram, c1 per context as a window sum over
-    # the (already vocabulary-sized) bigram-count table — one shuffle,
-    # no second corpus scan
-    counts = (tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1"))))
+    # ONE training-corpus pass yields both the count model and V
+    # (the token-position stream is cached at its vocabulary-bounded
+    # grouped form); V is collected eagerly — it both inlines the
+    # smoothing constant as a literal (no broadcast crossJoin) and
+    # fails fast on an empty training corpus
+    counts, v = _count_model(train)
     c1s = counts.select("w1", "c1").distinct()
-    # V: distinct unigrams of the TRAINING corpus (both bigram slots
-    # plus the final token — i.e. every token position)
-    vocab = (train.selectExpr(f"explode({words_sql()}) AS w")
-             .agg(F.countDistinct("w").alias("v")))
     sb = _bigrams(docs)
     scored = (sb.join(counts.select("w1", "w2", "c2"), ["w1", "w2"], "left")
               .join(c1s, ["w1"], "left")
-              .crossJoin(F.broadcast(vocab))
               .selectExpr(
                   "doc_id",
                   f"CAST(round(ln(CAST(coalesce(c2, 0) + {k} AS DOUBLE) "
-                  f"/ CAST(coalesce(c1, 0) + {k} * v AS DOUBLE)) "
+                  f"/ CAST(coalesce(c1, 0) + {k * v}L AS DOUBLE)) "
                   f"* 1000000e0) AS BIGINT) AS lp"))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -192,13 +227,10 @@ def lm_fit(spark: SparkSession, train: DataFrame, dst_dir: str) -> str:
     ``tests/test_ops_lm.py``)."""
     import os
 
-    tb = _bigrams(train)
-    counts = (tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1"))))
+    counts, v = _count_model(train)   # one corpus pass; v > 0 enforced
     counts.write.mode("overwrite").parquet(
         os.path.join(dst_dir, COUNTS_TABLE))
-    (train.selectExpr(f"explode({words_sql()}) AS w")
-     .agg(F.countDistinct("w").alias("v"))
+    (spark.createDataFrame([(v,)], "v BIGINT")
      .write.mode("overwrite").parquet(os.path.join(dst_dir, META_TABLE)))
     return dst_dir
 

@@ -111,12 +111,28 @@ def test_ref_registry_entry_runs_and_is_disjoint(spark, sf_dir):
 
 
 # ------------------------------------------------- plan shape
-def test_counts_join_not_cartesian(spark, sf_dir):
-    """The only crossJoin in the plan must be the broadcast 1-row vocab
-    frame — scoring joins are hash joins on token keys."""
+def test_counts_join_not_cartesian_and_one_corpus_scan(spark, sf_dir):
+    """Scoring joins are hash joins on token keys (no cartesian), and
+    the self-scored plan reads the corpus ONCE live: the count model is
+    served from the cached grouped token stream (InMemoryTableScan) and
+    V is an inlined literal — no second explode, no vocab crossJoin."""
     plan = (lm.lm_perplexity(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_empty_training_corpus_fails_fast(spark):
+    """v = 0 must raise instead of silently NULLing every score
+    (ln of k/0)."""
+    import pytest
+    empty = _docs(spark, [])
+    with pytest.raises(ValueError, match="vocabulary size 0"):
+        lm.lm_perplexity_frame(_docs(spark, [(1, "some words here")]),
+                               train=empty)
+    with pytest.raises(ValueError, match="vocabulary size 0"):
+        lm.lm_perplexity_frame(empty)
 
 
 # ------------------------------------------------- persisted model

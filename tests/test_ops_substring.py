@@ -134,17 +134,135 @@ def test_dedup_registry_entry_runs(spark, sf_dir):
 
 
 # ------------------------------------------------- linearity guard
+def _window_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines()
+            if ln.strip().lstrip("+-: *()0123456789").startswith("Window")]
+
+
 def test_no_pair_join_rows_stay_linear(spark):
     """The op's 100 TB contract: N copies of one document produce N
-    span rows (linear), never N^2 candidate pairs — assert the physical
-    plan has no join at all."""
+    span rows (linear), never N^2 candidate pairs — and the occurrence
+    count is a map-side-combined groupBy joined back, never a
+    WindowExec partitioned by the (skew-prone) hash key."""
     n = 40
     text = " ".join(f"boil{i}" for i in range(EXSUB_L + 3))
     docs = _docs(spark, [(i, text) for i in range(n)])
     frame = substring.exact_substring_spans_frame(docs)
     assert frame.count() == n
     plan = frame._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
+    # the only window operators are the per-document islands merge —
+    # none may be partitioned by the hash column h
+    wls = _window_lines(plan)
+    assert wls and all("h#" not in ln for ln in wls)
+    # the per-hash occurrence count must have map-side partial agg
+    assert "partial_count" in plan
+
+
+def test_dedup_plan_has_no_window_on_hash(spark):
+    """Removal leg twin of the de-skew pin: keep-first is decided by a
+    map-side-combinable min(struct(doc_id, pos)) groupBy, not a
+    row_number window over the hash key."""
+    frame = substring.exact_substring_dedup(_planted(spark))
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    wls = _window_lines(plan)
+    assert all("h#" not in ln for ln in wls)
+    assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_hot_hash_corpus_stays_correct(spark):
+    """A single 8-gram duplicated across thousands of documents (the
+    web-boilerplate skew case the groupBy de-skew exists for): every
+    copy is detected, exactly the (doc_id, pos)-first copy survives
+    removal."""
+    n = 3000
+    boiler = " ".join(f"hot{i}" for i in range(EXSUB_L))
+    docs = _docs(spark, [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(n)])
+    spans = substring.exact_substring_spans_frame(docs)
+    assert spans.count() == n
+    first = spans.orderBy("doc_id").limit(1).collect()[0]
+    assert (first.doc_id, first.span_start, first.span_end) == (0, 3, 10)
+    removed = substring.exact_substring_dedup(docs)
+    agg = removed.selectExpr(
+        "sum(CASE WHEN removed_words = 0 THEN 1 ELSE 0 END) AS kept",
+        f"sum(removed_words) AS cut").collect()[0]
+    assert agg.kept == 1 and agg.cut == (n - 1) * EXSUB_L
+    survivor = removed.filter("doc_id = 0").collect()[0]
+    assert "hot0" in survivor.clean_text
+
+
+def test_dedup_matches_duckdb_oracle(spark, duck, sf_dir):
+    from tests.test_ops_packing import _match
+    df = substring.exact_substring_dedup_op(spark, sf_dir)
+    _match(df, substring.exact_substring_dedup_oracle(), duck)
+    assert df.count() > 0
+
+
+# ------------------------------------------------- doc_id sidecar
+def test_append_probe_reads_sidecar_not_windows(spark, tmp_path):
+    """The append-contract probe must be satisfiable from the
+    O(documents) exsub_docs sidecar alone: with the windows table
+    removed, a duplicate-id update still raises."""
+    import shutil
+    idx = str(tmp_path / "sc_idx")
+    corpus = _planted(spark)
+    substring.materialize_exsub_index(spark, corpus, idx)
+    assert os.path.isdir(os.path.join(idx, substring.DOCS_TABLE))
+    shutil.rmtree(os.path.join(idx, substring.WINDOWS_TABLE))
+    import pytest
+    with pytest.raises(ValueError, match="already indexed"):
+        substring.update_exsub_index(spark, idx,
+                                     corpus.filter("doc_id = 1"))
+
+
+def test_sidecar_reconcile_repairs_partial_append(spark, tmp_path):
+    """Crash-consistency: windows appended but the sidecar append lost
+    (the one non-atomic gap) — reconcile restores
+    sidecar == distinct(windows.doc_id) so a replayed batch is
+    filtered instead of double-appended."""
+    idx = str(tmp_path / "rc_idx")
+    corpus = _planted(spark)
+    substring.materialize_exsub_index(spark, corpus.filter("doc_id <= 3"),
+                                      idx)
+    # simulate the crash: append windows rows directly, skip the sidecar
+    late = corpus.filter("doc_id = 5")
+    (substring._window_hashes(late, EXSUB_L).write.mode("append")
+     .parquet(os.path.join(idx, substring.WINDOWS_TABLE)))
+    seen = {r.doc_id for r in substring._seen_docs(spark, idx).collect()}
+    assert 5 not in seen          # sidecar is stale
+    substring.reconcile_exsub_sidecar(spark, idx)
+    seen = {r.doc_id for r in substring._seen_docs(spark, idx).collect()}
+    assert 5 in seen
+    import pytest
+    with pytest.raises(ValueError, match="already indexed"):
+        substring.update_exsub_index(spark, idx, late)
+
+
+def test_erasure_updates_sidecar(spark, tmp_path):
+    idx = str(tmp_path / "es_idx")
+    corpus = _planted(spark)
+    substring.materialize_exsub_index(spark, corpus, idx)
+    substring.remove_docs_from_exsub_index(
+        spark, idx, _docs(spark, [(2, "x")]).select("doc_id"))
+    seen = {r.doc_id for r in substring._seen_docs(spark, idx).collect()}
+    assert 2 not in seen and 1 in seen
+
+
+def test_incremental_shuffle_fallback_matches_broadcast(spark, tmp_path):
+    """Above the distinct-hash broadcast cap the probe degrades to a
+    shuffle semi-join with identical results."""
+    passage = " ".join(f"fb{i}" for i in range(12))
+    corpus = _docs(spark, [(1, f"alpha beta {passage} gamma delta")])
+    batch = _docs(spark, [(10, f"intro {passage} outro pad pad2 pad3"),
+                          (11, "novel words that are nowhere else here")])
+    idx = str(tmp_path / "fb_idx")
+    substring.materialize_exsub_index(spark, corpus, idx)
+    a = sorted(map(tuple,
+                   substring.exsub_incremental(spark, idx, batch).collect()))
+    b = sorted(map(tuple,
+                   substring.exsub_incremental(
+                       spark, idx, batch,
+                       broadcast_hash_limit=0).collect()))
+    assert a == b and a
 
 
 # ------------------------------------------------- incremental index
