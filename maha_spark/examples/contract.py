@@ -1171,6 +1171,26 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
+    # -- §2.7 union view (UNION ALL with per-branch constants; rotated
+    #    BACK ON contract r10 — off since r9 wave 3 — shrinking the
+    #    cube-side rotation debt; its slot comes from op_chunking)
+    "q16_union_view": {
+        "request": {
+            "cube": "tpch_union",
+            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT view_name, l_returnflag AS return_flag,
+                   {SQL_REVENUE} AS revenue
+            FROM (
+                SELECT 'current' AS view_name, * FROM lineitem
+                UNION ALL
+                SELECT 'adjustment' AS view_name, * FROM lineitem
+            ) GROUP BY 1, 2
+        """,
+    },
 }
 
 #: cube queries rotated OFF the 50-entry driver contract (r8: their
@@ -1224,28 +1244,6 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'O')
             GROUP BY 1
-        """,
-    },
-    # -- §2.7 union view (UNION ALL with per-branch constants; rotated
-    #    out r9 wave 3: UnionView folding stays covered by the fuzz
-    #    union-battery + this pin; slot went to op_winnow_contamination
-    #    — the last rotation-debt op with an exact oracle that had
-    #    never been driver-hash-checked)
-    "q16_union_view": {
-        "request": {
-            "cube": "tpch_union",
-            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            SELECT view_name, l_returnflag AS return_flag,
-                   {SQL_REVENUE} AS revenue
-            FROM (
-                SELECT 'current' AS view_name, * FROM lineitem
-                UNION ALL
-                SELECT 'adjustment' AS view_name, * FROM lineitem
-            ) GROUP BY 1, 2
         """,
     },
     # -- §2.4 dim-only SELECT DISTINCT (rotated out r8 after six stable

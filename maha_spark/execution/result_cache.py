@@ -9,16 +9,19 @@ provides the equivalent: an in-process LRU over fully-materialized JSON
 envelopes, keyed on the canonical request AND the version of every
 physical table the plan can read.
 
-Versioning rides the repo-wide mtime contract: every engine-maintained
-rewrite (``overwrite_day_partitions`` — and through it compaction,
-incremental refresh, upsert, delete, Z-order, retention) bumps the table
-ROOT mtime, which the binding's DataFrame cache and the skipping sidecars
-already key on (plans/binding.py, plans/skipping.py). The result cache
-stamps those same mtimes INTO the key, so a rewrite changes the key and
-the next request recomputes — no explicit invalidation hooks, no staleness
-window beyond the mtime contract itself. External writers that mutate day
-directories without touching the root must bump it themselves (the
-documented binding/sidecar caller contract; same rule here).
+Versioning rides the repo-wide table-version contract
+(plans/versioning.py): every engine-maintained rewrite
+(``overwrite_day_partitions`` — and through it compaction, incremental
+refresh, upsert, delete, Z-order, retention) atomically bumps the table's
+``_table_version`` stamp (root mtime is only the local-FS fallback for
+never-stamped tables — object stores have no directory mtime), which the
+binding's DataFrame cache and the skipping sidecars also key on
+(plans/binding.py, plans/skipping.py). The result cache stamps those same
+versions INTO the key, so a rewrite changes the key and the next request
+recomputes — no explicit invalidation hooks, no staleness window beyond
+the version contract itself. External writers that mutate day directories
+must call ``bump_table_version`` themselves (the documented
+binding/sidecar caller contract; same rule here).
 
 Safety properties:
 
@@ -34,7 +37,7 @@ Safety properties:
 
 At 100 TB this is the difference between a dashboard's refresh storm
 re-scanning a rollup and it being served driver-side in microseconds; the
-cost is one ``os.path.getmtime`` per touched table per request, the same
+cost is one ``table_version`` probe per touched table per request, the same
 altitude as the binding's own invalidation check.
 """
 
@@ -42,7 +45,6 @@ from __future__ import annotations
 
 import copy
 import json
-import os
 from collections import OrderedDict
 from typing import Any, Optional
 
@@ -71,9 +73,13 @@ def model_physical_tables(model) -> list[str]:
 
 
 def table_stamps(binding, tables: list[str]) -> Optional[tuple]:
-    """(table, root mtime) per table, or None when any table's version
-    cannot be resolved (no path-backed binding) — the caller must then
-    bypass the cache rather than risk serving a stale result."""
+    """(table, version) per table — the ``_table_version`` stamp when
+    present, root mtime as the local-FS fallback — or None when any
+    table's version cannot be resolved (no path-backed binding, missing
+    path) — the caller must then bypass the cache rather than risk
+    serving a stale result."""
+    from ..plans.versioning import table_version
+
     path_of = getattr(binding, "table_path", None)
     if path_of is None:
         return None
@@ -82,10 +88,10 @@ def table_stamps(binding, tables: list[str]) -> Optional[tuple]:
         p = path_of(name)
         if p is None:
             return None
-        try:
-            out.append((name, os.path.getmtime(p)))
-        except OSError:
+        v = table_version(p)
+        if v < 0:
             return None
+        out.append((name, v))
     return tuple(out)
 
 

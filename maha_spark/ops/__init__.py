@@ -30,13 +30,17 @@ def entry_queries() -> dict[str, Callable]:
     from ..streaming import hourly
     return {
         "op_text_stats": text.text_profile,
-        "op_chunking": chunking.chunk_documents,
         "op_contamination": contamination.contamination,
-        # r7 rotation: winnowing substring-overlap pairs IN (new op —
-        # MOSS fingerprints, ops/winnow.py); op_asof_join OUT after five
-        # stable rounds — its exact oracle stays pinned off-contract in
-        # test_ops_packing.py
-        "op_winnow_pairs": winnow.winnow_pairs,
+        # r10 rotation: the ExactSubstr REMOVAL leg IN (the detection
+        # leg has been on contract since r9; the removal output is now
+        # driver-hash-checked through a composed DuckDB twin — detection
+        # CTEs + keep-first rank + positional text rebuild). Slots from
+        # op_chunking (exact oracle pinned in test_ops_quality.py; also
+        # composed inside op_curate, which stays on contract) and
+        # op_winnow_pairs (on since r7; exact oracle pinned in
+        # test_ops_winnow.py, winnow coverage retained on contract by
+        # op_winnow_matches + op_winnow_contamination).
+        "op_exact_substring_dedup": substring.exact_substring_dedup_op,
         # r8 rotation: the r7 flagships IN (the driver had never
         # hash-checked them) — positional winnow matches (df-capped
         # boilerplate guard) and SemDeDup via the seed-centroid SQL twin
@@ -142,9 +146,9 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
     table from both, and ``tests/test_contract_map.py`` fails if either
     the table or this split goes stale (an operator in neither registry
     is orphaned; in both is double-booked)."""
-    from . import (bpe, dedup, incremental, lm, multimodal, packing,
-                   semdedup, sessions, similarity, sketches, substring,
-                   winnow)
+    from . import (bpe, chunking, dedup, incremental, lm, multimodal,
+                   packing, semdedup, sessions, similarity, sketches,
+                   substring, winnow)
     return {
         # new r9: end-to-end BPE tokenizer fitting (train on the corpus
         # word-frequency table, encode the corpus) — iterative by
@@ -152,15 +156,19 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         # against a pure-Python Sennrich reference instead
         "bpe_pipeline": (bpe.bpe_pipeline,
                          "test_ops_bpe.py (merge-list + token equality "
-                         "vs Python reference; partitioning invariance; "
-                         "lossless round-trip)"),
-        # new r9: the removal leg of ExactSubstr (the detection leg is
-        # the contract entry op_exact_substring_spans) and the
-        # reference-LM cross-scoring leg of the perplexity filter (the
-        # self-scored leg is op_lm_perplexity)
-        "exact_substring_dedup": (substring.exact_substring_dedup_op,
-                                  "test_ops_substring.py (keep-first "
-                                  "removal vs pure-Python reference)"),
+                         "vs Python reference; batched trainer == "
+                         "sequential with a pinned job-count cut; "
+                         "partitioning invariance; lossless round-trip)"),
+        # r10 rotation: op_chunking and op_winnow_pairs OFF contract
+        # (slots went to op_exact_substring_dedup — which itself moved
+        # OUT of this registry onto the contract — and q16_union_view's
+        # return); both keep their exact DuckDB pins
+        "chunk_documents": (chunking.chunk_documents,
+                            "test_ops_quality.py (exact DuckDB oracle "
+                            "at default + custom chunk/overlap sizes)"),
+        "winnow_pairs": (winnow.winnow_pairs,
+                         "test_ops_winnow.py (exact DuckDB oracle + "
+                         "planted-overlap semantics)"),
         # new r9: the crawl-ingest legs — persisted window-hash index
         # (batch spans == one-shot over the union, bit-identical;
         # append == rebuild) and persisted LM model (fit once, score
@@ -247,15 +255,14 @@ def entry_oracles() -> dict[str, str]:
     return {
         "op_asof_join": asof.asof_join_oracle(),
         "op_exact_substring_spans": substring.exact_substring_spans_oracle(),
+        "op_exact_substring_dedup": substring.exact_substring_dedup_oracle(),
         "op_lm_perplexity": lm.lm_perplexity_oracle(),
         "op_token_quantiles": packing.token_quantiles_oracle(),
         "op_mm_pixel_stats": multimodal.mm_pixel_stats_oracle(),
-        "op_chunking": chunking.chunk_documents_oracle(),
         "op_curate": pipeline.curate_corpus_oracle(),
         "op_sessionize": sessions.sessionize_oracle(),
         "op_text_stats": text.text_profile_oracle(),
         "op_contamination": contamination.contamination_oracle(),
-        "op_winnow_pairs": winnow.winnow_pairs_oracle(),
         "op_winnow_matches": winnow.winnow_matches_oracle(),
         "op_winnow_contamination": winnow.winnow_contamination_oracle(),
         "op_semdedup": semdedup.semdedup_oracle(),

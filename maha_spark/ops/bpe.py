@@ -29,11 +29,16 @@ amortizes away.
 
 100 TB judgment: the corpus-sized passes (word count, encode) are a
 single groupBy and a single mapInPandas-shaped projection; training
-cost is ``n_merges`` tiny jobs over the cached vocab, independent of
-corpus size. A production 32k-merge vocabulary means 32k driver-loop
-jobs (~hours of scheduler overhead) — real trainers batch compatible
-merges per round; the loop here is the faithful reference semantics
-and the batching is an orthogonal optimization, documented not hidden.
+cost is a driver loop of tiny jobs over the cached vocab, independent
+of corpus size. ``bpe_train`` is the faithful one-merge-per-round
+reference semantics; ``bpe_train_batched`` applies a PROVABLY
+equivalent rank-prefix of mutually non-interacting merges per round
+(equality pinned against the sequential trainer), cutting the
+driver-loop job count — by ~1.7x on the test corpus, more in the
+large-count head of a production vocabulary, less in tie-heavy tails
+where consecutive merges genuinely chain on each other's products
+(that interaction is intrinsic to BPE, so exact batching cannot
+remove it).
 
 Iterative by construction (each merge depends on the last), so there
 is no single-statement SQL twin — correctness is pinned against a
@@ -128,6 +133,160 @@ def bpe_train(word_freqs: DataFrame, n_merges: int = BPE_MERGES,
     return merges
 
 
+def _batch_merge_expr(col, batch: list[tuple[str, str]]):
+    """One left-fold that applies a NON-INTERACTING merge batch in a
+    single vocab pass: a literal multimap ``a -> [b...]`` decides in
+    O(1) whether the running last symbol merges with the incoming one.
+    Batch admission (``bpe_train_batched``) guarantees no pair's left
+    symbol equals another's right symbol, so no two rules can ever
+    match overlapping symbol instances — a single left-to-right pass is
+    exactly sequential per-pair greedy application."""
+    rights: dict[str, list[str]] = {}
+    for a, b in batch:
+        rights.setdefault(a, []).append(b)
+    kv: list = []
+    for a, bs in rights.items():
+        kv += [F.lit(a), F.array(*[F.lit(b) for b in bs])]
+    m = F.create_map(*kv)
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & F.array_contains(
+                F.coalesce(F.element_at(m, F.element_at(acc, -1)),
+                           F.expr("CAST(array() AS array<string>)")), x),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.concat(F.element_at(acc, -1), x)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+#: rank-window collected per batched-training round (the scan stops at
+#: the first interacting pair anyway; the window just bounds the collect)
+_BATCH_SCAN_K = 64
+
+
+def bpe_train_batched(word_freqs: DataFrame, n_merges: int = BPE_MERGES,
+                      min_count: int = BPE_MIN_COUNT,
+                      max_batch: int = 16,
+                      _rounds_out: list | None = None
+                      ) -> list[tuple[str, str]]:
+    """Batched BPE training — PROVABLY identical merge list to
+    ``bpe_train``, at a fraction of the driver-loop jobs (the 32k-merge
+    production-vocabulary fix the sequential trainer documents).
+
+    Per round, ONE pair-count job collects the top ``_BATCH_SCAN_K``
+    pairs in the sequential trainer's exact rank order (count DESC,
+    a ASC, b ASC) and a rank-order PREFIX is accepted under three
+    guards, then applied in ONE vocab pass:
+
+    1. **non-interacting**: a candidate ``(c, d)`` is refused when
+       ``c == b`` or ``d == a`` for any earlier accepted ``(a, b)``. A
+       symbol instance of a ``(c, d)`` adjacency is consumed by the
+       merge ``(a, b)`` only when the ``c`` instance is the merge's
+       right symbol preceded by ``a`` (forcing ``c == b``) or the ``d``
+       instance is the merge's left symbol followed by ``b`` (forcing
+       ``d == a``) — sharing symbols any other way leaves every
+       ``(c, d)`` adjacency intact, so the pair's count (and hence its
+       turn as the sequential argmax) is invariant. The same condition
+       makes the one-pass application exact: no two accepted rules can
+       match overlapping symbol instances.
+    2. **no concat collision**: a pair whose merged symbol ``a||b``
+       already exists as a vocab symbol (or as another accepted merge's
+       product) is refused — a collision would fuse two symbol
+       populations and break the count-invariance argument;
+    3. **strict count dominance**: the scan stops at the first
+       refused pair (count ``c*``), and accepted pairs with
+       count <= ``c*`` are trimmed. Every pair the sequential trainer
+       could prefer mid-batch is bounded by ``c*``: untouched pairs
+       ranked below the stop point count <= c* by rank order;
+       interacting pairs only lose occurrences; and a NEW pair
+       ``(x, a_j||b_j)`` has at most as many occurrences as the old
+       pair ``(x, a_j)`` — which has ``d == a_j``, i.e. is interacting,
+       hence ranks at or below the stop point (symmetrically
+       ``(a_j||b_j, y)`` is bounded by the interacting ``(b_j, y)``).
+       So with every batch count > c*, the sequential argmax at each
+       intermediate step is exactly the next batch pair.
+
+    When trimming empties the batch (top pairs tie or interact
+    immediately), the round falls back to the top-1 pair — plain
+    sequential semantics, always correct. ``_rounds_out``, if given,
+    receives one appended entry per round (the accepted batch size) so
+    tests can assert the job-count reduction.
+    """
+    vocab = _initial_vocab(word_freqs).localCheckpoint(eager=True)
+    # every symbol the vocab can currently contain: initial characters +
+    # EOW + each merge's product (removals never un-create a string, so
+    # over-inclusion is conservative for the collision guard)
+    known = {EOW}
+    for r in word_freqs.selectExpr(
+            "explode(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1))) AS c").distinct().collect():
+        known.add(r.c)
+    merges: list[tuple[str, str]] = []
+    try:
+        while len(merges) < n_merges:
+            top = (vocab.filter(F.size("syms") >= 2)
+                   .selectExpr("freq", "syms",
+                               "explode(sequence(1, size(syms) - 1)) AS i")
+                   .selectExpr("syms[i - 1] AS a", "syms[i] AS b", "freq")
+                   .groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
+                   .orderBy(F.col("cnt").desc(), "a", "b")
+                   .limit(_BATCH_SCAN_K + 1).collect())
+            if not top or top[0].cnt < min_count:
+                break
+            batch: list[tuple[str, str]] = []
+            lefts: set[str] = set()     # accepted a's
+            rights: set[str] = set()    # accepted b's
+            # c*: the count of the first INTERACTING/COLLIDING row in
+            # rank order — the bound on every count a sequential
+            # mid-batch argmax could see CHANGE (interacting pairs only
+            # lose instances; new pairs are bounded by interacting old
+            # ones; both rank at or below the first interacting row).
+            # Non-interacting rows skipped past the batch cap are safe
+            # at equal counts — their counts are invariant and they
+            # rank after every accepted pair — so they do NOT set c*.
+            # If the scan window ends before any interacting row, the
+            # last scanned count bounds the unscanned tail. When the
+            # scan exhausts every existing pair (or only sub-min_count
+            # rows remain), nothing selectable is excluded.
+            c_star = min_count - 1
+            for i, r in enumerate(top):
+                if r.cnt < min_count:
+                    break
+                if (r.a in rights or r.b in lefts
+                        or (r.a + r.b) in known):
+                    c_star = r.cnt
+                    break
+                if i == len(top) - 1 and len(top) == _BATCH_SCAN_K + 1:
+                    c_star = r.cnt      # window end: unscanned tail
+                    break
+                if len(batch) < max_batch:
+                    batch.append((r.a, r.b))
+                    lefts.add(r.a)
+                    rights.add(r.b)
+                    known.add(r.a + r.b)
+            # strict dominance trim; fall back to the sequential top-1
+            kept = [(a, b) for (a, b), r in zip(batch, top)
+                    if r.cnt > c_star]
+            if not kept:
+                kept = [(top[0].a, top[0].b)]
+            kept = kept[:n_merges - len(merges)]
+            # discard collision-guard entries for trimmed pairs
+            known -= {a + b for a, b in batch[len(kept):]}
+            merges.extend(kept)
+            if _rounds_out is not None:
+                _rounds_out.append(len(kept))
+            nxt = (vocab.select(_batch_merge_expr(F.col("syms"), kept)
+                                .alias("syms"), "freq")
+                   .localCheckpoint(eager=True))
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
 def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply the merge list in rank order (greedy leftmost per rank) —
     the trainer's own semantics, shared with the Python test twin."""
@@ -181,5 +340,7 @@ def bpe_pipeline(spark: SparkSession, sf_dir: str,
     the ``documents`` table and return its encoding — the end-to-end
     tokenizer-fitting job."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_train(word_frequencies(docs), n_merges=n_merges)
+    # batched trainer: provably identical merge list (pinned vs the
+    # sequential trainer), fewer driver-loop jobs
+    merges = bpe_train_batched(word_frequencies(docs), n_merges=n_merges)
     return bpe_encode_frame(docs, merges).orderBy("doc_id")

@@ -34,22 +34,21 @@ class TableBinding:
         return name in self._overrides
 
 
-# (spark-session id, path) -> (root mtime, cached DataFrame); survives
-# across the short-lived ParquetBinding instances the contract queries
-# create so a benchmark loop re-reads hot tables from Spark's in-memory
-# columnar cache. The root mtime detects a whole-table in-process
-# rewrite (mode=overwrite replaces the root): the stale cached DataFrame
-# is unpersisted and rebuilt. A rewrite scoped INSIDE an existing
-# partition subdirectory may not bump the root mtime — refresh such
-# tables explicitly (clear the entry or overwrite the whole table).
+# (spark-session id, path) -> (table version, cached DataFrame);
+# survives across the short-lived ParquetBinding instances the contract
+# queries create so a benchmark loop re-reads hot tables from Spark's
+# in-memory columnar cache. The version (plans/versioning.py: explicit
+# _table_version stamp, root mtime as the local-FS fallback) detects an
+# in-process rewrite: the stale cached DataFrame is unpersisted and
+# rebuilt. Every engine-maintained rewrite bumps the stamp
+# (overwrite_day_partitions and the delete/retention legs); external
+# writers must call bump_table_version themselves.
 _DF_CACHE: dict[tuple[int, str], tuple[float, DataFrame]] = {}
 
 
 def _mtime(path: str) -> float:
-    try:
-        return os.path.getmtime(path)
-    except OSError:
-        return -1.0
+    from .versioning import table_version
+    return table_version(path)
 
 
 def _df_cache_get(spark, path: str):
@@ -95,11 +94,8 @@ _PATH_BYTES_CACHE: dict[tuple[str, float], int] = {}
 
 def _path_bytes(path: str) -> int:
     """Total on-disk bytes of a parquet file or directory tree (cheap
-    metadata walk; no data read). Memoized per (path, mtime)."""
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
-        key = (path, -1.0)
+    metadata walk; no data read). Memoized per (path, version)."""
+    key = (path, _mtime(path))
     if key in _PATH_BYTES_CACHE:
         return _PATH_BYTES_CACHE[key]
     if os.path.isfile(path):
@@ -155,10 +151,7 @@ def _est_rows(path: str) -> int:
     single file; on a multi-file tree the rows-per-byte of the sample is
     applied to the total tree size. Unreadable/non-parquet paths
     estimate 0 (the disk-bytes gate still applies)."""
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
-        key = (path, -1.0)
+    key = (path, _mtime(path))
     if key in _EST_ROWS_CACHE:
         return _EST_ROWS_CACHE[key]
     if os.path.isfile(path):

@@ -128,12 +128,14 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.partitionBy(partition_col).parquet(dst_dir)
-    # a rewrite scoped inside EXISTING dt= subdirectories does not bump
-    # the table root's mtime, but ParquetBinding memoizes DataFrames (and
-    # byte/row gates) keyed on that mtime — bump it here so EVERY caller
-    # gets cache invalidation, not just wrappers that remember to
-    if os.path.isdir(dst_dir):
-        os.utime(dst_dir, None)
+    # a rewrite scoped inside EXISTING dt= subdirectories changes no
+    # root-level metadata by itself, but the binding's DataFrame memo,
+    # the skipping sidecars, and the result cache all key on the table
+    # VERSION — stamp it here (atomic _table_version file; object-store
+    # safe, with an mtime bump as the local-FS courtesy) so EVERY
+    # caller gets cache invalidation, not just wrappers that remember to
+    from .versioning import bump_table_version
+    bump_table_version(dst_dir)
 
 
 def compact_day_partitions(spark: SparkSession, dst_dir: str,
@@ -156,8 +158,8 @@ def compact_day_partitions(spark: SparkSession, dst_dir: str,
     physically untouched (their directory mtimes prove it in the test).
 
     Per-day rewrite via ``overwrite_day_partitions`` keeps the swap
-    atomic-per-partition and bumps the table-root mtime exactly once so
-    binding caches invalidate. Returns the list of compacted day values.
+    atomic-per-partition and bumps the table version stamp exactly once
+    so binding caches invalidate. Returns the list of compacted day values.
     """
     import math
     import os
@@ -299,8 +301,8 @@ def zorder_day_partitions(spark: SparkSession, dst_dir: str,
     Bit-identical per day (row multiset unchanged; only order and file
     boundaries move). ``days=None`` rewrites every day; pass the churned
     days for the incremental shape. Day directories are the rewrite
-    unit, so the swap is atomic-per-partition and the table-root mtime
-    bump invalidates binding caches — the sidecar then reads stale until
+    unit, so the swap is atomic-per-partition and the table version
+    stamp bump invalidates binding caches — the sidecar then reads stale until
     ``refresh_skipping_index`` runs (callers should chain it; the
     planner's staleness gate keeps results correct either way).
 
@@ -393,7 +395,7 @@ def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
     * New days (and a not-yet-existing table) are pure inserts.
 
     Returns the list of day values written. Sidecar indexes over the
-    table read stale after this (root mtime bumps) — chain
+    table read stale after this (the version stamp bumps) — chain
     ``refresh_skipping_index`` like the other rewrite primitives."""
     import os
 
@@ -480,7 +482,9 @@ def delete_from_day_partitions(spark: SparkSession, tombstones: DataFrame,
                 os.path.join(dst_dir, f"{partition_col}={day}"),
                 ignore_errors=True)
     if days != sorted(alive & set(days)) and os.path.isdir(dst_dir):
-        os.utime(dst_dir, None)     # dir removals also invalidate caches
+        # dir removals also invalidate caches (version stamp)
+        from .versioning import bump_table_version
+        bump_table_version(dst_dir)
     return days
 
 def expire_day_partitions(dst_dir: str, before_day: str,
@@ -493,7 +497,7 @@ def expire_day_partitions(dst_dir: str, before_day: str,
 
     Pure directory removal — no Spark job, no data read; lexicographic
     comparison is correct for the zero-padded ISO day format the layout
-    uses. Bumps the table-root mtime so binding caches and skipping
+    uses. Bumps the table version stamp so binding caches and skipping
     sidecars invalidate (sidecar carry-over purges the dead days on the
     next ``refresh_skipping_index``). Returns the dropped day values."""
     import os
@@ -510,5 +514,6 @@ def expire_day_partitions(dst_dir: str, before_day: str,
             shutil.rmtree(os.path.join(dst_dir, d), ignore_errors=True)
             dropped.append(day)
     if dropped:
-        os.utime(dst_dir, None)
+        from .versioning import bump_table_version
+        bump_table_version(dst_dir)
     return dropped

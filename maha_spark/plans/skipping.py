@@ -113,20 +113,23 @@ def index_stale(table_dir: str, index_dir: str, col: str) -> bool:
     """True when the table has been rewritten since ``col``'s sidecar
     was built — a stale index can FALSE-NEGATIVE (a restated day's new
     files are unknown to it), so stale means fall back to the full
-    scan, never prune. Detection is the table ROOT mtime, which every
-    engine-maintained rewrite bumps explicitly
-    (``overwrite_day_partitions`` — and through it compaction,
-    ``refresh_recommendation``, and the materializers). External
-    writers that mutate day directories without touching the root must
-    refresh the index (or bump the root mtime) themselves — the same
-    caller contract the binding's DataFrame cache documents."""
+    scan, never prune. Detection is the table VERSION
+    (plans/versioning.py: the explicit ``_table_version`` stamp every
+    engine-maintained rewrite bumps — ``overwrite_day_partitions`` and
+    through it compaction, ``refresh_recommendation``, the
+    materializers — with root mtime as the local-FS fallback; object
+    stores have no directory mtime, the stamp is the portable
+    contract). External writers that mutate day directories without
+    bumping the version must refresh the index (or call
+    ``bump_table_version``) themselves — the same caller contract the
+    binding's DataFrame cache documents."""
+    from .versioning import table_version
+
     built = _built_mtime(index_dir, col)
     if built is None:
         return True     # no/unreadable record: never trust the sidecar
-    try:
-        return os.path.getmtime(table_dir) > built + 1e-6
-    except OSError:
-        return True
+    v = table_version(table_dir)
+    return v < 0 or v > built + 1e-6
 
 
 def build_skipping_index(spark: SparkSession, table_dir: str,
@@ -145,14 +148,13 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
     directories are re-indexed and other files' rows are carried over —
     the sidecar swap stays atomic per column (write tmp, rename).
     """
+    from .versioning import table_version
+
     os.makedirs(index_dir, exist_ok=True)
     # freshness snapshot BEFORE the source read: a rewrite landing
-    # mid-build leaves the recorded mtime older than the root, so the
-    # sidecar correctly reads as stale afterwards
-    try:
-        src_mtime = os.path.getmtime(table_dir)
-    except OSError:
-        src_mtime = 0.0
+    # mid-build leaves the recorded version older than the table's, so
+    # the sidecar correctly reads as stale afterwards
+    src_mtime = max(table_version(table_dir), 0.0)
     # ONE read handle: the days filter derives from it, so the param-
     # mismatch full-rebuild path reuses the same file listing instead of
     # paying a second InMemoryFileIndex over ~10^5 files
@@ -556,14 +558,13 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
         return out
     out: list[str] = []
     live = set(day_dirs)
-    # root-mtime snapshot taken BEFORE the day-dir scan: a rewrite
-    # landing mid-refresh bumps the root past this value, so a re-stamp
-    # below can never mark that rewrite indexed (the same ordering
-    # build_skipping_index uses for its own freshness record)
-    try:
-        root_snapshot = os.path.getmtime(table_dir)
-    except OSError:
-        root_snapshot = None
+    # table-version snapshot taken BEFORE the day-dir scan: a rewrite
+    # landing mid-refresh bumps the version past this value, so a
+    # re-stamp below can never mark that rewrite indexed (the same
+    # ordering build_skipping_index uses for its own freshness record)
+    from .versioning import table_version as _tv
+    _v = _tv(table_dir)
+    root_snapshot = _v if _v >= 0 else None
     # group columns by (stored sizing, changed-day set): sidecars built
     # together share a snapshot, so the common case is ONE build call
     # (and one source read) covering every column, AT EACH COLUMN'S OWN
@@ -588,11 +589,19 @@ def refresh_skipping_index(spark: SparkSession, table_dir: str,
         if days is not None:
             changed = sorted(days)
         else:
+            # changed-day detection via per-day-dir mtimes is the
+            # LOCAL-FS convenience path (object stores have no dir
+            # mtime — pass explicit `days` there, which every engine
+            # rewrite primitive returns). The 1e-3 slack errs toward
+            # re-indexing: stamp versions can run up to 1ms ahead of
+            # the wall clock (versioning.py), and re-indexing an
+            # unchanged day is idempotent cost while missing a changed
+            # one would freeze a false-fresh sidecar
             changed = []
             for d in day_dirs:
                 try:
                     if os.path.getmtime(
-                            os.path.join(table_dir, d)) > built + 1e-6:
+                            os.path.join(table_dir, d)) > built - 1e-3:
                         changed.append(d.split("=", 1)[1])
                 except OSError:
                     continue    # raced a deletion: carry-over drops it

@@ -267,13 +267,12 @@ def _rollup_older_than_base(binding, rollup: str, base: str) -> bool:
         return True
 
     def _mtime(name: str):
+        from ..plans.versioning import table_version
         p = binding.table_path(name)
         if p is None:
             return None
-        try:
-            return os.path.getmtime(p)
-        except OSError:
-            return None
+        v = table_version(p)
+        return None if v < 0 else v
     rm, bm = _mtime(rollup), _mtime(base)
     if rm is None or bm is None:
         return True
