@@ -31,6 +31,7 @@ output columns; a bare count() would let Catalyst prune the aggregates).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -87,11 +88,15 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
-    rounds via a _READY marker — the ``v7`` suffix is the layout VERSION:
+    rounds via a _READY marker — the ``v8`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
-    old marker silently keep the old layout. v7 = v6 plus the
-    ``value_hist`` histogram partial on ``events_hourly`` (r8 —
-    pre-aggregated quantile serving). The 100 TB storage shape:
+    old marker silently keep the old layout. v8 = v7 plus the
+    ``l_orderkey`` skipping sidecar on the raw lineitem fact (r10 — the
+    dim-driven q6 page-key pruning path: ~240 distinct orderkeys per day
+    file regardless of multiplier, so the default Bloom sizing prunes
+    scale-invariantly while the scan saving grows with the tier); v7 =
+    v6 plus the ``value_hist`` histogram partial on ``events_hourly``
+    (r8 — pre-aggregated quantile serving). The 100 TB storage shape:
 
     * fact tables x mult, written as Hive date-partitioned DIRECTORIES
       (``{table}/dt=YYYY-MM-DD/``) so the planner's mandatory Day bound
@@ -114,11 +119,15 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
         materialize_lineitem_part_rollup, materialize_lineitem_rollup)
     from maha_spark.plans.binding import ParquetBinding
 
-    dst = os.path.join(
-        REPO, f".bench-scaled-{os.path.basename(src.rstrip('/'))}x{mult}v7")
+    base = os.path.basename(src.rstrip('/'))
+    dst = os.path.join(REPO, f".bench-scaled-{base}x{mult}v8")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
+    # reclaim superseded layout versions of the same (src, mult) tier
+    for old in glob.glob(os.path.join(REPO, f".bench-scaled-{base}x{mult}v*")):
+        if old != dst:
+            shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     binding = ParquetBinding(spark, src)
@@ -153,6 +162,13 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     # v6: the (day, part) rollup — q2/q11 drop from a raw-fact scan
     # (linear in the multiplier) to the ~constant distinct-pair table
     materialize_lineitem_part_rollup(spark, dst, dst)
+    # v8: l_orderkey skipping sidecar on the raw lineitem — the
+    # dim-driven page-key set (q6) probes it so the fact scan opens
+    # only files whose zone map / Bloom may hold the page's orderkeys
+    from maha_spark.plans.skipping import (build_skipping_index,
+                                           table_index_dir)
+    build_skipping_index(spark, os.path.join(dst, "lineitem"),
+                         ["l_orderkey"], table_index_dir(dst, "lineitem"))
     with open(marker, "w") as f:
         f.write("ok")
     return dst

@@ -50,6 +50,31 @@ class MahaSparkEngine:
         self.result_cache = result_cache
 
     # ------------------------------------------------------------------
+    def status(self) -> dict[str, Any]:
+        """Operational telemetry for a serving operator (REST
+        ``/registry/{name}/status``): result-cache hit rates and
+        residency, live op-scoped storage caches, binding DataFrame-memo
+        entries, and the Spark storage layer's persisted-block count —
+        everything needed to see cache behavior without a debugger."""
+        from .ops.common import _SCOPED_CACHES
+        from .plans.binding import _DF_CACHE
+
+        try:
+            n_rdds = int(self.spark.sparkContext._jsc
+                         .getPersistentRDDs().size())
+        except Exception:
+            n_rdds = -1
+        return {
+            "registry": self.registry_name,
+            "resultCache": (self.result_cache.stats()
+                            if self.result_cache is not None else None),
+            "scopedCaches": len(_SCOPED_CACHES),
+            "bindingCachedTables": len(_DF_CACHE),
+            "persistedRdds": n_rdds,
+            "dryRunsLogged": len(self.dry_run_log),
+        }
+
+    # ------------------------------------------------------------------
     def model(self, request: Union[dict, str, bytes, ReportingRequest],
               schema: str = "internal",
               today: Optional[_dt.date] = None,

@@ -219,7 +219,8 @@ class Planner:
     # fact side
     # ------------------------------------------------------------------
     def _load_fact(self, table: FactTable,
-                   model: Optional[RequestModel] = None) -> DataFrame:
+                   model: Optional[RequestModel] = None,
+                   extra_needles: Optional[list] = None) -> DataFrame:
         if table.parts:
             # Branches over the SAME physical table fold into ONE scan with
             # the per-branch constants exploded (each row generated once per
@@ -256,14 +257,15 @@ class Planner:
                 out = out.unionByName(d, allowMissingColumns=True)
         else:
             out = self.binding.table(table.name)
-            pruned = self._apply_file_skipping(table, model)
+            pruned = self._apply_file_skipping(table, model, extra_needles)
             if pruned is not None:
                 out = pruned
         out = self._apply_partition_pruning(out, table, model)
         return self._apply_timezone(out, table, model)
 
     def _apply_file_skipping(self, table: FactTable,
-                             model: Optional[RequestModel]
+                             model: Optional[RequestModel],
+                             extra_needles: Optional[list] = None
                              ) -> Optional[DataFrame]:
         """File-level data skipping for needle requests: when the
         binding dir carries a sidecar index (``plans/skipping.py``,
@@ -370,6 +372,30 @@ class Planner:
             if fl is None:      # no sidecar for this column
                 continue
             kept_sets.append(fl)
+            total = index_file_count(idx_dir, name)
+            if total is not None:
+                totals.append(total)
+        # runtime-derived needles (the dim-driven PAGE-KEY set — known
+        # driver-side after dim pagination, bounded by the row caps):
+        # same eligibility guards and the same never-false-negative
+        # contract as the request-filter needles above
+        for name, values in (extra_needles or []):
+            col = table.columns.get(name)
+            if not isinstance(col, DimCol) or col.case_insensitive \
+                    or col.dtype.has_static_mapping or col.is_day_column:
+                continue
+            if index_stale(tdir, idx_dir, name):
+                continue
+            vals = [v for v in values if v is not None]
+            if not vals:
+                continue
+            canon = [_canon_needle(col.dtype, v) for v in vals]
+            if any(c is _SKIP for c in canon):
+                continue
+            fl0 = prune_files_any(self.spark, idx_dir, name, canon)
+            if fl0 is None:
+                continue
+            kept_sets.append(set(fl0))
             total = index_file_count(idx_dir, name)
             if total is not None:
                 totals.append(total)
@@ -540,7 +566,8 @@ class Planner:
     def _build_fact_agg(self, model: RequestModel,
                         extra_keys: Optional[list[str]] = None,
                         skip_group: bool = False,
-                        prefilter_keys: Optional[tuple[str, DataFrame]] = None
+                        prefilter_keys: Optional[tuple[str, DataFrame]] = None,
+                        prefilter_values: Optional[list] = None
                         ) -> DataFrame:
         """fact scan -> filter -> (groupBy.agg) with group keys =
         projected fact dims + FK cols needed by join chains.
@@ -552,9 +579,19 @@ class Planner:
         ``InFilter(fact_fk, page_keys)`` on the fact query). The page is
         bounded by rowsPerPage (<=5k sync / 100k async), so a broadcast
         hash semi-join prunes the fact scan instead of aggregating the
-        whole table into high-cardinality groups."""
+        whole table into high-cardinality groups.
+
+        ``prefilter_values`` (the page keys, collected driver-side by
+        the dim-driven builder when a skipping sidecar for the fk column
+        exists) additionally probes the fact's file-skipping index so
+        the scan OPENS only files whose zone map / Bloom may contain the
+        page's keys — the semi-join then filters rows inside those
+        files. A stale/absent sidecar degrades to the plain scan."""
         table = model.fact_table
-        df = self._load_fact(table, model)
+        needles = None
+        if prefilter_keys is not None and prefilter_values:
+            needles = [(prefilter_keys[0], prefilter_values)]
+        df = self._load_fact(table, model, extra_needles=needles)
 
         # physical forced filters (over physical column names)
         for ff in table.forced_filters:
@@ -906,11 +943,30 @@ class Planner:
         # Only an explicit LIMIT bounds the key set; offset-only and
         # unpaginated (distinct) pages have nothing bounded to push.
         prefilter = None
+        page_values = None
         if paginate_dim and model.max_rows >= 0:
             prefilter = (driving.fact_fk_col,
                          dimdf.select(F.col(_q(key)).alias("__page_key")))
+            # when the fact carries a skipping sidecar on the driving fk,
+            # the page's key VALUES (bounded by the row caps) probe it so
+            # the fact scan opens only candidate files. The page is
+            # cached first (engine's scoped-cache drain reclaims it) so
+            # the driver collect, the semi-join broadcast, and the final
+            # dim join all reuse ONE ordered-pagination computation.
+            if (not getattr(model, "timezone", None)
+                    and not getattr(model, "utc_shifted", False)
+                    and self._fact_has_sidecar(model.fact_table,
+                                               driving.fact_fk_col)):
+                from ..ops.common import scoped_cache
+                dimdf = scoped_cache(dimdf)
+                prefilter = (driving.fact_fk_col,
+                             dimdf.select(F.col(_q(key))
+                                          .alias("__page_key")))
+                page_values = [r[0] for r in
+                               dimdf.select(F.col(_q(key))).collect()]
         fact = self._build_fact_agg(model, extra_keys=[driving.fact_fk_col],
-                                    prefilter_keys=prefilter)
+                                    prefilter_keys=prefilter,
+                                    prefilter_values=page_values)
         df = dimdf.join(fact, dimdf[_q(key)] == fact[_q(driving.fact_fk_col)],
                         "left_outer")
 
@@ -938,6 +994,24 @@ class Planner:
         if total is not None:
             out = out.crossJoin(F.broadcast(total))
         return out
+
+    def _fact_has_sidecar(self, table: FactTable, col: str) -> bool:
+        """Cheap driver-side probe: does a fresh skipping sidecar for
+        ``col`` exist under the binding dir for this fact? Gates the
+        dim-driven page-key collect — without a sidecar the collect
+        would be a wasted job."""
+        import os as _os
+
+        from .skipping import _index_path, index_stale, table_index_dir
+        base_dir = getattr(self.binding, "base_dir", None)
+        if base_dir is None or not hasattr(self.binding, "table_pruned"):
+            return False
+        idx_dir = table_index_dir(base_dir, table.name)
+        if not _os.path.exists(_index_path(idx_dir, col)):
+            return False
+        tdir = self.binding.table_path(table.name) \
+            if hasattr(self.binding, "table_path") else None
+        return tdir is not None and not index_stale(tdir, idx_dir, col)
 
     def _build_dim_only(self, model: RequestModel) -> DataFrame:
         """Dim-only SELECT DISTINCT (RequestModel.isRequestingDistict).

@@ -132,6 +132,10 @@ def _make_handler(engine: MahaSparkEngine, registry_name: str):
                         rest[:2] == ["flattenDomain", "cubes"]:
                     self._send(200, registry.flatten_cube_json(
                         rest[2], int(rest[3])))
+                elif rest == ["status"]:
+                    # serving telemetry: result-cache hit rates, scoped
+                    # caches, binding memo, persisted-block residency
+                    self._send(200, engine.status())
                 else:
                     self._not_found(f"no route {self.path}")
             except KeyError as e:

@@ -99,3 +99,52 @@ def test_invalid_request_is_400_not_500(rest):
                     json.dumps({"cube": "lineitem_stats",
                                 "selectFields": [{"field": "No Such"}]}))
     assert st == 400 and "errorMsg" in out
+
+
+def test_status_endpoint_surfaces_cache_telemetry(spark, sf_dir):
+    """The /status route exposes result-cache hit rates and storage
+    residency — a serving operator's view, no debugger required."""
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.tpch import build_registry
+    from maha_spark.execution.result_cache import ResultCache
+    from maha_spark.serving.rest import RestServer
+
+    cache = ResultCache()
+    eng = engine_for_dir(spark, build_registry(), sf_dir,
+                         result_cache=cache)
+    srv = RestServer(eng, registry_name="maha").start()
+    try:
+        st, body = _get(srv, "/registry/maha/status")
+        assert st == 200
+        assert body["registry"] == "maha"
+        rc = body["resultCache"]
+        assert rc == cache.stats()
+        assert {"hits", "misses", "bypasses", "entries",
+                "bytes", "evictions"} <= set(rc)
+        for k in ("scopedCaches", "bindingCachedTables",
+                  "persistedRdds", "dryRunsLogged"):
+            assert isinstance(body[k], int)
+
+        req = json.dumps({
+            "cube": "lineitem_stats",
+            "selectFields": [{"field": "Nation Name"},
+                             {"field": "Revenue"}],
+            "filterExpressions": [{"field": "Day", "operator": "between",
+                                   "from": "1995-01-01",
+                                   "to": "2002-12-31"}],
+            "rowsPerPage": 5})
+        _post(srv, "/registry/maha/schemas/internal/query", req)
+        _post(srv, "/registry/maha/schemas/internal/query", req)
+        st, body = _get(srv, "/registry/maha/status")
+        assert st == 200
+        assert body["resultCache"]["hits"] >= 1
+        assert body["resultCache"]["entries"] >= 1
+    finally:
+        srv.stop()
+
+
+def test_status_without_result_cache_is_null(rest):
+    st, body = _get(rest, "/registry/maha/status")
+    assert st == 200
+    assert body["resultCache"] is None or isinstance(
+        body["resultCache"], dict)

@@ -1050,3 +1050,65 @@ def test_refresh_heals_mixed_sidecar(spark, refresh_layout):
     refresh_skipping_index(spark, table, idx)
     assert prune_files(spark, idx, "id", 600)           # prunes again
     assert needle_scan(spark, table, idx, "id", 600).count() == 1
+
+
+def test_dim_driven_page_keys_prune_fact_files(spark, tmp_path):
+    """q6 shape: the dim-driven page's key set (known driver-side after
+    dim pagination) probes the fact's l_orderkey sidecar, so the fact
+    scan opens only files that can contain the page's keys — bit
+    identical rows vs the unindexed engine, fewer lineitem files."""
+    import json
+    import shutil
+
+    from maha_spark.engine import engine_for_dir
+    from maha_spark.examples.contract import build_contract_registry
+    from maha_spark.plans.skipping import table_index_dir
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001"
+    for t in os.listdir(src):
+        if t != "lineitem.parquet":
+            os.symlink(os.path.join(src, t), os.path.join(d, t))
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    (li.withColumn("dt", F.to_date("l_shipdate"))
+       .withColumn("ob", F.expr("CAST(l_orderkey % 4 AS INT)"))
+       .repartition(4, F.col("ob")).sortWithinPartitions("l_orderkey")
+       .drop("ob")
+       .write.mode("overwrite").partitionBy("dt")
+       .parquet(os.path.join(d, "lineitem")))
+    build_skipping_index(spark, os.path.join(d, "lineitem"),
+                         ["l_orderkey"], table_index_dir(d, "lineitem"))
+
+    req = json.dumps({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_key"},
+                         {"field": "order_priority"},
+                         {"field": "revenue"}, {"field": "line_count"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1995-01-01", "to": "2002-12-31"}],
+        "sortBy": [{"field": "order_priority", "order": "ASC"}],
+        "forceDimensionDriven": True,
+        "paginationStartIndex": 10,
+        "rowsPerPage": 25,
+    })
+    eng = engine_for_dir(spark, build_contract_registry(), d)
+    got = eng.dataframe(req)
+    li_files = {f for f in got.inputFiles() if "/lineitem/" in f}
+    n_li_files = sum(
+        len([f for f in os.listdir(os.path.join(d, "lineitem", p))
+             if f.endswith(".parquet")])
+        for p in os.listdir(os.path.join(d, "lineitem"))
+        if p.startswith("dt="))
+    assert 0 < len(li_files) < n_li_files
+
+    # rows identical to the unindexed engine on the same layout
+    d2 = str(tmp_path / "sf2")
+    shutil.copytree(d, d2)
+    shutil.rmtree(os.path.join(d2, "_skipidx"))
+    eng2 = engine_for_dir(spark, build_contract_registry(), d2)
+    exp = eng2.dataframe(req)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert got.count() == 25
