@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Round-8 trend guard: one more doubling of the scaled tier (2048x =
-~1.23B lineitem rows) over the current bench layout (v7; the committed
+~1.23B lineitem rows) over the current bench layout (v8 — adds the l_orderkey skipping sidecar, r10; the committed
 round-8 measurement `2048x_v6.json` ran on v6 — identical for every
 scaled query, v7 only adds the events_hourly histogram column), checking
 that the flat ratio trend [128x 0.159, 256x 0.175, 512x 0.198,
@@ -89,7 +89,7 @@ def main() -> None:
         "mrows_s": {n: round(rows / sp[n] / 1e6, 1)
                     for n in s_names if sp.get(n, 0) > 0},
     }
-    dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v7.json")
+    dst = os.path.join(REPO, "tools", "bench_probes", f"{MULT}x_v8.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
