@@ -122,6 +122,22 @@ def recommend_skipping_indexes(engine, entries: Iterable[Any], *,
             rec = counts.setdefault((table.name, name), [0, set()])
             rec[0] += 1
             rec[1].add(f.operator)
+        # dim-driven requests with a bounded page consult a sidecar on
+        # the DRIVING fk (planner page-key pruning): the page's key set
+        # probes it so the fact scan opens only candidate files — count
+        # that traffic toward an fk-column recommendation with the same
+        # eligibility the planner applies
+        if getattr(model, "is_dim_driven", False) and model.chains \
+                and model.max_rows >= 0:
+            fk = model.chains[0].fact_fk_col
+            col = table.columns.get(fk)
+            if isinstance(col, DimCol) and not col.case_insensitive \
+                    and not col.dtype.has_static_mapping \
+                    and not col.is_day_column and fk not in parts \
+                    and _canon_supported(col.dtype):
+                rec = counts.setdefault((table.name, fk), [0, set()])
+                rec[0] += 1
+                rec[1].add("dim-driven-page")
     out = [SkippingIndexRecommendation(t, c, n, tuple(sorted(ops)))
            for (t, c), (n, ops) in counts.items() if n >= min_count]
     out.sort(key=lambda r: (-r.count, r.table, r.column))

@@ -199,3 +199,34 @@ def test_equality_needles_on_uncanonical_dtypes_excluded():
     assert _canon_supported(DateType())
     assert not _canon_supported(DecType())
     assert not _canon_supported(TimestampType())
+
+
+def test_dim_driven_traffic_recommends_driving_fk(eng):
+    """A bounded-page dim-driven request consults a sidecar on the
+    driving fk (planner page-key pruning) — repeated q6-shaped traffic
+    must rank lineitem.l_orderkey for indexing."""
+    req = json.dumps({
+        "cube": "tpch",
+        "selectFields": [{"field": "order_key"},
+                         {"field": "order_priority"},
+                         {"field": "revenue"}],
+        "filterExpressions": [
+            {"field": "day", "operator": "between",
+             "from": "1995-01-01", "to": "2002-12-31"}],
+        "sortBy": [{"field": "order_priority", "order": "ASC"}],
+        "forceDimensionDriven": True,
+        "rowsPerPage": 25,
+    })
+    recs = recommend_skipping_indexes(eng, [req, req, req])
+    hit = [r for r in recs
+           if r.table == "lineitem" and r.column == "l_orderkey"]
+    assert hit and hit[0].count == 3
+    assert hit[0].operators == ("dim-driven-page",)
+
+    # an UNBOUNDED dim-driven page pushes no key set -> no signal
+    unbounded = json.loads(req)
+    del unbounded["rowsPerPage"]
+    unbounded["distinct"] = True
+    recs2 = recommend_skipping_indexes(eng, [json.dumps(unbounded)] * 3,
+                                       min_count=1)
+    assert not [r for r in recs2 if r.column == "l_orderkey"]
