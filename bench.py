@@ -139,9 +139,17 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
             # _read_parquet normalizes nano timestamps to micros, so the
             # written copy is directly readable by both engines
             df = binding._read_parquet(sp)
-            df = (df.withColumn(
-                      "__m", F.explode(F.array(*[F.lit(i)
-                                                 for i in range(mult)])))
+            # sequence explode, not an N-element literal array (a lit
+            # array stalls Catalyst at large mult), and fan the
+            # single-file source across the session's cores FIRST —
+            # otherwise one map task explodes the whole multiplied row
+            # stream alone (measured: the 8192x build serialized on one
+            # core for >20 min before this)
+            par = spark.sparkContext.defaultParallelism
+            df = (df.repartition(par)
+                  .withColumn(
+                      "__m", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(mult - 1))))
                   .drop("__m")
                   .withColumn("dt", F.to_date(F.col(FACT_DAY_COLS[t])))
                   # ONE file per dt directory: without this, every write

@@ -194,8 +194,15 @@ def build_skipping_index(spark: SparkSession, table_dir: str,
         # exploding an array of computed md5 expressions would inline
         # them into GenerateExec and re-evaluate all `hashes` hashes per
         # emitted row (the explode-inlining trap pinned in
-        # tests/test_plan_shape.py)
+        # tests/test_plan_shape.py). Hash DISTINCT (file, value) pairs,
+        # not rows: the Bloom is an OR of per-value masks, so the
+        # bitset is bit-identical while the md5 work drops from
+        # O(rows x hashes) to O(per-file ndv x hashes) — on a
+        # row-multiplied fact (duplicate-heavy at any scale) that is
+        # the difference between the index build costing a multiple of
+        # the table scan and costing barely more than the zone-map pass
         words = (base.filter(F.col("v").isNotNull())
+                 .select("file", "v").distinct()
                  .selectExpr("file", "v",
                              f"explode(sequence(0, {hashes - 1})) AS hi")
                  .selectExpr(
