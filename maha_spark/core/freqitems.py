@@ -193,3 +193,91 @@ FROM scored JOIN threat USING ({g})
 WHERE rank <= {k}
 ORDER BY {g}, rank
 """
+
+
+def merge_freq_partials(partials: DataFrame, grain_cols: list[str],
+                        k: int = FREQ_K,
+                        partial_col: str = "freq_items") -> DataFrame:
+    """Collapse many partials per grain row into AT MOST TWO valid
+    partials — the PODS'12 mergeable-summary MERGE, used as the
+    compaction job for streaming-appended partial tables (one partial
+    lands per micro-batch; serve cost grows with partial count until
+    this runs).
+
+    Why two rows, not one: the serve's contract is that a partial's
+    stored counts are EXACT over that partial's own data slice (it
+    subtracts the partial's ``others_max`` from a stored value's upper
+    bound). A merged kept count is only a LOWER bound — folding its
+    deficit into a single row's ``others_max`` would be subtracted
+    right back out for stored values, silently under-bounding (a real
+    bug this replaced — caught by the bound-containment test). Instead
+    the merge PARTITIONS the data:
+
+    * the **kept row** holds the top-``k`` values by summed stored
+      counts (ties by value) with ``others_max = others_total = 0`` —
+      a valid exact partial over exactly the occurrences those sums
+      counted;
+    * the **residual row** (omitted when empty) holds no items and
+      carries ALL hidden mass: kept values' deficits (each <=
+      sum(input others_max)), dropped stored values (each <= the max
+      dropped sum + sum(input others_max)), and never-stored values
+      (<= sum(input others_max)) — so its ``others_max =
+      max_dropped_sum + sum(input others_max)`` bounds every value of
+      its slice, and its total/others_total is the input total mass
+      minus the kept sums.
+
+    Both rows are genuine partials of disjoint slices of the original
+    data, so the serve needs no new assumptions. When every input
+    partial stored ALL its values and ``k`` covers the merged distinct
+    count, the residual slice is empty and the single output row ==
+    the one-shot ``freq_items_partial`` of the unioned raw data,
+    bit-for-bit (test-pinned). Otherwise bounds only widen — never
+    wrong, only looser — the documented trade of compacting lossy
+    summaries."""
+    p = partials.select(
+        *grain_cols,
+        F.col(f"{partial_col}.items").alias("_items"),
+        F.col(f"{partial_col}.others_max").alias("_om"),
+        F.col(f"{partial_col}.total").alias("_tot"))
+    sums = (p.groupBy(*grain_cols)
+            .agg(F.sum("_om").cast("bigint").alias("_om_sum"),
+                 F.sum("_tot").cast("bigint").alias("_tot_sum")))
+    counts = (p.select(*grain_cols, F.explode("_items").alias("_v", "_c"))
+              .groupBy(*grain_cols, "_v")
+              .agg(F.sum("_c").alias("_c")))
+    w = (Window.partitionBy(*grain_cols)
+         .orderBy(F.desc("_c"), F.asc("_v")))
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    kept = F.when(F.col("_r") <= k, F.struct(F.col("_v").alias("key"),
+                                             F.col("_c").alias("value")))
+    agg = (ranked.groupBy(*grain_cols)
+           .agg(F.map_from_entries(
+                    F.sort_array(F.collect_list(kept))).alias("_items"),
+                F.sum(F.when(F.col("_r") <= k, F.col("_c"))
+                      .otherwise(F.lit(0))).cast("bigint").alias("_kept"),
+                F.coalesce(F.max(F.when(F.col("_r") > k, F.col("_c"))),
+                           F.lit(0)).cast("bigint").alias("_dmax")))
+    both = agg.join(sums, grain_cols)
+    kept_row = both.select(
+        *grain_cols,
+        F.struct(F.col("_items").alias("items"),
+                 F.lit(0).cast("bigint").alias("others_total"),
+                 F.lit(0).cast("bigint").alias("others_max"),
+                 F.col("_kept").alias("total")).alias(partial_col))
+    resid = (F.col("_tot_sum") - F.col("_kept")).cast("bigint")
+    resid_row = (both
+                 .withColumn("_resid", resid)
+                 .filter(F.col("_resid") > 0)
+                 .select(
+                     *grain_cols,
+                     F.struct(
+                         F.map_from_entries(F.expr(
+                             "CAST(array() AS "
+                             "array<struct<key:string,value:bigint>>)"))
+                         .alias("items"),
+                         F.col("_resid").alias("others_total"),
+                         (F.col("_dmax") + F.col("_om_sum"))
+                         .cast("bigint").alias("others_max"),
+                         F.col("_resid").alias("total"))
+                     .alias(partial_col)))
+    return kept_row.unionByName(resid_row)

@@ -243,7 +243,25 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
             incremental.streaming_dedup_incremental,
             "test_dedup_incremental.py (stream drain == sequential "
             "batch calls: pairs, index bit-identity, replay no-op)"),
+        # new r10: stream-maintained frequent-items partials (per-batch
+        # appended, mergeable-summaries valid at every instant) and the
+        # PODS'12 partial merge used as their compaction job — the
+        # contract slot for the family remains op_freq_topk
+        "freq_stream_partials": (
+            _stream_freq().streaming_freq_partials,
+            "test_stream_freq.py (bounds contain exact counts at every "
+            "instant; lossless batches == exact serve; fresh-checkpoint "
+            "replay identity)"),
+        "freq_partials_merge": (
+            _stream_freq().compact_freq_partials,
+            "test_stream_freq.py (two-slice partition merge: bounds "
+            "stay valid, lossless merge == one-shot build bit-for-bit)"),
     }
+
+
+def _stream_freq():
+    from ..streaming import freq
+    return freq
 
 
 def entry_oracles() -> dict[str, str]:

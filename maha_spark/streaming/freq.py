@@ -1,0 +1,83 @@
+"""Stream-maintained frequent-items partials — the TopN-dashboard
+rollup column kept fresh by ingest, not by nightly rebuilds.
+
+``core/freqitems.py`` defines the mergeable partial (Agarwal et al.,
+"Mergeable Summaries", PODS'12) and a serve whose bounds hold over ANY
+set of partial rows per grain. That mergeability is what makes the
+streaming maintainer trivial and exactly-correct: each micro-batch
+appends its OWN per-day partial rows, and the serve simply merges more,
+smaller partials — valid [lb, ub] bounds and guarantee flags at every
+instant, no read-modify-write of previously landed state. The trade is
+serve cost (∝ partial rows touched) and bound tightness, both restored
+by the compaction job (``merge_freq_partials`` collapses a day's
+accumulated batch partials into one).
+
+Idempotence follows the repo's streaming-maintenance pattern
+(``ops/incremental.py``, ``ops/substring.py``): each batch's partials
+land under ``batch_id=N`` via per-batch OVERWRITE, so a replayed batch
+rewrites its own directory identically and never double-counts.
+
+No reference analogue at this altitude: maha delegates frequent-items
+to Druid's datasketches extension and never maintains it engine-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.freqitems import FREQ_K, freq_items_partial, merge_freq_partials
+from .hourly import EVENT_SCHEMA
+
+
+def streaming_freq_partials(spark: SparkSession, events_dir: str,
+                            partials_dir: str, ckpt_dir: str,
+                            value_col: str = "user_id",
+                            k: int = FREQ_K,
+                            max_files_per_trigger: int = 1) -> None:
+    """Drain an events feed micro-batch by micro-batch, appending each
+    batch's per-day frequent-items partials (exact within the batch —
+    the build groups exactly before keeping top-k'). State lives in the
+    partials table, not the streaming state store."""
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        days = batch.withColumn("day", F.to_date("ts"))
+        part = freq_items_partial(days, ["day"], value_col, k=k)
+        (part.write.mode("overwrite")
+         .parquet(os.path.join(partials_dir, f"batch_id={batch_id}")))
+
+    q = (spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .load(events_dir)
+         .writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def compact_freq_partials(spark: SparkSession, partials_dir: str,
+                          k: int = FREQ_K) -> int:
+    """Collapse the accumulated per-batch partials into one partial per
+    day (PODS'12 merge — bounds stay valid, only looser than a one-shot
+    build, and the serve touches one row per day again), rewriting the
+    table in place (materialized first — the standard
+    read-then-overwrite decoupling). The merged rows land under the
+    reserved ``batch_id=-1`` directory so the layout stays uniform for
+    a RESUMED stream (its checkpoint keeps counting forward). A replay
+    from a FRESH checkpoint is only identity-safe before compaction —
+    afterwards the recreated batch partials would double-count events
+    already folded into ``batch_id=-1`` (documented contract; the
+    checkpointed resume path is always safe). Returns the merged row
+    count."""
+    src = spark.read.parquet(partials_dir)
+    merged = (merge_freq_partials(src.select("day", "freq_items"),
+                                  ["day"], k=k)
+              .localCheckpoint(eager=True))
+    n = merged.count()
+    import shutil
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(partials_dir, "batch_id=-1"))
+    return n
