@@ -257,13 +257,30 @@ def merge_freq_partials(partials: DataFrame, grain_cols: list[str],
                       .otherwise(F.lit(0))).cast("bigint").alias("_kept"),
                 F.coalesce(F.max(F.when(F.col("_r") > k, F.col("_c"))),
                            F.lit(0)).cast("bigint").alias("_dmax")))
-    both = agg.join(sums, grain_cols)
-    kept_row = both.select(
-        *grain_cols,
-        F.struct(F.col("_items").alias("items"),
-                 F.lit(0).cast("bigint").alias("others_total"),
-                 F.lit(0).cast("bigint").alias("others_max"),
-                 F.col("_kept").alias("total")).alias(partial_col))
+    # join FROM sums (left): a grain whose input partials all carry empty
+    # items maps yields no explode rows and is absent from `agg` — an
+    # inner join would silently drop its others_total/others_max mass.
+    # Unreachable from the repo's builders (a kept row is never empty),
+    # but the merge must be total-preserving for ANY structurally valid
+    # partial input, so coalesce the missing kept-side columns to
+    # empty/0 and let the residual row carry all of that grain's mass.
+    both = (sums.join(agg, grain_cols, "left")
+            .withColumn("_items", F.coalesce(
+                F.col("_items"),
+                F.expr("CAST(map() AS map<string,bigint>)")))
+            .withColumn("_kept", F.coalesce(F.col("_kept"),
+                                            F.lit(0).cast("bigint")))
+            .withColumn("_dmax", F.coalesce(F.col("_dmax"),
+                                            F.lit(0).cast("bigint"))))
+    kept_row = (both
+                .filter(F.size(F.col("_items")) > 0)
+                .select(
+                    *grain_cols,
+                    F.struct(F.col("_items").alias("items"),
+                             F.lit(0).cast("bigint").alias("others_total"),
+                             F.lit(0).cast("bigint").alias("others_max"),
+                             F.col("_kept").alias("total"))
+                    .alias(partial_col)))
     resid = (F.col("_tot_sum") - F.col("_kept")).cast("bigint")
     resid_row = (both
                  .withColumn("_resid", resid)

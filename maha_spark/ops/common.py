@@ -63,6 +63,37 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
         return os.path.exists(path)
 
 
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create (or truncate) an empty marker file through the Hadoop
+    FileSystem API — the in-progress sentinel the index-maintenance
+    paths use to detect a crash between two non-atomic writes. Local
+    fallback mirrors ``fs_exists``."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(jpath, True).close()
+    except Exception:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w"):
+            pass
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Remove a marker file (no-op when absent) — Hadoop FS with the
+    same local fallback as ``fs_exists``/``fs_touch``."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, False)
+    except Exception:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set:
     """IDs of every currently persisted RDD (caches + local
     checkpoints) — snapshot before creating scoped state, diff after to

@@ -164,15 +164,12 @@ def cap_hot_buckets(bands: DataFrame, cap: int,
     banners) puts N documents into one (band, key) bucket and the
     self-join emits N^2/2 candidate pairs before the exact verify; at
     100 TB a single hot band is a straggler task that can OOM. One
-    window count over the join key bounds that: a bucket contributes at
-    most cap^2/2 candidates.
+    per-bucket count over the join key bounds that: a bucket
+    contributes at most cap^2/2 candidates.
 
     Callers that need over-cap buckets REPRESENTED rather than dropped
     pair this with ``hot_bucket_chain_links`` (a spanning chain of the
     bucket, N-1 rows) — ``dedup_minhash_lsh`` does.
-
-    The window's (band, key) hash partitioning matches the downstream
-    join key, so the guard adds no extra shuffle on the guarded side.
     """
     from pyspark.sql import functions as F
     return (_with_bucket_count(bands, keys)
@@ -184,13 +181,23 @@ def _with_bucket_count(bands: DataFrame,
     """Band frame + per-bucket document count ``__bn`` (idempotent —
     a frame already carrying ``__bn`` passes through so the guard and
     the chain-link path can SHARE one cached counted frame instead of
-    re-evaluating the md5-heavy minhash twice)."""
+    re-evaluating the md5-heavy minhash twice).
+
+    The count is a map-side-combined ``groupBy(keys)`` joined back —
+    NOT ``count().over(Window.partitionBy(keys))``: a window has no
+    partial aggregation and AQE cannot skew-split WindowExec, so the
+    guard itself would have to materialize every row of the hot bucket
+    it exists to defuse in ONE sort task. The aggregate reduces each
+    map task's contribution to one row per local bucket before the
+    shuffle, and the join back is an equi-join AQE can skew-split
+    (same de-skew recipe as ``ops/substring.py``'s occurrence counts).
+    ``bands`` is evaluated on both join sides — callers cache it when
+    it is expression-heavy (``dedup_minhash_lsh`` does)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
     if "__bn" in bands.columns:
         return bands
-    w = Window.partitionBy(*keys)
-    return bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+    counts = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    return bands.join(counts, list(keys))
 
 
 def hot_bucket_chain_links(bands: DataFrame, cap: int,
@@ -203,8 +210,17 @@ def hot_bucket_chain_links(bands: DataFrame, cap: int,
     appears in CANDIDATE pairs (links between near-identical neighbors
     then verify — an identical-text family connects completely; a
     sub-threshold consecutive pair drops its link), while the work
-    stays linear in bucket size. Same (band, key) window partitioning
-    as the guard — no extra exchange."""
+    stays linear in bucket size.
+
+    Residual skew cost (deliberate): the ``lag`` needs each hot
+    bucket's rows in doc_id ORDER, so every over-cap bucket is one
+    WindowExec sort task holding that bucket's rows. Unlike the count
+    this cannot be map-side combined — but it only ever RUNS on the
+    over-cap buckets the ``__bn`` aggregate already identified (the
+    under-cap torrent never reaches it), the carried payload is the
+    narrow (keys, doc_id) projection, and the output is N-1 links. A
+    10^8-copy family is one ~GB-scale sort task here versus the 10^16
+    candidate pairs it replaces."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     wo = Window.partitionBy(*keys).orderBy("doc_id")
@@ -243,12 +259,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     is exactly the all-pairs answer."""
     docs = load_table(spark, sf_dir, "documents")
     base = lsh_shingle_frame(docs)
-    # ONE cached counted band frame feeds the guard (both self-join
-    # branches) AND the hot-bucket chain path, so the md5-heavy minhash
-    # permutations and the window count evaluate once (measured 2.3x
-    # on this op when the branches shared nothing)
+    # the band frame feeds BOTH sides of the bucket-count join (the
+    # groupBy and the probe), so cache it — the md5-heavy minhash
+    # permutations evaluate once; then ONE cached counted frame feeds
+    # the guard (both self-join branches) AND the hot-bucket chain path
+    # (measured 2.3x on this op when the branches shared nothing)
     counted = scoped_cache(_with_bucket_count(
-        lsh_band_frame(base), ("band", "key")))
+        scoped_cache(lsh_band_frame(base)), ("band", "key")))
     bands = cap_hot_buckets(counted, max_bucket_docs)
     a = bands.selectExpr("band", "key", "doc_id AS a_id")
     b = bands.selectExpr("band", "key", "doc_id AS b_id")
@@ -524,12 +541,31 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One driver-contract entry covering the three signature-family dedup
     ops (``dedup_exact`` / ``dedup_wordset`` / ``dedup_simhash``) in a
-    single pass. Scale shape: signature computation is pure codegen; the
-    keeper/count windows are two keyed shuffles (partitioned by
-    fingerprint), identical cost to the groupBy formulations.
+    single pass.
+
+    Scale shape: signature computation is pure codegen; the
+    keeper/count columns are map-side-combined ``groupBy(fingerprint)``
+    aggregates joined back — NOT ``min/count().over(Window.partitionBy(
+    fingerprint))``. A fingerprint IS the duplicate-family key, so it
+    is skewed by construction (a boilerplate document duplicated 10^8
+    times is one fingerprint), and a window on it would materialize the
+    whole family — fingerprint payloads included — in ONE unsplittable
+    sort task (no partial aggregation; AQE cannot skew-split
+    WindowExec). The aggregate emits one row per (map task, local
+    fingerprint) before the shuffle and the join back is
+    AQE-skew-splittable — bit-identical outputs, the same de-skew as
+    ``ops/substring.py`` (plan-pinned: no WindowExec on either
+    fingerprint, ``tests/test_ops_dedup_plans.py``). The signature
+    frame feeds both aggregates and the probe side, so it is
+    scoped-cached (narrow: doc_id + three fingerprints).
     """
-    from pyspark.sql import Window, functions as F
-    docs = load_table(spark, sf_dir, "documents")
+    return dedup_signatures_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_signatures_frame(docs: DataFrame) -> DataFrame:
+    """Signature table over any (doc_id, text) frame — see
+    ``dedup_signatures`` for semantics and the de-skew scale shape."""
+    from pyspark.sql import functions as F
     ws_fp = f"md5(array_join(array_sort(array_distinct({words_sql()})), ' '))"
     sig = (docs
            .selectExpr("doc_id",
@@ -540,13 +576,17 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"transform(dw, x -> {h32_sql('x')}) AS hw")
            .selectExpr("doc_id", "content_hash", "wordset_fp",
                        f"{_simhash_expr_spark('hw')} AS simhash"))
-    w_exact = Window.partitionBy("content_hash")
-    w_ws = Window.partitionBy("wordset_fp")
-    return (sig
-            .withColumn("exact_keeper", F.min("doc_id").over(w_exact))
-            .withColumn("exact_dups", F.count(F.lit(1)).over(w_exact))
-            .withColumn("wordset_keeper", F.min("doc_id").over(w_ws))
-            .withColumn("wordset_dups", F.count(F.lit(1)).over(w_ws)))
+    sig = scoped_cache(sig)
+    ex = (sig.groupBy("content_hash")
+          .agg(F.min("doc_id").alias("exact_keeper"),
+               F.count(F.lit(1)).alias("exact_dups")))
+    ws = (sig.groupBy("wordset_fp")
+          .agg(F.min("doc_id").alias("wordset_keeper"),
+               F.count(F.lit(1)).alias("wordset_dups")))
+    return (sig.join(ex, "content_hash").join(ws, "wordset_fp")
+            .select("doc_id", "content_hash", "wordset_fp", "simhash",
+                    "exact_keeper", "exact_dups",
+                    "wordset_keeper", "wordset_dups"))
 
 
 def dedup_signatures_oracle() -> str:

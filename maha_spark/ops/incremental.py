@@ -263,11 +263,12 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
             # another USER's process holds the pid — our same-user
             # creator is gone (its dirs are same-user), so this is a
             # recycled pid; an age floor guards against rare same-pid
-            # same-window races
-            try:
-                stale = os.path.getmtime(path) < time.time() - 7 * 86400
-            except OSError:
-                pass
+            # same-window races (table_version = the stamp contract's
+            # one read API; these scratch dirs are never stamped, so it
+            # resolves to the mtime fallback, and a vanished dir's -1.0
+            # marks it stale for the no-op rmtree)
+            from ..plans.versioning import table_version
+            stale = table_version(path) < time.time() - 7 * 86400
         if stale:
             shutil.rmtree(path, ignore_errors=True)
     materialize_dedup_index(

@@ -65,8 +65,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .common import (duck_h60_sql, duck_words_sql, fs_exists, h60_sql,
-                     load_table, persistent_rdd_ids,
+from .common import (duck_h60_sql, duck_words_sql, fs_delete, fs_exists,
+                     fs_touch, h60_sql, load_table, persistent_rdd_ids,
                      release_new_persistent_rdds, release_scoped_caches,
                      scoped_cache, words_sql)
 
@@ -360,6 +360,15 @@ def _docs_path(index_dir: str) -> str:
     return os.path.join(index_dir, DOCS_TABLE)
 
 
+def _pending_path(index_dir: str) -> str:
+    """In-progress marker for the windows→sidecar append pair: present
+    only between the two writes of one ``update_exsub_index`` call, so
+    its survival into the NEXT call proves a crash left the sidecar one
+    batch behind (underscore prefix = invisible to parquet readers,
+    same convention as ``_table_version``)."""
+    return os.path.join(index_dir, "_exsub_pending")
+
+
 def _seen_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     """Distinct indexed doc_ids: the O(documents) sidecar when present,
     else derived from the windows table (pre-sidecar index layouts)."""
@@ -381,6 +390,9 @@ def reconcile_exsub_sidecar(spark: SparkSession, index_dir: str) -> None:
     ids = (spark.read.parquet(_windows_path(index_dir))
            .select("doc_id").distinct().localCheckpoint(eager=True))
     ids.write.mode("overwrite").parquet(_docs_path(index_dir))
+    # the invariant now holds — clear any crash marker a torn
+    # update_exsub_index left behind
+    fs_delete(spark, _pending_path(index_dir))
 
 
 def materialize_exsub_index(spark: SparkSession, docs: DataFrame,
@@ -412,8 +424,25 @@ def update_exsub_index(spark: SparkSession, index_dir: str,
     The probe semi-joins the batch ids against the O(documents)
     ``exsub_docs`` sidecar — never the corpus-token-sized windows
     column; ``assume_new=True`` skips it when ingest mints fresh ids by
-    construction. Append order is windows THEN sidecar, and
-    ``reconcile_exsub_sidecar`` repairs a crash between the two."""
+    construction.
+
+    Self-healing (batch path, not only the streaming bootstrap): the
+    two appends (windows THEN sidecar) are bracketed by an
+    ``_exsub_pending`` marker, so a crash between them leaves the
+    marker behind and the NEXT call reconciles the sidecar from the
+    windows table before trusting it — a retried batch is then loudly
+    rejected by the probe (its ids are already in the reconciled
+    sidecar) instead of silently double-counting its windows. The same
+    pre-flight reconcile runs when the windows table exists but the
+    sidecar does not (a pre-sidecar index layout): appending only this
+    batch's ids would CREATE an incomplete sidecar whose probe passes
+    previously indexed doc_ids. Steady-state overhead is two existence
+    probes — the O(index) reconcile runs only after an actual crash or
+    a layout upgrade."""
+    win_exists = fs_exists(spark, _windows_path(index_dir))
+    if win_exists and (fs_exists(spark, _pending_path(index_dir))
+                       or not fs_exists(spark, _docs_path(index_dir))):
+        reconcile_exsub_sidecar(spark, index_dir)
     if not assume_new:
         dup = (new_docs.select("doc_id").distinct()
                .join(_seen_docs(spark, index_dir), "doc_id", "left_semi")
@@ -425,10 +454,12 @@ def update_exsub_index(spark: SparkSession, index_dir: str,
                 "restate re-crawled ids instead of re-appending, or "
                 "pass assume_new=True only when ingest guarantees "
                 "fresh ids")
+    fs_touch(spark, _pending_path(index_dir))
     (_window_hashes(new_docs, length).write.mode("append")
      .parquet(_windows_path(index_dir)))
     (_window_hashes(new_docs, length).select("doc_id").distinct()
      .write.mode("append").parquet(_docs_path(index_dir)))
+    fs_delete(spark, _pending_path(index_dir))
 
 
 def exsub_incremental(spark: SparkSession, index_dir: str,

@@ -61,23 +61,37 @@ def compact_freq_partials(spark: SparkSession, partials_dir: str,
                           k: int = FREQ_K) -> int:
     """Collapse the accumulated per-batch partials into one partial per
     day (PODS'12 merge — bounds stay valid, only looser than a one-shot
-    build, and the serve touches one row per day again), rewriting the
-    table in place (materialized first — the standard
-    read-then-overwrite decoupling). The merged rows land under the
-    reserved ``batch_id=-1`` directory so the layout stays uniform for
-    a RESUMED stream (its checkpoint keeps counting forward). A replay
-    from a FRESH checkpoint is only identity-safe before compaction —
-    afterwards the recreated batch partials would double-count events
-    already folded into ``batch_id=-1`` (documented contract; the
-    checkpointed resume path is always safe). Returns the merged row
-    count."""
-    src = spark.read.parquet(partials_dir)
-    merged = (merge_freq_partials(src.select("day", "freq_items"),
-                                  ["day"], k=k)
-              .localCheckpoint(eager=True))
-    n = merged.count()
+    build, and the serve touches one row per day again). The merged rows
+    land under the reserved ``batch_id=-1`` directory so the layout
+    stays uniform for a RESUMED stream (its checkpoint keeps counting
+    forward). A replay from a FRESH checkpoint is only identity-safe
+    before compaction — afterwards the recreated batch partials would
+    double-count events already folded into ``batch_id=-1`` (documented
+    contract; the checkpointed resume path is always safe).
+
+    Crash safety (the versioning.py temp-then-rename pattern, not
+    lineage): the merged rows are fully written to a sibling
+    ``.compact-tmp`` directory FIRST — a durable parquet write, so no
+    step ever depends on recomputing lineage from the source it is
+    about to delete — then the old table is removed and the temp
+    directory renamed into place. A failure before the write completes
+    leaves the source untouched (the stale temp dir is cleared on the
+    next call); a failure between the remove and the rename leaves the
+    complete merged table in the temp dir, and the next call finishes
+    the swap before doing anything else. Returns the merged row count.
+    """
     import shutil
-    shutil.rmtree(partials_dir, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(
-        os.path.join(partials_dir, "batch_id=-1"))
+    tmp = partials_dir.rstrip("/") + ".compact-tmp"
+    if os.path.isdir(tmp) and not os.path.isdir(partials_dir):
+        # a prior call crashed between the remove and the rename; the
+        # temp dir holds the complete merged table — finish the swap
+        os.rename(tmp, partials_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = spark.read.parquet(partials_dir)
+    (merge_freq_partials(src.select("day", "freq_items"), ["day"], k=k)
+     .write.mode("overwrite")
+     .parquet(os.path.join(tmp, "batch_id=-1")))
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(partials_dir)
+    os.rename(tmp, partials_dir)
     return n
