@@ -1171,6 +1171,55 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
+    # -- §2.6 timeseries (grain grouping) + §2.8 DAY_OF_WEEK derived
+    #    function (RESTORED to the contract r11 after two rounds off —
+    #    the oldest rotation debt with q15; slot from op_embed_quantize,
+    #    whose exact oracle moved to tests/test_ops_packing.py)
+    "q3_daily_revenue": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "day"}, {"field": "day_of_week"},
+                             {"field": "revenue"}, {"field": "line_count"}],
+            "filterExpressions": [{"field": "day", "operator": "between",
+                                   "from": "1996-01-01", "to": "1996-12-31"}],
+        },
+        "sql": f"""
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   dayname(l_shipdate) AS day_of_week,
+                   {SQL_REVENUE} AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                  AND DATE '1996-12-31'
+            GROUP BY 1, 2
+        """,
+    },
+    # -- §2.2 outer filter on final projected aliases (RESTORED to
+    #    the contract r11 after two rounds off — the oldest rotation
+    #    debt with q3; slot from op_sim_pairs, whose exact oracle moved
+    #    to tests/test_ops_packing.py)
+    "q15_outer_filter": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
+            "filterExpressions": [
+                DAY_ALL,
+                {"operator": "outer", "filterExpressions": [
+                    {"field": "nation_name", "operator": "like", "value": "NATION_1"},
+                ]},
+            ],
+        },
+        "sql": f"""
+            SELECT * FROM (
+                SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            ) WHERE nation_name LIKE '%NATION_1%'
+        """,
+    },
     # -- §2.7 union view (UNION ALL with per-branch constants; rotated
     #    BACK ON contract r10 — off since r9 wave 3 — shrinking the
     #    cube-side rotation debt; its slot comes from op_chunking)
@@ -1199,32 +1248,6 @@ QUERIES: dict[str, dict] = {
 #: against the same DuckDB oracles every round by
 #: tests/test_offcontract_queries.py, so rotation loses no coverage.
 OFFCONTRACT_QUERIES: dict[str, dict] = {
-    # -- §2.2 outer filter on final projected aliases (rotated out r9:
-    #    OuterFilter stays covered by the fuzz invalid/combinator
-    #    batteries and this pin; slot went to op_exact_substring_spans
-    #    — the ExactSubstr training-data dedup)
-    "q15_outer_filter": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "nation_name"}, {"field": "revenue"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"operator": "outer", "filterExpressions": [
-                    {"field": "nation_name", "operator": "like", "value": "NATION_1"},
-                ]},
-            ],
-        },
-        "sql": f"""
-            SELECT * FROM (
-                SELECT n_name AS nation_name, {SQL_REVENUE} AS revenue
-                FROM lineitem
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation ON c_nationkey = n_nationkey
-                GROUP BY 1
-            ) WHERE nation_name LIKE '%NATION_1%'
-        """,
-    },
     # -- §1.2 filter on a static-mapped label: reverse map expands the
     #    label back to raw values (DataType.scala reverseStaticMapping;
     #    rotated out r9: the decode direction stays on contract via q7,
@@ -1278,29 +1301,6 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
                         THEN CAST(SUM(CAST(value AS DECIMAL(8,5))) AS DOUBLE)
                         ELSE NULL END AS value_if_click
             FROM events GROUP BY 1
-        """,
-    },
-    # -- §2.6 timeseries (grain grouping) + §2.8 DAY_OF_WEEK derived
-    #    function (rotated out r9: grain grouping stays covered by
-    #    q2/q17/q20, the macro family by q20/q27; slot went to
-    #    op_asof_join)
-    "q3_daily_revenue": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "day"}, {"field": "day_of_week"},
-                             {"field": "revenue"}, {"field": "line_count"}],
-            "filterExpressions": [{"field": "day", "operator": "between",
-                                   "from": "1996-01-01", "to": "1996-12-31"}],
-        },
-        "sql": f"""
-            SELECT CAST(l_shipdate AS DATE) AS day,
-                   dayname(l_shipdate) AS day_of_week,
-                   {SQL_REVENUE} AS revenue,
-                   COUNT(*) AS line_count
-            FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
-                  AND DATE '1996-12-31'
-            GROUP BY 1, 2
         """,
     },
     # -- §2.2 metric filter -> HAVING (rotated out r9: HAVING stays

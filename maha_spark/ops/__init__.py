@@ -96,7 +96,13 @@ def entry_queries() -> dict[str, Callable]:
         "op_curate": pipeline.curate_corpus,
         "op_sketch_setops": sketches.sketch_setops,
         "op_sim_topk": similarity.sim_topk,
-        "op_sim_pairs": similarity.sim_pairs,
+        # r11 rotation: op_sim_pairs and op_embed_quantize OFF contract
+        # (exact oracles pinned in test_ops_packing.py; pairwise-cosine
+        # coverage retained on contract by op_sim_topk +
+        # op_dedup_embed_cosine, int8 quantization is per-row codegen
+        # exercised by the pin every round). Their slots restore
+        # q3_daily_revenue and q15_outer_filter — the two oldest
+        # off-contract cube queries (out since r9).
         # r9 rotation (second wave): the RH-LSH bucket histogram back IN
         # (out since r6; its md5-derived hyperplanes make the bucket
         # assignment an exact SQL expression, so the DuckDB oracle is
@@ -113,12 +119,6 @@ def entry_queries() -> dict[str, Callable]:
         # two-chain plan stays pinned physically in test_plan_shape.py
         # plus the off-contract oracle).
         "op_freq_topk": freqtopk.freq_topk,
-        # op_embed_quantize rotated back IN round 6 (out r5); its slot
-        # comes from op_token_quantiles, which keeps an exact off-contract
-        # oracle in tests/test_ops_packing.py AND is cross-checked against
-        # approx_quantiles there — the driver keeps rotating the 50-slot
-        # debt per the contract map.
-        "op_embed_quantize": similarity.embed_quantize,
         "op_mm_decode": multimodal.mm_decode_features,
         # r9: the REAL PNG decoder under a driver-grade oracle — the
         # r8 VERDICT's Missing #2 (op_mm_decode hashes only the stub).
@@ -214,6 +214,14 @@ def pytest_only_ops() -> dict[str, tuple[Callable, str]]:
         # sim_lsh_buckets rotated back ON contract r9 (op_sim_lsh_buckets);
         # its off-contract pin in test_ops_packing.py remains as
         # redundant coverage
+        # r11 rotation: all-pairs cosine and int8 quantization OFF
+        # contract (slots restored q3_daily_revenue / q15_outer_filter);
+        # both keep their exact DuckDB oracles pinned every round
+        "sim_pairs": (similarity.sim_pairs,
+                      "test_ops_packing.py (exact DuckDB oracle) + "
+                      "test_ops.py::test_sim_pairs_contract_is_nonvacuous"),
+        "embed_quantize": (similarity.embed_quantize,
+                           "test_ops_packing.py (exact DuckDB oracle)"),
         "ann_index_topk": (incremental.ann_index_topk,
                            "test_ann_index.py (append == rebuild; "
                            "recall + determinism gates)"),
@@ -292,11 +300,9 @@ def entry_oracles() -> dict[str, str]:
         "op_dedup_clusters": dedup.dedup_clusters_oracle(),
         "op_sketch_setops": sketches.sketch_setops_oracle(),
         "op_sim_topk": similarity.sim_topk_oracle(),
-        "op_sim_pairs": similarity.sim_pairs_oracle(),
         "op_sim_lsh_buckets": similarity.sim_lsh_buckets_oracle(),
         "op_freq_topk": freqtopk.freq_topk_oracle(),
         "op_dedup_incremental": incremental.dedup_incremental_oracle(),
-        "op_embed_quantize": similarity.embed_quantize_oracle(),
         "op_mm_decode": multimodal.mm_decode_features_oracle(),
         "op_pack_sequences": packing.pack_sequences_oracle(),
         "op_sample_stratified": packing.sample_profile_oracle(),

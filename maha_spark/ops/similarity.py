@@ -91,12 +91,13 @@ def _np_norms(mat: "object") -> "object":
     return np.sqrt(acc)
 
 
-def _pdf_matrix(pdf: "object") -> "tuple":
+def _pdf_matrix(pdf: "object", id_col: str = "vec_id",
+                emb_col: str = "embedding") -> "tuple":
     """(ids, float64 matrix, norms) from an Arrow-batch pandas frame."""
     import numpy as np
-    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    ids = pdf[id_col].to_numpy(dtype="int64")
     mat = np.array([np.asarray(v, dtype=np.float64)
-                    for v in pdf["embedding"]], dtype=np.float64)
+                    for v in pdf[emb_col]], dtype=np.float64)
     return ids, mat, _np_norms(mat)
 
 
@@ -190,8 +191,17 @@ def exact_cos_pairs(emb: DataFrame, threshold: float,
     left = e.selectExpr("blk AS bi",
                         f"explode(sequence(blk, {B - 1})) AS bj",
                         "vec_id", "embedding")
+    # the right side re-ALIASES its payload columns: both cogroup sides
+    # derive from the same frame, and with shared attribute ids an
+    # optimizer pruning pass (triggered by count()/exists-style
+    # consumers) treats the right side's vec_id/embedding as already
+    # provided by the left and strips them from the right child's
+    # projection — the UDF then receives a frame missing its columns.
+    # Fresh aliases mint fresh attribute ids, so both sides keep their
+    # own payload under any consumer plan.
     right = e.selectExpr("explode(sequence(0, blk)) AS bi",
-                         "blk AS bj", "vec_id", "embedding")
+                         "blk AS bj", "vec_id AS r_vec_id",
+                         "embedding AS r_embedding")
 
     def block_pairs(key, lpdf, rpdf):
         bi, bj = int(key[0]), int(key[1])
@@ -199,7 +209,8 @@ def exact_cos_pairs(emb: DataFrame, threshold: float,
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame(columns=cols)
         l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
-        r_ids, r_mat, r_norms = _pdf_matrix(rpdf)
+        r_ids, r_mat, r_norms = _pdf_matrix(rpdf, "r_vec_id",
+                                            "r_embedding")
         out = []
         for i in range(len(l_ids)):
             cos = np.round(
@@ -241,8 +252,11 @@ def cos_neighbor_stats(emb: DataFrame, threshold: float,
     left = e.selectExpr("blk AS bi",
                         f"explode(sequence(blk, {B - 1})) AS bj",
                         "vec_id", "embedding")
+    # fresh right-side aliases — same self-cogroup pruning hazard as
+    # exact_cos_pairs (see the comment there)
     right = e.selectExpr("explode(sequence(0, blk)) AS bi",
-                         "blk AS bj", "vec_id", "embedding")
+                         "blk AS bj", "vec_id AS r_vec_id",
+                         "embedding AS r_embedding")
 
     def block_stats(key, lpdf, rpdf):
         bi, bj = int(key[0]), int(key[1])
@@ -252,7 +266,8 @@ def cos_neighbor_stats(emb: DataFrame, threshold: float,
                 "min_nb": pd.Series([], dtype="int64"),
                 "n_near": pd.Series([], dtype="int64")})
         l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
-        r_ids, r_mat, r_norms = _pdf_matrix(rpdf)
+        r_ids, r_mat, r_norms = _pdf_matrix(rpdf, "r_vec_id",
+                                            "r_embedding")
         out = []
         if bi == bj:
             # diagonal: full square minus self; one row per vector even

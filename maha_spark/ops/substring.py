@@ -608,6 +608,9 @@ def compact_exsub_index(spark: SparkSession, index_dir: str,
     df = spark.read.parquet(path).localCheckpoint(eager=True)
     df.repartition(want).write.mode("overwrite").parquet(path)
     reconcile_exsub_sidecar(spark, index_dir)
+    # engine-maintained rewrite -> stamp (plans/versioning contract)
+    from ..plans.versioning import bump_table_version
+    bump_table_version(index_dir)
     return want
 
 

@@ -94,4 +94,7 @@ def compact_freq_partials(spark: SparkSession, partials_dir: str,
     n = spark.read.parquet(tmp).count()
     shutil.rmtree(partials_dir)
     os.rename(tmp, partials_dir)
+    # engine-maintained rewrite -> stamp (plans/versioning contract)
+    from ..plans.versioning import bump_table_version
+    bump_table_version(partials_dir)
     return n

@@ -107,6 +107,10 @@ def test_approx_quantiles_match_exact_shape_and_bounds(spark, sf_dir):
     (packing.mix_balance, packing.mix_balance_oracle()),
     (similarity.sim_lsh_buckets, similarity.sim_lsh_buckets_oracle()),
     (asof.asof_join, asof.asof_join_oracle()),
+    # r11 rotation: all-pairs cosine + int8 quantization off contract
+    # (slots restored q3_daily_revenue / q15_outer_filter)
+    (similarity.sim_pairs, similarity.sim_pairs_oracle()),
+    (similarity.embed_quantize, similarity.embed_quantize_oracle()),
 ])
 def test_mm_offcontract_oracle(fn, osql, spark, duck, sf_dir):
     _match(fn(spark, sf_dir), osql, duck)
