@@ -40,7 +40,7 @@ the brief, next to ``ops/text.py``'s heuristic quality stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import duck_words_sql, load_table, words_sql
 
@@ -93,8 +93,17 @@ def _count_model(train: DataFrame) -> tuple[DataFrame, int]:
             "bigram LM: empty training corpus (vocabulary size 0) — "
             "smoothing denominator would be k/0; pass a non-empty "
             "train frame")
-    counts = (g.filter("w2 IS NOT NULL")
-              .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1"))))
+    # context totals as a map-side-combined groupBy joined back, not
+    # sum().over(Window.partitionBy("w1")): w1 frequencies are Zipfian,
+    # so a hot context ("the") concentrates its whole successor set in
+    # one unsplittable WindowExec sort task, while the aggregate emits
+    # one row per (map task, local w1) before the shuffle and the join
+    # is AQE-skew-splittable — the same de-skew as ops/dedup.py /
+    # ops/substring.py; bit-identical by construction (g is cached, so
+    # both branches read the same grouped rows)
+    nz = g.filter("w2 IS NOT NULL")
+    c1 = nz.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    counts = nz.join(c1, "w1")
     return counts, v
 
 

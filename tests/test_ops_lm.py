@@ -165,3 +165,19 @@ def test_persisted_model_reusable_across_batches(spark, tmp_path):
     whole = sorted(map(tuple, lm.lm_score(
         spark, model, b1.unionByName(b2)).collect()))
     assert sorted(parts) == whole
+
+
+def test_context_totals_have_no_window_on_w1(spark, sf_dir):
+    """r11 de-skew pin: the c1 context totals are a map-side-combined
+    groupBy("w1") joined back — never sum().over(Window.partitionBy
+    ("w1")), which would sort a Zipf-hot context's whole successor set
+    in one unsplittable task."""
+    frame = lm.lm_perplexity(spark, sf_dir)
+    try:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+    finally:
+        from maha_spark.ops.common import release_scoped_caches
+        release_scoped_caches()
+    wls = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert all("w1#" not in ln for ln in wls), wls
+    assert "partial_sum" in plan
