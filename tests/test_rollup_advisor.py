@@ -321,8 +321,13 @@ def test_ndv_sketches_not_served_from_stale_rollup(spark, tmp_path):
     shutil.copy(os.path.join(SRC, "events.parquet"),
                 str(d / "events.parquet"))
     materialize_events_rollup(spark, str(d), str(d))
-    # the fact gets rewritten AFTER the rollup was built
-    now = os.path.getmtime(str(d / "events.parquet")) + 10
+    # the fact gets rewritten AFTER the rollup was built. Date it one
+    # hour into the future rather than copy-mtime+10: the old offset
+    # was an implicit "materialization takes <10s" assumption, and a
+    # contended full-suite run broke it (the rollup's stamp then read
+    # NEWER than the fact and the probe legitimately served sketches)
+    import time
+    now = time.time() + 3600
     os.utime(str(d / "events.parquet"), (now, now))
     eng = engine_for_dir(spark, build_contract_registry(), str(d))
 
