@@ -53,6 +53,14 @@ import time
 
 VERSION_FILE = "_table_version"
 
+#: (applicationId, scheme, authority) -> configured private FileSystem.
+#: The binding memo probes ``table_version`` on EVERY table access, so
+#: URI-rooted serving would otherwise pay a JVM newInstance+close
+#: round-trip per request per table. The checksum flags are set once at
+#: creation, so a cached private instance is exactly as safe as a fresh
+#: one; keying on applicationId drops instances from dead SparkContexts.
+_FS_CACHE: dict[tuple, object] = {}
+
 
 def _stamp_path(table_dir: str) -> str:
     # URI paths keep their own separator; os.path.join is correct for
@@ -75,23 +83,39 @@ def _hadoop_fs(path: str):
     session is active (plain-Python unit contexts) — same gateway
     pattern as ``ops/common.fs_exists``.
 
-    A PRIVATE (non-cached) instance with checksums disabled: the
-    shared cached FileSystem must not have its checksum flags mutated
-    under Spark's feet, and on LocalFileSystem a checksummed stamp
-    write leaves a ``.crc`` sidecar that poisons reads after any
-    plain-POSIX rewrite of the same stamp (the two spellings must
-    interoperate). Callers close the instance."""
+    A PRIVATE (``newInstance``, not Hadoop's shared cache) with
+    checksums disabled: the shared cached FileSystem must not have its
+    checksum flags mutated under Spark's feet, and on LocalFileSystem a
+    checksummed stamp write leaves a ``.crc`` sidecar that poisons
+    reads after any plain-POSIX rewrite of the same stamp (the two
+    spellings must interoperate). The instance is memoized per
+    (applicationId, scheme, authority) in ``_FS_CACHE`` and stays open
+    for the SparkContext's lifetime — callers must NOT close it."""
     try:
         from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
+        # getActiveSession is THREAD-LOCAL (a JVM InheritableThreadLocal
+        # the py4j callback thread never inherits): a stamp probe from a
+        # serving worker thread would silently get no gateway and report
+        # -1.0 — fall back to the instantiated session
+        spark = (SparkSession.getActiveSession()
+                 or getattr(SparkSession, "_instantiatedSession", None))
         if spark is None:
             return None, None
         jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
-            jvm.java.net.URI.create(path),
-            spark._jsc.hadoopConfiguration())
-        fs.setVerifyChecksum(False)
-        fs.setWriteChecksum(False)
+        uri = jvm.java.net.URI.create(path)
+        key = (spark.sparkContext.applicationId,
+               uri.getScheme(), uri.getAuthority())
+        fs = _FS_CACHE.get(key)
+        if fs is None:
+            fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+                uri, spark._jsc.hadoopConfiguration())
+            fs.setVerifyChecksum(False)
+            fs.setWriteChecksum(False)
+            for stale in [k for k in _FS_CACHE if k[0] != key[0]]:
+                # a dead SparkContext's gateway objects are unusable;
+                # drop them without close() (the JVM is gone with them)
+                _FS_CACHE.pop(stale, None)
+            _FS_CACHE[key] = fs
         return fs, jvm
     except Exception:
         return None, None
@@ -125,40 +149,43 @@ def _table_version_hadoop(path: str) -> float:
     if fs is None:
         return -1.0
     jpath = jvm.org.apache.hadoop.fs.Path
-    try:
+    stamp = jpath(_stamp_path(path))
+    # two attempts: on a store whose rename is copy+delete, a reader
+    # can race a concurrent bumper's swap and transiently find no
+    # stamp — one immediate re-probe closes that window instead of
+    # falling back to the (possibly older) root mtime
+    for _ in range(2):
         try:
-            stamp = jpath(_stamp_path(path))
             if fs.exists(stamp):
                 body = jvm.org.apache.commons.io.IOUtils.toString(
                     fs.open(stamp), "UTF-8")
                 return float(body.strip())
         except Exception:
             pass
-        try:
-            root = jpath(path)
-            if fs.exists(root):
-                # object-store "directories" report epoch-0 mtimes; any
-                # stamped table never reaches this branch
-                return (fs.getFileStatus(root).getModificationTime()
-                        / 1000.0)
-        except Exception:
-            pass
-        return -1.0
-    finally:
-        try:
-            fs.close()
-        except Exception:
-            pass
+    try:
+        root = jpath(path)
+        if fs.exists(root):
+            # object-store "directories" report epoch-0 mtimes; any
+            # stamped table never reaches this branch
+            return (fs.getFileStatus(root).getModificationTime()
+                    / 1000.0)
+    except Exception:
+        pass
+    return -1.0
 
 
 def bump_table_version(table_dir: str) -> float:
     """Atomically record a new strictly-greater version for the table.
 
-    Write-temp-then-rename makes a concurrent reader see either the old
-    or the new stamp, never a partial one (on rename-atomic filesystems;
-    an object store's rename is copy+delete, where a reader can
-    transiently miss the stamp and falls back — never sees a partial
-    value, because the temp object is only renamed once fully written).
+    Write-unique-temp-then-rename makes a concurrent reader see either
+    the old or the new stamp, never a partial one: the tmp name embeds
+    the version value and pid (two bumpers never touch each other's
+    half-written file), and the swap is an overwrite-capable
+    ``FileContext.rename(..., OVERWRITE)`` — no delete-to-rename window
+    with no stamp at all. On schemes without FileContext the fallback
+    is delete+rename of the complete tmp, and ``table_version``'s
+    one-shot re-probe covers the transient miss (an object store's
+    rename is copy+delete — a reader can miss, never see a partial).
     Scheme-qualified paths route through the Hadoop FileSystem API so
     the contract actually holds on s3a://-style storage; plain paths
     use local I/O, where the root mtime is also bumped (best-effort) so
@@ -170,7 +197,9 @@ def bump_table_version(table_dir: str) -> float:
     if not os.path.isdir(table_dir):
         return -1.0
     new = max(table_version(table_dir) + 1e-3, time.time())
-    tmp = _stamp_path(table_dir) + ".tmp"
+    # unique tmp per writer: two concurrent bumpers can never
+    # interleave writes into (or rename) each other's half-written tmp
+    tmp = _tmp_stamp_path(table_dir, new)
     try:
         with open(tmp, "w") as f:
             f.write(repr(new))
@@ -184,6 +213,43 @@ def bump_table_version(table_dir: str) -> float:
     return new
 
 
+def _tmp_stamp_path(table_dir: str, new: float) -> str:
+    """Writer-unique temp stamp name: the version value, pid, and
+    thread id keyed into the filename mean no two bumpers ever share a
+    tmp (the fixed ``.tmp`` spelling let concurrent bumpers rename each
+    other's half-written file — a reader could see a PARTIAL stamp).
+    Keeps the leading-underscore prefix so parquet readers skip crash
+    leftovers."""
+    import threading
+    return "%s.%s.%d.%d.tmp" % (_stamp_path(table_dir), repr(new),
+                                os.getpid(), threading.get_ident())
+
+
+def _rename_overwrite(jvm, src: str, dst: str, root: str) -> bool:
+    """Overwrite-capable rename via ``FileContext.rename(...,
+    Options.Rename.OVERWRITE)`` — no delete-then-rename window in which
+    a concurrent reader finds NO stamp and transiently regresses to the
+    root-mtime fallback. Returns False when FileContext is unavailable
+    for the scheme (caller falls back to delete+rename, which the
+    read-side re-probe covers)."""
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.getActiveSession()
+                 or getattr(SparkSession, "_instantiatedSession", None))
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jvm.java.net.URI.create(root),
+            spark._jsc.hadoopConfiguration())
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = SparkContext._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        jpath = jvm.org.apache.hadoop.fs.Path
+        fc.rename(jpath(src), jpath(dst), opts)
+        return True
+    except Exception:
+        return False
+
+
 def _bump_table_version_hadoop(table_dir: str) -> float:
     fs, jvm = _hadoop_fs(table_dir)
     if fs is None:
@@ -192,20 +258,36 @@ def _bump_table_version_hadoop(table_dir: str) -> float:
     try:
         if not fs.exists(jpath(table_dir)):
             return -1.0
-        new = max(table_version(table_dir) + 1e-3, time.time())
-        stamp = jpath(_stamp_path(table_dir))
-        tmp = jpath(_stamp_path(table_dir) + ".tmp")
-        out = fs.create(tmp, True)
-        out.write(bytearray(repr(new), "ascii"))
-        out.close()
-        fs.delete(stamp, False)
-        if not fs.rename(tmp, stamp):
-            return -1.0
-        return new
     except Exception:
         return -1.0
-    finally:
+    # up to 3 attempts: with writer-unique tmps a concurrent bumper can
+    # make THIS writer's swap lose a rename race (never corrupt the
+    # stamp) — the loser recomputes a fresh version and tries again
+    for _ in range(3):
         try:
-            fs.close()
+            new = max(table_version(table_dir) + 1e-3, time.time())
+            stamp_s = _stamp_path(table_dir)
+            tmp_s = _tmp_stamp_path(table_dir, new)
+            out = fs.create(jpath(tmp_s), True)
+            out.write(bytearray(repr(new), "ascii"))
+            out.close()
+            try:
+                if _rename_overwrite(jvm, tmp_s, stamp_s, table_dir):
+                    return new
+                # scheme without FileContext support: delete+rename of
+                # the COMPLETE writer-unique tmp — a racing reader can
+                # briefly miss the stamp (its re-probe covers that) but
+                # can never see a partial value
+                fs.delete(jpath(stamp_s), False)
+                if fs.rename(jpath(tmp_s), jpath(stamp_s)):
+                    return new
+            finally:
+                # no-op when the rename consumed the tmp; clears it on
+                # any failed/raised swap so retries never leave debris
+                try:
+                    fs.delete(jpath(tmp_s), False)
+                except Exception:
+                    pass
         except Exception:
             pass
+    return -1.0
