@@ -79,6 +79,61 @@ def fs_touch(spark: SparkSession, path: str) -> None:
             pass
 
 
+def fs_list_files(spark: SparkSession, path: str,
+                  suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """(path, byte size) of every direct child file with ``suffix`` —
+    the file-stat probe compaction sizing needs, through the Hadoop
+    FileSystem API so ``s3a://``-style index roots work; local
+    ``os.listdir`` fallback when the gateway is unavailable."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(suffix):
+                out.append((path.rstrip("/") + "/" + name, st.getLen()))
+        return out
+    except Exception:
+        try:
+            return [(os.path.join(path, f),
+                     os.path.getsize(os.path.join(path, f)))
+                    for f in os.listdir(path) if f.endswith(suffix)]
+        except OSError:
+            return []
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Move a file or directory (dst must not exist) — the
+    temp-then-rename swap step for maintenance rewrites, portable to
+    object-store roots; ``os.rename`` fallback."""
+    try:
+        jvm = spark._jvm
+        jsrc = jvm.org.apache.hadoop.fs.Path(src)
+        fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+    except Exception:
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
+
+def fs_rmtree(spark: SparkSession, path: str) -> None:
+    """Recursively remove a directory tree (no-op when absent) —
+    ``shutil.rmtree`` portable to object-store roots."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def fs_delete(spark: SparkSession, path: str) -> None:
     """Remove a marker file (no-op when absent) — Hadoop FS with the
     same local fallback as ``fs_exists``/``fs_touch``."""

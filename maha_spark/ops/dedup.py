@@ -170,6 +170,10 @@ def cap_hot_buckets(bands: DataFrame, cap: int,
     Callers that need over-cap buckets REPRESENTED rather than dropped
     pair this with ``hot_bucket_chain_links`` (a spanning chain of the
     bucket, N-1 rows) — ``dedup_minhash_lsh`` does.
+
+    An uncached ``bands`` frame is cached defensively (see
+    ``_with_bucket_count``): the count and the probe must see the SAME
+    rows even for nondeterministic inputs.
     """
     from pyspark.sql import functions as F
     return (_with_bucket_count(bands, keys)
@@ -191,11 +195,22 @@ def _with_bucket_count(bands: DataFrame,
     map task's contribution to one row per local bucket before the
     shuffle, and the join back is an equi-join AQE can skew-split
     (same de-skew recipe as ``ops/substring.py``'s occurrence counts).
-    ``bands`` is evaluated on both join sides — callers cache it when
-    it is expression-heavy (``dedup_minhash_lsh`` does)."""
+
+    ``bands`` is evaluated on BOTH join sides, so an uncached frame is
+    cached defensively here: a nondeterministic input (sampled or
+    rand()-salted band builds) could otherwise produce ``__bn`` counts
+    inconsistent with the probe rows — rows wrongly kept or dropped by
+    the public ``cap_hot_buckets`` / ``hot_bucket_chain_links`` — where
+    the old single-pass window could not diverge. Already-cached
+    callers (``dedup_minhash_lsh``) pass through unchanged; the cache
+    is lifecycle-tracked via ``scoped_cache``, and evaluating the
+    md5-heavy band expressions once instead of twice is a win for
+    deterministic callers too."""
     from pyspark.sql import functions as F
     if "__bn" in bands.columns:
         return bands
+    if not bands.is_cached:
+        bands = scoped_cache(bands)
     counts = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
     return bands.join(counts, list(keys))
 

@@ -596,12 +596,15 @@ def compact_exsub_index(spark: SparkSession, index_dir: str,
     bytes, like the day-partition compactor."""
     import math
 
+    from .common import fs_list_files
+
+    # Hadoop-FS file stats, so the maintenance cycle's compaction leg
+    # works on scheme-qualified (s3a://-style) index roots too
     path = _windows_path(index_dir)
-    files = [os.path.join(path, f) for f in os.listdir(path)
-             if f.endswith(".parquet")]
+    files = fs_list_files(spark, path, ".parquet")
     if len(files) < min_files:
         return 0
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(size for _, size in files)
     want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     if want >= len(files):
         return 0

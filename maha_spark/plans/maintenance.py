@@ -32,6 +32,21 @@ the cube path). Every step goes through primitives that bump
 result cache all invalidate exactly once per cycle — no caller-side
 cache plumbing.
 
+The cycle's own file I/O (the explicit-sidecar existence gate here,
+the freq-compaction swap, the ExactSubstr file-stat probe) routes
+through the Hadoop FileSystem gateway, so the job runs unchanged on
+scheme-qualified (``s3a://``-style) artifact roots — the same
+portability contract as the version stamps it advances (pinned over
+``file://`` in ``tests/test_r12_hardening.py``).
+
+Failure isolation: a nightly job must not let one broken artifact
+starve every other artifact's refresh, and the report is what a
+scheduler alerts on — so each artifact's step is caught individually
+into ``report["errors"]`` (step, artifact, error — its stamp simply
+does not advance), INDEPENDENT steps still run, and a single
+``MaintenanceCycleError`` carrying the full report re-raises at the
+end so an unsupervised invocation still fails loudly.
+
 Each step is also individually idempotent and bit-identical to its
 standalone invocation (pinned in ``tests/test_maintenance_cycle.py``):
 the cycle adds sequencing, not new semantics.
@@ -45,12 +60,21 @@ SURVEY §0).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Iterable, Optional
 
 from pyspark.sql import SparkSession
 
 from .versioning import table_version
+
+
+class MaintenanceCycleError(RuntimeError):
+    """One or more cycle steps failed; every OTHER step still ran.
+    ``report`` carries what succeeded, what failed, and the post-cycle
+    stamps (a failed artifact's stamp is unchanged)."""
+
+    def __init__(self, message: str, report: dict):
+        super().__init__(message)
+        self.report = report
 
 
 def run_maintenance_cycle(
@@ -79,61 +103,100 @@ def run_maintenance_cycle(
 
     ``skip_tables``: explicit ``(table_dir, index_dir)`` pairs to
     refresh regardless of the advisor (no-ops when already fresh —
-    the per-column stale gate reads the table's stamp).
+    the per-column stale gate reads the table's stamp). A pair whose
+    ``index_dir`` does not exist (Hadoop-FS probe, so URI roots are
+    checked for real, not silently skipped) is recorded under
+    ``report["sidecars"]["_missing"]`` — the report is total, so a
+    scheduler can alert on a sidecar that should have existed.
 
     ``freq_partials`` / ``exsub_indexes``: partial-table and
     ExactSubstr-index directories to compact.
 
     The report maps each artifact to what happened plus its post-cycle
     ``_table_version``, so a scheduler can alert on a step that ran but
-    failed to advance a stamp."""
+    failed to advance a stamp. Per-artifact failures are isolated: the
+    error lands in ``report["errors"]`` (the artifact's stamp does not
+    advance), remaining steps still run, and a summary
+    ``MaintenanceCycleError`` (carrying the report) raises at the end.
+    """
     report: dict[str, Any] = {"rollups": [], "sidecars": {},
-                              "freq": {}, "exsub": {}, "versions": {}}
+                              "freq": {}, "exsub": {}, "versions": {},
+                              "errors": []}
+
+    def _step(step: str, artifact: str, fn) -> None:
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            report["errors"].append(
+                {"step": step, "artifact": artifact, "error": repr(exc)})
 
     # -- 1. rollup refresh (stamps via overwrite_day_partitions)
     rollups = list(rollups)
     if rollups and engine is None:
         raise ValueError("rollup refresh needs engine= (binding/registry)")
     for spec in rollups:
-        from ..registry.materializer import refresh_recommendation
-        cube = spec["cube"]
-        if isinstance(cube, str):
-            cube = engine.registry.fact(cube)
-        dst = refresh_recommendation(
-            spark, engine.binding, engine.registry, cube, spec["rec"],
-            spec["dst_dir"], spec["name"], spec["from_day"],
-            spec["to_day"], compact_target_mb=compact_target_mb)
-        report["rollups"].append(dst)
-        report["versions"][dst] = table_version(dst)
+        def _refresh(spec=spec):
+            from ..registry.materializer import refresh_recommendation
+            cube = spec["cube"]
+            if isinstance(cube, str):
+                cube = engine.registry.fact(cube)
+            dst = refresh_recommendation(
+                spark, engine.binding, engine.registry, cube, spec["rec"],
+                spec["dst_dir"], spec["name"], spec["from_day"],
+                spec["to_day"], compact_target_mb=compact_target_mb)
+            report["rollups"].append(dst)
+            report["versions"][dst] = table_version(dst)
+        _step("rollup", str(spec.get("dst_dir", spec.get("name"))),
+              _refresh)
 
     # -- 2. sidecar build/refresh (advisor-recommended, then explicit)
     if ledger_entries is not None and skip_base_dir is not None:
         if engine is None:
             raise ValueError("ledger-mined sidecars need engine=")
-        from ..registry.skip_advisor import (build_recommended_indexes,
-                                             recommend_skipping_indexes)
-        recs = recommend_skipping_indexes(engine, ledger_entries,
-                                          min_count=skip_min_count)
-        built = build_recommended_indexes(spark, skip_base_dir, recs)
-        report["sidecars"].update(built)
+
+        def _advised():
+            from ..registry.skip_advisor import (
+                build_recommended_indexes, recommend_skipping_indexes)
+            recs = recommend_skipping_indexes(engine, ledger_entries,
+                                              min_count=skip_min_count)
+            built = build_recommended_indexes(spark, skip_base_dir, recs)
+            report["sidecars"].update(built)
+        _step("sidecar-advised", skip_base_dir, _advised)
     for table_dir, index_dir in skip_tables:
-        from .skipping import refresh_skipping_index
-        if os.path.isdir(index_dir):
-            refresh_skipping_index(spark, table_dir, index_dir)
-            report["sidecars"].setdefault("_explicit", []).append(index_dir)
+        def _explicit(table_dir=table_dir, index_dir=index_dir):
+            from ..ops.common import fs_exists
+            from .skipping import refresh_skipping_index
+            if fs_exists(spark, index_dir):
+                refresh_skipping_index(spark, table_dir, index_dir)
+                report["sidecars"].setdefault("_explicit", []).append(
+                    index_dir)
+            else:
+                report["sidecars"].setdefault("_missing", []).append(
+                    index_dir)
+        _step("sidecar-explicit", index_dir, _explicit)
 
     # -- 3. frequent-items partial compaction (stamps partials_dir)
     for pdir in freq_partials:
-        from ..streaming.freq import compact_freq_partials
-        report["freq"][pdir] = compact_freq_partials(spark, pdir)
-        report["versions"][pdir] = table_version(pdir)
+        def _freq(pdir=pdir):
+            from ..streaming.freq import compact_freq_partials
+            report["freq"][pdir] = compact_freq_partials(spark, pdir)
+            report["versions"][pdir] = table_version(pdir)
+        _step("freq-compact", pdir, _freq)
 
     # -- 4. ExactSubstr index compaction (reconciles the doc sidecar,
     #       stamps index_dir; 0 = already compact, left untouched)
     for idx in exsub_indexes:
-        from ..ops.substring import compact_exsub_index
-        report["exsub"][idx] = compact_exsub_index(
-            spark, idx, target_file_mb=compact_target_mb)
-        report["versions"][idx] = table_version(idx)
+        def _exsub(idx=idx):
+            from ..ops.substring import compact_exsub_index
+            report["exsub"][idx] = compact_exsub_index(
+                spark, idx, target_file_mb=compact_target_mb)
+            report["versions"][idx] = table_version(idx)
+        _step("exsub-compact", idx, _exsub)
 
+    if report["errors"]:
+        steps = ", ".join(f"{e['step']}({e['artifact']})"
+                          for e in report["errors"])
+        raise MaintenanceCycleError(
+            f"{len(report['errors'])} maintenance step(s) failed: {steps}",
+            report)
     return report

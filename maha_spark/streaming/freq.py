@@ -79,21 +79,27 @@ def compact_freq_partials(spark: SparkSession, partials_dir: str,
     next call); a failure between the remove and the rename leaves the
     complete merged table in the temp dir, and the next call finishes
     the swap before doing anything else. Returns the merged row count.
+
+    All existence/remove/swap I/O routes through the Hadoop FileSystem
+    gateway (``ops/common.fs_*``), so the compaction the maintenance
+    cycle schedules actually runs on ``s3a://``-style partial-table
+    roots, not just local/NFS paths — the same portability contract as
+    the ``plans/versioning.py`` stamps it bumps.
     """
-    import shutil
+    from ..ops.common import fs_exists, fs_rename, fs_rmtree
     tmp = partials_dir.rstrip("/") + ".compact-tmp"
-    if os.path.isdir(tmp) and not os.path.isdir(partials_dir):
+    if fs_exists(spark, tmp) and not fs_exists(spark, partials_dir):
         # a prior call crashed between the remove and the rename; the
         # temp dir holds the complete merged table — finish the swap
-        os.rename(tmp, partials_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs_rename(spark, tmp, partials_dir)
+    fs_rmtree(spark, tmp)
     src = spark.read.parquet(partials_dir)
     (merge_freq_partials(src.select("day", "freq_items"), ["day"], k=k)
      .write.mode("overwrite")
-     .parquet(os.path.join(tmp, "batch_id=-1")))
+     .parquet(tmp.rstrip("/") + "/batch_id=-1"))
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(partials_dir)
-    os.rename(tmp, partials_dir)
+    fs_rmtree(spark, partials_dir)
+    fs_rename(spark, tmp, partials_dir)
     # engine-maintained rewrite -> stamp (plans/versioning contract)
     from ..plans.versioning import bump_table_version
     bump_table_version(partials_dir)

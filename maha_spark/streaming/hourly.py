@@ -206,7 +206,15 @@ def _parquet_ts_max(path: str, col: str = "ts"):
     """Max of a timestamp column from the parquet FOOTER row-group
     statistics — a metadata read, replacing a whole Spark job in the
     sentinel-placement step (the sentinel only needs any instant past
-    the last real event, and footer maxima are exact uppers)."""
+    the last real event, and footer maxima are exact uppers).
+
+    Returns None — engaging the caller's Spark-scan fallback — unless
+    every row group's max decodes to a NAIVE ``datetime.datetime``: a
+    plain-int64 or tz-aware TIMESTAMP logical type would otherwise
+    raise on the caller's ``max_ts + timedelta`` arithmetic (int) or
+    silently drop its offset under ``strftime`` (aware), potentially
+    placing the sentinel BEFORE the last real event."""
+    import datetime as _dt
     try:
         import pyarrow.parquet as pq
         pf = pq.ParquetFile(path)
@@ -215,6 +223,9 @@ def _parquet_ts_max(path: str, col: str = "ts"):
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
+                return None
+            if (not isinstance(st.max, _dt.datetime)
+                    or st.max.tzinfo is not None):
                 return None
             best = st.max if best is None else max(best, st.max)
         return best
