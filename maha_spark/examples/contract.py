@@ -1022,38 +1022,24 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
-    #    join forces join-then-agg (or sum/count OGB decomposition) so the
-    #    result is the TRUE average over joined rows, never avg-of-avgs.
-    #    Spark AVG(DECIMAL(8,2)) yields DECIMAL(12,6) via exact HALF_UP
-    #    division; the oracle replicates it with integer arithmetic
-    #    ((2a+b) // 2b is half-up a/b) because DuckDB divides decimals as
-    #    doubles.
-    "q32_avg_rollup": {
+    # -- §2.2 metric filter -> HAVING (RESTORED to the contract r12
+    #    after three rounds off — the oldest rotation debt with q13;
+    #    slot from q32_avg_rollup, whose exact oracle moved to
+    #    tests/test_offcontract_queries.py — AverageRollup itself stays
+    #    ON contract via q33's avg_price_rollup column + the fuzz
+    #    batteries)
+    "q11_having": {
         "request": {
             "cube": "tpch",
-            "selectFields": [{"field": "nation_name"},
-                             {"field": "avg_price_rollup"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
+            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL,
+                                  {"field": "revenue", "operator": ">",
+                                   "value": 900000}],
         },
         "sql": f"""
-            WITH s AS (
-                SELECT n_name,
-                       SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) AS cents,
-                       COUNT(*) AS n,
-                       {SQL_REVENUE} AS revenue
-                FROM lineitem
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation ON c_nationkey = n_nationkey
-                GROUP BY 1
-            )
-            SELECT n_name AS nation_name,
-                   CAST((2 * cents * 10000 + n) // (2 * n) AS DOUBLE)
-                       / 1000000.0 AS avg_price_rollup,
-                   revenue
-            FROM s
+            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
+            FROM lineitem GROUP BY 1
+            HAVING {SQL_REVENUE} > 900000
         """,
     },
     # -- §2.4 rollup family at plain fact grain: AverageRollup + NoopRollup
@@ -1220,24 +1206,34 @@ QUERIES: dict[str, dict] = {
             ) WHERE nation_name LIKE '%NATION_1%'
         """,
     },
-    # -- §2.7 union view (UNION ALL with per-branch constants; rotated
-    #    BACK ON contract r10 — off since r9 wave 3 — shrinking the
-    #    cube-side rotation debt; its slot comes from op_chunking)
-    "q16_union_view": {
+    # -- §2.3 two independent join chains in one query (RESTORED to
+    #    the contract r12 after three rounds off — the oldest rotation
+    #    debt with q11; slot from q16_union_view, which was
+    #    driver-verified r10+r11 and keeps its exact oracle in
+    #    tests/test_offcontract_queries.py + the fuzz union-battery)
+    "q13_two_chains": {
         "request": {
-            "cube": "tpch_union",
-            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "supp_nation_name"},
                              {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
+            "filterExpressions": [
+                DAY_ALL,
+                {"field": "supp_nation_name", "operator": "in",
+                 "values": ["NATION_1", "NATION_2", "NATION_3"]},
+            ],
         },
         "sql": f"""
-            SELECT view_name, l_returnflag AS return_flag,
+            SELECT cn.n_name AS nation_name, sn.n_name AS supp_nation_name,
                    {SQL_REVENUE} AS revenue
-            FROM (
-                SELECT 'current' AS view_name, * FROM lineitem
-                UNION ALL
-                SELECT 'adjustment' AS view_name, * FROM lineitem
-            ) GROUP BY 1, 2
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3')
+            GROUP BY 1, 2
         """,
     },
 }
@@ -1303,21 +1299,40 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             FROM events GROUP BY 1
         """,
     },
-    # -- §2.2 metric filter -> HAVING (rotated out r9: HAVING stays
-    #    fuzz-covered and the part-grain rollup serving shape by q2;
-    #    slot went to op_token_quantiles)
-    "q11_having": {
+    # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
+    #    join forces join-then-agg (or sum/count OGB decomposition) so the
+    #    result is the TRUE average over joined rows, never avg-of-avgs.
+    #    Spark AVG(DECIMAL(8,2)) yields DECIMAL(12,6) via exact HALF_UP
+    #    division; the oracle replicates it with integer arithmetic
+    #    ((2a+b) // 2b is half-up a/b) because DuckDB divides decimals as
+    #    doubles. (Rotated out r12 after green driver rows every round
+    #    since r5 — its slot restored q11_having; AverageRollup keeps
+    #    on-contract coverage via q33's avg_price_rollup + fuzz.)
+    "q32_avg_rollup": {
         "request": {
             "cube": "tpch",
-            "selectFields": [{"field": "part_id"}, {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL,
-                                  {"field": "revenue", "operator": ">",
-                                   "value": 900000}],
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "avg_price_rollup"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
         },
         "sql": f"""
-            SELECT l_partkey AS part_id, {SQL_REVENUE} AS revenue
-            FROM lineitem GROUP BY 1
-            HAVING {SQL_REVENUE} > 900000
+            WITH s AS (
+                SELECT n_name,
+                       SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) AS cents,
+                       COUNT(*) AS n,
+                       {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            )
+            SELECT n_name AS nation_name,
+                   CAST((2 * cents * 10000 + n) // (2 * n) AS DOUBLE)
+                       / 1000000.0 AS avg_price_rollup,
+                   revenue
+            FROM s
         """,
     },
     # -- §2.5 dim-driven TOTALROWS (rotated out r9: dim-driven
@@ -1377,33 +1392,25 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    # -- §2.3 two independent join chains in one query (rotated out r9:
-    #    the two-chain plan stays pinned at the physical level in
-    #    test_plan_shape.py and this exact oracle; slot went to
-    #    op_freq_topk — the new mergeable frequent-items serve)
-    "q13_two_chains": {
+    # -- §2.7 union view (UNION ALL with per-branch constants; rotated
+    #    out r12 after driver-green rows r10+r11 — its slot restored
+    #    q13_two_chains; union folding keeps the fuzz union-battery
+    #    plus this exact pin)
+    "q16_union_view": {
         "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "nation_name"},
-                             {"field": "supp_nation_name"},
+            "cube": "tpch_union",
+            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
                              {"field": "revenue"}],
-            "filterExpressions": [
-                DAY_ALL,
-                {"field": "supp_nation_name", "operator": "in",
-                 "values": ["NATION_1", "NATION_2", "NATION_3"]},
-            ],
+            "filterExpressions": [DAY_ALL],
         },
         "sql": f"""
-            SELECT cn.n_name AS nation_name, sn.n_name AS supp_nation_name,
+            SELECT view_name, l_returnflag AS return_flag,
                    {SQL_REVENUE} AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation cn ON c_nationkey = cn.n_nationkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
-            WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3')
-            GROUP BY 1, 2
+            FROM (
+                SELECT 'current' AS view_name, * FROM lineitem
+                UNION ALL
+                SELECT 'adjustment' AS view_name, * FROM lineitem
+            ) GROUP BY 1, 2
         """,
     },
 }
