@@ -75,19 +75,34 @@ def model_physical_tables(model) -> list[str]:
 def table_stamps(binding, tables: list[str]) -> Optional[tuple]:
     """(table, version) per table — the ``_table_version`` stamp when
     present, root mtime as the local-FS fallback — or None when any
-    table's version cannot be resolved (no path-backed binding, missing
-    path) — the caller must then bypass the cache rather than risk
-    serving a stale result."""
+    BOUND table's version cannot be resolved, in which case the caller
+    bypasses the cache rather than risk serving a stale result.
+
+    A candidate with NO binding path at all (an advised rollup the
+    deployment never materialized — the normal state of the fact-
+    candidate set) is stamped with a -1.0 "absent" sentinel instead of
+    forcing a bypass: its absence is stable cacheable state, and
+    ``table_path`` existence-probes per call, so materializing it later
+    flips the sentinel to a real version and rotates every key that
+    embedded it. (Found by the r12 serving soak: the over-inclusive
+    candidate stamping otherwise bypassed the cache on EVERY request of
+    a deployment with unmaterialized rollup candidates.)"""
     from ..plans.versioning import table_version
 
     path_of = getattr(binding, "table_path", None)
     if path_of is None:
         return None
+    has_table = getattr(binding, "has_table", None)
     out = []
     for name in tables:
         p = path_of(name)
         if p is None:
-            return None
+            if has_table is not None and has_table(name):
+                # path-less but READABLE (override / catalog binding):
+                # it can change without any stamp moving — bypass
+                return None
+            out.append((name, -1.0))
+            continue
         v = table_version(p)
         if v < 0:
             return None

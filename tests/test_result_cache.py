@@ -239,3 +239,48 @@ def test_key_covers_schema_today_and_tables(spark):
     assert len({k1, k2, k3}) == 3
     assert canonical_request(b'{"a": 1}') == canonical_request('{"a":1}')
     assert canonical_request(object()) is not None  # repr fallback
+
+
+def test_unmaterialized_rollup_candidates_do_not_bypass(spark):
+    """r12 soak regression pin: a registry whose fact-candidate set
+    includes rollups the deployment never materialized (the NORMAL
+    state — the contract registry on plain testdata) must still cache.
+    The absent candidate is stamped with a -1.0 sentinel; materializing
+    it later flips the stamp (table_path existence-probes per call) and
+    rotates the key, so absence is safe cacheable state."""
+    import datetime as dt
+
+    from maha_spark.examples.contract import (QUERIES,
+                                              build_contract_registry)
+    from maha_spark.execution.result_cache import table_stamps
+    cache = ResultCache()
+    eng = MahaSparkEngine(spark, build_contract_registry(),
+                          ParquetBinding(spark, SRC),
+                          result_cache=cache)
+    req = QUERIES["q1_pricing_summary"]["request"]
+    model = eng.model(req)
+    tables = model_physical_tables(model)
+    assert any(t.startswith("lineitem_daily") for t in tables)
+    stamps = dict(table_stamps(eng.binding, tables))
+    assert stamps["lineitem"] > 0
+    assert stamps["lineitem_daily"] == -1.0  # absent candidate sentinel
+    first = eng.execute(req)
+    second = eng.execute(req)
+    assert second == first
+    assert cache.hits == 1 and cache.misses == 1 and cache.bypasses == 0
+    # key rotation on materialization is equivalent to the stamp moving:
+    # a key built with the candidate PRESENT differs from the absent one
+    k_absent = cache.key_for(model, eng.binding, req, "internal",
+                             dt.date(2002, 1, 1), "maha")
+
+    class _Probe:
+        def table_path(self, name):
+            if name == "lineitem_daily":
+                return os.path.join(SRC, "lineitem.parquet")  # any path
+            return eng.binding.table_path(name)
+
+        def has_table(self, name):
+            return True
+    k_present = cache.key_for(model, _Probe(), req, "internal",
+                              dt.date(2002, 1, 1), "maha")
+    assert k_absent != k_present
