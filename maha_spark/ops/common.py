@@ -172,6 +172,32 @@ def release_new_persistent_rdds(spark: SparkSession, before: set) -> int:
     return n
 
 
+def releases_checkpoints(fn):
+    """Release every RDD the wrapped rewrite persisted before it
+    returns: the maintenance primitives ``localCheckpoint`` their
+    survivor rows to decouple read-from-dir and overwrite-to-same-dir,
+    and once the write commits those blocks are dead weight — in a
+    long-lived serving session each maintenance cycle would otherwise
+    grow ``persistedRdds`` forever (found by the r12 soak probe's
+    residency counters). Only for functions that fully materialize
+    their result to storage and return plain values; never wrap
+    anything that returns a DataFrame depending on the blocks."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        spark = args[0] if args and isinstance(args[0], SparkSession) \
+            else None
+        if spark is None:
+            return fn(*args, **kwargs)
+        before = persistent_rdd_ids(spark)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            release_new_persistent_rdds(spark, before)
+    return wrap
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table via the engine's binding (nanos-timestamp safe,
     optionally cached).

@@ -328,27 +328,35 @@ def streaming_dedup_incremental(spark: SparkSession, docs_dir: str,
     from .dedup import DOC_SCHEMA
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
+        from .common import persistent_rdd_ids, release_new_persistent_rdds
         s = batch.sparkSession
-        bands_path = os.path.join(index_dir, BANDS_TABLE)
-        if os.path.exists(bands_path):
-            seen = s.read.parquet(bands_path).select("doc_id").distinct()
-            fresh = batch.join(seen, "doc_id", "left_anti")
-        else:
-            materialize_dedup_index(s, batch.limit(0), index_dir)
-            fresh = batch
-        # localCheckpoint: `fresh` is consumed three times (pairs kernel
-        # twice through dedup_incremental's branches, then the index
-        # append) and anti-joins against the very table the append
-        # mutates — materialize BEFORE writing, the compaction rule
-        # (plans/scale.py)
-        fresh = fresh.localCheckpoint(eager=True)
-        if not fresh.limit(1).count():
-            return      # fully-committed replay: keep its pairs, no-op
-        pairs = dedup_incremental(s, index_dir, fresh)
-        (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .parquet(os.path.join(pairs_dir, f"batch_id={batch_id}")))
-        update_dedup_index(s, index_dir, fresh, assume_new=True)
+        before = persistent_rdd_ids(s)
+        try:
+            bands_path = os.path.join(index_dir, BANDS_TABLE)
+            if os.path.exists(bands_path):
+                seen = (s.read.parquet(bands_path)
+                        .select("doc_id").distinct())
+                fresh = batch.join(seen, "doc_id", "left_anti")
+            else:
+                materialize_dedup_index(s, batch.limit(0), index_dir)
+                fresh = batch
+            # localCheckpoint: `fresh` is consumed three times (pairs
+            # kernel twice through dedup_incremental's branches, then
+            # the index append) and anti-joins against the very table
+            # the append mutates — materialize BEFORE writing, the
+            # compaction rule (plans/scale.py)
+            fresh = fresh.localCheckpoint(eager=True)
+            if not fresh.limit(1).count():
+                return  # fully-committed replay: keep its pairs, no-op
+            pairs = dedup_incremental(s, index_dir, fresh)
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(os.path.join(pairs_dir, f"batch_id={batch_id}")))
+            update_dedup_index(s, index_dir, fresh, assume_new=True)
+        finally:
+            # one checkpoint per micro-batch would otherwise accrete
+            # for the stream's whole life (the substring fold's rule)
+            release_new_persistent_rdds(s, before)
 
     q = (spark.readStream.schema(DOC_SCHEMA).format("parquet")
          .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .common import (duck_h60_sql, duck_words_sql, fs_delete, fs_exists,
                      fs_touch, h60_sql, load_table, persistent_rdd_ids,
+                     releases_checkpoints,
                      release_new_persistent_rdds, release_scoped_caches,
                      scoped_cache, words_sql)
 
@@ -378,6 +379,7 @@ def _seen_docs(spark: SparkSession, index_dir: str) -> DataFrame:
             .select("doc_id").distinct())
 
 
+@releases_checkpoints
 def reconcile_exsub_sidecar(spark: SparkSession, index_dir: str) -> None:
     """Rebuild the doc_id sidecar from the windows table (one
     single-column index scan). Run at ingest-stream (re)start: a crash
@@ -577,6 +579,7 @@ def streaming_exsub_incremental(spark: SparkSession, docs_dir: str,
     q.awaitTermination()
 
 
+@releases_checkpoints
 def compact_exsub_index(spark: SparkSession, index_dir: str,
                         target_file_mb: int = 256,
                         min_files: int = 8) -> int:
@@ -617,6 +620,7 @@ def compact_exsub_index(spark: SparkSession, index_dir: str,
     return want
 
 
+@releases_checkpoints
 def remove_docs_from_exsub_index(spark: SparkSession, index_dir: str,
                                  doc_ids: DataFrame) -> None:
     """Erase documents from the window-hash index (the GDPR-erasure /

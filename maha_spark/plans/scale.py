@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..ops.common import releases_checkpoints
+
 
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 n_salt: int = 8, how: str = "left") -> DataFrame:
@@ -138,6 +140,7 @@ def overwrite_day_partitions(df: DataFrame, dst_dir: str,
     bump_table_version(dst_dir)
 
 
+@releases_checkpoints
 def compact_day_partitions(spark: SparkSession, dst_dir: str,
                            partition_col: str = "dt",
                            target_file_mb: int = 256,
@@ -287,6 +290,7 @@ def zorder_expr(df: DataFrame, cols: list[str], zbits: int = 6,
     return z
 
 
+@releases_checkpoints
 def zorder_day_partitions(spark: SparkSession, dst_dir: str,
                           cols: list[str], partition_col: str = "dt",
                           target_file_mb: float = 256, zbits: int = 6,
@@ -365,6 +369,7 @@ def _refuse_null_keys(df: DataFrame, join_keys: list[str],
             f"replace/delete anything")
 
 
+@releases_checkpoints
 def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
                           dst_dir: str, keys: list[str],
                           partition_col: str = "dt",
@@ -432,6 +437,7 @@ def upsert_day_partitions(spark: SparkSession, delta: DataFrame,
                              max_records_per_file=max_records_per_file)
     return days
 
+@releases_checkpoints
 def delete_from_day_partitions(spark: SparkSession, tombstones: DataFrame,
                                dst_dir: str, keys: list[str],
                                partition_col: str = "dt",
