@@ -34,10 +34,15 @@ cache plumbing.
 
 The cycle's own file I/O (the explicit-sidecar existence gate here,
 the freq-compaction swap, the ExactSubstr file-stat probe) routes
-through the Hadoop FileSystem gateway, so the job runs unchanged on
-scheme-qualified (``s3a://``-style) artifact roots — the same
-portability contract as the version stamps it advances (pinned over
-``file://`` in ``tests/test_r12_hardening.py``).
+through the Hadoop FileSystem gateway, so the rollup and compaction
+legs run unchanged on scheme-qualified (``s3a://``-style) artifact
+roots — the same portability contract as the version stamps they
+advance (pinned over ``file://`` in ``tests/test_r12_hardening.py``).
+Scope caveat: the skipping-SIDECAR legs (advisor build + explicit
+refresh bodies) keep ``plans/skipping.py``'s documented local-FS
+driver-side index files; on an object store, point ``skip_base_dir``
+/ ``skip_tables`` at a local/NFS working root (per-step isolation
+records, rather than aborts on, a sidecar leg that cannot run).
 
 Failure isolation: a nightly job must not let one broken artifact
 starve every other artifact's refresh, and the report is what a
