@@ -224,6 +224,21 @@ def time_spark(queries, names, spark, data_dir, passes=2,
             except Exception as e:  # pragma: no cover - report, keep going
                 timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
+        # r12 measurement fix: drop the entry's op-scoped caches once its
+        # passes are done — the serving engine does exactly this per
+        # request (engine.execute's finally block), and ops/common.py has
+        # documented the per-entry release as the bench contract all
+        # along, but the loop never did it: ~40 cached frames accumulated
+        # across the 50-entry sweep, so late entries paid CacheManager
+        # scans + storage pressure no production request ever sees
+        # (entries that ran late in the alphabet measured 2-30x their
+        # fresh-session time; see OPTIMIZATION_r12.md). Within-entry
+        # pass-to-pass reuse is unaffected (release is per NAME).
+        try:
+            from maha_spark.ops.common import release_scoped_caches
+            release_scoped_caches()
+        except Exception:
+            pass
     return timings
 
 

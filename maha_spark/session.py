@@ -29,11 +29,33 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
     if pkg_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root)
+    # JIT code-cache sizing (driver JVM; must be in the env BEFORE the
+    # gateway launches — same mechanism as the PYTHONPATH export above).
+    # The engine's workload is many heterogeneous generated-code queries:
+    # with the JVM default (240 MB, segmented), the profiled-nmethods
+    # segment fills and HotSpot starts flushing warm methods, which then
+    # recompile on the next query — measured 779 s of accumulated JIT
+    # time across one 48-entry contract pass, with every op paying
+    # multi-second re-warmup. 512 MB holds the whole working set (peak
+    # observed use ~115 MB per segment). No-op if the caller already
+    # sized it or the JVM is up (r12 optimization round, guide §1/§7).
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            f"{opts} -XX:ReservedCodeCacheSize=512m".strip())
     return (
         SparkSession.builder
         .master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # static conf, applies at first-session JVM init: the 100-entry
+        # default LRU over compiled codegen classes thrashes under the
+        # contract's ~50 multi-stage queries — identical generated
+        # source was re-janino-compiled and re-JITed per entry (one-pass
+        # contract sweep measured 365 s -> 150 s from this alone; the
+        # cached classes are a few MB of metaspace). Cluster-safe: the
+        # same thrash hits any long-lived serving driver.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
