@@ -38,8 +38,20 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     Generated as explode(position indices) with the md5 computed AFTER
     the Generate — exploding a computed hash array re-evaluates the whole
     array per output row (see ops/text.py ``gram_rows_spark``)."""
+    from pyspark.sql import functions as F
     n = SHINGLE_N
-    return (docs.selectExpr("doc_id", f"{words_sql()} AS w")
+    # hash-partition by doc_id BEFORE the explode: the candidate side's
+    # per-doc DISTINCT and both per-doc groupBys downstream cluster on
+    # key sets containing doc_id, so this one exchange (carrying the
+    # compact words arrays, not the 32-byte-hex shingle rows it
+    # replaces) satisfies all of them — 3 Exchanges -> 1 on the
+    # candidate subtree (guide §2.3/§2.4; r12 plan audit). The bench
+    # side's DISTINCT(h) keeps its own (small) exchange as before.
+    # applied to docs DIRECTLY (before the projection) so it sits
+    # adjacent to load_table's harness-scale round-robin repartition and
+    # CollapseRepartition folds the two into one exchange
+    return (docs.repartition(F.col("doc_id"))
+            .selectExpr("doc_id", f"{words_sql()} AS w")
             .selectExpr(
                 "doc_id", "w",
                 f"explode(CASE WHEN size(w) >= {n} THEN "

@@ -792,19 +792,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     ``_ckpt``).
     """
     from pyspark.sql import functions as F
-    # one pass computes simhash per doc; checkpoint so the value collapse
+
+    def pin(df: DataFrame) -> DataFrame:
+        """Materialization pin for multiply-consumed frames. Default:
+        a lifecycle-tracked cache — LAZY, so it adds no eager driver
+        job (the r12 job-count audit found the four eager
+        localCheckpoints + the sizing count here serialized ~6 driver
+        round-trips per call, the dominant cost of this op — and of
+        ``op_curate``, which runs it again — at harness scale; a lost
+        executor just recomputes from lineage). ``reliable_checkpoint``
+        deployments keep the durable ``checkpoint()``."""
+        return _ckpt(df, True) if reliable_checkpoint else scoped_cache(df)
+
+    # one pass computes simhash per doc; pinned so the value collapse
     # and the final label join both re-read instead of re-hashing
-    sh = _ckpt(dedup_simhash(spark, sf_dir).select("doc_id", "simhash"),
-               reliable_checkpoint)
-    # eager checkpoint: the chunk explode AND the final label join both
-    # re-read it, and the (cheap, post-materialization) count below sizes
-    # the value-graph shuffles from the data instead of a constant
-    vals = _ckpt(sh.groupBy("simhash").agg(F.min("doc_id").alias("rep")),
-                 reliable_checkpoint)
-    n_vals = vals.count()
+    sh = pin(dedup_simhash(spark, sf_dir).select("doc_id", "simhash"))
+    # pinned: the chunk explode AND the final label join both re-read it
+    vals = pin(sh.groupBy("simhash").agg(F.min("doc_id").alias("rep")))
 
     # pigeonhole chunk join between DISTINCT simhash values (lossless for
-    # hamming <= HAMMING_T with SIMHASH_CHUNKS > HAMMING_T differing chunks)
+    # hamming <= HAMMING_T with SIMHASH_CHUNKS > HAMMING_T differing
+    # chunks). The value-level graph is orders of magnitude smaller than
+    # the corpus; AQE partition coalescing (on by default in the session)
+    # sizes its post-shuffle stages from the data — the r11 shape
+    # additionally pre-counted the distinct values (one eager driver job)
+    # to cap spark.sql.shuffle.partitions by hand, which duplicated what
+    # AQE already does (``cc_shuffle_cap`` stays public for deployments
+    # that run with AQE off).
     chunks = (vals.selectExpr(
                   "simhash", "rep",
                   f"explode(sequence(0, {SIMHASH_CHUNKS - 1})) AS c")
@@ -817,82 +831,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     edges_dir = (a.join(b, "ck").filter("u < v")
                  .filter(f"bit_count(ush ^ vsh) <= {HAMMING_T}")
                  .select("u", "v").distinct())
-    # the whole value-level graph is orders of magnitude smaller than the
-    # corpus — run its shuffles on bounded partitions (per-stage
-    # task-launch overhead would otherwise dominate), with the cap
-    # derived from the measured distinct-value count, not a constant
-    from ..streaming.hourly import bounded_shuffle
-    with bounded_shuffle(spark, cap=cc_shuffle_cap(spark, n_vals)):
-        pairs = _ckpt(edges_dir, reliable_checkpoint)
-        # the mirrored edge view stays LAZY: both consumers re-read the
-        # checkpointed pairs, cheaper than materializing the 2x edge list
-        edges = (pairs.selectExpr("u", "v")
-                 .unionByName(pairs.selectExpr("v AS u", "u AS v")))
+    pairs = pin(edges_dir)
+    # the mirrored edge view stays LAZY: both consumers re-read the
+    # pinned pairs, cheaper than materializing the 2x edge list
+    edges = (pairs.selectExpr("u", "v")
+             .unionByName(pairs.selectExpr("v AS u", "u AS v")))
 
-        # star contraction: min over each vertex's neighborhood (+ itself)
-        first = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-                 .selectExpr("u AS rep", "least(u, mv) AS label"))
+    # star contraction: min over each vertex's neighborhood (+ itself)
+    first = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+             .selectExpr("u AS rep", "least(u, mv) AS label"))
 
-        # bridge graph: only edges crossing label boundaries survive
-        rep_edges = _ckpt(
-            edges
-            .join(first.selectExpr("rep AS u", "label AS lu"), "u")
-            .join(first.selectExpr("rep AS v", "label AS lv"), "v")
-            .selectExpr("lu AS u", "lv AS v")
-            .filter("u != v").distinct(), reliable_checkpoint)
+    # bridge graph: only edges crossing label boundaries survive
+    rep_edges = pin(
+        edges
+        .join(first.selectExpr("rep AS u", "label AS lu"), "u")
+        .join(first.selectExpr("rep AS v", "label AS lv"), "v")
+        .selectExpr("lu AS u", "lv AS v")
+        .filter("u != v").distinct())
 
-        n_bridge = rep_edges.count()
-        if n_bridge == 0:
-            rep_labels = first.selectExpr("rep", "label")
-        elif n_bridge <= LOCAL_CC_MAX_EDGES:
-            # two-phase CC: the distributed star contraction already
-            # collapsed every clique, so the surviving bridge graph is
-            # inter-clique links only. Under the explicit edge cap the
-            # Arrow-backed toPandas lands two primitive int64 arrays
-            # (~32 MB at the cap — no per-row Row objects) and a
-            # driver-side union-find finish replaces
-            # ~O(log d) distributed rounds of join+groupBy+checkpoint
-            # driver latency — a BOUNDED collect, same pattern as the
-            # capped query side of sim_topk. Above the cap the
-            # distributed min-label loop runs instead.
-            parent: dict = {}
+    n_bridge = rep_edges.count()
+    if n_bridge == 0:
+        rep_labels = first.selectExpr("rep", "label")
+    elif n_bridge <= LOCAL_CC_MAX_EDGES:
+        # two-phase CC: the distributed star contraction already
+        # collapsed every clique, so the surviving bridge graph is
+        # inter-clique links only. Under the explicit edge cap the
+        # Arrow-backed toPandas lands two primitive int64 arrays
+        # (~32 MB at the cap — no per-row Row objects) and a
+        # driver-side union-find finish replaces
+        # ~O(log d) distributed rounds of join+groupBy+checkpoint
+        # driver latency — a BOUNDED collect, same pattern as the
+        # capped query side of sim_topk. Above the cap the
+        # distributed min-label loop runs instead.
+        parent: dict = {}
 
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-            edges_pdf = rep_edges.toPandas()  # 2 int64 cols, Arrow
-            for u, v in zip(edges_pdf["u"].to_numpy(),
-                            edges_pdf["v"].to_numpy()):
-                u, v = int(u), int(v)
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    # union by min so the root IS the component minimum
-                    if ru < rv:
-                        parent[rv] = ru
-                    else:
-                        parent[ru] = rv
-            roots = spark.createDataFrame(
-                [(k, find(k)) for k in list(parent)],
-                "doc_id long, label long")
-            rep_labels = (first.join(
-                              F.broadcast(roots.selectExpr(
-                                  "doc_id AS label", "label AS root")),
-                              "label", "left_outer")
-                          .selectExpr("rep",
-                                      "coalesce(root, label) AS label"))
-        else:
-            roots = _min_label_cc(rep_edges, max_iters,
-                                  reliable_checkpoint)
-            rep_labels = (first.join(roots.selectExpr("doc_id AS label",
-                                                      "label AS root"),
-                                     "label", "left_outer")
-                          .selectExpr("rep",
-                                      "coalesce(root, label) AS label"))
+        edges_pdf = rep_edges.toPandas()  # 2 int64 cols, Arrow
+        for u, v in zip(edges_pdf["u"].to_numpy(),
+                        edges_pdf["v"].to_numpy()):
+            u, v = int(u), int(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the root IS the component minimum
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        # Arrow-path createDataFrame (pandas in, no Python-RDD stage):
+        # the local-rows list form serializes through a Python worker
+        # round per action — the write_sentinel lesson
+        import pandas as _pd
+        roots = spark.createDataFrame(
+            _pd.DataFrame({"doc_id": [int(k) for k in parent],
+                           "label": [int(find(k)) for k in parent]}),
+            "doc_id long, label long")
+        rep_labels = (first.join(
+                          F.broadcast(roots.selectExpr(
+                              "doc_id AS label", "label AS root")),
+                          "label", "left_outer")
+                      .selectExpr("rep",
+                                  "coalesce(root, label) AS label"))
+    else:
+        roots = _min_label_cc(rep_edges, max_iters,
+                              reliable_checkpoint)
+        rep_labels = (first.join(roots.selectExpr("doc_id AS label",
+                                                  "label AS root"),
+                                 "label", "left_outer")
+                      .selectExpr("rep",
+                                  "coalesce(root, label) AS label"))
 
     # docs rejoin through their simhash value; singleton values (no edge)
     # keep their own rep as the cluster label

@@ -49,12 +49,19 @@ SHINGLES_TABLE = "dedup_shingles"
 
 def materialize_dedup_index(spark: SparkSession, docs: DataFrame,
                             dst_dir: str) -> str:
-    """Build the corpus index under ``dst_dir`` (full rebuild)."""
-    base = lsh_shingle_frame(docs)
-    (lsh_band_frame(base).write.mode("overwrite")
+    """Build the corpus index under ``dst_dir`` (full rebuild).
+
+    The shingle table is written FIRST and the band build reads it back
+    from parquet: bands are a pure function of ``(doc_id, sh)``, so this
+    is bit-identical to deriving both from the live frame while paying
+    the tokenize+shingle+md5 chain once instead of twice — and the
+    second pass is a columnar scan of exactly the two columns the
+    minhash needs (r12; guide §1.2 "don't compute things twice")."""
+    sh_path = os.path.join(dst_dir, SHINGLES_TABLE)
+    lsh_shingle_frame(docs).write.mode("overwrite").parquet(sh_path)
+    (lsh_band_frame(spark.read.parquet(sh_path))
+     .write.mode("overwrite")
      .parquet(os.path.join(dst_dir, BANDS_TABLE)))
-    (base.write.mode("overwrite")
-     .parquet(os.path.join(dst_dir, SHINGLES_TABLE)))
     return dst_dir
 
 
@@ -101,8 +108,16 @@ def dedup_incremental(spark: SparkSession, index_dir: str,
     corpus was indexed). Pairs are canonicalized a_id < b_id."""
     from pyspark.sql import functions as F
 
-    base_new = lsh_shingle_frame(new_docs)
-    bands_new = lsh_band_frame(base_new)
+    from .common import scoped_cache
+
+    # the batch-side frames are consumed repeatedly (shingles: the
+    # unified verification source + the band build; bands: both sides of
+    # the new-vs-new self-join plus the new-vs-corpus probe), and both
+    # are md5-heavy — cache them so the chains evaluate once per batch.
+    # Batch-sized by construction (the crawl drop), so the blocks are
+    # bounded; lifecycle-tracked via scoped_cache (r12, guide §1.2).
+    base_new = scoped_cache(lsh_shingle_frame(new_docs))
+    bands_new = scoped_cache(lsh_band_frame(base_new))
     idx_bands = spark.read.parquet(os.path.join(index_dir, BANDS_TABLE))
     idx_sh = spark.read.parquet(os.path.join(index_dir, SHINGLES_TABLE))
 

@@ -161,27 +161,29 @@ def gram_rows_spark(words_df: "DataFrame", ns) -> "DataFrame":
     """(doc_id, n, gram) rows for every width in ``ns`` over a
     ``(doc_id, w)`` frame.
 
-    The gram string is built AFTER the explode, from cheap position
-    indices: ``explode`` of a *computed* array re-evaluates the array
-    expression once per OUTPUT row (GenerateExec keeps the generator
-    child inline), which made the build-arrays-then-explode form O(doc
-    length) per emitted gram — measured 165x slower than this shape at
-    sf0.1. Post-explode, ``array_join(slice(w, i, n))`` touches only the
-    n elements of its own gram."""
-    branches = []
-    for n in sorted(set(ns)):
-        branches.append(
-            words_df.selectExpr(
-                "doc_id", "w",
-                f"explode(CASE WHEN size(w) >= {n} THEN "
-                f"sequence(1, size(w) - {n} + 1) ELSE "
-                f"array() END) AS i")
-            .selectExpr("doc_id", f"{n} AS n",
-                        f"array_join(slice(w, i, {n}), ' ') AS gram"))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    ONE source scan, two chained Generate-safe explodes: positions
+    first (a cheap index ``sequence``), then the literal width array,
+    with ``i + n - 1 <= size(w)`` keeping exactly the in-range (i, n)
+    pairs — the same row set the previous per-width UNION produced
+    from FOUR separate scans of the base, each with its own
+    repartition Exchange (plan-audited r12: the union form put 4
+    Exchange+Generate chains over identical input into every
+    text-profile plan; guide §2.4). The gram string is still built
+    AFTER the explodes, from position indices: ``explode`` of a
+    *computed* array re-evaluates the array expression once per OUTPUT
+    row (GenerateExec keeps the generator child inline), which made
+    the build-arrays-then-explode form O(doc length) per emitted gram
+    — measured 165x slower at sf0.1. Post-explode,
+    ``array_join(slice(w, i, n))`` touches only its own n elements."""
+    widths = ", ".join(str(n) for n in sorted(set(ns)))
+    return (words_df
+            .selectExpr("doc_id", "w",
+                        "explode(sequence(1, size(w))) AS i")
+            .selectExpr("doc_id", "w", "i",
+                        f"explode(array({widths})) AS n")
+            .filter("i + n - 1 <= size(w)")
+            .selectExpr("doc_id", "n",
+                        "array_join(slice(w, i, n), ' ') AS gram"))
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +200,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from .common import load_table
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.selectExpr("doc_id", f"{words_sql()} AS w")
+    # hash-partition by doc_id ONCE at the source: every downstream
+    # operator here — groupBy(doc_id, n, gram), groupBy(doc_id, n),
+    # groupBy(doc_id), and the n_words join — clusters on a key SET
+    # containing doc_id, so HashPartitioning(doc_id) satisfies all of
+    # them and the three sequential agg Exchanges collapse to this one
+    # (guide §2.4 "operations keyed the same way share one exchange";
+    # plan-audited r12: 4 Exchanges -> 1 on the repetition subtree).
+    # No partition count given, so AQE stays free to size it; doc_id is
+    # effectively unique per row — no skew. Partial aggregation is
+    # unchanged (map-side combine still runs inside each partition).
+    # (applied to docs BEFORE the projection so it sits adjacent to
+    # load_table's harness-scale round-robin repartition and
+    # CollapseRepartition folds the two into one exchange)
+    base = (docs.repartition(F.col("doc_id"))
+            .selectExpr("doc_id", f"{words_sql()} AS w"))
     g = gram_rows_spark(base, {*TOP_NS, *DUP_NS})
     per_gram = g.groupBy("doc_id", "n", "gram").count()
     per_n = per_gram.groupBy("doc_id", "n").agg(
