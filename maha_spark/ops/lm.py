@@ -75,10 +75,15 @@ def _bigrams_ext(docs: DataFrame) -> DataFrame:
                         "CASE WHEN i < size(w) THEN w[i] END AS w2"))
 
 
-def _count_model(train: DataFrame) -> tuple[DataFrame, int]:
+def _count_model(train: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     """Fit the add-k bigram count model in one training-corpus pass:
-    returns ``(counts, v)`` where ``counts`` is the vocabulary-bounded
-    ``(w1, w2, c2, c1)`` table and ``v`` the unigram vocabulary size.
+    returns ``(nz, c1, v)`` — the vocabulary-bounded bigram counts
+    ``(w1, w2, c2)``, the context totals ``(w1, c1)``, and the unigram
+    vocabulary size ``v``. Callers that want the single persisted-model
+    table join the two (``lm_fit`` does); the in-memory scorer joins
+    each piece directly instead, which keeps the counts-assembly join
+    and the ``(w1, c1)`` re-DISTINCT out of the scoring plan (r12 —
+    they re-derived what this function already had separated).
     Raises ``ValueError`` on an empty / token-free training corpus —
     v = 0 would otherwise turn every smoothed probability into a silent
     NULL (ln of k/0) downstream."""
@@ -103,8 +108,7 @@ def _count_model(train: DataFrame) -> tuple[DataFrame, int]:
     # both branches read the same grouped rows)
     nz = g.filter("w2 IS NOT NULL")
     c1 = nz.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    counts = nz.join(c1, "w1")
-    return counts, v
+    return nz, c1, v
 
 
 def lm_perplexity_frame(docs: DataFrame,
@@ -127,11 +131,10 @@ def lm_perplexity_frame(docs: DataFrame,
     # grouped form); V is collected eagerly — it both inlines the
     # smoothing constant as a literal (no broadcast crossJoin) and
     # fails fast on an empty training corpus
-    counts, v = _count_model(train)
-    c1s = counts.select("w1", "c1").distinct()
+    nz, c1, v = _count_model(train)
     sb = _bigrams(docs)
-    scored = (sb.join(counts.select("w1", "w2", "c2"), ["w1", "w2"], "left")
-              .join(c1s, ["w1"], "left")
+    scored = (sb.join(nz, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
               .selectExpr(
                   "doc_id",
                   f"CAST(round(ln(CAST(coalesce(c2, 0) + {k} AS DOUBLE) "
@@ -236,8 +239,8 @@ def lm_fit(spark: SparkSession, train: DataFrame, dst_dir: str) -> str:
     ``tests/test_ops_lm.py``)."""
     import os
 
-    counts, v = _count_model(train)   # one corpus pass; v > 0 enforced
-    counts.write.mode("overwrite").parquet(
+    nz, c1, v = _count_model(train)   # one corpus pass; v > 0 enforced
+    nz.join(c1, "w1").write.mode("overwrite").parquet(
         os.path.join(dst_dir, COUNTS_TABLE))
     (spark.createDataFrame([(v,)], "v BIGINT")
      .write.mode("overwrite").parquet(os.path.join(dst_dir, META_TABLE)))
