@@ -139,13 +139,23 @@ def freq_topk_serve(partials: DataFrame, group_cols: list[str], k: int,
     ranked = scored.withColumn("rank", F.row_number().over(w))
     # the adversary's best case: the largest upper bound among values we
     # will NOT report — either a stored-but-outranked value, or a value
-    # never stored anywhere (bounded by the full residual capacity)
-    threat = (ranked.groupBy(*group_cols)
-              .agg(F.coalesce(
-                       F.max(F.when(F.col("rank") > k, F.col("count_ub"))),
-                       F.lit(0)).alias("_dropped_ub")))
-    out = (ranked.filter(F.col("rank") <= k)
-           .join(threat, group_cols)
+    # never stored anywhere (bounded by the full residual capacity).
+    # Computed as a SECOND window over the same group partitioning
+    # (whole-partition frame), not a groupBy + self-join: the old shape
+    # consumed `ranked` twice — the un-cached explode/agg/join/sort
+    # subtree ran once per consumer — and added an aggregation exchange
+    # plus a join for a per-group scalar the rank window's partitions
+    # already hold (r12, guide §2.4: operations keyed the same way
+    # share one exchange; same values bit-for-bit — max/when/coalesce
+    # over identical rows).
+    wg = Window.partitionBy(*group_cols)
+    out = (ranked.withColumn(
+               "_dropped_ub",
+               F.coalesce(
+                   F.max(F.when(F.col("rank") > k,
+                                F.col("count_ub"))).over(wg),
+                   F.lit(0)))
+           .filter(F.col("rank") <= k)
            .withColumn("guaranteed",
                        F.col("count_lb") >=
                        F.greatest(F.col("_dropped_ub"),

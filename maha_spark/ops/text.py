@@ -31,10 +31,13 @@ def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
         flt = lambda lst: (f"size(filter({words}, w -> w IN ({_in_list(lst)})))")
         n_tok = f"size({words})"
         n_dis = f"size(array_distinct({words}))"
-        sum_len = (f"aggregate(transform({words}, w -> length(w)), 0, "
-                   f"(acc, x) -> acc + x)")
-        roll = (f"aggregate(transform({words}, w -> {h28_sql('w')}), "
-                f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {ROLL_P})")
+        # fold directly over the word array — the transform-then-aggregate
+        # spelling materialized a same-length intermediate array per row
+        # just to fold it away (r12, guide §4.2: per-task work; results
+        # identical — aggregate is the same strict left fold either way)
+        sum_len = f"aggregate({words}, 0, (acc, w) -> acc + length(w))"
+        roll = (f"aggregate({words}, CAST(0 AS BIGINT), "
+                f"(acc, w) -> (acc * 31 + {h28_sql('w')}) % {ROLL_P})")
         fp_sorted = f"md5(array_join(array_sort(array_distinct({words})), ' '))"
     else:
         flt = lambda lst: (f"len(list_filter({words}, "
@@ -54,7 +57,11 @@ def _stats_exprs(words: str, spark_side: bool) -> dict[str, str]:
     # whitespace in the corpus so the class stays engine-identical)
     bpe_re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
     if spark_side:
-        n_bpe = f"size(regexp_extract_all(text, '{bpe_re}', 0))"
+        # count matches without materializing the match array (r12,
+        # guide §4.2): regexp_count walks the same non-overlapping
+        # left-to-right matches size(regexp_extract_all(...)) counted,
+        # minus one string-array allocation per row
+        n_bpe = f"regexp_count(text, '{bpe_re}')"
     else:
         n_bpe = f"len(regexp_extract_all(text, '{bpe_re}'))"
 
@@ -116,7 +123,8 @@ def _pii_exprs(spark_side: bool) -> dict[str, str]:
     Spark's regexp_replace is replace-all; DuckDB needs the 'g' flag."""
     def count(pat: str) -> str:
         if spark_side:
-            return f"size(regexp_extract_all(text, '{pat}', 0))"
+            # same regexp_count-for-extract_all swap as n_bpe (r12)
+            return f"regexp_count(text, '{pat}')"
         return f"len(regexp_extract_all(text, '{pat}'))"
 
     red = pii_redact_sql(spark_side)

@@ -147,15 +147,22 @@ def test_op_matches_inline_oracle(spark, duck, sf_dir):
     assert got == want and got
 
 
-def test_serve_plan_uses_window_group_limit(spark):
-    """The serve's reported branch (rank <= k) must compile with
-    WindowGroupLimit — Spark's top-k window pushdown inserts
-    per-partition partial limits before the final window sort, so the
-    reported-items branch never fully sorts a group's stored values.
-    (The BUILD intentionally has no such pushdown: every rank feeds
-    either the kept map or the residual scalars, so all rows are
-    consumed — asserted here too so a future 'optimization' that drops
-    tail rows fails loudly.)"""
+def test_serve_plan_single_pass(spark):
+    """The serve must compile to a SINGLE pass over the stored items
+    (r12 shape): the threat bound (max count_ub among rank > k) is a
+    second window function over the same group partitioning, evaluated
+    in the same sorted pass as the rank — NOT a groupBy + self-join.
+    The pre-r12 shape consumed the ranked subtree twice (the stored-item
+    explode and aggregation ran once per consumer when uncached) and
+    paid an aggregation exchange plus a join for a per-group scalar;
+    its rank<=k branch carried a WindowGroupLimit, but the threat
+    branch inherently consumes every row, so the pushdown never saved
+    the full sort. Pins: the explode appears ONCE in the plan, exactly
+    one join (items x caps — threat no longer joins), and no exchange
+    between the two window operators (same partitioning). The BUILD
+    intentionally has no WindowGroupLimit: every rank feeds either the
+    kept map or the residual scalars, so all rows are consumed —
+    asserted so an 'optimization' that drops tail rows fails loudly."""
     df = (spark.range(1000)
           .selectExpr("CAST(id % 37 AS STRING) AS v", "id % 3 AS g"))
     parts = freq_items_partial(df, ["g"], "v", k=4)
@@ -163,9 +170,24 @@ def test_serve_plan_uses_window_group_limit(spark):
         .fromString("formatted")
     assert "WindowGroupLimit" not in \
         parts._jdf.queryExecution().explainString(mode)
-    served = freq_topk_serve(parts, ["g"], k=2)
-    assert "WindowGroupLimit" in \
-        served._jdf.queryExecution().explainString(mode)
+    served = freq_topk_serve(parts.cache(), ["g"], k=2)
+    plan = served._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    # pin the SERVE portion only: the cached partials' stored build plan
+    # (inside InMemoryRelation) has its own Window/Exchange nodes
+    imr = [i for i, ln in enumerate(lines) if "InMemoryRelation" in ln]
+    if imr:
+        lines = lines[:imr[0]]
+    assert sum("Generate" in ln for ln in lines) == 1, tree
+    assert sum("Join" in ln for ln in lines) == 1, tree
+    # the two Window operators share one sort/partitioning: no Exchange
+    # or Sort may sit between them
+    widx = [i for i, ln in enumerate(lines) if "Window (" in ln]
+    assert len(widx) == 2, tree
+    between = lines[min(widx) + 1:max(widx)]
+    assert not any("Exchange" in ln or "Sort" in ln for ln in between), tree
+    parts.unpersist()
 
 
 def test_reserved_group_col_names_refuse(spark):

@@ -137,10 +137,14 @@ def test_compact_freq_partials_crash_swap_recovers(spark, tmp_path,
         (freq_items_partial(_freq_events(spark, vals), ["day"], "user_id")
          .write.parquet(os.path.join(pdir, f"batch_id={bid}")))
 
-    def boom(src, dst):
+    # the swap is routed through the Hadoop-FS gateway since the r12
+    # object-store work (ops.common.fs_rename), so THAT is the seam to
+    # sever — an os.rename patch no longer intercepts the rename
+    def boom(_spark, src, dst):
         raise OSError("simulated crash before rename")
 
-    monkeypatch.setattr(os, "rename", boom)
+    from maha_spark.ops import common as ops_common
+    monkeypatch.setattr(ops_common, "fs_rename", boom)
     with pytest.raises(OSError, match="simulated crash"):
         compact_freq_partials(spark, pdir)
     monkeypatch.undo()
