@@ -273,7 +273,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     cap — including the driver's oracle-checked fixtures — the output
     is exactly the all-pairs answer."""
     docs = load_table(spark, sf_dir, "documents")
-    base = lsh_shingle_frame(docs)
+    # the shingle frame feeds the band build AND both verify joins —
+    # uncached, each verify side re-ran the tokenize+shingle chain from
+    # the source (two extra corpus passes; the same miss
+    # dedup_incremental fixed r12, guide §1.2)
+    base = scoped_cache(lsh_shingle_frame(docs))
     # the band frame feeds BOTH sides of the bucket-count join (the
     # groupBy and the probe), so cache it — the md5-heavy minhash
     # permutations evaluate once; then ONE cached counted frame feeds

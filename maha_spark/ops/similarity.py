@@ -441,6 +441,24 @@ def _ivf_assign(emb: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
                   f"({dot_fold_sql('embedding', 'centroid')} "
                   f"/ (sqrt({dot_fold_sql('embedding', 'embedding')}) * "
                   f"sqrt({dot_fold_sql('centroid', 'centroid')}))) AS sim"))
+    if probe == 1:
+        # single-cell assignment is an argmax, not a rank: a map-side-
+        # combined max_by collapses each vector's k candidate rows
+        # INSIDE its scan partition (the broadcast crossJoin emits them
+        # adjacently), so the exchange carries one row per vector
+        # instead of k and no sort runs (r12, guide §2.3 "aggregate
+        # before you shuffle"; the window spelling shuffled corpus x k
+        # rows, then sorted every k-row group). The (sim DESC, cell
+        # ASC) tie-break is the struct max on (sim, -cell) — structs
+        # compare lexicographically with the same double total order
+        # (NaN greatest) the window sort used, and (sim, -cell) is
+        # unique per vector, so the chosen row is identical.
+        return (scored.groupBy("vec_id")
+                .agg(F.expr("max_by(struct(embedding, cell, sim), "
+                            "struct(sim, -cell))").alias("_b"))
+                .selectExpr("vec_id", "_b.embedding AS embedding",
+                            "_b.cell AS cell", "CAST(1 AS INT) AS crank",
+                            "_b.sim AS sim"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell").asc())
     return (scored.withColumn("crank", F.row_number().over(w))

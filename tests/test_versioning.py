@@ -112,8 +112,10 @@ def test_binding_cache_invalidates_on_stamp_only_storage(spark, tmp_path,
 def test_result_cache_stamps_on_stamp_only_storage(spark, tmp_path,
                                                    monkeypatch):
     """table_stamps must change across a rewrite with mtime shimmed out
-    (stamp carries the version), and resolve to None for a version-less
-    path (bypass, never stale)."""
+    (stamp carries the version). An ABSENT table (no binding path, not
+    readable) stamps as the stable -1.0 sentinel — its absence is
+    cacheable state; a READABLE path-less table still forces a bypass
+    (it can change without any stamp moving)."""
     from maha_spark.execution.result_cache import table_stamps
 
     base = str(tmp_path)
@@ -129,7 +131,16 @@ def test_result_cache_stamps_on_stamp_only_storage(spark, tmp_path,
     _mk_table(spark, t, mod=3)
     s2 = table_stamps(_B(), ["facts"])
     assert s1 and s2 and s1 != s2
-    assert table_stamps(_B(), ["missing"]) is None
+    # absent candidate (e.g. a never-materialized advised rollup):
+    # stable sentinel, not a bypass
+    assert table_stamps(_B(), ["missing"]) == (("missing", -1.0),)
+
+    class _BReadable(_B):
+        def has_table(self, name):
+            return True
+
+    # readable but path-less (catalog/override binding): bypass
+    assert table_stamps(_BReadable(), ["missing"]) is None
 
 
 def test_skipping_staleness_on_stamp_only_storage(spark, tmp_path,
