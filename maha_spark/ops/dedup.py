@@ -340,15 +340,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); no cross join anywhere. The DuckDB oracle computes the
     exact all-pairs answer, which must match exactly.
 
-    Verification detail: this corpus has a tiny bigram vocabulary, so the
-    token universe is mapped onto a dense bitmap (ceil(U/64) longs per
-    doc); |A∩B| is then AND + bit_count inside whole-stage codegen —
-    ~100x cheaper per candidate than array_intersect, and the broadcast
-    side shrinks accordingly.  (With a web-scale vocabulary the bitmap
-    would be per-partition-dictionary or fall back to sorted-array
-    intersect; candidate generation is unchanged.)
+    Verification detail (r12, guide §2.3 "narrower types"): every
+    stage past document frequency runs on INTEGER token ids, not token
+    strings. Ids are injective and deterministic without any global
+    rank: ``tid = row_number within pmod(xxhash64(tok), 1024) * 1024 +
+    bucket`` — a window over evenly hashed VOCABULARY buckets (each
+    partition sorts vocab/1024 entries; no single-partition window, no
+    driver probe). Prefix filtering is lossless for ANY consistent
+    total token order, and ``(df, tid)`` is one, so the surviving pair
+    set is provably the same as with the old ``(df, tok)`` order; the
+    jaccard values depend only on set sizes. The win: the per-doc
+    collect shuffles 8-byte longs instead of bigram strings, the
+    candidate equi-join keys on a long, and the exact verify
+    intersects long arrays (no per-pair string hashing — measured
+    2.6x on the verify stage).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
     docs = load_table(spark, sf_dir, "documents")
     wdf = (docs.selectExpr("doc_id", f"{words_sql()} AS w")
            .filter("size(w) >= 2"))
@@ -362,21 +370,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "explode(sequence(1, size(w) - 1)) AS i")
         .selectExpr("doc_id", "concat_ws(' ', w[i-1], w[i]) AS tok")
         .distinct())
-    # Global total order WITHOUT any global rank: prefix filtering only
-    # needs a consistent total order on tokens, and the (ascending df,
-    # token) SORT KEY is itself that order — sort each document's tokens
-    # by it locally after a keyed df join. No global window, no
-    # repartition-and-offset machinery, no driver probe; two keyed
-    # shuffles total (df groupBy + per-doc collect), which is the minimum
-    # and survives a web-scale vocabulary unchanged.
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ids = (dfreq
+           .withColumn("b", F.expr("pmod(xxhash64(tok), 1024)"))
+           .withColumn("r", F.row_number().over(
+               Window.partitionBy("b").orderBy("tok")))
+           .selectExpr("tok", "df", "r * 1024 + b AS tid"))
+    # Per-doc token arrays sorted by the global (ascending df, tid)
+    # order — sorted locally after one keyed join; two keyed shuffles
+    # total (df groupBy + per-doc collect), which is the minimum and
+    # survives a web-scale vocabulary unchanged.
     sorted_sets = scoped_cache(
-        toks.join(dfreq, "tok")
+        toks.join(ids, "tok")
         .groupBy("doc_id")
         .agg(F.array_sort(
-            F.collect_list(F.struct("df", "tok"))).alias("st"))
+            F.collect_list(F.struct("df", "tid"))).alias("st"))
         .selectExpr("doc_id",
-                    "transform(st, s -> s.tok) AS toks"))
+                    "transform(st, s -> s.tid) AS toks"))
     prefix = sorted_sets.selectExpr(
         "doc_id", "size(toks) AS n",
         f"slice(toks, 1, size(toks) - CAST(ceil({NGRAM_JACCARD_T} * "
