@@ -798,8 +798,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     3. STAR CONTRACTION + the tiny bridge-graph min-label loop
        (``_min_label_cc``) label the reps; docs rejoin through their
        simhash value (one broadcast-size join), singleton values keep
-       ``label = rep``. The corpus-size frame is touched exactly twice:
-       once to compute simhash, once to join labels back.
+       ``label = rep``. Cluster sizes aggregate at the VALUE level too
+       (sum of per-value doc counts carried from the collapse — r12,
+       guide §2.3 "aggregate before you shuffle"; the old doc-level
+       ``groupBy(label)`` re-evaluated the corpus-size label join just
+       to count rows the collapse had already counted). The corpus-size
+       frame is touched exactly twice: once to compute simhash, once
+       for the single final label+size join.
 
     ``reliable_checkpoint=True`` switches lineage truncation to
     fault-tolerant ``checkpoint()`` for cluster deployments (see
@@ -821,8 +826,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     # one pass computes simhash per doc; pinned so the value collapse
     # and the final label join both re-read instead of re-hashing
     sh = pin(dedup_simhash(spark, sf_dir).select("doc_id", "simhash"))
-    # pinned: the chunk explode AND the final label join both re-read it
-    vals = pin(sh.groupBy("simhash").agg(F.min("doc_id").alias("rep")))
+    # pinned: the chunk explode AND the final label join both re-read
+    # it. The collapse carries the per-value doc count so cluster sizes
+    # never need a second corpus-level aggregation.
+    vals = pin(sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("vcnt")))
 
     # pigeonhole chunk join between DISTINCT simhash values (lossless for
     # hamming <= HAMMING_T with SIMHASH_CHUNKS > HAMMING_T differing
@@ -863,7 +872,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
         .selectExpr("lu AS u", "lv AS v")
         .filter("u != v").distinct())
 
-    n_bridge = rep_edges.count()
+    # BOUNDED probe-collect: fetch at most cap+1 edges in ONE driver
+    # job — it is simultaneously the empty test, the cap gate, and
+    # (when under the cap) the full edge list the union-find needs.
+    # The r11 shape ran count() and then toPandas() as two serialized
+    # jobs over the same pinned frame (r12, guide §1.2).
+    edges_pdf = rep_edges.limit(LOCAL_CC_MAX_EDGES + 1).toPandas()
+    n_bridge = len(edges_pdf)
     if n_bridge == 0:
         rep_labels = first.selectExpr("rep", "label")
     elif n_bridge <= LOCAL_CC_MAX_EDGES:
@@ -887,7 +902,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                 parent[x], x = r, parent[x]
             return r
 
-        edges_pdf = rep_edges.toPandas()  # 2 int64 cols, Arrow
         for u, v in zip(edges_pdf["u"].to_numpy(),
                         edges_pdf["v"].to_numpy()):
             u, v = int(u), int(v)
@@ -921,14 +935,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                       .selectExpr("rep",
                                   "coalesce(root, label) AS label"))
 
-    # docs rejoin through their simhash value; singleton values (no edge)
-    # keep their own rep as the cluster label
-    labels = (sh.join(vals, "simhash")
-              .join(rep_labels, "rep", "left_outer")
-              .selectExpr("doc_id", "coalesce(label, rep) AS label"))
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "label")
+    # label per VALUE (singleton values — no edge — keep their own rep),
+    # cluster sizes per label as the SUM of per-value doc counts: both
+    # stay on the tiny value frame, and docs rejoin once at the end
+    vlab = (vals.join(rep_labels, "rep", "left_outer")
+            .selectExpr("simhash", "coalesce(label, rep) AS label",
+                        "vcnt"))
+    vsizes = vlab.groupBy("label").agg(
+        F.sum("vcnt").alias("cluster_size"))
+    return (sh.join(vlab.join(vsizes, "label"), "simhash")
             .selectExpr("doc_id", "label AS cluster_id", "cluster_size")
             .orderBy("doc_id"))
 
