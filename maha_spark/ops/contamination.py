@@ -94,15 +94,25 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_sh = (sh_rows.filter(F.col("doc_id") % BENCH_MOD != 0)
                .distinct())
 
-    hits = (cand_sh.join(F.broadcast(bench_sh), "h", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hit")))
-    counts = (cand_sh.groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_shingles")))
+    # ONE pass over the candidate shingles: tag each distinct (doc_id, h)
+    # with a broadcast membership flag and fold both per-doc aggregates
+    # in the same groupBy — the previous split (a left-semi'd n_hit agg
+    # PLUS an independent n_shingles agg, joined back) evaluated the
+    # whole shingle-build + DISTINCT subtree twice and paid an extra
+    # join (guide §1.2 "don't compute things twice", §2.4). The flag
+    # join is the same broadcast the semi-join used: bench_sh is
+    # DISTINCT on h, so a left join matches at most one row and row
+    # counts are unchanged; SUM(flag) == the semi-join's COUNT(*).
+    per_doc = (cand_sh
+               .join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))),
+                     "h", "left_outer")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .alias("n_hit")))
     cand_ids = (docs.filter(F.col("doc_id") % BENCH_MOD != 0)
                 .select("doc_id"))
-    out = (cand_ids.join(counts, "doc_id", "left_outer")
-           .join(hits, "doc_id", "left_outer")
+    out = (cand_ids.join(per_doc, "doc_id", "left_outer")
            .withColumn("n_shingles",
                        F.coalesce(F.col("n_shingles"), F.lit(0)))
            .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))

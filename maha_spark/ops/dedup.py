@@ -16,7 +16,10 @@ Scale-first designs:
   distance 3 shares at least one exact chunk (pigeonhole), so the banded
   join provably finds every qualifying pair.
 
-All hashes derive from md5 hex (engine-portable); see common.py.
+All hashes derive from md5 hex (engine-portable, see common.py) except
+the LSH band key, which is an injective integer packing of the two
+minhash slots — a pure bucket identity never seen by any output or
+oracle (see ``lsh_band_frame``).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .common import (
-    MINHASH_P, duck_h28_sql, duck_h32_sql, duck_words_sql, h28_sql, h32_sql,
+    MINHASH_P, duck_h32_sql, duck_words_sql, h28_sql, h32_sql,
     load_table, scoped_cache, words_sql,
 )
 
@@ -127,17 +130,36 @@ def lsh_band_frame(base: DataFrame) -> DataFrame:
     each band key is derived post-explode from its own two slots.
     Exploding an array of computed band structs re-evaluated the whole
     24-permutation signature once per emitted band (see ops/text.py
-    gram_rows_spark for the GenerateExec inlining mechanics)."""
+    gram_rows_spark for the GenerateExec inlining mechanics).
+
+    Band-key choice (r12, guide §2.3 "narrower types"): the band key is
+    INTERNAL to candidate generation (never in any output, oracle, or
+    readable contract), and two documents share a bucket exactly iff
+    their two band slots are equal — so the key is the INJECTIVE slot
+    packing ``slot0 * P + slot1`` (slots < P < 2^31, product < 2^62)
+    instead of ``md5(concat_ws(...))``: candidate buckets are provably
+    identical (md5 equality on distinct inputs differs only via
+    collisions, which could only ADD verify-filtered candidates), 12
+    md5 calls per document disappear, and the band join shuffles one
+    8-byte long instead of a 32-char hex string per row. The persisted
+    index (``ops/incremental.py``) stores the new key type; append ==
+    rebuild bit-identity is preserved (both sides derive from this one
+    function). The per-shingle PRE-hash stays md5-derived ``h28``: the
+    minhash VALUES feed the banding probability, and swapping that hash
+    re-rolls which near-threshold true pairs share a band (measured at
+    sf0.1: an xxhash64 variant missed 2 of 256 jaccard>=0.8 pairs) —
+    candidate RECALL, not just cost, depends on it."""
     hashed = base.selectExpr(
         "doc_id", f"transform(sh, s -> {h28_sql('s')}) AS hs")
     sigs = hashed.selectExpr(
         "doc_id", f"array({', '.join(_minhash_sig_spark('hs'))}) AS mhs")
-    slots = ", ".join(f"mhs[band * {ROWS} + {r}]" for r in range(ROWS))
     return (sigs
             .selectExpr("doc_id", "mhs",
                         f"explode(sequence(0, {BANDS - 1})) AS band")
-            .selectExpr("doc_id", "band",
-                        f"md5(concat_ws(',', {slots})) AS key"))
+            .selectExpr(
+                "doc_id", "band",
+                f"mhs[band * {ROWS}] * CAST({MINHASH_P} AS BIGINT) "
+                f"+ mhs[band * {ROWS} + 1] AS key"))
 
 
 def verified_jaccard_pairs(cand: DataFrame, a_sh: DataFrame,

@@ -140,7 +140,12 @@ def exact_substring_spans_frame(docs: DataFrame,
     ``h`` (see module docstring: a hot hash would pin the whole corpus'
     duplicated boilerplate into one WindowExec sort task).
     """
-    wh = _window_hashes(docs, length)
+    # the window stream feeds the occurrence count AND the semi-join
+    # probe — uncached, the md5-per-window hash chain (the op's dominant
+    # per-row cost) evaluated twice over the corpus (r12, guide §1.2;
+    # same recipe as the minhash base frame). Lifecycle-released per
+    # entry via release_scoped_caches; MEMORY_AND_DISK spills at scale.
+    wh = scoped_cache(_window_hashes(docs, length))
     dup_h = (wh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
              .filter("occ >= 2").select("h"))
     dup = wh.join(dup_h, "h", "left_semi").select("doc_id", "pos")
@@ -239,7 +244,9 @@ def exact_substring_dedup(docs: DataFrame,
     iterated to a fixed point (identical to the reference
     implementation's single pass).
     """
-    wh = _window_hashes(docs, length)
+    # cached for the same two-consumer reason as the detection frame
+    # (keep-decision groupBy + the join back probe)
+    wh = scoped_cache(_window_hashes(docs, length))
     firsts = (wh.groupBy("h")
               .agg(F.count(F.lit(1)).alias("occ"),
                    F.min(F.struct("doc_id", "pos")).alias("keep"))
