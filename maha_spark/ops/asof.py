@@ -38,16 +38,18 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
 
-    # deterministic per-(user, instant) order row
-    o = (orders.groupBy(F.col("o_custkey").alias("uid"),
-                        F.col("o_orderdate").alias("t"))
-         .agg(F.max("o_orderkey").alias("order_key"),
-              F.expr("max_by(o_totalprice, o_orderkey)")
-               .alias("order_price")))
-
-    o_side = o.select("uid", "t", F.lit(1).alias("is_order"),
-                      F.lit(None).cast("long").alias("event_id"),
-                      "order_key", "order_price")
+    # raw order rows go straight into the merge: the window's sort order
+    # (t ASC, is_order DESC, order_key ASC) puts a (user, instant)'s
+    # orders in ascending order_key, so the running last(ignoreNulls)
+    # lands on the MAX order_key of the latest instant — exactly the
+    # arg_max tie-break the old pre-reduce groupBy(uid, t) computed,
+    # without shuffling the order rows twice (guide §2.4)
+    o_side = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"), F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("order_price"))
     e_side = ev.select(F.col("user_id").alias("uid"),
                        F.col("ts").alias("t"),
                        F.lit(0).alias("is_order"), "event_id",
@@ -56,7 +58,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (Window.partitionBy("uid")
          .orderBy(F.col("t").asc(), F.col("is_order").desc(),
-                  F.col("event_id").asc())
+                  F.col("order_key").asc(), F.col("event_id").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = (o_side.unionByName(e_side)
               .withColumn("order_key",

@@ -60,6 +60,14 @@ def _probe_codec():
 HAS_CODEC = _probe_codec() is not None
 
 
+def _fake_dims(digest: str) -> tuple[int, int, str]:
+    """Dimensions of the decode STUB from an already-computed md5 hex
+    digest (one md5 per payload — the batch loop also needs the digest
+    for ``content_md5``, so it is computed once and shared)."""
+    return (1 + int(digest[:4], 16) % 1024,
+            1 + int(digest[4:8], 16) % 1024, "fake/rgb8")
+
+
 def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     """STUB — deterministic stand-in for an image decoder.
 
@@ -67,10 +75,7 @@ def _fake_decode(payload: bytes) -> tuple[int | None, int | None, str]:
     'decoded' dimensions derive from the payload digest so the pipeline is
     testable without codecs.
     """
-    h = hashlib.md5(payload).hexdigest()
-    width = 1 + int(h[:4], 16) % 1024
-    height = 1 + int(h[4:8], 16) % 1024
-    return width, height, "fake/rgb8"
+    return _fake_dims(hashlib.md5(payload).hexdigest())
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
@@ -253,12 +258,18 @@ def decode_binary_features(binary_df: DataFrame,
         # nullable Int32 extension dtype; the stub never does
         dim_dtype = "Int32" if use_real else "int32"
         for pdf in batches:
-            decoded = [decode_one(p) for p in pdf["payload"]]
+            # ONE md5 per payload: content_md5 and the stub dims share
+            # the digest (the stub used to re-hash every payload a
+            # second time — guide §4.2, per-task work)
+            digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            if use_real:
+                decoded = [decode_one(p) for p in pdf["payload"]]
+            else:
+                decoded = [_fake_dims(h) for h in digests]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "content_md5": [hashlib.md5(p).hexdigest()
-                                for p in pdf["payload"]],
+                "content_md5": digests,
                 "width": pd.Series([d[0] for d in decoded], dtype=dim_dtype),
                 "height": pd.Series([d[1] for d in decoded],
                                     dtype=dim_dtype),

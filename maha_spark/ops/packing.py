@@ -228,15 +228,19 @@ def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-bucket filter — the corpus is never shuffled. Reproducible under
     corpus growth (same seed keeps the same documents).
     """
+    from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    min_c = counts.agg(F.min("n_docs").alias("min_c"))
     # clamp at 1: a domain >1000x the smallest would otherwise round to
-    # rate 0 (silently dropped entirely, and weight = 1000/0 diverges)
-    rates = (counts.crossJoin(F.broadcast(min_c))
+    # rate 0 (silently dropped entirely, and weight = 1000/0 diverges);
+    # min via a global window over the tiny histogram — see
+    # sample_profile for the crossJoin this replaces
+    rates = (counts
+             .withColumn("min_c", F.min("n_docs").over(Window.partitionBy()))
              .withColumn("rate_pm",
                          F.expr("GREATEST(CAST((min_c * 1000) DIV n_docs "
-                                "AS BIGINT), CAST(1 AS BIGINT))")))
+                                "AS BIGINT), CAST(1 AS BIGINT))"))
+             .drop("min_c"))
     kept = (docs.selectExpr("doc_id", "lang",
                             f"{_mix_bucket(True)} AS bucket")
             .join(F.broadcast(rates.select("lang", "rate_pm")), "lang")
@@ -283,14 +287,19 @@ def sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the oracle verify the rule on EVERY document, kept or dropped.
     One driver entry for the sampling surface; both underlying operators
     stay public API."""
+    from pyspark.sql.window import Window
     bucket, rate, weight = _bucket_exprs(spark_side=True)
     docs = (load_table(spark, sf_dir, "documents")
             .selectExpr("doc_id", "lang", f"{bucket} AS bucket",
                         f"CAST({rate} AS BIGINT) AS strat_rate_pm",
                         f"{weight} AS strat_weight"))
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    min_c = counts.agg(F.min("n_docs").alias("min_c"))
-    rates = (counts.crossJoin(F.broadcast(min_c))
+    # min over the k-language histogram as a global window on the tiny
+    # aggregate (one single-partition exchange) instead of a separate
+    # min() aggregation crossJoined back — the counts subtree used to be
+    # evaluated on both sides of that join (guide §2.4)
+    rates = (counts
+             .withColumn("min_c", F.min("n_docs").over(Window.partitionBy()))
              .selectExpr("lang",
                          "CAST((min_c * 1000) DIV n_docs AS BIGINT)"
                          " AS mix_rate_pm"))

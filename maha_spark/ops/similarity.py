@@ -81,6 +81,21 @@ def _np_dots(q: "object", mat: "object") -> "object":
     return acc
 
 
+def _np_dots_mat(l_mat: "object", r_mat: "object") -> "object":
+    """All-pairs dot-product MATRIX (len(l) x len(r)), accumulated
+    dim-by-dim left-to-right: element (i, j) sums l[i,c]*r[j,c] over c
+    in ascending order — bit-identical to ``_np_dots(l_mat[i], r_mat)``
+    per row, but one broadcasted numpy op per dimension instead of a
+    Python-level loop over query rows (O(dims) interpreter steps for the
+    whole block, not O(rows x dims)). Deliberately NOT ``l_mat @
+    r_mat.T``: BLAS reassociates the per-dim accumulation and the last
+    float bits would drift off the DuckDB oracle's explicit sum."""
+    acc = l_mat[:, 0:1] * r_mat[:, 0]
+    for c in range(1, r_mat.shape[1]):
+        acc = acc + l_mat[:, c:c + 1] * r_mat[:, c]
+    return acc
+
+
 def _np_norms(mat: "object") -> "object":
     """sqrt of the left-to-right self-dot — IEEE-identical to
     ``sqrt(dot64_sql(v, v))``."""
@@ -131,13 +146,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             c_ids, c_mat, c_norms = _pdf_matrix(pdf)
+            # one broadcasted op per dim for the whole query block
+            # (bit-identical to the per-query _np_dots loop — see
+            # _np_dots_mat)
+            cos_all = np.round(
+                _np_dots_mat(l_mat, c_mat)
+                / (l_norms[:, None] * c_norms), 6)
             out = []
             for qi in range(len(l_ids)):
                 qid = int(l_ids[qi])
-                cos = np.round(
-                    _np_dots(l_mat[qi], c_mat) / (l_norms[qi] * c_norms), 6)
                 mask = c_ids != qid
-                cand_ids, cand_cos = c_ids[mask], cos[mask]
+                cand_ids, cand_cos = c_ids[mask], cos_all[qi][mask]
                 sel = np.lexsort((cand_ids, -cand_cos))[:TOPK]
                 for s in sel:
                     out.append((qid, int(cand_ids[s]), float(cand_cos[s])))
@@ -211,20 +230,20 @@ def exact_cos_pairs(emb: DataFrame, threshold: float,
         l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
         r_ids, r_mat, r_norms = _pdf_matrix(rpdf, "r_vec_id",
                                             "r_embedding")
-        out = []
-        for i in range(len(l_ids)):
-            cos = np.round(
-                _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
-            if bi == bj:
-                mask = (r_ids > l_ids[i]) & (cos >= threshold)
-            else:
-                mask = cos >= threshold
-            for r_id, cs in zip(r_ids[mask], cos[mask]):
-                a, b = (int(l_ids[i]), int(r_id))
-                if a > b:
-                    a, b = b, a
-                out.append((a, b, float(cs)))
-        return pd.DataFrame(out, columns=cols)
+        # whole-block cosine matrix + vectorized pair emit (row-major
+        # nonzero order == the old per-i loop's emit order); per-element
+        # floats are bit-identical to the per-query loop (_np_dots_mat)
+        cos = np.round(
+            _np_dots_mat(l_mat, r_mat) / (l_norms[:, None] * r_norms), 6)
+        if bi == bj:
+            mask = (r_ids[None, :] > l_ids[:, None]) & (cos >= threshold)
+        else:
+            mask = cos >= threshold
+        ii, jj = np.nonzero(mask)
+        a, b = l_ids[ii], r_ids[jj]
+        return pd.DataFrame({"a_id": np.minimum(a, b),
+                             "b_id": np.maximum(a, b),
+                             "cos_sim": cos[ii, jj]})
 
     return (left.groupBy("bi", "bj")
             .cogroup(right.groupBy("bi", "bj"))
@@ -268,34 +287,36 @@ def cos_neighbor_stats(emb: DataFrame, threshold: float,
         l_ids, l_mat, l_norms = _pdf_matrix(lpdf)
         r_ids, r_mat, r_norms = _pdf_matrix(rpdf, "r_vec_id",
                                             "r_embedding")
-        out = []
+        # whole-block cosine matrix (bit-identical per element to the
+        # old per-query loop — _np_dots_mat), then vectorized row/column
+        # reductions; emit order matches the old loop (left rows in
+        # ascending i, then right rows in ascending j) though the
+        # downstream groupBy(vec_id) is order-insensitive anyway
+        big = np.iinfo(np.int64).max
+        cos = np.round(
+            _np_dots_mat(l_mat, r_mat) / (l_norms[:, None] * r_norms), 6)
         if bi == bj:
             # diagonal: full square minus self; one row per vector even
             # with zero neighbors (the base row)
-            for i in range(len(l_ids)):
-                cos = np.round(
-                    _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
-                mask = (r_ids != l_ids[i]) & (cos >= threshold)
-                n = int(mask.sum())
-                mn = int(r_ids[mask].min()) if n else int(l_ids[i])
-                out.append((int(l_ids[i]), mn, n))
-        else:
-            # off-diagonal: contribute stats for both sides of each pair
-            r_cnt = np.zeros(len(r_ids), dtype=np.int64)
-            r_min = np.full(len(r_ids), np.iinfo(np.int64).max,
-                            dtype=np.int64)
-            for i in range(len(l_ids)):
-                cos = np.round(
-                    _np_dots(l_mat[i], r_mat) / (l_norms[i] * r_norms), 6)
-                mask = cos >= threshold
-                n = int(mask.sum())
-                if n:
-                    out.append((int(l_ids[i]), int(r_ids[mask].min()), n))
-                    r_cnt += mask
-                    r_min[mask] = np.minimum(r_min[mask], int(l_ids[i]))
-            for j in np.nonzero(r_cnt)[0]:
-                out.append((int(r_ids[j]), int(r_min[j]), int(r_cnt[j])))
-        return pd.DataFrame(out, columns=["vec_id", "min_nb", "n_near"])
+            mask = (r_ids[None, :] != l_ids[:, None]) & (cos >= threshold)
+            n = mask.sum(axis=1)
+            mn = np.where(mask, r_ids[None, :], big).min(axis=1)
+            return pd.DataFrame({"vec_id": l_ids,
+                                 "min_nb": np.where(n > 0, mn, l_ids),
+                                 "n_near": n.astype(np.int64)})
+        # off-diagonal: contribute stats for both sides of each pair
+        mask = cos >= threshold
+        l_cnt = mask.sum(axis=1)
+        l_min = np.where(mask, r_ids[None, :], big).min(axis=1)
+        r_cnt = mask.sum(axis=0)
+        r_min = np.where(mask, l_ids[:, None], big).min(axis=0)
+        li = np.nonzero(l_cnt)[0]
+        rj = np.nonzero(r_cnt)[0]
+        return pd.DataFrame({
+            "vec_id": np.concatenate([l_ids[li], r_ids[rj]]),
+            "min_nb": np.concatenate([l_min[li], r_min[rj]]),
+            "n_near": np.concatenate([l_cnt[li], r_cnt[rj]]).astype(
+                np.int64)})
 
     stats = (left.groupBy("bi", "bj")
              .cogroup(right.groupBy("bi", "bj"))

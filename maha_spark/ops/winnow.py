@@ -262,21 +262,29 @@ def winnow_contamination(spark: SparkSession, sf_dir: str,
     eval set, bounded by construction, so its distinct-fingerprint set
     broadcasts exactly like the shingle set does."""
     from pyspark.sql import functions as F
-    # consumed three times (benchmark set, hit counting, per-doc sizes):
-    # cache so the md5 k-gram chain — the dominant cost — runs once
+    # consumed twice (benchmark set, candidate pass): cache so the md5
+    # k-gram chain — the dominant cost — runs once
     fps = scoped_cache(winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k, w))
     is_bench = f"doc_id % {WINNOW_BENCH_MOD} = 0"
-    bench = fps.filter(is_bench).select("fp").distinct()
+    bench = (fps.filter(is_bench).select("fp").distinct()
+             .withColumn("__hit", F.lit(1)))
     cand = fps.filter(f"NOT ({is_bench})")
-    hits = (cand.join(F.broadcast(bench), "fp", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hits")))
-    per_doc = cand.groupBy("doc_id").agg(F.first("sz").alias("sz"))
-    return (per_doc.join(hits, "doc_id", "left")
+    # ONE pass over the candidate fingerprints (guide §1.2): bench is
+    # DISTINCT on fp, so the broadcast left join cannot change row
+    # counts and SUM(__hit) == the old left-semi COUNT(*) — the per-doc
+    # size and the hit count fold into a single groupBy instead of two
+    # independent aggregations joined back (same recipe as
+    # ops/contamination.py's report)
+    per_doc = (cand.join(F.broadcast(bench), "fp", "left")
+               .groupBy("doc_id")
+               .agg(F.first("sz").alias("sz"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                     .alias("hits")))
+    return (per_doc
             .selectExpr(
-                "doc_id", "sz", "coalesce(hits, 0) AS hits",
-                "round(CAST(coalesce(hits, 0) AS DOUBLE) / sz, 6) "
-                "AS containment")
+                "doc_id", "sz", "CAST(hits AS BIGINT) AS hits",
+                "round(CAST(hits AS DOUBLE) / sz, 6) AS containment")
             .selectExpr("doc_id", "sz", "hits", "containment",
                         f"containment >= {threshold} AS contaminated"))
 

@@ -37,7 +37,8 @@ from ..core.columns import (
     PostResultCol, _PLACEHOLDER, expand_expr, static_mapping_projection,
 )
 from ..core.filters import Filter, ResolvedField
-from ..core.rollup import AverageRollup, CardinalityRollup, Rollup
+from ..core.rollup import (AverageRollup, CardinalityRollup, NoopRollup,
+                           Rollup)
 from ..model.request_model import (
     CONSTANT, DIM_ATTR, FACT_DIM, METRIC, DimJoinChain, ProjectedField,
     RequestModel,
@@ -639,7 +640,27 @@ class Planner:
             return df
 
         aggs: list[Column] = []
+        # NoopRollup metrics that are pure functions of BARE group-key
+        # columns become post-aggregation projections instead of
+        # first(...) aggregates: a first() over a string expression has a
+        # string aggregation buffer, which disqualifies HashAggregate and
+        # forces the WHOLE fact aggregation into SortAggregate (partial
+        # sort of every scan partition — plan-audited r12, guide §2.3).
+        # Identity: the expr's placeholder refs all appear as bare group
+        # keys, so the expr is constant within each group and
+        # first(expr, ignorenulls) == expr(key) row-for-row (a group's
+        # constant is either the projected value or NULL in both forms).
+        # Derived/decoded keys never match the bare `col` spelling, so
+        # anything non-trivially grouped falls back to first().
+        key_alias_by_sql = {sql: alias for alias, sql in keys}
+        post_noop: list[tuple[str, str]] = []
         for alias, col in direct:
+            if isinstance(col.rollup, NoopRollup) and col.expr and key_exprs:
+                refs = _PLACEHOLDER.findall(col.expr)
+                if refs and all(_q(r) in key_alias_by_sql for r in refs):
+                    sub = {r: _q(key_alias_by_sql[_q(r)]) for r in refs}
+                    post_noop.append((alias, expand_expr(col.expr, sub)))
+                    continue
             aggs.append(self._agg_expr(col, table).alias(alias))
         for name, col in base_needed.items():
             # derived exprs always read the __base_-prefixed internal copy,
@@ -653,6 +674,15 @@ class Planner:
                     aggs.append(F.sum(src).alias(f"__avgsum_{alias}"))
                     aggs.append(F.count(src).alias(f"__avgcnt_{alias}"))
 
+        if not aggs and post_noop:
+            # every metric was noop-rewritten: revert one to its first()
+            # so the grouped-aggregation shape still runs (the scan/
+            # distinct branches below must stay unreachable while
+            # projections are pending)
+            alias0, _sql0 = post_noop.pop(0)
+            col0 = dict(direct)[alias0]
+            aggs.append(self._agg_expr(col0, table).alias(alias0))
+
         if not aggs:
             # pure dim/scan projection at fact grain (queryType=scan)
             if model.request.query_type == "scan":
@@ -660,6 +690,8 @@ class Planner:
             return df.select(*key_exprs).distinct()
 
         gdf = df.groupBy(*key_exprs).agg(*aggs) if key_exprs else df.agg(*aggs)
+        for alias, sql in post_noop:
+            gdf = gdf.withColumn(alias, F.expr(sql))
 
         # HAVING filters over aggregated metric aliases
         if having:
