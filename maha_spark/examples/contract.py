@@ -1236,9 +1236,63 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1, 2
         """,
     },
+    # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
+    #    join forces join-then-agg (or sum/count OGB decomposition) so the
+    #    result is the TRUE average over joined rows, never avg-of-avgs.
+    #    Spark AVG(DECIMAL(8,2)) yields DECIMAL(12,6) via exact HALF_UP
+    #    division; the oracle replicates it with integer arithmetic
+    #    ((2a+b) // 2b is half-up a/b) because DuckDB divides decimals as
+    #    doubles. (RESTORED r13: the declared set grew to 52 — rotation
+    #    that removes a driver-visible entry is permanently ended.)
+    "q32_avg_rollup": {
+        "request": {
+            "cube": "tpch",
+            "selectFields": [{"field": "nation_name"},
+                             {"field": "avg_price_rollup"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            WITH s AS (
+                SELECT n_name,
+                       SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) AS cents,
+                       COUNT(*) AS n,
+                       {SQL_REVENUE} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            )
+            SELECT n_name AS nation_name,
+                   CAST((2 * cents * 10000 + n) // (2 * n) AS DOUBLE)
+                       / 1000000.0 AS avg_price_rollup,
+                   revenue
+            FROM s
+        """,
+    },
+    # -- §2.7 union view (UNION ALL with per-branch constants; RESTORED
+    #    r13 alongside q32_avg_rollup — see its note)
+    "q16_union_view": {
+        "request": {
+            "cube": "tpch_union",
+            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
+                             {"field": "revenue"}],
+            "filterExpressions": [DAY_ALL],
+        },
+        "sql": f"""
+            SELECT view_name, l_returnflag AS return_flag,
+                   {SQL_REVENUE} AS revenue
+            FROM (
+                SELECT 'current' AS view_name, * FROM lineitem
+                UNION ALL
+                SELECT 'adjustment' AS view_name, * FROM lineitem
+            ) GROUP BY 1, 2
+        """,
+    },
 }
 
-#: cube queries rotated OFF the 50-entry driver contract (r8: their
+#: cube queries rotated OFF the driver contract (r8: their
 #: slots went to op_semdedup / op_winnow_matches — the r7 flagships the
 #: driver had never hash-checked). Same structure as QUERIES; pinned
 #: against the same DuckDB oracles every round by
@@ -1299,42 +1353,6 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             FROM events GROUP BY 1
         """,
     },
-    # -- §2.4 AverageRollup through the non-re-aggregatable path: the dim
-    #    join forces join-then-agg (or sum/count OGB decomposition) so the
-    #    result is the TRUE average over joined rows, never avg-of-avgs.
-    #    Spark AVG(DECIMAL(8,2)) yields DECIMAL(12,6) via exact HALF_UP
-    #    division; the oracle replicates it with integer arithmetic
-    #    ((2a+b) // 2b is half-up a/b) because DuckDB divides decimals as
-    #    doubles. (Rotated out r12 after green driver rows every round
-    #    since r5 — its slot restored q11_having; AverageRollup keeps
-    #    on-contract coverage via q33's avg_price_rollup + fuzz.)
-    "q32_avg_rollup": {
-        "request": {
-            "cube": "tpch",
-            "selectFields": [{"field": "nation_name"},
-                             {"field": "avg_price_rollup"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            WITH s AS (
-                SELECT n_name,
-                       SUM(CAST({SQL_PRICE} * 100 AS HUGEINT)) AS cents,
-                       COUNT(*) AS n,
-                       {SQL_REVENUE} AS revenue
-                FROM lineitem
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation ON c_nationkey = n_nationkey
-                GROUP BY 1
-            )
-            SELECT n_name AS nation_name,
-                   CAST((2 * cents * 10000 + n) // (2 * n) AS DOUBLE)
-                       / 1000000.0 AS avg_price_rollup,
-                   revenue
-            FROM s
-        """,
-    },
     # -- §2.5 dim-driven TOTALROWS (rotated out r9: dim-driven
     #    pagination stays covered by q6, TOTALROWS by q19; slot went to
     #    op_mm_pixel_stats — the real-PNG-decoder driver oracle)
@@ -1390,27 +1408,6 @@ OFFCONTRACT_QUERIES: dict[str, dict] = {
             WHERE (p_size < 15 OR p_brand NOT LIKE '%rand#1%')
               AND p_name IS NOT NULL
             GROUP BY 1
-        """,
-    },
-    # -- §2.7 union view (UNION ALL with per-branch constants; rotated
-    #    out r12 after driver-green rows r10+r11 — its slot restored
-    #    q13_two_chains; union folding keeps the fuzz union-battery
-    #    plus this exact pin)
-    "q16_union_view": {
-        "request": {
-            "cube": "tpch_union",
-            "selectFields": [{"field": "view_name"}, {"field": "return_flag"},
-                             {"field": "revenue"}],
-            "filterExpressions": [DAY_ALL],
-        },
-        "sql": f"""
-            SELECT view_name, l_returnflag AS return_flag,
-                   {SQL_REVENUE} AS revenue
-            FROM (
-                SELECT 'current' AS view_name, * FROM lineitem
-                UNION ALL
-                SELECT 'adjustment' AS view_name, * FROM lineitem
-            ) GROUP BY 1, 2
         """,
     },
 }

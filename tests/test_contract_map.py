@@ -25,14 +25,15 @@ def test_readme_table_is_fresh():
         "python tools/gen_contract_map.py --write")
 
 
-def test_contract_is_50_entries_and_split_is_disjoint():
+def test_contract_is_52_entries_and_split_is_disjoint():
     import __spark_entry__ as entry
     from maha_spark.ops import entry_queries, pytest_only_ops
 
     queries = entry.queries()
-    # the driver gates on the FIRST 50 entries; stay at exactly 50 so
-    # every entry is checked and none silently falls off the end
-    assert len(queries) == 50, len(queries)
+    # r13: the declared set grew to 52 (q16_union_view + q32_avg_rollup
+    # restored per the r12 verdict) and is FROZEN — a declared entry must
+    # never disappear again; growth is the only allowed change
+    assert len(queries) == 52, len(queries)
 
     ops = set(entry_queries())
     aside = set(pytest_only_ops())

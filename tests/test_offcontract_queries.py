@@ -1,4 +1,4 @@
-"""Cube queries rotated OFF the 50-entry driver contract keep their
+"""Cube queries rotated OFF the driver contract keep their
 DuckDB-oracle pins here (examples/contract.OFFCONTRACT_QUERIES) — a
 rotation frees a contract slot but never loses coverage."""
 
