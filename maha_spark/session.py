@@ -43,7 +43,7 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
     if "ReservedCodeCacheSize" not in opts:
         os.environ["SPARK_SUBMIT_OPTS"] = (
             f"{opts} -XX:ReservedCodeCacheSize=512m".strip())
-    return (
+    builder = (
         SparkSession.builder
         .master(master)
         .appName(app_name)
@@ -72,5 +72,30 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
                                    os.path.dirname(os.path.abspath(__file__))),
                                    ".spark-tmp")))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .getOrCreate()
     )
+    # Local-filesystem fast path (r13, guide §7.3): Hadoop's default
+    # file:// stack costs one .crc sidecar file AND one fork+exec'd
+    # chmod per created file/dir when libhadoop is absent (always, in a
+    # pip-installed PySpark). On hosts with supervised process spawn
+    # (~85 ms per exec measured here) a dynamic-partition write of a few
+    # thousand files serializes into MINUTES of chmod execs, and every
+    # streaming-checkpoint metadata file pays the same tax (driver
+    # thread dumps showed executor tasks parked in
+    # Shell.runCommand <- RawLocalFileSystem.setPermission). The
+    # committed FastLocalFileSystem jar no-ops setPermission and skips
+    # the checksum layer; only the "file" scheme is remapped — cluster
+    # schemes (hdfs/s3a/abfs) are untouched, so this is pure local-
+    # deployment hygiene, not a bench special case.
+    jvm_jar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "jvm", "maha-fastlocalfs.jar")
+    if os.path.exists(jvm_jar) and not os.environ.get(
+            "MAHA_SPARK_NO_FASTLOCALFS"):
+        builder = (
+            builder
+            .config("spark.driver.extraClassPath", jvm_jar)
+            .config("spark.executor.extraClassPath", jvm_jar)
+            .config("spark.hadoop.fs.file.impl",
+                    "mahaspark.fs.FastLocalFileSystem")
+            .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+                    "mahaspark.fs.FastLocalFs"))
+    return builder.getOrCreate()
