@@ -87,6 +87,47 @@ FACT_DAY_COLS = {"lineitem": "l_shipdate", "events": "ts"}
 
 
 def ensure_scaled_dir(spark, src: str, mult: int) -> str:
+    """Ensure the scaled tier exists; build it in a SUBPROCESS JVM if not.
+
+    r13 measurement fix (disclosed; VERDICT r12 item 2): on a fresh
+    clone the driver's FIRST bench run used to build all scaled tiers
+    (77M/154M/307M-row explodes + dynamic-partition writes of thousands
+    of files) inside the SAME JVM that then runs every timed pass —
+    bloating its heap, code cache and GC state before tier 1 even
+    starts, while every later run (markers present) skipped all of it.
+    That made run 1 structurally different from run N: the r12 driver's
+    32-core run (first, cold, built 3 tiers) measured 79.4 s against
+    36.6 s for its own 8-core run minutes later (markers now present) —
+    same code, plan-identical entries 2-8x apart. Building in a
+    short-lived subprocess JVM makes every timed run see the same lean
+    session regardless of marker state. (The second half of the same
+    fix is maha_spark/jvm/FastLocalFileSystem: the build's
+    dynamic-partition write used to fork+exec one chmod per created
+    file — thread dumps showed all 32 write tasks parked in
+    Shell.runCommand at ~85 ms per exec on this host.)
+    """
+    dst = _scaled_dst(src, mult)
+    if os.path.exists(os.path.join(dst, "_READY")):
+        return dst
+    import subprocess
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--build-scaled", src, str(mult)],
+                       cwd=REPO)
+    if r.returncode == 0 and os.path.exists(os.path.join(dst, "_READY")):
+        return dst
+    # fallback: build in-process (keeps the bench runnable if the
+    # subprocess path is unavailable for any reason)
+    print(f"# scaled build subprocess failed (rc={r.returncode}); "
+          "building in-process", file=sys.stderr)
+    return build_scaled_dir(spark, src, mult)
+
+
+def _scaled_dst(src: str, mult: int) -> str:
+    base = os.path.basename(src.rstrip('/'))
+    return os.path.join(REPO, f".bench-scaled-{base}x{mult}v8")
+
+
+def build_scaled_dir(spark, src: str, mult: int) -> str:
     """Materialize the scaled tier under the repo; idempotent across
     rounds via a _READY marker — the ``v8`` suffix is the layout VERSION:
     bump it whenever the produced contents change, else machines with an
@@ -120,7 +161,7 @@ def ensure_scaled_dir(spark, src: str, mult: int) -> str:
     from maha_spark.plans.binding import ParquetBinding
 
     base = os.path.basename(src.rstrip('/'))
-    dst = os.path.join(REPO, f".bench-scaled-{base}x{mult}v8")
+    dst = _scaled_dst(src, mult)
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
@@ -205,22 +246,34 @@ def duck_connect(data_dir: str):
 
 
 def time_spark(queries, names, spark, data_dir, passes=2,
-               skip_repeat_prefix=None) -> dict[str, float]:
+               stream_prefix=None) -> dict[str, float]:
     # name-major: a query's passes run back-to-back so its min is two
     # adjacent warm runs — pass-major interleaving let the other queries'
     # cache/GC churn land between a query's passes (scaled q17 swung
     # 0.9s-2.4s run-to-run; adjacent passes are stable)
+    #
+    # streaming entries (stream_prefix): MEDIAN of 3 full runs instead of
+    # min-of-passes (r13 measurement fix, disclosed; VERDICT r12 item 5).
+    # Each invocation rebuilds its checkpoint/sink from scratch, so there
+    # is no warm state for a min to exploit — but a single unrepeated run
+    # let one micro-batch scheduling blip define the committed number
+    # (1.8 s -> 12.6 s swings across runs of identical code). The median
+    # of 3 independent rebuilds is robust to one blip in either
+    # direction without hiding a real regression the way min would.
     timings: dict[str, float] = {}
     for name in names:
-        n_passes = 1 if (skip_repeat_prefix
-                         and name.startswith(skip_repeat_prefix)) else passes
+        is_stream = bool(stream_prefix and name.startswith(stream_prefix))
+        n_passes = 3 if is_stream else passes
+        samples: list[float] = []
         for _ in range(n_passes):
             t0 = time.perf_counter()
             try:
                 df = queries[name](spark, data_dir)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                timings[name] = round(min(timings.get(name, dt), dt), 4)
+                samples.append(time.perf_counter() - t0)
+                agg = (sorted(samples)[len(samples) // 2] if is_stream
+                       else min(samples))
+                timings[name] = round(agg, 4)
             except Exception as e:  # pragma: no cover - report, keep going
                 timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
@@ -243,6 +296,16 @@ def time_spark(queries, names, spark, data_dir, passes=2,
 
 
 def time_duckdb(oracles, names, con, passes=2) -> dict[str, float]:
+    # one untimed warm pass first (r13, disclosed; VERDICT r12 item 9):
+    # symmetric with the Spark side's warm pass — without it the oracle's
+    # pass 1 is page-cache-cold on the scaled tiers and the headline
+    # spark/duckdb ratio moved 2x between runs of identical code purely
+    # on oracle-side cache state
+    for name in names:
+        try:
+            con.execute(oracles[name]).fetchall()
+        except Exception:
+            pass
     timings: dict[str, float] = {}
     for _ in range(passes):
         for name in names:
@@ -401,11 +464,11 @@ def main() -> None:
         release_scoped_caches()
     # ops use the same min-over-passes methodology as the cube queries
     # (pass 1 pays cache materialization + JIT; the min reflects steady
-    # state). The streaming runners rebuild their checkpoint/sink dirs
-    # every invocation, so extra passes cost full wall time for no new
-    # information — they stay single-pass.
+    # state). Streaming entries rebuild their checkpoint/sink dirs every
+    # invocation — they report the median of 3 full rebuilds (see
+    # time_spark).
     timings = time_spark(queries, all_names, spark, SF_DIR,
-                         passes=passes, skip_repeat_prefix="op_stream")
+                         passes=passes, stream_prefix="op_stream")
     con = duck_connect(SF_DIR)
     duck_base = time_duckdb(oracles, [n for n in cube_names if n in oracles],
                             con, passes=passes)
@@ -423,6 +486,18 @@ def main() -> None:
         "duckdb_total": round(duck_total, 4),
         "scaled": scaled,
         "scaled_tiers": scaled_tiers,
+        # methodology/version tag (ADVICE r12): lets downstream
+        # round-over-round comparisons detect harness discontinuities.
+        # r13 = r12 methodology + streaming median-of-3 + duckdb warm
+        # pass + subprocess scaled build; FROZEN hereafter.
+        "methodology": {
+            "version": "r13",
+            "warm_pass": True,
+            "timed_passes_min": passes,
+            "stream_median_of": 3,
+            "duckdb_warm_pass": True,
+            "scaled_build_subprocess": True,
+        },
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -464,5 +539,20 @@ def build_line(timings: dict[str, float], total: float, sf: float,
     return out
 
 
+def build_scaled_main(src: str, mult: int) -> None:
+    """Subprocess entry: build ONE scaled tier in a dedicated JVM and
+    exit (see ensure_scaled_dir — keeps the timed session lean)."""
+    from maha_spark.session import get_spark
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark("maha-spark-bench-build", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled_dir(spark, src, mult)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--build-scaled":
+        build_scaled_main(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()
