@@ -208,21 +208,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from .common import load_table
     docs = load_table(spark, sf_dir, "documents")
-    # hash-partition by doc_id ONCE at the source: every downstream
-    # operator here — groupBy(doc_id, n, gram), groupBy(doc_id, n),
-    # groupBy(doc_id), and the n_words join — clusters on a key SET
-    # containing doc_id, so HashPartitioning(doc_id) satisfies all of
-    # them and the three sequential agg Exchanges collapse to this one
-    # (guide §2.4 "operations keyed the same way share one exchange";
-    # plan-audited r12: 4 Exchanges -> 1 on the repetition subtree).
-    # No partition count given, so AQE stays free to size it; doc_id is
-    # effectively unique per row — no skew. Partial aggregation is
-    # unchanged (map-side combine still runs inside each partition).
-    # (applied to docs BEFORE the projection so it sits adjacent to
-    # load_table's harness-scale round-robin repartition and
-    # CollapseRepartition folds the two into one exchange)
-    base = (docs.repartition(F.col("doc_id"))
-            .selectExpr("doc_id", f"{words_sql()} AS w"))
+    # r13 REVERT of the r12 source repartition(doc_id) (VERDICT r12
+    # item 4, guide §1 "re-measure"): collapsing the three downstream
+    # agg Exchanges into one source exchange measured NET-SLOWER
+    # (op_text_stats 1.97 -> 2.22/2.34 s) for two reasons: (a) the
+    # exchange carries the RAW text column (the words projection sits
+    # above it), the widest bytes in the op, and (b) with no explicit
+    # partition count AQE is free to coalesce the tiny exchange to a
+    # couple of partitions, which then serializes the EXPENSIVE
+    # downstream n-gram explode on 1-2 cores. The natural plan keeps
+    # the scan's full parallelism through the explode and its agg
+    # exchanges carry partially-aggregated compact rows (map-side
+    # combine) — the scale-correct shape at 100 TB too, where the
+    # explode multiplies rows ~4x before any shuffle.
+    base = docs.selectExpr("doc_id", f"{words_sql()} AS w")
     g = gram_rows_spark(base, {*TOP_NS, *DUP_NS})
     per_gram = g.groupBy("doc_id", "n", "gram").count()
     per_n = per_gram.groupBy("doc_id", "n").agg(
