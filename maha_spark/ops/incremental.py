@@ -45,6 +45,36 @@ from .dedup import lsh_band_frame, lsh_shingle_frame, verified_jaccard_pairs
 
 BANDS_TABLE = "dedup_bands"
 SHINGLES_TABLE = "dedup_shingles"
+#: On-disk index format version. v2 = the r12 band-key change (md5 hex
+#: string -> packed bigint slots): a v1 index joined against v2 batch
+#: bands casts string-vs-bigint, silently nulling every new-vs-corpus
+#: candidate, and an append would write mixed-schema parquet into the
+#: same directory. The marker file makes the mismatch fail FAST with a
+#: rebuild instruction instead. It is written LAST during a rebuild, so
+#: it doubles as the completion marker: a crash between the two table
+#: writes leaves no marker and readers re-materialize instead of
+#: trusting a half-built directory.
+INDEX_FORMAT = "v2-longkey"
+FORMAT_MARKER = "_MAHA_INDEX_FORMAT"
+
+
+def check_index_format(index_dir: str) -> None:
+    """Fail fast when ``index_dir`` holds an index whose band-key format
+    predates :data:`INDEX_FORMAT` (or whose rebuild never completed)."""
+    if not os.path.exists(os.path.join(index_dir, BANDS_TABLE)):
+        return  # no index yet — callers materialize on demand
+    marker = os.path.join(index_dir, FORMAT_MARKER)
+    found = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+    if found != INDEX_FORMAT:
+        raise ValueError(
+            f"dedup index at {index_dir} is format {found!r}, this code "
+            f"requires {INDEX_FORMAT!r} (band keys are packed bigints "
+            "since r12; a missing marker also means an interrupted "
+            "rebuild). Rebuild it: materialize_dedup_index(spark, "
+            "corpus_docs, index_dir).")
 
 
 def materialize_dedup_index(spark: SparkSession, docs: DataFrame,
@@ -57,11 +87,17 @@ def materialize_dedup_index(spark: SparkSession, docs: DataFrame,
     the tokenize+shingle+md5 chain once instead of twice — and the
     second pass is a columnar scan of exactly the two columns the
     minhash needs (r12; guide §1.2 "don't compute things twice")."""
+    marker = os.path.join(dst_dir, FORMAT_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)  # rebuild in progress: no marker until done
     sh_path = os.path.join(dst_dir, SHINGLES_TABLE)
     lsh_shingle_frame(docs).write.mode("overwrite").parquet(sh_path)
     (lsh_band_frame(spark.read.parquet(sh_path))
      .write.mode("overwrite")
      .parquet(os.path.join(dst_dir, BANDS_TABLE)))
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(marker, "w") as f:  # completion + format marker, LAST
+        f.write(INDEX_FORMAT)
     return dst_dir
 
 
@@ -78,6 +114,7 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     ``ValueError`` on any collision. ``assume_new=True`` skips the probe
     for the warehouse fast path where ingest already guarantees fresh
     ids (e.g. ids minted from the crawl partition)."""
+    check_index_format(index_dir)
     if not assume_new:
         dup = (new_docs.select("doc_id").distinct()
                .join(spark.read.parquet(
@@ -110,6 +147,7 @@ def dedup_incremental(spark: SparkSession, index_dir: str,
 
     from .common import scoped_cache
 
+    check_index_format(index_dir)
     # the batch-side frames are consumed repeatedly (shingles: the
     # unified verification source + the band build; bands: both sides of
     # the new-vs-new self-join plus the new-vs-corpus probe), and both
@@ -349,6 +387,7 @@ def streaming_dedup_incremental(spark: SparkSession, docs_dir: str,
         try:
             bands_path = os.path.join(index_dir, BANDS_TABLE)
             if os.path.exists(bands_path):
+                check_index_format(index_dir)  # fail fast on v1 index
                 seen = (s.read.parquet(bands_path)
                         .select("doc_id").distinct())
                 fresh = batch.join(seen, "doc_id", "left_anti")

@@ -182,11 +182,20 @@ def gram_rows_spark(words_df: "DataFrame", ns) -> "DataFrame":
     row (GenerateExec keeps the generator child inline), which made
     the build-arrays-then-explode form O(doc length) per emitted gram
     — measured 165x slower at sf0.1. Post-explode,
-    ``array_join(slice(w, i, n))`` touches only its own n elements."""
+    ``array_join(slice(w, i, n))`` touches only its own n elements.
+
+    The position explode is guarded for empty word arrays: Spark's
+    ``sequence(1, 0)`` steps DOWN to [1, 0], and the stray i=0 row
+    would survive the range filter for a width of 1 and make
+    ``slice(w, 0, 1)`` throw at runtime. Widths >= 2 filtered the
+    stray rows anyway, so results are unchanged; the guard makes the
+    function total over any ``ns``."""
     widths = ", ".join(str(n) for n in sorted(set(ns)))
     return (words_df
             .selectExpr("doc_id", "w",
-                        "explode(sequence(1, size(w))) AS i")
+                        "explode(CASE WHEN size(w) >= 1 THEN "
+                        "sequence(1, size(w)) "
+                        "ELSE CAST(array() AS array<int>) END) AS i")
             .selectExpr("doc_id", "w", "i",
                         f"explode(array({widths})) AS n")
             .filter("i + n - 1 <= size(w)")

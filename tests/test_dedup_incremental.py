@@ -184,3 +184,42 @@ def test_streaming_drain_equals_sequential_batches(spark, tmp_path):
                   .select("a_id", "b_id", "jaccard")) == want
     assert spark.read.parquet(
         os.path.join(idx, BANDS_TABLE)).count() == n_bands
+
+
+def test_index_format_marker_versioning(spark, split, tmp_path_factory):
+    """ADVICE r12 (medium): the r12 band-key change (md5 hex string ->
+    packed bigint) silently nulls every new-vs-corpus candidate when a
+    pre-change index is joined. The format marker makes that fail FAST:
+    a missing marker (old index, or an interrupted rebuild — it is
+    written last) and a wrong-version marker both raise with a rebuild
+    instruction, from every consumer that reads the stored bands."""
+    from maha_spark.ops.incremental import (
+        FORMAT_MARKER, INDEX_FORMAT, check_index_format)
+
+    corpus, new = split
+    d = str(tmp_path_factory.mktemp("dedup_idx_fmt"))
+    materialize_dedup_index(spark, corpus.limit(20), d)
+    marker = os.path.join(d, FORMAT_MARKER)
+    # a completed rebuild leaves the current-format marker
+    assert open(marker).read() == INDEX_FORMAT
+    check_index_format(d)  # no raise
+
+    # old-format (v1 string-key) index: wrong marker content
+    with open(marker, "w") as f:
+        f.write("v1-md5hex")
+    for call in (lambda: check_index_format(d),
+                 lambda: dedup_incremental(spark, d, new.limit(3)),
+                 lambda: update_dedup_index(spark, d, new.limit(3),
+                                            assume_new=True)):
+        with pytest.raises(ValueError, match="Rebuild"):
+            call()
+
+    # interrupted rebuild: bands present, marker absent
+    os.remove(marker)
+    with pytest.raises(ValueError, match="Rebuild"):
+        check_index_format(d)
+    # no index at all is NOT an error (consumers materialize on demand)
+    check_index_format(str(tmp_path_factory.mktemp("dedup_idx_empty")))
+    # a re-materialize writes the marker back and the index works again
+    materialize_dedup_index(spark, corpus.limit(20), d)
+    check_index_format(d)

@@ -133,3 +133,23 @@ def test_chunk_documents_matches_oracle(spark, sf_dir, duck):
     want_small = duck.execute(
         chunk_documents_oracle(chunk_tokens=16, overlap=4)).fetchdf()
     assert len(small) == len(want_small)
+
+
+def test_gram_rows_empty_docs_and_width_one(spark):
+    """ADVICE r12 (low): Spark's sequence(1, 0) steps DOWN to [1, 0],
+    so an unguarded position explode emitted stray (i=1, i=0) rows for
+    empty word arrays — harmless for widths >= 2 (range-filtered) but
+    slice(w, 0, 1) THREW for a width of 1. The guarded explode is total:
+    empty docs yield no rows and width 1 yields exactly the words."""
+    from maha_spark.ops.text import gram_rows_spark
+
+    base = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, []), (3, ["x"])],
+        "doc_id long, w array<string>")
+    got = {(r.doc_id, r.n, r.gram)
+           for r in gram_rows_spark(base, {1, 2}).collect()}
+    assert got == {
+        (1, 1, "a"), (1, 1, "b"), (1, 1, "c"),
+        (1, 2, "a b"), (1, 2, "b c"),
+        (3, 1, "x"),
+    }
