@@ -796,7 +796,8 @@ def _min_label_cc(edges: DataFrame, max_iters: int,
 
 def dedup_clusters(spark: SparkSession, sf_dir: str,
                    max_iters: int = 25,
-                   reliable_checkpoint: bool = False) -> DataFrame:
+                   reliable_checkpoint: bool = False,
+                   ordered: bool = True) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the simhash
     near-dup graph, each document labeled with its component's minimum
     doc_id (the canonical keeper) plus the component size.
@@ -882,9 +883,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     edges = (pairs.selectExpr("u", "v")
              .unionByName(pairs.selectExpr("v AS u", "u AS v")))
 
-    # star contraction: min over each vertex's neighborhood (+ itself)
-    first = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-             .selectExpr("u AS rep", "least(u, mv) AS label"))
+    # star contraction: min over each vertex's neighborhood (+ itself).
+    # Pinned (r13): it is consumed three times — both sides of the
+    # bridge-graph build AND the final rep_labels join — and each
+    # consumer otherwise re-runs the groupBy over the mirrored edge
+    # union (the op_curate plan audit showed the u-keyed exchange
+    # planned 3x; guide §1.2). Rep-level rows, so the blocks are tiny.
+    first = pin(edges.groupBy("u").agg(F.min("v").alias("mv"))
+                .selectExpr("u AS rep", "least(u, mv) AS label"))
 
     # bridge graph: only edges crossing label boundaries survive
     rep_edges = pin(
@@ -965,9 +971,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                         "vcnt"))
     vsizes = vlab.groupBy("label").agg(
         F.sum("vcnt").alias("cluster_size"))
-    return (sh.join(vlab.join(vsizes, "label"), "simhash")
-            .selectExpr("doc_id", "label AS cluster_id", "cluster_size")
-            .orderBy("doc_id"))
+    out = (sh.join(vlab.join(vsizes, "label"), "simhash")
+           .selectExpr("doc_id", "label AS cluster_id", "cluster_size"))
+    # ``ordered=False`` (r13) skips the corpus-wide range exchange +
+    # sort for compositions that immediately re-key the rows anyway
+    # (op_curate joins on doc_id and re-sorts its own output; guide
+    # §2.4 "an orderBy used only to make output deterministic")
+    return out.orderBy("doc_id") if ordered else out
 
 
 def dedup_clusters_oracle() -> str:
