@@ -37,7 +37,14 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 
     Generated as explode(position indices) with the md5 computed AFTER
     the Generate — exploding a computed hash array re-evaluates the whole
-    array per output row (see ops/text.py ``gram_rows_spark``)."""
+    array per output row (see ops/text.py ``gram_rows_spark``).
+
+    ``h`` is the RAW 16-byte digest (``unhex(md5(...))``), not the
+    32-char hex string (r13, guide §2.3 "narrower types"): the digest
+    is the widest column of the candidate DISTINCT exchange — the op's
+    biggest shuffle — and unhex is a bijection on md5 output, so every
+    distinct/join/count downstream is bit-identical while the key
+    bytes halve (probe: tools/bench_probes/unhex_md5_r13.json)."""
     from pyspark.sql import functions as F
     n = SHINGLE_N
     # hash-partition by doc_id BEFORE the explode: the candidate side's
@@ -59,7 +66,7 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
                 f"array() END) AS i")
             .selectExpr(
                 "doc_id",
-                f"md5(array_join(slice(w, i, {n}), ' ')) AS h"))
+                f"unhex(md5(array_join(slice(w, i, {n}), ' '))) AS h"))
 
 
 def contaminated_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
