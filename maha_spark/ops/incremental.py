@@ -137,12 +137,21 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
 
 
 def dedup_incremental(spark: SparkSession, index_dir: str,
-                      new_docs: DataFrame) -> DataFrame:
+                      new_docs: DataFrame,
+                      _batch_frames: tuple[DataFrame, DataFrame] | None
+                      = None) -> DataFrame:
     """Near-dup pairs (a_id, b_id, jaccard >= 0.8) touching the new
     batch: new-vs-corpus plus new-vs-new, exactly the subset of the
     batch kernel's answer over (corpus + batch) in which at least one
     side is new (corpus-internal pairs were already found when the
-    corpus was indexed). Pairs are canonicalized a_id < b_id."""
+    corpus was indexed). Pairs are canonicalized a_id < b_id.
+
+    ``_batch_frames`` (private) lets a caller that already built —
+    and possibly pre-warmed — the batch's ``(shingle, band)`` frames
+    pass them in instead of rebuilding; they MUST be exactly
+    ``lsh_shingle_frame(new_docs)`` / ``lsh_band_frame`` of it (see
+    ``dedup_incremental_op``'s overlap of the batch warm with the
+    index build)."""
     from pyspark.sql import functions as F
 
     from .common import scoped_cache
@@ -154,8 +163,11 @@ def dedup_incremental(spark: SparkSession, index_dir: str,
     # are md5-heavy — cache them so the chains evaluate once per batch.
     # Batch-sized by construction (the crawl drop), so the blocks are
     # bounded; lifecycle-tracked via scoped_cache (r12, guide §1.2).
-    base_new = scoped_cache(lsh_shingle_frame(new_docs))
-    bands_new = scoped_cache(lsh_band_frame(base_new))
+    if _batch_frames is not None:
+        base_new, bands_new = _batch_frames
+    else:
+        base_new = scoped_cache(lsh_shingle_frame(new_docs))
+        bands_new = scoped_cache(lsh_band_frame(base_new))
     idx_bands = spark.read.parquet(os.path.join(index_dir, BANDS_TABLE))
     idx_sh = spark.read.parquet(os.path.join(index_dir, SHINGLES_TABLE))
 
@@ -324,10 +336,42 @@ def dedup_incremental_op(spark: SparkSession, sf_dir: str) -> DataFrame:
             stale = table_version(path) < time.time() - 7 * 86400
         if stale:
             shutil.rmtree(path, ignore_errors=True)
-    materialize_dedup_index(
-        spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
-    return (dedup_incremental(
-                spark, idx, docs.filter(f"doc_id % {BATCH_MOD} = 0"))
+    # Overlap the batch-side shingle/band cache build with the corpus
+    # index writes (guide §2.6 "overlap independent jobs"): the two
+    # job sets share no inputs beyond the source scan, and the index
+    # build's write tails leave cores idle that the batch warm
+    # back-fills. The warmed frames are handed to dedup_incremental
+    # via its private _batch_frames contract (identical construction,
+    # so results are bit-identical to the serial path).
+    import threading
+
+    from .common import scoped_cache
+
+    batch = docs.filter(f"doc_id % {BATCH_MOD} = 0")
+    base_new = scoped_cache(lsh_shingle_frame(batch))
+    bands_new = scoped_cache(lsh_band_frame(base_new))
+
+    def _warm() -> None:
+        try:
+            # materializes bands_new AND (through it) base_new's blocks
+            bands_new.write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — cache miss just recomputes
+            pass
+
+    try:
+        from pyspark import inheritable_thread_target
+        warm = threading.Thread(
+            target=inheritable_thread_target(_warm), daemon=True)
+    except ImportError:  # pragma: no cover - very old pyspark
+        warm = threading.Thread(target=_warm, daemon=True)
+    warm.start()
+    try:
+        materialize_dedup_index(
+            spark, docs.filter(f"doc_id % {BATCH_MOD} != 0"), idx)
+    finally:
+        warm.join()
+    return (dedup_incremental(spark, idx, batch,
+                              _batch_frames=(base_new, bands_new))
             .orderBy("a_id", "b_id"))
 
 

@@ -44,37 +44,45 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_clusters
     from .text import text_profile
 
-    # Overlap the two independent heavy legs (guide §2.6 "overlap
+    # Overlap the three independent heavy legs (guide §2.6 "overlap
     # independent jobs"): dedup_clusters runs a BOUNDED driver probe
     # (its bridge-graph collect) whose wall time used to serialize
-    # before the final action could even start computing the profile.
-    # The profile leg is cached and materialized from a driver thread
-    # WHILE the probe runs — Spark's scheduler runs both job sets
-    # concurrently — so the composed action later reads the profile
-    # from storage instead of recomputing it after the probe. The
-    # cache is consumed exactly once; it exists to shift the work into
-    # the probe's shadow, and release_scoped_caches reclaims it per
+    # before the final action could even start computing the profile
+    # or the contamination id set. Both independent legs are cached
+    # and materialized from driver threads WHILE the probe runs —
+    # Spark's scheduler runs the job sets concurrently (2-3 in flight
+    # per the guide) — so the composed action later reads them from
+    # storage instead of recomputing them after the probe. Each cache
+    # is consumed exactly once; it exists to shift the work into the
+    # probe's shadow, and release_scoped_caches reclaims it per
     # request/entry as usual.
     prof = scoped_cache(text_profile(spark, sf_dir))
+    cont = scoped_cache(contaminated_doc_ids(spark, sf_dir))
 
-    def _warm() -> None:
-        try:
-            prof.write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001 — cache miss just recomputes
-            pass
+    def _warm(df: DataFrame):
+        def run() -> None:
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — cache miss just recomputes
+                pass
+        return run
 
     try:
         from pyspark import inheritable_thread_target
-        warm = threading.Thread(
-            target=inheritable_thread_target(_warm), daemon=True)
+        warms = [threading.Thread(
+            target=inheritable_thread_target(_warm(df)), daemon=True)
+            for df in (prof, cont)]
     except ImportError:  # pragma: no cover - very old pyspark
-        warm = threading.Thread(target=_warm, daemon=True)
-    warm.start()
+        warms = [threading.Thread(target=_warm(df), daemon=True)
+                 for df in (prof, cont)]
+    for w in warms:
+        w.start()
     try:
         clus = dedup_clusters(spark, sf_dir, ordered=False).select(
             "doc_id", "cluster_id", "cluster_size")
     finally:
-        warm.join()
+        for w in warms:
+            w.join()
 
     # contamination as an existence test: drop the benchmark split by
     # modulus (the report's inner join did this implicitly), then
@@ -83,8 +91,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widest shuffle in the old composition (sf0.1: 6.98s -> ~5s)
     cand = (prof
             .filter(F.col("doc_id") % BENCH_MOD != 0)
-            .join(contaminated_doc_ids(spark, sf_dir), "doc_id",
-                  "left_anti")
+            .join(cont, "doc_id", "left_anti")
             .filter(f"quality_score >= {QUALITY_MIN}")
             .filter("is_repetitive = 0")
             .join(clus, "doc_id"))

@@ -138,12 +138,74 @@ def _pii_exprs(spark_side: bool) -> dict[str, str]:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import load_table
-    docs = load_table(spark, sf_dir, "documents")
-    exprs = _stats_exprs("w", spark_side=True)
-    proj = [f"{sql} AS {name}" for name, sql in exprs.items()]
-    return (docs
-            .selectExpr("doc_id", "text", f"{words_sql()} AS w")
-            .selectExpr("doc_id", *proj))
+    return text_stats_frame(load_table(spark, sf_dir, "documents"))
+
+
+def text_stats_frame(docs: DataFrame) -> DataFrame:
+    """STAGED spelling of ``_stats_exprs(spark_side=True)`` — identical
+    values, one evaluation per expensive array traversal (r13, guide
+    §1.2 step 2 "per-task work").
+
+    The single-projection form re-inlined every multiply-consumed
+    higher-order function: the plan showed ``size(filter(w, ...))``
+    14x per row (each language vote appears in several lang_pred
+    branches plus stop_ratio/quality_score) and ``array_distinct(w)``
+    4x — all CodegenFallback expressions with no codegen CSE, so each
+    occurrence was a full interpreted array walk. Staging them as named
+    columns makes each one a multi-use non-cheap expression, which
+    CollapseProject refuses to re-inline — every vote / distinct /
+    fold now runs exactly once per row. Value-identity with the
+    un-staged form (and transitively with the DuckDB oracle) is pinned
+    by tests/test_r13_hardening.py."""
+    in_en = _in_list(STOPWORDS["en"])
+    votes = {lang: f"size(filter(w, x -> x IN ({_in_list(sw)}))) AS v_{lang}"
+             for lang, sw in STOPWORDS.items() if lang != "en"}
+    lang_pred = (
+        "CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr "
+        "THEN 'en' "
+        "WHEN v_de >= v_es AND v_de >= v_fr THEN 'de' "
+        "WHEN v_es >= v_fr THEN 'es' ELSE 'fr' END")
+    red = pii_redact_sql(spark_side=True)
+    bpe_re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    return (
+        docs
+        .selectExpr("doc_id", "text", f"{words_sql()} AS w")
+        # dis is consumed twice below (n_distinct + fp_wordset): its own
+        # stage keeps it single-evaluation
+        .selectExpr("doc_id", "text", "w", "array_distinct(w) AS dis")
+        .selectExpr(
+            "doc_id",
+            "size(w) AS n_tokens",
+            f"regexp_count(text, '{bpe_re}') AS n_tokens_bpe",
+            "size(dis) AS n_distinct",
+            f"size(filter(w, x -> x IN ({in_en}))) AS v_en",
+            *votes.values(),
+            "aggregate(w, 0, (acc, x) -> acc + length(x)) AS sum_len",
+            "md5(text) AS fp_exact",
+            "md5(array_join(array_sort(dis), ' ')) AS fp_wordset",
+            f"aggregate(w, CAST(0 AS BIGINT), (acc, x) -> "
+            f"(acc * 31 + {h28_sql('x')}) % {ROLL_P}) AS fp_rolling",
+            f"regexp_count(text, '{PII_EMAIL_RE}') AS pii_emails",
+            f"regexp_count(text, '{PII_PHONE_RE}') AS pii_phones",
+            f"regexp_count(text, '{PII_ID_RE}') AS pii_ids",
+            f"md5({red}) AS fp_redacted")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_tokens_bpe",
+            "n_distinct",
+            "round(CAST(sum_len AS DOUBLE) / n_tokens, 6) "
+            "AS avg_token_len",
+            "round(CAST(v_en AS DOUBLE) / n_tokens, 6) AS stop_ratio",
+            "round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) "
+            "AS type_token_ratio",
+            "round(0.4 * (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100) "
+            "+ 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens) "
+            "+ 0.2 * (CAST(v_en AS DOUBLE) / n_tokens), 6) "
+            "AS quality_score",
+            f"{lang_pred} AS lang_pred",
+            "fp_exact", "fp_wordset", "fp_rolling",
+            "pii_emails", "pii_phones", "pii_ids", "fp_redacted"))
 
 
 def text_stats_oracle() -> str:
