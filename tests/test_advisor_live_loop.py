@@ -18,6 +18,10 @@ import sys
 
 import pytest
 
+# soak-style end-to-end suites (their session fixtures alone cost ~25 s):
+# slow tail, excluded from the default run (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from maha_spark.engine import MahaSparkEngine, engine_for_dir  # noqa: E402

@@ -29,6 +29,10 @@ import sys
 
 import pytest
 
+# soak-style end-to-end suites (their session fixtures alone cost ~25 s):
+# slow tail, excluded from the default run (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from maha_spark.core.freqitems import freq_items_partial  # noqa: E402

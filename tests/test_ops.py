@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -136,6 +138,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert 5 in got_ids and 4 not in got_ids
 
 
+@pytest.mark.slow
 def test_ivf_topk_quality(spark, sf_dir):
     """IVF ANN: valid ranks, deterministic centroids, and top-1 recall
     comparable to exact search on the clustered test corpus."""
@@ -319,6 +322,7 @@ def test_streaming_append_sink_drops_late_rows(spark, tmp_path):
                         ("13", "a"), ("14", "b")}
 
 
+@pytest.mark.slow
 def test_pq_topk_quality(spark, sf_dir):
     """PQ/ADC approximate top-k: valid structure, deterministic
     codebooks, and recall@5 against exact cosine search above the gate
@@ -347,6 +351,7 @@ def test_pq_topk_quality(spark, sf_dir):
     assert pq.reset_index(drop=True).equals(again.reset_index(drop=True))
 
 
+@pytest.mark.slow
 def test_ivfpq_topk_quality(spark, sf_dir):
     """IVF+PQ composition: candidates pruned to nprobe cells, scored from
     PQ codes. Recall trails plain PQ (cell pruning can drop true
@@ -369,6 +374,7 @@ def test_ivfpq_topk_quality(spark, sf_dir):
     assert recalls and sum(recalls) / len(recalls) >= 0.35
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_variant_quality(spark, sf_dir):
     """The faithful FAISS-IVFADC residual variant: same structure and a
     (slightly looser) recall gate — kept selectable for corpora where

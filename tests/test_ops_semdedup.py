@@ -8,6 +8,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -120,6 +121,7 @@ def test_op_matches_duckdb_oracle(spark, duck, sf_dir):
     assert any(not r[4] for r in got), "oracle corpus drops nothing"
 
 
+@pytest.mark.slow
 def test_hot_cluster_split_bounds_kernel_input(spark):
     """VERDICT r7 #3: a planted hot cluster (a tight jittered blob that
     single-cell k-means would put in one cell) is recursively split
@@ -148,6 +150,7 @@ def test_hot_cluster_split_bounds_kernel_input(spark):
     assert out[299].max_prior_sim == 1.0
 
 
+@pytest.mark.slow
 def test_unsplittable_identical_cell_raises(spark):
     """> max_cell_size IDENTICAL vectors tie to the same sub-centroid in
     every round — the guard raises loudly instead of OOMing a worker."""

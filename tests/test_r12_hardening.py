@@ -181,6 +181,7 @@ def _rows(spark, path):
                   key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
+@pytest.mark.slow
 def test_maintenance_cycle_over_file_uri(spark, tmp_path):
     """One full cycle with every artifact root spelled as a file://
     URI, against a plain-path control staged identically: compacted

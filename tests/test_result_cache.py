@@ -174,6 +174,7 @@ def test_unversionable_binding_bypasses(spark):
     assert cache.bypasses == 2 and cache.stats()["entries"] == 0
 
 
+@pytest.mark.slow
 def test_fuzz_cache_coherence_under_rewrites(spark, writable_dir):
     """Seeded battery: a randomized request stream with table rewrites
     interleaved — the cached engine must answer every request exactly

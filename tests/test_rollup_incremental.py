@@ -72,6 +72,7 @@ def pristine(spark, tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_refresh_restores_corrupted_days_bit_identically(
         spark, pristine, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("li_inc_work"))
@@ -101,6 +102,7 @@ def test_refresh_restores_corrupted_days_bit_identically(
     assert _dir_state(untouched) == before
 
 
+@pytest.mark.slow
 def test_refresh_of_empty_range_is_a_noop(spark, pristine, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("li_inc_noop"))
     for t in os.listdir(SRC):
@@ -125,6 +127,7 @@ def test_partitioned_rollup_serves_like_flat(spark, pristine):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_nation_rollup_refresh_restores_bit_identically(
         spark, tmp_path_factory):
     """The aggregate-join rollup gets the same restatement guarantee:

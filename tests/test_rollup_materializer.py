@@ -135,6 +135,7 @@ def test_declaration_shape(applied):
     assert t.grain_cols and t.cost == rec.suggested_cost
 
 
+@pytest.mark.slow
 def test_partitioned_refresh_bit_identical_and_scoped(spark, applied,
                                                       tmp_path_factory):
     """The advised rollup gets the same maintenance contract as the
@@ -354,6 +355,7 @@ def test_chain_frame_unions_forked_snowflake_branches(spark):
     assert rows2 == {100: (1, "south"), 101: (2, "north"), 102: (2, None)}
 
 
+@pytest.mark.slow
 def test_refresh_self_compacts_fragmented_days(spark, applied,
                                                tmp_path_factory):
     """The maintenance loop closes its own loop: a day fragmented by
@@ -407,6 +409,7 @@ def test_refresh_self_compacts_fragmented_days(spark, applied,
         assert sorted(os.listdir(os.path.join(out, f))) == listing
 
 
+@pytest.mark.slow
 def test_refresh_keeps_skipping_sidecar_fresh(spark, applied,
                                               tmp_path_factory):
     """The maintenance loop closes over the data-skipping index: a

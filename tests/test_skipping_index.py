@@ -661,6 +661,7 @@ def _files_per_day(table):
             for p in os.listdir(table) if p.startswith("dt=")}
 
 
+@pytest.mark.slow
 def test_zorder_bit_identical_and_multi_file(spark, zorder_layout):
     """The rewrite changes layout only: per-day row multisets unchanged,
     and the size cap actually cuts each day into multiple files."""
@@ -675,10 +676,16 @@ def test_zorder_bit_identical_and_multi_file(spark, zorder_layout):
         assert len(files) > 4, day
 
 
+@pytest.mark.slow
 def test_zorder_prunes_on_every_listed_column(spark, zorder_layout):
     """After Z-ORDER on (x, y), the sidecar prunes needles on BOTH
     columns (files are tiles of the 2-D space); a plain x-sorted layout
-    only prunes x — the y zone maps all span the full range."""
+    only prunes x — the y zone maps all span the full range.
+
+    slow-marked with the rest of the zorder CHAIN: the three zorder
+    tests mutate the shared module fixture in order (this one reads the
+    layout the bit-identity test rewrote), so they run together in the
+    slow tier or not at all."""
     from maha_spark.plans.skipping import table_index_dir
     d, table = zorder_layout     # already z-ordered by the test above
     idx = table_index_dir(d, "facts")
@@ -709,6 +716,7 @@ def test_zorder_prunes_on_every_listed_column(spark, zorder_layout):
     assert len(kept_y) == xtotal               # follower cannot
 
 
+@pytest.mark.slow
 def test_zorder_hash_bins_string_column(spark, zorder_layout):
     """A string column in the Z-order gets hash bins: equal values
     co-locate, so the Bloom sidecar prunes equality needles on it."""
@@ -1052,6 +1060,7 @@ def test_refresh_heals_mixed_sidecar(spark, refresh_layout):
     assert needle_scan(spark, table, idx, "id", 600).count() == 1
 
 
+@pytest.mark.slow
 def test_dim_driven_page_keys_prune_fact_files(spark, tmp_path):
     """q6 shape: the dim-driven page's key set (known driver-side after
     dim pagination) probes the fact's l_orderkey sidecar, so the fact
