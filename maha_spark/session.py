@@ -60,6 +60,15 @@ def get_spark(app_name: str = "maha-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1/§9 baseline: let the planner pick shuffled-hash
+        # join when its size conditions hold instead of defaulting to
+        # sort-merge — skips both sort legs on the mid-size joins the
+        # 64 MB broadcast threshold doesn't catch (cluster-plausible:
+        # the planner still requires the build side to fit per
+        # partition). Interleaved A/B r13 (4 rounds each, same
+        # session): op_curate 3.52-3.91 s vs 4.07-4.25 s — every pair
+        # in favor; no entry slower (probe in OPTIMIZATION_r13.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
